@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.storage.StorageLevel
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -9,14 +11,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * vectorized parquet reader (SURVEY §2.1 S1/S4). At 100 TB these become
   * partitioned/bucketed table reads — the query code below never assumes
   * a single file.
+  *
+  * Caching layer: the driver's test parquet is written as ONE row group
+  * per table, so a plain scan is a single task no matter how many cores
+  * the session has. When `spark.graft.cacheTables=true` (set by Bench),
+  * fact tables are repartitioned to the session's default parallelism and
+  * persisted — the local[32] analogue of the partitioned/bucketed layout
+  * a 100 TB warehouse would already have on disk. Dimension tables stay
+  * un-repartitioned (they must remain obviously broadcast-able).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Tables big enough (at any SF) that single-task scans matter. */
+  private val factNames = Set(
+    "customer", "part", "orders", "lineitem", "events",
+    "documents", "embeddings")
+
+  // Keyed by session identity too: a cached DataFrame is unusable after
+  // its owning session stops (tests create/stop several sessions).
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val caching = spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) raw(spark, sfDir, name)
+    else cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+      val df0 = raw(spark, sfDir, name)
+      val df =
+        if (factNames(name))
+          df0.repartition(spark.sparkContext.defaultParallelism)
+        else df0
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+  }
+
+  /** Materialize the cached form of every table (Bench warmup). */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.count()
+    }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -25,7 +66,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively (PARQUET_TYPE_ILLEGAL). Read it as a nanos BIGINT via the
+    * legacy flag and rebuild a microsecond timestamp by integer division —
+    * the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
+    * so oracle comparisons stay exact. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

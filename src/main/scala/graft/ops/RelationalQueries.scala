@@ -51,4 +51,190 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** q02 — top customers by order revenue: fact⋈dim equi-join + agg +
+    * deterministic top-k (TakeOrderedAndProject). At 100 TB the groupBy on
+    * o_custkey shuffles once; the top-k never materializes the full sort. */
+  def q02TopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        sum(dec("o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** q03 — 5-way star join lineitem⋈orders⋈customer⋈nation⋈region with
+    * pushed filters; region/nation are broadcast (KB-sized at any scale). */
+  def q03StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.filter(col("l_returnflag") =!= "A")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q04 — left-semi + left-anti joins (J9): customers with / without
+    * orders per market segment, merged by full-outer join. */
+  def q04SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val cond = col("c_custkey") === col("o_custkey")
+    val withOrders = c.join(o, cond, "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, cond, "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(
+        col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q05 — ROLLUP over (status, priority) with NULL group markers folded
+    * to 'ALL' so the oracle hash is null-free (A9). */
+  def q05RollupCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("total_spend"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_spend"))
+      .orderBy("status", "priority")
+  }
+
+  /** q06 — ranking window (W3): top-3 orders per status by price, ties
+    * broken by key for determinism. row_number cast to BIGINT to match
+    * DuckDB's window-function result type. */
+  def q06WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  /** q07 — frame-spec running total per customer (W5), exact via decimal
+    * window sum (double window sums are association-order-sensitive). */
+  def q07RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend", sum(dec("o_totalprice")).over(w)
+        .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q08 — lag + session gap numbering (W4): a session break is a gap
+    * > 30 min between consecutive events of one user. Timestamps are
+    * truncated to whole seconds in both engines (events.ts is ns-precision
+    * parquet; Spark reads µs — second-truncation sidesteps the mismatch). */
+  def q08LagSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(date_trunc("second", col("ts"))))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .withColumn("is_break", when(col("gap") > 1800, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("is_break")) + lit(1L)).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q09 — event-time tumbling windows (V16) via Spark's window() function
+    * + filtered aggregation (A10). One day in UTC == date_trunc('day') in
+    * the oracle. */
+  def q09EventWindows(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        coalesce(sum(when(col("event_type") === "purchase", dec("value"))),
+          lit(0).cast(DecimalType(12, 2))).cast("double")
+          .as("purchase_value"))
+      .select(col("w.start").cast("date").as("day"),
+        col("n_events"), col("n_purchases"), col("purchase_value"))
+      .orderBy("day")
+  }
+
+  /** q10 — JSON column ingestion (S7/F7): extract props.k per event_type. */
+  def q10JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** q11 — exact distinct users per event type (A8). The approx
+    * (HLL++) twin lives in q11b without an oracle. */
+  def q11DistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** q11b — approx_count_distinct (HLL++) — engine-specific sketch, no
+    * oracle (driver records rows-only check). At 100 TB this is the one
+    * you actually run: one pass, no shuffle of distinct values. */
+  def q11bApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** q12 — set ops (O4): INTERSECT and EXCEPT over per-type user sets. */
+  def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("op", lit("click_and_purchase"))
+    val viewNoError = users("view").except(users("error"))
+      .withColumn("op", lit("view_no_error"))
+    both.unionByName(viewNoError)
+      .select(col("op"), col("user_id"))
+      .orderBy("op", "user_id")
+  }
 }

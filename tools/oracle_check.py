@@ -1,80 +1,67 @@
 #!/usr/bin/env python3
-"""Dev-only harness mimicking the driver's t2 correctness check.
+"""Local replica of the driver's DuckDB oracle compare.
 
-NOT part of the shipped library (the Scala/Spark code never calls this).
-Usage:
-    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
-    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
-For each query dumped by graft.Verify it runs the corresponding oracle
-SQL from oracle_sql.json in DuckDB over views of the same parquet tables,
-sorts columns by name (like the driver), and compares row counts, dtypes,
-and values.
+For each query in <verifyOutDir>/oracle_sql.json:
+  - read the Spark result parquet at <verifyOutDir>/<name>/
+  - run the oracle SQL in DuckDB over views named after the testdata parquet
+  - sort columns by name, compare row counts, schemas (loosely), and a
+    hash of all values.
 """
-import json
-import math
-import sys
-
+import sys, json, glob, hashlib
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-def norm(df):
+def canon(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(repr(round(v, 9)))
+            else:
+                vals.append(str(v))
+        rows.append("|".join(vals))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest(), len(rows)
 
-
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    with open(f"{out_dir}/oracle_sql.json") as f:
-        oracles = json.load(f)
-    n_ok = 0
-    for name, sql in sorted(oracles.items()):
-        try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-        except Exception as e:
-            print(f"FAIL {name}: spark result unreadable: {e}")
-            continue
-        try:
-            want = con.execute(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            continue
-        g, w = norm(got), norm(want)
-        if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
-            continue
-        if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
-            continue
-        bad = None
-        for c in g.columns:
-            gv, wv = g[c].tolist(), w[c].tolist()
-            for i, (a, b) in enumerate(zip(gv, wv)):
-                af = isinstance(a, float) and isinstance(b, float)
-                if af and math.isnan(a) and math.isnan(b):
-                    continue
-                if a != b:
-                    bad = (c, i, a, b)
-                    break
-            if bad:
+fails = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"MISSING  {name}"); fails += 1; continue
+    spark_df = con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    try:
+        duck_df = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"ORA-ERR  {name}: {e}"); fails += 1; continue
+    sh, sn = canon(spark_df)
+    dh, dn = canon(duck_df)
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        print(f"COLS     {name}: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        fails += 1
+    elif sn != dn:
+        print(f"ROWS     {name}: spark={sn} duck={dn}"); fails += 1
+    elif sh != dh:
+        print(f"HASH     {name} ({sn} rows)"); fails += 1
+        # show first differing row
+        a = spark_df[sorted(spark_df.columns)].astype(str).apply("|".join, axis=1).sort_values().tolist()
+        b = duck_df[sorted(duck_df.columns)].astype(str).apply("|".join, axis=1).sort_values().tolist()
+        for x, y in zip(a, b):
+            if x != y:
+                print(f"  spark: {x}\n  duck : {y}")
                 break
-        if bad:
-            c, i, a, b = bad
-            print(f"FAIL {name}: value mismatch col={c} row={i}: spark={a!r} oracle={b!r}")
-        else:
-            print(f"OK   {name}: {len(g)} rows")
-            n_ok += 1
-    print(f"== {n_ok}/{len(oracles)} queries match ==")
-    return 0 if n_ok == len(oracles) else 1
-
-
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    else:
+        print(f"OK       {name} ({sn} rows)")
+print(f"\n{len(oracle)-fails}/{len(oracle)} match")
+sys.exit(1 if fails else 0)
