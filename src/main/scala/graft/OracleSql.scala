@@ -130,6 +130,144 @@ object OracleSql {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  val q13: String =
+    """SELECT lang, rn, token, n FROM (
+      |  SELECT lang, token, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rn
+      |  FROM (
+      |    SELECT lang, token, COUNT(*) AS n FROM (
+      |      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) u
+      |    WHERE token <> ''
+      |    GROUP BY lang, token) g) r
+      |WHERE rn <= 5
+      |ORDER BY lang, rn""".stripMargin
+
+  val q14: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_uniq_text,
+      |  CAST(COUNT(DISTINCT array_to_string(list_sort(list_distinct(
+      |    list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS BIGINT) AS n_uniq_bow
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  val q15: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), p AS (
+      |  SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5
+      |), s AS (
+      |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+      |    list_dot_product(p.pv, n.v) / (p.pnrm * n.nrm) AS sim
+      |  FROM p JOIN n ON n.vec_id <> p.probe_id
+      |)
+      |SELECT probe_id, rank, neighbor_id FROM (
+      |  SELECT probe_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM s) t
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
+  val q27: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      |        FROM toks WHERE len(t) >= 3) x
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), scored AS (
+      |  SELECT p.doc_a, p.doc_b, p.n_inter,
+      |    sa.n_sh + sb.n_sh - p.n_inter AS n_union
+      |  FROM pairs p
+      |  JOIN sizes sa ON sa.doc_id = p.doc_a
+      |  JOIN sizes sb ON sb.doc_id = p.doc_b
+      |)
+      |SELECT rank, doc_a, doc_b, n_inter, n_union FROM (
+      |  SELECT doc_a, doc_b, n_inter, n_union,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_inter / n_union DESC, doc_a, doc_b) AS BIGINT) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 50
+      |ORDER BY rank""".stripMargin
+
+  val q29: String =
+    """WITH tg AS (
+      |  SELECT doc_id, lang, substr(text, i, 3) AS g
+      |  FROM (SELECT doc_id, lang, text,
+      |          unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i
+      |        FROM documents) x
+      |), train AS (
+      |  SELECT lang AS profile_lang, g, COUNT(*) AS cnt
+      |  FROM tg WHERE doc_id % 5 = 0
+      |  GROUP BY lang, g
+      |), scores AS (
+      |  SELECT t.doc_id, t.lang, tr.profile_lang, SUM(tr.cnt) AS score
+      |  FROM tg t JOIN train tr ON t.g = tr.g
+      |  WHERE t.doc_id % 5 <> 0
+      |  GROUP BY t.doc_id, t.lang, tr.profile_lang
+      |), best AS (
+      |  SELECT doc_id, lang, profile_lang,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+      |  FROM scores
+      |)
+      |SELECT lang, profile_lang AS pred_lang, COUNT(*) AS n_docs
+      |FROM best WHERE rn = 1
+      |GROUP BY lang, profile_lang
+      |ORDER BY lang, pred_lang""".stripMargin
+
+  val q30: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |  CAST(FLOOR(10000 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS ttr_bp,
+      |  CAST(FLOOR(10000 * len(list_filter(toks, x -> x IN ('the','a','of','to','in','and'))) / len(toks)) AS BIGINT) AS stop_bp,
+      |  CAST(FLOOR(100 * list_sum(list_transform(toks, x -> len(x))) / len(toks)) AS BIGINT) AS avg_len_x100
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  val q31: String =
+    """WITH t AS (
+      |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(list_sum(list_transform(toks, x -> len(x)))) AS BIGINT) AS n_token_chars,
+      |  CAST(SUM(list_sum(list_transform(toks, x -> CAST(CEIL(len(x) / 4.0) AS BIGINT)))) AS BIGINT) AS n_subwords
+      |FROM t
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  val q33: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), s AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |)
+      |SELECT rank, vec_a, vec_b FROM (
+      |  SELECT vec_a, vec_b,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a, vec_b) AS BIGINT) AS rank
+      |  FROM s) t
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
   val q12: String =
     """SELECT op, user_id FROM (
       |  SELECT 'click_and_purchase' AS op, user_id FROM (

@@ -23,7 +23,20 @@ object SparkEntry {
     "q10_json_props" -> (RelationalQueries.q10JsonProps _),
     "q11_distinct_users" -> (RelationalQueries.q11DistinctUsers _),
     "q11b_approx_distinct" -> (RelationalQueries.q11bApproxDistinct _),
-    "q12_set_ops" -> (RelationalQueries.q12SetOps _)
+    "q12_set_ops" -> (RelationalQueries.q12SetOps _),
+    "q13_text_tokens" -> (TextOps.q13TextTokens _),
+    "q14_exact_dedup" -> (TextOps.q14ExactDedup _),
+    "q15_knn_bruteforce" -> (VectorOps.q15KnnBruteforce _),
+    "q26_minhash_neardup" -> (TextOps.q26MinhashNeardup _),
+    "q27_shingle_jaccard" -> (TextOps.q27ShingleJaccard _),
+    "q28_simhash_dups" -> (TextOps.q28SimhashDups _),
+    "q29_lang_trigram_id" -> (TextOps.q29LangTrigramId _),
+    "q30_quality_score" -> (TextOps.q30QualityScore _),
+    "q31_token_stats" -> (TextOps.q31TokenStats _),
+    "q32_doc_fingerprint" -> (TextOps.q32DocFingerprint _),
+    "q33_embed_topk_pairs" -> (VectorOps.q33EmbedTopkPairs _),
+    "q34_ann_lsh" -> (VectorOps.q34AnnLsh _),
+    "q35_multimodal_features" -> (Multimodal.q35MultimodalFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,6 +53,16 @@ object SparkEntry {
     "q09_event_windows" -> OracleSql.q09,
     "q10_json_props" -> OracleSql.q10,
     "q11_distinct_users" -> OracleSql.q11,
-    "q12_set_ops" -> OracleSql.q12
+    "q12_set_ops" -> OracleSql.q12,
+    "q13_text_tokens" -> OracleSql.q13,
+    "q14_exact_dedup" -> OracleSql.q14,
+    "q15_knn_bruteforce" -> OracleSql.q15,
+    "q27_shingle_jaccard" -> OracleSql.q27,
+    "q29_lang_trigram_id" -> OracleSql.q29,
+    "q30_quality_score" -> OracleSql.q30,
+    "q31_token_stats" -> OracleSql.q31,
+    "q33_embed_topk_pairs" -> OracleSql.q33
+    // q26/q28/q32/q34/q35 are engine-specific (hash functions, stub
+    // codec) — driver records rows-only checks; ScalaTest covers them.
   )
 }

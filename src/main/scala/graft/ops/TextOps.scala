@@ -1,0 +1,356 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + dedup operators over the `documents` table
+  * (SURVEY §2.8 V14/V15 and the LLM-pipeline mandate: exact dedup,
+  * MinHash/SimHash near-dup, n-gram Jaccard, language-ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Determinism conventions (shared with RelationalQueries): every ratio
+  * is emitted as a floor-scaled integer (`floor(10000 * x)`), never a
+  * raw double — floor of the same IEEE double is identical across
+  * engines, so the driver's value hash can't be tripped by decimal
+  * rendering. Similarity queries emit ranks, not similarity floats.
+  *
+  * Scale posture: everything here is explode → hash-shuffle → agg with
+  * per-doc keys, so it partitions cleanly by doc_id at 100 TB. The
+  * near-dup path is candidate-generation (LSH bands / inverted shingle
+  * index) followed by exact verification on the candidate set only —
+  * never an all-pairs cross join over the corpus.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens of `text`. */
+  private val toks: Column =
+    filter(split(col("text"), " "), t => t =!= lit(""))
+
+  /** Distinct 3-token shingles, [] when fewer than 3 tokens. */
+  private val shingles: Column = {
+    val t = col("t")
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("t", toks)
+
+  // ---------------------------------------------------------------- q13
+  /** q13 — token frequencies: top-5 tokens per lang (V15).
+    * explode → partial+final hash agg → per-lang top-k window. */
+  def q13TextTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("token"), col("n"))
+      .orderBy("lang", "rn")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** q14 — exact dedup (V14): canonical key = sorted distinct token set
+    * ("bag of words"). Reports, per source, how many docs survive raw-
+    * text dedup vs canonical dedup. The kept-row choice at 100 TB would
+    * be `min(doc_id)` per key — one hash shuffle on the canonical key. */
+  def q14ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bow = array_join(array_sort(array_distinct(toks)), " ")
+    Tables.documents(spark, dir)
+      .withColumn("bow", bow)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_uniq_text"),
+        countDistinct(col("bow")).as("n_uniq_bow"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** q26 — MinHash + LSH near-dup candidates (no oracle: xxhash64 is
+    * engine-specific). 16 minhashes over 3-token shingles, 4 bands × 4
+    * rows; candidates = docs sharing a band bucket; candidates are then
+    * verified with exact shingle-set Jaccard. Top-100 pairs by Jaccard.
+    *
+    * At 100 TB: band bucketing is one shuffle keyed by (band, key);
+    * bucket sizes stay O(near-dup cluster), never O(corpus), and the
+    * exact verification joins only the candidate pairs. */
+  def q26MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withToks(Tables.documents(spark, dir))
+      .withColumn("sh", shingles)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    // sig[j] = min over shingles of xxhash64(j, shingle), j = 0..15
+    val sig = docs.withColumn("sig",
+      expr("transform(sequence(0, 15), j -> array_min(transform(sh, s -> xxhash64(j, s))))"))
+    val bands = sig.select(col("doc_id"), col("sh"),
+        explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  struct(b AS band, xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS key))"""
+            .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    val a = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("j_bp",
+        floor(lit(10000) * col("n_inter") / col("n_union")).cast("bigint"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("j_bp"))
+      .orderBy(col("j_bp").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** q27 — exact n-gram (3-token shingle) Jaccard, top-50 pairs. The
+    * pair generation is an inverted-index self-join on the shingle —
+    * the scalable formulation of "n-gram Jaccard similarity" (no
+    * all-pairs cross join; pairs sharing zero shingles never appear).
+    * Integer output (counts + rank), oracle-safe. */
+  def q27ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withToks(Tables.documents(spark, dir))
+      .withColumn("sh", shingles)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val w = Window.orderBy(
+      (col("n_inter") / col("n_union")).desc, col("doc_a"), col("doc_b"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("doc_a"), col("doc_b"), col("n_inter"),
+        col("n_union"))
+      .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** SimHash of the distinct-token set: bit i of the 64-bit signature is
+    * set iff the sum over tokens of ±1 (sign of bit i of splitmix64(token))
+    * is positive. Docs with identical token sets get identical signatures,
+    * so bag-of-words duplicates collide exactly. */
+  def simhashGroups(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tokens = text.split(" ").filter(_.nonEmpty).distinct
+        val counts = new Array[Int](64)
+        tokens.foreach { t =>
+          val h = Hash64.splitmix64(Hash64.stringHash(t))
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+            i += 1
+          }
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+        (id, sig)
+      }.toDF("doc_id", "simhash")
+    import org.apache.spark.sql.expressions.Window
+    val dupSigs = sigs.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    val w = Window.orderBy(col("simhash"))
+    sigs.join(dupSigs, "simhash")
+      .withColumn("group_id", dense_rank().over(w).cast("bigint"))
+      .select(col("group_id"), col("doc_id"), col("n_docs"))
+      .orderBy("group_id", "doc_id")
+  }
+
+  /** q28 — SimHash duplicate groups (no oracle: engine-specific hash).
+    * Scale note: the typed map is a narrow per-row transform (no
+    * shuffle); grouping shuffles only the 64-bit signature. */
+  def q28SimhashDups(spark: SparkSession, dir: String): DataFrame =
+    simhashGroups(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------- q29
+  /** q29 — n-gram language-ID heuristic: character-trigram profiles are
+    * "trained" on the deterministic split doc_id % 5 = 0 (using the
+    * labeled lang), remaining docs are classified by integer profile-hit
+    * scoring (sum over the doc's trigram occurrences of the profile
+    * count), argmax with lexicographic tiebreak. Output is the
+    * lang × predicted-lang confusion matrix. Integer scores keep the
+    * argmax engine-portable. */
+  def q29LangTrigramId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tg",
+        expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))"))
+    val train = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("lang").as("profile_lang"), explode(col("tg")).as("g"))
+      .groupBy("profile_lang", "g")
+      .agg(count(lit(1)).as("cnt"))
+    val test = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"), explode(col("tg")).as("g"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    test.join(train, "g")
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(sum(col("cnt")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("profile_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** q30 — per-doc quality scoring: token counts, type-token ratio,
+    * stopword ratio, mean token length — the standard cheap pre-training
+    * quality filters. All ratios floor-scaled to integers. */
+  def q30QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stoplist = Seq("the", "a", "of", "to", "in", "and")
+    withToks(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("n_uniq", size(array_distinct(col("t"))).cast("bigint"))
+      .withColumn("n_stop",
+        size(filter(col("t"), t => t.isin(stoplist: _*))).cast("bigint"))
+      .withColumn("sum_len",
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("ttr_bp",
+        floor(lit(10000) * col("n_uniq") / col("n_tokens")).cast("bigint"))
+      .withColumn("stop_bp",
+        floor(lit(10000) * col("n_stop") / col("n_tokens")).cast("bigint"))
+      .withColumn("avg_len_x100",
+        floor(lit(100) * col("sum_len") / col("n_tokens")).cast("bigint"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_uniq"),
+        col("ttr_bp"), col("stop_bp"), col("avg_len_x100"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** q31 — corpus token accounting per lang: whitespace tokens plus a
+    * deterministic "BPE-ish" subword count (ceil(len/4) chunks per
+    * token — arithmetic, so the oracle needs no regex engine parity). */
+  def q31TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    withToks(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("n_token_chars",
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_subwords",
+        aggregate(col("t"), lit(0L),
+          (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("long")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_token_chars")).as("n_token_chars"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** Karp-Rabin polynomial fingerprints: a whole-text hash plus a
+    * winnowing sketch (min hash of each 16-window of 8-gram hashes,
+    * deduplicated) — the classic local fingerprint for plagiarism/
+    * near-dup detection. Typed map: per-row, no shuffle. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Hash64.polyHash(text), Hash64.winnow(text, 8, 16).length.toLong) }
+      .toDF("doc_id", "fingerprint", "n_winnow")
+      .orderBy("doc_id")
+  }
+
+  /** q32 — document fingerprints (no oracle: golden values asserted in
+    * ScalaTest instead). */
+  def q32DocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(spark, dir))
+}
+
+/** Deterministic 64-bit hashing used by the Spark-only text ops
+  * (public-knowledge constructions: splitmix64 finalizer, FNV-1a string
+  * hash, Karp-Rabin polynomial hash, winnowing). */
+object Hash64 {
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a over UTF-8 bytes. */
+  def stringHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b =>
+      h ^= (b & 0xffL)
+      h *= 0x100000001b3L
+    }
+    h
+  }
+
+  private val M61 = (1L << 61) - 1
+
+  /** (a*b) mod (2^61−1) for 0 ≤ a,b < 2^61−1, via the Mersenne identity
+    * 2^61 ≡ 1: the 128-bit product hi·2^64 + lo folds to
+    * hi·8 + (lo >>> 61) + (lo & M61). */
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (hi << 3) + (lo >>> 61) + (lo & M61)
+    while (r >= M61) r -= M61
+    r
+  }
+
+  /** Karp-Rabin polynomial hash of the whole string (base 257, mod
+    * 2^61−1). */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = mulMod(h, 257L) + s.charAt(i).toLong
+      if (h >= M61) h -= M61
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing (Schleimer et al., SIGMOD'03): k-gram Karp-Rabin hashes,
+    * min of each window of w consecutive hashes, deduplicated, sorted. */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    if (s.length < k) return Array.empty
+    val grams = Array.tabulate(s.length - k + 1)(i => polyHash(s.substring(i, i + k)))
+    if (grams.length <= w) return Array(grams.min).distinct
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    var i = 0
+    while (i + w <= grams.length) {
+      var mn = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (grams(j) < mn) mn = grams(j); j += 1 }
+      out += mn
+      i += 1
+    }
+    out.toArray
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Hash64, TextOps}
+
+class TextOpsSpec extends SparkSpecBase {
+
+  test("q13: 5 tokens per lang, counts descending within lang") {
+    val rows = SparkEntry.queries("q13_text_tokens")(spark, sf).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    assert(perLang.nonEmpty)
+    perLang.values.foreach { g =>
+      assert(g.length == 5)
+      val counts = g.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q14: canonical dedup never exceeds raw-text dedup") {
+    val rows = SparkEntry.queries("q14_exact_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, uniqText, uniqBow) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(uniqBow <= uniqText)
+      assert(uniqText <= n)
+    }
+  }
+
+  test("q27: shingle jaccard pairs have inter <= union and valid ranks") {
+    val rows = SparkEntry.queries("q27_shingle_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 50)
+      assert(r.getLong(1) < r.getLong(2))  // doc_a < doc_b
+      assert(r.getLong(3) <= r.getLong(4)) // inter <= union
+    }
+  }
+
+  test("q26: minhash candidates include every pair with identical shingle sets") {
+    // Identical texts must land in the same band bucket with j_bp = 10000.
+    val rows = SparkEntry.queries("q26_minhash_neardup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+  }
+
+  test("simhash: identical token sets collide, different sets (usually) don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "h g f e d c b a"),       // same token set, different order
+      (3L, "x y z w a b c d e f")
+    ).toDF("doc_id", "text")
+    val groups = TextOps.simhashGroups(docs).collect()
+    // docs 1 and 2 form one group; doc 3 is not grouped with them
+    assert(groups.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
+  test("q29: confusion matrix covers only test docs and all langs appear") {
+    val rows = SparkEntry.queries("q29_lang_trigram_id")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val nTest = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0).count()
+    assert(total == nTest)
+  }
+
+  test("q30: ratios in range, all docs present") {
+    val rows = SparkEntry.queries("q30_quality_score")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000) // ttr_bp
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000) // stop_bp
+    }
+  }
+
+  test("q31: token chars >= tokens (every token has >= 1 char)") {
+    val rows = SparkEntry.queries("q31_token_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2))
+      assert(r.getLong(4) <= r.getLong(3)) // subwords <= chars
+    }
+  }
+
+  test("polyHash: golden values and mod-2^61-1 range") {
+    assert(Hash64.polyHash("") == 0L)
+    assert(Hash64.polyHash("a") == 'a'.toLong)
+    assert(Hash64.polyHash("ab") == 'a'.toLong * 257 + 'b'.toLong)
+    val h = Hash64.polyHash("the quick brown fox jumps over the lazy dog")
+    assert(h >= 0 && h < (1L << 61) - 1)
+    // deterministic
+    assert(h == Hash64.polyHash("the quick brown fox jumps over the lazy dog"))
+  }
+
+  test("winnow: substring sharing yields overlapping fingerprints") {
+    val a = Hash64.winnow("abcdefghijklmnopqrstuvwxyz0123456789", 8, 4)
+    val b = Hash64.winnow("ZZZdefghijklmnopqrstuvwxyz012345YYY", 8, 4)
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(a.intersect(b).nonEmpty, "shared substring must share fingerprints")
+  }
+
+  test("q32: one fingerprint per doc") {
+    val n = SparkEntry.queries("q32_doc_fingerprint")(spark, sf).count()
+    assert(n == Tables.documents(spark, sf).count())
+  }
+}
