@@ -27,6 +27,15 @@ object SparkEntry {
     "q13_text_tokens" -> (TextOps.q13TextTokens _),
     "q14_exact_dedup" -> (TextOps.q14ExactDedup _),
     "q15_knn_bruteforce" -> (VectorOps.q15KnnBruteforce _),
+    "q16_queen_surrounded" -> (BoardOps.q16QueenSurrounded _),
+    "q17_placement_targets" -> (BoardOps.q17PlacementTargets _),
+    "q18_queen_moves" -> (BoardOps.q18QueenMoves _),
+    "q18b_beetle_moves" -> (BoardOps.q18bBeetleMoves _),
+    "q19_grasshopper_moves" -> (BoardOps.q19GrasshopperMoves _),
+    "q20_spider_moves" -> (BoardOps.q20SpiderMoves _),
+    "q21_ant_reachability" -> (BoardOps.q21AntReachability _),
+    "q22_hive_connected" -> (BoardOps.q22HiveConnected _),
+    "q23_stack_tops" -> (BoardOps.q23StackTops _),
     "q26_minhash_neardup" -> (TextOps.q26MinhashNeardup _),
     "q27_shingle_jaccard" -> (TextOps.q27ShingleJaccard _),
     "q28_simhash_dups" -> (TextOps.q28SimhashDups _),
@@ -57,6 +66,15 @@ object SparkEntry {
     "q13_text_tokens" -> OracleSql.q13,
     "q14_exact_dedup" -> OracleSql.q14,
     "q15_knn_bruteforce" -> OracleSql.q15,
+    "q16_queen_surrounded" -> BoardOracleSql.q16,
+    "q17_placement_targets" -> BoardOracleSql.q17,
+    "q18_queen_moves" -> BoardOracleSql.q18,
+    "q18b_beetle_moves" -> BoardOracleSql.q18b,
+    "q19_grasshopper_moves" -> BoardOracleSql.q19,
+    "q20_spider_moves" -> BoardOracleSql.q20,
+    "q21_ant_reachability" -> BoardOracleSql.q21,
+    "q22_hive_connected" -> BoardOracleSql.q22,
+    "q23_stack_tops" -> BoardOracleSql.q23,
     "q27_shingle_jaccard" -> OracleSql.q27,
     "q29_lang_trigram_id" -> OracleSql.q29,
     "q30_quality_score" -> OracleSql.q30,

@@ -1,0 +1,329 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import HexRules.{MoveRow, PieceRow}
+
+/** Hive-analytics operators (SURVEY §2.8 V1–V10) over deterministic
+  * board-state tables.
+  *
+  * Board data: the 9 literal fixtures from the reference's own tests
+  * (FIXTURES.md), replicated K times with coordinate translation, where
+  * K = max(1, |orders| / 1500) — so the board corpus scales with the
+  * driver's scale factor and the DuckDB oracle can reconstruct the
+  * identical table from the same parquet (it reads only |orders|).
+  *
+  * Execution shape: move generation runs as `flatMapGroups` per
+  * game_id over the HexRules kernel — one hash shuffle, then
+  * embarrassingly parallel per-game work, which is the correct 100 TB
+  * plan for millions of independent small boards. q22 implements the
+  * same connectivity semantics relationally (delta-aggregate occupancy
+  * + iterative frontier joins) to cover the one-huge-graph pattern.
+  */
+object BoardOps {
+
+  /** (base_game, piece_id, bug, color, q, r, height) — FIXTURES.md §A,
+    * ported 1:1 from /root/reference/tests/test_rules.cpp and
+    * test_engine.cpp. */
+  val fixtureRows: Seq[(Int, Int, String, String, Int, Int, Int)] = Seq(
+    // g1 queen_solo (test_rules.cpp:20-25)
+    (1, 0, "Queen", "White", 0, 0, 0),
+    // g2 grasshopper_line (test_rules.cpp:28-37)
+    (2, 0, "Grasshopper", "White", 0, 0, 0),
+    (2, 1, "Ant", "Black", 1, 0, 0),
+    (2, 2, "Ant", "Black", 2, -1, 0),
+    // g3 ant_small_hive (test_rules.cpp:39-57)
+    (3, 0, "Ant", "White", 0, 0, 0),
+    (3, 1, "Queen", "White", 1, 0, 0),
+    (3, 2, "Grasshopper", "Black", 0, 1, 0),
+    (3, 3, "Spider", "Black", -1, 1, 0),
+    // g4 ant_bounded = g3 + white spider (test_rules.cpp:59-92)
+    (4, 0, "Ant", "White", 0, 0, 0),
+    (4, 1, "Queen", "White", 1, 0, 0),
+    (4, 2, "Grasshopper", "Black", 0, 1, 0),
+    (4, 3, "Spider", "Black", -1, 1, 0),
+    (4, 4, "Spider", "White", 1, -1, 0),
+    // g5 spider_hive (test_rules.cpp:94-124)
+    (5, 0, "Spider", "White", 0, 0, 0),
+    (5, 1, "Queen", "White", 1, 0, 0),
+    (5, 2, "Ant", "Black", 0, 1, 0),
+    (5, 3, "Grasshopper", "Black", -1, 1, 0),
+    (5, 4, "Ant", "White", 1, -1, 0),
+    // g6 beetle_climb (test_rules.cpp:126-139)
+    (6, 0, "Beetle", "White", 0, 0, 0),
+    (6, 1, "Queen", "Black", 1, 0, 0),
+    // g7 beetle_on_stack (test_rules.cpp:141-162)
+    (7, 0, "Queen", "White", 0, 0, 0),
+    (7, 1, "Beetle", "White", 0, 0, 1),
+    (7, 2, "Ant", "Black", 0, 1, 0),
+    (7, 3, "Ant", "Black", 1, -1, 0),
+    // g8 stacked_cell (test_engine.cpp:12-18)
+    (8, 0, "Queen", "White", 0, 0, 0),
+    (8, 1, "Beetle", "Black", 0, 0, 1),
+    // g9 surround_draw: both queens ringed; hive connected via (2,0),(3,0)
+    (9, 0, "Queen", "White", 0, 0, 0),
+    (9, 1, "Ant", "Black", 1, 0, 0),
+    (9, 2, "Ant", "White", 1, -1, 0),
+    (9, 3, "Grasshopper", "Black", 0, -1, 0),
+    (9, 4, "Spider", "White", -1, 0, 0),
+    (9, 5, "Beetle", "Black", -1, 1, 0),
+    (9, 6, "Ant", "White", 0, 1, 0),
+    (9, 7, "Queen", "Black", 4, 0, 0),
+    (9, 8, "Ant", "White", 5, 0, 0),
+    (9, 9, "Spider", "Black", 5, -1, 0),
+    (9, 10, "Grasshopper", "White", 4, -1, 0),
+    (9, 11, "Beetle", "White", 3, 1, 0),
+    (9, 12, "Ant", "Black", 4, 1, 0),
+    (9, 13, "Grasshopper", "Black", 2, 0, 0),
+    (9, 14, "Spider", "White", 3, 0, 0))
+
+  /** Direction table with precomputed corridor flank offsets: moving
+    * from F in direction (dq,dr), the flanks are F+(lq,lr) and
+    * F+(rq,rr) (rules.cpp:54-55 with dirs engine.hpp:26). */
+  val dirRows: Seq[(Int, Int, Int, Int, Int, Int, Int)] = Seq(
+    (0, 1, 0, 0, 1, 1, -1),
+    (1, 1, -1, 1, 0, 0, -1),
+    (2, 0, -1, 1, -1, -1, 0),
+    (3, -1, 0, 0, -1, -1, 1),
+    (4, -1, 1, -1, 0, 0, 1),
+    (5, 0, 1, -1, 1, 1, 0))
+
+  def dirsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dirRows.toDF("di", "dq", "dr", "lq", "lr", "rq", "rr")
+  }
+
+  /** The replicated pieces table. Copy c translates by
+    * ((c mod 37)·16, (c div 37)·16) — far enough apart that games never
+    * interact (they are keyed by game_id anyway; translation just
+    * exercises nonzero coordinates). */
+  def pieces(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixture = fixtureRows
+      .toDF("base_game", "piece_id", "bug", "color", "q0", "r0", "height")
+    val copies = Tables.orders(spark, dir)
+      .agg(greatest((count(lit(1)) / 1500).cast("int"), lit(1)).as("k"))
+      .select(explode(sequence(lit(0), col("k") - 1)).as("copy"))
+    fixture.crossJoin(copies).select(
+      (col("base_game") + lit(9) * col("copy")).as("game_id"),
+      col("piece_id"), col("bug"), col("color"),
+      (col("q0") + (col("copy") % 37) * 16).as("q"),
+      (col("r0") + (col("copy") / 37).cast("int") * 16).as("r"),
+      col("height"))
+  }
+
+  /** Occupied cells with stack size (A1). */
+  def cells(p: DataFrame): DataFrame =
+    p.groupBy("game_id", "q", "r").agg(count(lit(1)).as("n"))
+
+  /** Top-of-stack piece per occupied cell (P5/W2). */
+  def tops(p: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("game_id", "q", "r").orderBy(col("height").desc)
+    p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** q16 — queen surrounded / game over (V1, rules.cpp:17-47): per
+    * game, is each color's queen ringed by 6 occupied cells; outcome
+    * Draw/BlackWins/WhiteWins/None. Relational division (J4): explode 6
+    * neighbors, count hits. */
+  def q16QueenSurrounded(spark: SparkSession, dir: String): DataFrame = {
+    val p = pieces(spark, dir)
+    val c = cells(p)
+    val queens = p.filter(col("bug") === "Queen")
+      .select(col("game_id"), col("color"), col("q"), col("r"))
+    val hits = queens
+      .crossJoin(broadcast(dirsDf(spark).select("dq", "dr")))
+      .select(col("game_id"), col("color"),
+        (col("q") + col("dq")).as("nq"), (col("r") + col("dr")).as("nr"))
+      .join(c.select(col("game_id"), col("q").as("nq"), col("r").as("nr")),
+        Seq("game_id", "nq", "nr"), "left_semi")
+      .groupBy("game_id", "color")
+      .agg(count(lit(1)).as("n_occ"))
+    val surrounded = queens.join(hits, Seq("game_id", "color"), "left")
+      .select(col("game_id"), col("color"),
+        (coalesce(col("n_occ"), lit(0L)) === 6).as("surr"))
+    val games = p.select("game_id").distinct()
+    games
+      .join(surrounded.filter(col("color") === "White")
+        .select(col("game_id"), col("surr").as("white_surrounded")),
+        Seq("game_id"), "left")
+      .join(surrounded.filter(col("color") === "Black")
+        .select(col("game_id"), col("surr").as("black_surrounded")),
+        Seq("game_id"), "left")
+      .select(col("game_id"),
+        coalesce(col("white_surrounded"), lit(false)).as("white_surrounded"),
+        coalesce(col("black_surrounded"), lit(false)).as("black_surrounded"))
+      .withColumn("outcome",
+        when(col("white_surrounded") && col("black_surrounded"), "Draw")
+          .when(col("white_surrounded"), "BlackWins")
+          .when(col("black_surrounded"), "WhiteWins")
+          .otherwise("None"))
+      .orderBy("game_id")
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** q17 — placement targets (V2, ui_app.cpp:553-587): frontier empties
+    * adjacent to the hive; a color's first placement may use the whole
+    * frontier, otherwise targets must touch an own-colored top (J2
+    * semi) and no opponent-colored top (J3 anti). */
+  def q17PlacementTargets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = pieces(spark, dir)
+    val c = cells(p).localCheckpoint()
+    val t = tops(p)
+    val d = broadcast(dirsDf(spark).select("dq", "dr"))
+    val cKeyed = c.select(col("game_id"), col("q").as("nq"), col("r").as("nr"))
+    // frontier: distinct empty neighbors of occupied cells
+    val frontier = c.crossJoin(d)
+      .select(col("game_id"),
+        (col("q") + col("dq")).as("nq"), (col("r") + col("dr")).as("nr"))
+      .join(cKeyed, Seq("game_id", "nq", "nr"), "left_anti")
+      .distinct()
+      .select(col("game_id"), col("nq").as("q"), col("nr").as("r"))
+      .localCheckpoint()
+    // neighbor top colors of each frontier cell
+    val adjTopColor = frontier.crossJoin(d)
+      .select(col("game_id"), col("q"), col("r"),
+        (col("q") + col("dq")).as("nq"), (col("r") + col("dr")).as("nr"))
+      .join(t.select(col("game_id"), col("q").as("nq"), col("r").as("nr"),
+        col("color").as("top_color")), Seq("game_id", "nq", "nr"))
+      .select("game_id", "q", "r", "top_color")
+    val colors = p.select("game_id").distinct()
+      .crossJoin(Seq("White", "Black").toDF("color"))
+    val placed = p.groupBy("game_id", "color").agg(count(lit(1)).as("n_placed"))
+    val cand = colors.join(placed, Seq("game_id", "color"), "left")
+      .withColumn("first_placement", coalesce(col("n_placed"), lit(0L)) === 0)
+      .join(frontier, Seq("game_id"))
+      .select("game_id", "color", "q", "r", "first_placement")
+    val own = adjTopColor.withColumnRenamed("top_color", "color").distinct()
+    val opp = adjTopColor.withColumn("color",
+      when(col("top_color") === "White", "Black").otherwise("White"))
+      .drop("top_color").distinct()
+    val later = cand.filter(!col("first_placement"))
+      .join(own, Seq("game_id", "color", "q", "r"), "left_semi")
+      .join(opp, Seq("game_id", "color", "q", "r"), "left_anti")
+    cand.filter(col("first_placement")).unionByName(later)
+      .select("game_id", "color", "q", "r")
+      .orderBy("game_id", "color", "q", "r")
+  }
+
+  // ------------------------------------------------------- move queries
+  /** Shared flatMapGroups driver: per game, build the HexRules board and
+    * generate moves for every TOP piece of the given bug (the UI only
+    * ever queries top pieces — ui_app.cpp:204-206). */
+  private def movesFor(spark: SparkSession, dir: String, bug: String)
+    : DataFrame = {
+    import spark.implicits._
+    val p = pieces(spark, dir).as[PieceRow]
+    p.groupByKey(_.game_id)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toSeq
+        val board = new HexRules.Board(rows)
+        board.tops.filter(_.bug == bug).toSeq.sortBy(_.piece_id)
+          .flatMap(piece => HexRules.legalMoves(board, piece))
+      }
+      .toDF()
+      .orderBy("game_id", "piece_id", "to_q", "to_r")
+  }
+
+  /** q18 — queen moves (V5). */
+  def q18QueenMoves(spark: SparkSession, dir: String): DataFrame =
+    movesFor(spark, dir, "Queen")
+
+  /** q18b — beetle moves (V6): climb onto occupied, corridor exemption
+    * atop a stack. */
+  def q18bBeetleMoves(spark: SparkSession, dir: String): DataFrame =
+    movesFor(spark, dir, "Beetle")
+
+  /** q19 — grasshopper ray jumps (V7). */
+  def q19GrasshopperMoves(spark: SparkSession, dir: String): DataFrame =
+    movesFor(spark, dir, "Grasshopper")
+
+  /** q20 — spider exactly-3-step paths (V9). */
+  def q20SpiderMoves(spark: SparkSession, dir: String): DataFrame =
+    movesFor(spark, dir, "Spider")
+
+  /** q21 — ant BFS reachability (V8). */
+  def q21AntReachability(spark: SparkSession, dir: String): DataFrame =
+    movesFor(spark, dir, "Ant")
+
+  // ---------------------------------------------------------------- q22
+  /** q22 — hive connectivity after hypothetical moves (V4), fully
+    * relational: for every top piece and each of its 6 neighbor cells as
+    * destination, apply the occupancy delta (A4: −1 from, +1 to,
+    * re-aggregate, keep > 0) and test connectedness by iterative
+    * frontier-join BFS from the minimum occupied cell — the pattern that
+    * generalizes to one huge graph (driver-loop fixpoint with
+    * localCheckpoint lineage truncation per SURVEY §4). */
+  def q22HiveConnected(spark: SparkSession, dir: String): DataFrame = {
+    val p = pieces(spark, dir)
+    val c = cells(p)
+    val d = broadcast(dirsDf(spark))
+    val cand = tops(p)
+      .crossJoin(d.select("di", "dq", "dr"))
+      .select(col("game_id"), col("piece_id"),
+        col("q").as("from_q"), col("r").as("from_r"),
+        (col("q") + col("dq")).as("to_q"), (col("r") + col("dr")).as("to_r"))
+    // occupancy delta (rules.cpp:76-96): decrement from, increment to
+    val base = cand.join(c, Seq("game_id"))
+      .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
+        col("q"), col("r"),
+        (col("n") - when(col("q") === col("from_q") &&
+          col("r") === col("from_r"), 1).otherwise(0)).as("n"))
+    val dest = cand.select(col("game_id"), col("piece_id"), col("to_q"),
+      col("to_r"), col("to_q").as("q"), col("to_r").as("r"), lit(1L).as("n"))
+    val key = Seq("game_id", "piece_id", "to_q", "to_r")
+    val occAfter = base.unionByName(dest)
+      .groupBy((key :+ "q" :+ "r").map(col): _*)
+      .agg(sum("n").as("n")).filter(col("n") > 0)
+      .select((key :+ "q" :+ "r").map(col): _*)
+      .localCheckpoint()
+    val total = occAfter.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n_occ"))
+    // BFS from the minimum occupied cell of each candidate state
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key.map(col): _*).orderBy("q", "r")
+    var visited = occAfter.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn").localCheckpoint()
+    var frontier = visited
+    var iter = 0
+    val maxIter = 64 // ≥ max cell count per game (≤22 pieces in base Hive)
+    while (iter < maxIter && frontier.limit(1).count() > 0) {
+      val stepped = frontier.crossJoin(d.select("dq", "dr"))
+        .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
+          (col("q") + col("dq")).as("q"), (col("r") + col("dr")).as("r"))
+      val next = stepped
+        .join(occAfter, key :+ "q" :+ "r", "left_semi")
+        .dropDuplicates(key :+ "q" :+ "r")
+        .join(visited, key :+ "q" :+ "r", "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      iter += 1
+    }
+    visited.groupBy(key.map(col): _*).agg(count(lit(1)).as("n_reach"))
+      .join(total, key)
+      .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
+        (col("n_reach") === col("n_occ")).as("connected"))
+      .orderBy("game_id", "piece_id", "to_q", "to_r")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** q23 — stack views (W1/W2/A11): per occupied cell, stack size, top
+    * piece, and the bottom→top stack as a comma-joined id list. */
+  def q23StackTops(spark: SparkSession, dir: String): DataFrame = {
+    val p = pieces(spark, dir)
+    p.groupBy("game_id", "q", "r")
+      .agg(
+        count(lit(1)).as("stack_size"),
+        max_by(col("piece_id"), col("height")).as("top_piece_id"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("height"), col("piece_id")))),
+            x => x.getField("piece_id").cast("string")), ",").as("stack_ids"))
+      .orderBy("game_id", "q", "r")
+  }
+}

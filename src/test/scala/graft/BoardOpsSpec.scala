@@ -1,0 +1,147 @@
+package graft
+
+import graft.ops.{BoardOps, HexRules}
+import graft.ops.HexRules.PieceRow
+
+/** Ports of /root/reference/tests/test_rules.cpp onto the HexRules
+  * kernel, plus end-to-end checks of the declared board queries. */
+class BoardOpsSpec extends SparkSpecBase {
+
+  private def board(ps: (String, String, Int, Int, Int)*): HexRules.Board =
+    new HexRules.Board(ps.zipWithIndex.map { case ((bug, color, q, r, h), i) =>
+      PieceRow(0, i, bug, color, q, r, h)
+    })
+
+  private def piece(b: HexRules.Board, q: Int, r: Int): PieceRow =
+    b.top((q, r)).get
+
+  test("QueenMovesOneStep (test_rules.cpp:20-25)") {
+    val b = board(("Queen", "White", 0, 0, 0))
+    assert(HexRules.queenMoves(b, piece(b, 0, 0)).nonEmpty)
+  }
+
+  test("GrasshopperJump (test_rules.cpp:28-37)") {
+    val b = board(("Grasshopper", "White", 0, 0, 0),
+      ("Ant", "Black", 1, 0, 0), ("Ant", "Black", 2, -1, 0))
+    val moves = HexRules.grasshopperMoves(b, piece(b, 0, 0))
+    assert(moves.exists(_.kind == "Jump"))
+  }
+
+  test("AntSlidesAnyDistance (test_rules.cpp:39-57)") {
+    val b = board(("Ant", "White", 0, 0, 0), ("Queen", "White", 1, 0, 0),
+      ("Grasshopper", "Black", 0, 1, 0), ("Spider", "Black", -1, 1, 0))
+    val moves = HexRules.antMoves(b, piece(b, 0, 0))
+    assert(moves.size >= 4)
+    moves.foreach { m =>
+      assert(!b.occupied((m.to_q, m.to_r)))
+      assert(m.kind == "Slide")
+    }
+  }
+
+  test("AntPerimeterBounded (test_rules.cpp:59-92)") {
+    val b = board(("Ant", "White", 0, 0, 0), ("Queen", "White", 1, 0, 0),
+      ("Grasshopper", "Black", 0, 1, 0), ("Spider", "Black", -1, 1, 0),
+      ("Spider", "White", 1, -1, 0))
+    val moves = HexRules.antMoves(b, piece(b, 0, 0))
+    assert(moves.nonEmpty && moves.size < 300)
+    val dests = moves.map(m => (m.to_q, m.to_r))
+    assert(dests.distinct.size == dests.size, "destinations unique")
+    dests.foreach { c =>
+      assert(!b.occupied(c))
+      assert(HexRules.dirs.exists(d => b.occupied((c._1 + d._1, c._2 + d._2))),
+        s"$c not adjacent to hive")
+    }
+  }
+
+  test("SpiderExactlyThreeSteps (test_rules.cpp:94-124)") {
+    val b = board(("Spider", "White", 0, 0, 0), ("Queen", "White", 1, 0, 0),
+      ("Ant", "Black", 0, 1, 0), ("Grasshopper", "Black", -1, 1, 0),
+      ("Ant", "White", 1, -1, 0))
+    val moves = HexRules.spiderMoves(b, piece(b, 0, 0))
+    assert(moves.nonEmpty)
+    moves.foreach { m =>
+      assert(m.kind == "Slide")
+      assert(!b.occupied((m.to_q, m.to_r)))
+    }
+    val dests = moves.map(m => (m.to_q, m.to_r))
+    assert(dests.distinct.size == dests.size)
+  }
+
+  test("BeetleClimbsOntoOccupiedNeighbor (test_rules.cpp:126-139)") {
+    val b = board(("Beetle", "White", 0, 0, 0), ("Queen", "Black", 1, 0, 0))
+    val moves = HexRules.beetleMoves(b, piece(b, 0, 0))
+    assert(moves.exists(m => m.to_q == 1 && m.to_r == 0 && m.kind == "Climb"))
+  }
+
+  test("BeetleIgnoresCorridorWhenOnTop (test_rules.cpp:141-162)") {
+    val b = board(("Queen", "White", 0, 0, 0), ("Beetle", "White", 0, 0, 1),
+      ("Ant", "Black", 0, 1, 0), ("Ant", "Black", 1, -1, 0))
+    val beetle = piece(b, 0, 0)
+    assert(beetle.bug == "Beetle")
+    val moves = HexRules.beetleMoves(b, beetle)
+    assert(moves.exists(m => m.to_q == 1 && m.to_r == 0 && m.kind == "Slide"))
+  }
+
+  test("q16: game 9 is a Draw, game 1 is None") {
+    val rows = SparkEntry.queries("q16_queen_surrounded")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(rows(9) == "Draw")
+    assert(rows(1) == "None")
+    assert(rows(3) == "None")
+  }
+
+  test("q17: placement targets never touch opponent top (non-first)") {
+    val targets = SparkEntry.queries("q17_placement_targets")(spark, sf)
+      .collect()
+    assert(targets.nonEmpty)
+    // game 1: only a white queen at (0,0); White targets = frontier ∩
+    // own-adjacent (all 6 neighbors), Black = whole frontier (first)
+    val g1 = targets.filter(_.getInt(0) == 1)
+    assert(g1.count(_.getString(1) == "White") == 6)
+    assert(g1.count(_.getString(1) == "Black") == 6)
+  }
+
+  test("q18/q18b/q19/q20/q21 agree with the kernel on base games") {
+    for ((name, bug) <- Seq(
+        "q18_queen_moves" -> "Queen", "q18b_beetle_moves" -> "Beetle",
+        "q19_grasshopper_moves" -> "Grasshopper",
+        "q20_spider_moves" -> "Spider", "q21_ant_reachability" -> "Ant")) {
+      val got = SparkEntry.queries(name)(spark, sf).collect()
+        .filter(_.getInt(0) <= 9)
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(5), r.getInt(6), r.getString(7)))
+        .toSet
+      val expected = (1 to 9).flatMap { g =>
+        val ps = BoardOps.fixtureRows.filter(_._1 == g).map {
+          case (gg, pid, b, c, q, r, h) => PieceRow(gg, pid, b, c, q, r, h)
+        }
+        val b = new HexRules.Board(ps)
+        b.tops.filter(_.bug == bug)
+          .flatMap(p => HexRules.legalMoves(b, p))
+          .map(m => (m.game_id, m.piece_id, m.to_q, m.to_r, m.kind))
+      }.toSet
+      assert(got == expected, s"$name mismatch")
+    }
+  }
+
+  test("q22: beetle-on-stack moves never disconnect; replicated copies agree") {
+    val rows = SparkEntry.queries("q22_hive_connected")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // game 7: beetle at (0,0) height 1 — from-cell keeps the queen, so
+    // every destination keeps the hive connected (SURVEY §7 risk 4)
+    val g7beetle = rows.filter(r => r.getInt(0) == 7 && r.getInt(1) == 1)
+    assert(g7beetle.length == 6)
+    assert(g7beetle.forall(_.getBoolean(4)))
+    // grasshopper in game 2 moving to (-1,0) would break the line? No —
+    // its only neighbor dest; just sanity-check both outcomes exist overall
+    assert(rows.exists(!_.getBoolean(4)), "some move must disconnect")
+  }
+
+  test("q23: stacked cells report correct stack order") {
+    val rows = SparkEntry.queries("q23_stack_tops")(spark, sf).collect()
+    val g8 = rows.filter(r => r.getInt(0) == 8 && r.getInt(1) == 0 && r.getInt(2) == 0)
+    assert(g8.length == 1)
+    assert(g8.head.getLong(3) == 2L)          // stack_size
+    assert(g8.head.getInt(4) == 1)            // top = beetle (pid 1)
+    assert(g8.head.getString(5) == "0,1")     // bottom→top
+  }
+}
