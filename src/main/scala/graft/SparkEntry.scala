@@ -36,6 +36,8 @@ object SparkEntry {
     "q21_ant_reachability" -> (BoardOps.q21AntReachability _),
     "q22_hive_connected" -> (BoardOps.q22HiveConnected _),
     "q23_stack_tops" -> (BoardOps.q23StackTops _),
+    "q24_game_replay" -> (Replay.q24GameReplay _),
+    "q25_ema_smoothing" -> (Replay.q25EmaSmoothing _),
     "q26_minhash_neardup" -> (TextOps.q26MinhashNeardup _),
     "q27_shingle_jaccard" -> (TextOps.q27ShingleJaccard _),
     "q28_simhash_dups" -> (TextOps.q28SimhashDups _),

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.1 S6, §2.8 V11/V16): the
+  * reference's per-frame event loop becomes micro-batch streams; its
+  * turn-state machine becomes keyed state in flatMapGroupsWithState.
+  *
+  * At scale: state is partitioned by key (game_id / user_id) across
+  * executors, checkpointed incrementally; watermarks bound state size
+  * for the windowed aggregations. Tested with MemoryStream
+  * (StreamingSpec) — the same code runs against Kafka-style sources.
+  */
+object Streaming {
+
+  /** Event-time tumbling-window counts with a watermark (V16): the
+    * streaming twin of q09. Append mode: a window emits once its
+    * watermark passes. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day"), col("event_type"), col("n_events"))
+
+  /** Session windows per user with a 30-minute gap (V16 /
+    * ui_app.cpp:66-72 frame-loop analogue). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** V11 streaming form: per-game turn-state machine as keyed state.
+    * Each micro-batch folds that game's new moves (ordered by seq) into
+    * the persisted GameReplay state and emits the updated summary.
+    * Shares Replay.GameReplay — identical semantics to batch q24. */
+  def replayStream(moves: Dataset[Replay.MoveEvent])
+    : Dataset[Replay.ReplaySummary] = {
+    import moves.sparkSession.implicits._
+    moves.groupByKey(_.game_id)
+      .flatMapGroupsWithState[Replay.GameReplay, Replay.ReplaySummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (gameId: Int, batch: Iterator[Replay.MoveEvent],
+         state: GroupState[Replay.GameReplay]) =>
+          val prev = state.getOption.getOrElse(Replay.GameReplay())
+          val next = batch.toSeq.sortBy(_.seq).foldLeft(prev)(_.apply(_))
+          state.update(next)
+          Iterator.single(next.summary(gameId))
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.{Replay, Streaming}
+
+/** Structured Streaming specs via MemoryStream: windowed counts with
+  * watermarks and the keyed-state replay machine (V11/V16). */
+class StreamingSpec extends SparkSpecBase {
+
+  test("windowed event counts aggregate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"))
+    val q = counts.writeStream.format("memory")
+      .queryName("win_counts").outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), "click"),
+        (Timestamp.valueOf("2024-01-02 10:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-02 00:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("replay stream maintains per-game state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Replay.MoveEvent]
+    val out = Streaming.replayStream(input.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("replay_state").outputMode("update").start()
+    try {
+      input.addData(
+        Replay.MoveEvent(1, 1, "White", "place", "Queen", 0, 0, 0),
+        Replay.MoveEvent(1, 2, "Black", "place", "Queen", 100, 0, 1))
+      q.processAllAvailable()
+      input.addData(
+        Replay.MoveEvent(1, 3, "White", "place", "Ant", 1, 0, -1),
+        Replay.MoveEvent(1, 4, "White", "place", "Ant", 2, 1, -1)) // reject
+      q.processAllAvailable()
+      val last = spark.table("replay_state")
+        .orderBy(col("n_applied").desc).collect().head
+      assert(last.getLong(1) == 3)  // n_applied accumulated across batches
+      assert(last.getLong(2) == 1)  // the out-of-turn event rejected
+      assert(last.getBoolean(4) && last.getBoolean(5))
+    } finally q.stop()
+  }
+}
