@@ -172,8 +172,9 @@ object BoardOps {
     * semi) and no opponent-colored top (J3 anti). */
   def q17PlacementTargets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = pieces(spark, dir)
-    val c = cells(p).localCheckpoint()
+    // tiny table feeding five subtrees — materialize once
+    val p = pieces(spark, dir).localCheckpoint()
+    val c = cells(p)
     val t = tops(p)
     val d = broadcast(dirsDf(spark).select("dq", "dr"))
     val cKeyed = c.select(col("game_id"), col("q").as("nq"), col("r").as("nr"))
@@ -184,7 +185,6 @@ object BoardOps {
       .join(cKeyed, Seq("game_id", "nq", "nr"), "left_anti")
       .distinct()
       .select(col("game_id"), col("nq").as("q"), col("nr").as("r"))
-      .localCheckpoint()
     // neighbor top colors of each frontier cell
     val adjTopColor = frontier.crossJoin(d)
       .select(col("game_id"), col("q"), col("r"),
@@ -260,7 +260,7 @@ object BoardOps {
     * generalizes to one huge graph (driver-loop fixpoint with
     * localCheckpoint lineage truncation per SURVEY §4). */
   def q22HiveConnected(spark: SparkSession, dir: String): DataFrame = {
-    val p = pieces(spark, dir)
+    val p = pieces(spark, dir).localCheckpoint()
     val c = cells(p)
     val d = broadcast(dirsDf(spark))
     val cand = tops(p)
@@ -291,13 +291,18 @@ object BoardOps {
       .filter(col("rn") === 1).drop("rn").localCheckpoint()
     var frontier = visited
     var iter = 0
-    val maxIter = 64 // ≥ max cell count per game (≤22 pieces in base Hive)
+    val maxIter = 32 // two steps/iter ≥ max diameter (≤22 pieces/game)
+    def step(f: DataFrame): DataFrame = f
+      .crossJoin(d.select("dq", "dr"))
+      .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
+        (col("q") + col("dq")).as("q"), (col("r") + col("dr")).as("r"))
+      .join(occAfter, key :+ "q" :+ "r", "left_semi")
+      .dropDuplicates(key :+ "q" :+ "r")
     while (iter < maxIter && frontier.limit(1).count() > 0) {
-      val stepped = frontier.crossJoin(d.select("dq", "dr"))
-        .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
-          (col("q") + col("dq")).as("q"), (col("r") + col("dr")).as("r"))
-      val next = stepped
-        .join(occAfter, key :+ "q" :+ "r", "left_semi")
+      // two-step expansion per iteration: s1 ⊇ distance k+1 cells, so
+      // step(s1) ⊇ distance k+2 — halves the fixpoint iteration count
+      val s1 = step(frontier)
+      val next = s1.unionByName(step(s1))
         .dropDuplicates(key :+ "q" :+ "r")
         .join(visited, key :+ "q" :+ "r", "left_anti")
         .localCheckpoint()

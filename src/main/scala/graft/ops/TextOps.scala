@@ -124,16 +124,23 @@ object TextOps {
     * Integer output (counts + rank), oracle-safe. */
   def q27ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the shingle arrays once — they feed the self-join
+    // (twice) and the size table; recomputing the string transforms 3×
+    // dominates otherwise
     val docs = withToks(Tables.documents(spark, dir))
       .withColumn("sh", shingles)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val pairs = inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
+    // Distributed top-k (TakeOrderedAndProject) FIRST, then rank the 50
+    // survivors — a global row_number() window would funnel every
+    // candidate pair through a single task.
     val w = Window.orderBy(
       (col("n_inter") / col("n_union")).desc, col("doc_a"), col("doc_b"))
     pairs
@@ -142,8 +149,9 @@ object TextOps {
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .orderBy((col("n_inter") / col("n_union")).desc, col("doc_a"), col("doc_b"))
+      .limit(50)
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 50)
       .select(col("rank"), col("doc_a"), col("doc_b"), col("n_inter"),
         col("n_union"))
       .orderBy("rank")
@@ -209,13 +217,19 @@ object TextOps {
       .select(col("lang").as("profile_lang"), explode(col("tg")).as("g"))
       .groupBy("profile_lang", "g")
       .agg(count(lit(1)).as("cnt"))
+    // pre-aggregate the doc-side trigram multiplicities BEFORE the
+    // profile join: score = Σ_g n_doc(g)·cnt(lang,g) — identical integer
+    // result, ~5× less join input (the oracle's per-occurrence SUM
+    // computes the same value)
     val test = docs.filter(col("doc_id") % 5 =!= 0)
       .select(col("doc_id"), col("lang"), explode(col("tg")).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("n_g"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("profile_lang"))
     test.join(train, "g")
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
-      .agg(sum(col("cnt")).as("score"))
+      .agg(sum(col("n_g") * col("cnt")).as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("lang"), col("profile_lang").as("pred_lang"))

@@ -65,12 +65,15 @@ object VectorOps {
       col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("nrm").as("nb"))
+    // Distributed top-k first (TakeOrderedAndProject), then rank the 20
+    // survivors — a global row_number() would single-task n²/2 pairs.
     val w = Window.orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 20)
       .select(col("rank"), col("vec_a"), col("vec_b"))
       .orderBy("rank")
   }
