@@ -268,6 +268,82 @@ object OracleSql {
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  val q36: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |), w AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+      |  FROM e
+      |)
+      |SELECT user_id, event_id AS purchase_id,
+      |  COALESCE(click_id, -1) AS prior_click_id
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  val q37: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec
+      |  FROM events
+      |)
+      |SELECT err.user_id, err.event_id AS error_id,
+      |  COUNT(*) AS n_after,
+      |  CAST(MIN(o.event_id) AS BIGINT) AS first_after_id
+      |FROM e err JOIN e o ON o.user_id = err.user_id
+      |  AND o.event_type <> 'error'
+      |  AND o.sec >= err.sec AND o.sec <= err.sec + 600
+      |WHERE err.event_type = 'error'
+      |GROUP BY err.user_id, err.event_id
+      |ORDER BY err.user_id, error_id""".stripMargin
+
+  val q38: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority, g_status, g_priority""".stripMargin
+
+  val q39: String =
+    """SELECT p_brand, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY p_brand, n_name
+      |ORDER BY p_brand, n_name""".stripMargin
+
+  val q40: String =
+    """SELECT p_partkey, p_brand,
+      |  COALESCE(li.n_shipments, 0) AS n_shipments,
+      |  COALESCE(li.total_qty, 0.0) AS total_qty
+      |FROM part
+      |LEFT JOIN (
+      |  SELECT l_partkey, COUNT(*) AS n_shipments,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_partkey) li ON p_partkey = li.l_partkey
+      |ORDER BY p_partkey""".stripMargin
+
+  val q41: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q12: String =
     """SELECT op, user_id FROM (
       |  SELECT 'click_and_purchase' AS op, user_id FROM (

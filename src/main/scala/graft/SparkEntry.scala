@@ -47,7 +47,13 @@ object SparkEntry {
     "q32_doc_fingerprint" -> (TextOps.q32DocFingerprint _),
     "q33_embed_topk_pairs" -> (VectorOps.q33EmbedTopkPairs _),
     "q34_ann_lsh" -> (VectorOps.q34AnnLsh _),
-    "q35_multimodal_features" -> (Multimodal.q35MultimodalFeatures _)
+    "q35_multimodal_features" -> (Multimodal.q35MultimodalFeatures _),
+    "q36_asof_join" -> (RelationalQueries.q36AsofJoin _),
+    "q37_range_join" -> (RelationalQueries.q37RangeJoin _),
+    "q38_cube" -> (RelationalQueries.q38Cube _),
+    "q39_supplier_part" -> (RelationalQueries.q39SupplierPart _),
+    "q40_outer_join" -> (RelationalQueries.q40OuterJoin _),
+    "q41_pivot" -> (RelationalQueries.q41Pivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,8 +87,15 @@ object SparkEntry {
     "q29_lang_trigram_id" -> OracleSql.q29,
     "q30_quality_score" -> OracleSql.q30,
     "q31_token_stats" -> OracleSql.q31,
-    "q33_embed_topk_pairs" -> OracleSql.q33
-    // q26/q28/q32/q34/q35 are engine-specific (hash functions, stub
-    // codec) — driver records rows-only checks; ScalaTest covers them.
+    "q33_embed_topk_pairs" -> OracleSql.q33,
+    "q36_asof_join" -> OracleSql.q36,
+    "q37_range_join" -> OracleSql.q37,
+    "q38_cube" -> OracleSql.q38,
+    "q39_supplier_part" -> OracleSql.q39,
+    "q40_outer_join" -> OracleSql.q40,
+    "q41_pivot" -> OracleSql.q41
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q35 (engine-specific
+    // hashes, stub codec) — driver records rows-only checks; ScalaTest
+    // covers their semantics instead.
   )
 }

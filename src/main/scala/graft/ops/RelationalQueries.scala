@@ -224,6 +224,106 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** q36 — as-of join (J11): for each purchase, the user's most recent
+    * click at-or-before it. Implemented the scalable way: one window
+    * over the per-user event timeline with a running "last click"
+    * (ignore-nulls last_value) — a single shuffle on user_id, no
+    * pair-expansion join. */
+  def q36AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("prior_click_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** q37 — range/interval join (J10): events within 10 minutes after an
+    * error by the same user. The equi-key (user_id) carries the join —
+    * the range predicate is a post-filter, so this stays a hash join at
+    * 100 TB (never a broadcast-nested-loop over the cross product). */
+  def q37RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(date_trunc("second", col("ts"))))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("sec").as("err_sec"))
+    val others = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("o_user_id"), col("event_id").as("after_id"),
+        col("sec"))
+    errors.join(others,
+        col("user_id") === col("o_user_id") &&
+          col("sec") >= col("err_sec") && col("sec") <= col("err_sec") + 600)
+      .groupBy(col("user_id"), col("error_id"))
+      .agg(count(lit(1)).as("n_after"), min(col("after_id")).as("first_after_id"))
+      .orderBy("user_id", "error_id")
+  }
+
+  /** q38 — CUBE with grouping() markers (A9, complements q05's rollup). */
+  def q38Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n_orders"))
+      .orderBy("status", "priority", "g_status", "g_priority")
+  }
+
+  /** q39 — supplier/part star (J7 over the remaining dimension tables):
+    * revenue by part brand × supplier nation. */
+  def q39SupplierPart(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand", "n_name")
+  }
+
+  /** q40 — outer joins (J8): every part with its shipment stats,
+    * zero-filled for parts that never shipped (left outer + coalesce). */
+  def q40OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_shipments"),
+        sum(dec("l_quantity")).cast("double").as("total_qty"))
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_outer")
+      .select(col("p_partkey"), col("p_brand"),
+        coalesce(col("n_shipments"), lit(0L)).as("n_shipments"),
+        coalesce(col("total_qty"), lit(0.0)).as("total_qty"))
+      .orderBy("p_partkey")
+  }
+
+  /** q41 — pivot (A9-adjacent): daily event counts pivoted to one
+    * column per event type (explicit value list for a stable schema). */
+  def q41Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("day", col("ts").cast("date"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
   /** q12 — set ops (O4): INTERSECT and EXCEPT over per-type user sets. */
   def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

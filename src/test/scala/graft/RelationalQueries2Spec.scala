@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the join/grouping breadth queries q36–q41. */
+class RelationalQueries2Spec extends SparkSpecBase {
+
+  test("q36 as-of: prior click is at-or-before the purchase") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val rows = SparkEntry.queries("q36_asof_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (user, pid, cid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(ev(pid)._2 == "purchase")
+      if (cid != -1L) {
+        assert(ev(cid)._1 == user && ev(cid)._2 == "click")
+        assert(ev(cid)._3 <= ev(pid)._3)
+      }
+    }
+  }
+
+  test("q37 range join: counts at least the error itself? no — strictly others") {
+    val rows = SparkEntry.queries("q37_range_join")(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+  }
+
+  test("q38 cube: grand total row present with grouping markers set") {
+    val rows = SparkEntry.queries("q38_cube")(spark, sf).collect()
+    val total = rows.filter(r =>
+      r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(total.length == 1)
+    assert(total.head.getLong(2) == 1 && total.head.getLong(3) == 1)
+    assert(total.head.getLong(4) == Tables.orders(spark, sf).count())
+  }
+
+  test("q40 outer join: all parts appear; unshipped parts zero-filled") {
+    val rows = SparkEntry.queries("q40_outer_join")(spark, sf).collect()
+    assert(rows.length == Tables.part(spark, sf).count())
+    // zero-filled rows only exist if some part never shipped; the join
+    // must preserve ALL parts either way (checked above)
+    assert(rows.forall(_.getLong(2) >= 0L))
+  }
+
+  test("q41 pivot: per-day type counts sum to total events") {
+    val rows = SparkEntry.queries("q41_pivot")(spark, sf).collect()
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+}
