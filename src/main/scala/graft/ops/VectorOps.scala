@@ -55,24 +55,54 @@ object VectorOps {
 
   // ---------------------------------------------------------------- q33
   /** q33 — globally most-similar embedding pairs (top-20), rank output.
-    * All-pairs here (n² = 4M at sf0.1) — the declared-query exactness
-    * baseline. The 100 TB path is q34's bucketed candidate generation;
-    * this brute-force form exists to measure it against. */
+    * All-pairs exactness baseline for q34's bucketed candidate path.
+    *
+    * Shape: the corpus is ~1 MB of normalized vectors — broadcast it
+    * (the same decision a broadcast hash join makes) and let each
+    * partition score its own slice of left-side ids against the
+    * broadcast with primitive-array loops, emitting only its local
+    * top-20 (a superset of the global top-20 since each pair belongs to
+    * exactly one partition). A Catalyst zip_with per pair would allocate
+    * an ArrayData per dot product — 10× the CPU for no benefit. At
+    * 100 TB with a big right side this becomes block-partitioned
+    * matmul; the broadcast variant is correct while one side fits. */
   def q33EmbedTopkPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val e = normed(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    // Distributed top-k first (TakeOrderedAndProject), then rank the 20
-    // survivors — a global row_number() would single-task n²/2 pairs.
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    // the corpus side: ~1 MB — broadcast-join scale
+    val all = e.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    val k = 20
+    val localTop = e.mapPartitions { it =>
+      val vs = bc.value
+      val idx = vs.iterator.map(_._1).zipWithIndex.toMap
+      // min-heap on (sim asc, ids desc): the head is the worst survivor
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long, Long)](
+          Ordering.by[(Double, Long, Long), (Double, Long, Long)](t =>
+            (-t._1, t._2, t._3)))
+      it.foreach { case (ida, va, na) =>
+        var j = idx(ida) + 1
+        while (j < vs.length) {
+          val (idb, vb, nb) = vs(j)
+          var s = 0.0
+          var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          // same expression shape as the oracle: dot / (na * nb)
+          heap.enqueue((s / (na * nb), ida, idb))
+          if (heap.size > k) heap.dequeue()
+          j += 1
+        }
+      }
+      heap.iterator
+    }.toDF("sim", "vec_a", "vec_b")
     val w = Window.orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .select(col("vec_a"), col("vec_b"), col("sim"))
+    localTop
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .limit(20)
+      .limit(k)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .select(col("rank"), col("vec_a"), col("vec_b"))
       .orderBy("rank")
