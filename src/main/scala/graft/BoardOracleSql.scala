@@ -274,6 +274,35 @@ object BoardOracleSql {
       |FROM cand cd
       |ORDER BY game_id, piece_id, to_q, to_r""".stripMargin
 
+  val q42: String = board +
+    """
+      |, proj AS (
+      |  SELECT game_id, q, r,
+      |    40.0 * (1.7320508075688772 * q + 1.7320508075688772 / 2 * r) AS px,
+      |    40.0 * 1.5 * r AS py
+      |  FROM cells)
+      |, inv AS (
+      |  SELECT game_id, q, r, px, py,
+      |    px / 1.7320508075688772 / 40.0 - py / 3 / 40.0 AS qf,
+      |    2.0 / 3 * (py / 40.0) AS rf
+      |  FROM proj)
+      |, rounded AS (
+      |  SELECT game_id, q, r, px, py, qf, rf,
+      |    ROUND(qf) AS rx, ROUND(-qf - rf) AS ry, ROUND(rf) AS rz,
+      |    ABS(ROUND(qf) - qf) AS xd,
+      |    ABS(ROUND(-qf - rf) - (-qf - rf)) AS yd,
+      |    ABS(ROUND(rf) - rf) AS zd
+      |  FROM inv)
+      |SELECT game_id, q, r,
+      |  CAST(FLOOR(px * 1000) AS BIGINT) AS px_x1000,
+      |  CAST(FLOOR(py * 1000) AS BIGINT) AS py_x1000,
+      |  CAST(CASE WHEN xd > yd AND xd > zd THEN -ry - rz ELSE rx END AS INT) AS rt_q,
+      |  CAST(CASE WHEN xd > yd AND xd > zd THEN rz
+      |            WHEN yd > zd THEN rz
+      |            ELSE -rx - ry END AS INT) AS rt_r
+      |FROM rounded
+      |ORDER BY game_id, q, r""".stripMargin
+
   val q23: String = board +
     """
       |SELECT game_id, q, r, COUNT(*) AS stack_size,

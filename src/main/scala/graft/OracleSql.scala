@@ -344,6 +344,16 @@ object OracleSql {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  val q43: String =
+    """SELECT o_orderstatus,
+      |  CAST(FLOOR(quantile_cont(o_totalprice, 0.25) * 100) AS BIGINT) AS p25_x100,
+      |  CAST(FLOOR(quantile_cont(o_totalprice, 0.50) * 100) AS BIGINT) AS p50_x100,
+      |  CAST(FLOOR(quantile_cont(o_totalprice, 0.75) * 100) AS BIGINT) AS p75_x100,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val q12: String =
     """SELECT op, user_id FROM (
       |  SELECT 'click_and_purchase' AS op, user_id FROM (

@@ -53,7 +53,9 @@ object SparkEntry {
     "q38_cube" -> (RelationalQueries.q38Cube _),
     "q39_supplier_part" -> (RelationalQueries.q39SupplierPart _),
     "q40_outer_join" -> (RelationalQueries.q40OuterJoin _),
-    "q41_pivot" -> (RelationalQueries.q41Pivot _)
+    "q41_pivot" -> (RelationalQueries.q41Pivot _),
+    "q42_hex_projection" -> (BoardOps.q42HexProjection _),
+    "q43_percentiles" -> (RelationalQueries.q43Percentiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,7 +95,9 @@ object SparkEntry {
     "q38_cube" -> OracleSql.q38,
     "q39_supplier_part" -> OracleSql.q39,
     "q40_outer_join" -> OracleSql.q40,
-    "q41_pivot" -> OracleSql.q41
+    "q41_pivot" -> OracleSql.q41,
+    "q42_hex_projection" -> BoardOracleSql.q42,
+    "q43_percentiles" -> OracleSql.q43
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q35 (engine-specific
     // hashes, stub codec) — driver records rows-only checks; ScalaTest
     // covers their semantics instead.

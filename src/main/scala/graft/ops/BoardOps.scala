@@ -317,6 +317,46 @@ object BoardOps {
       .orderBy("game_id", "piece_id", "to_q", "to_r")
   }
 
+  // ---------------------------------------------------------------- q42
+  /** q42 — pixel projection round-trip (P8/F2): axial→pixel at hexSize
+    * 40 (engine.cpp:38-43) and the cube-rounding inverse
+    * (ui_app.cpp:32-50), as pure column expressions (codegen'd, no
+    * UDF). Pixels emitted floor-scaled; the round-trip (rt_q, rt_r)
+    * must reproduce (q, r) — asserted in ScalaTest and visible to the
+    * oracle hash. */
+  def q42HexProjection(spark: SparkSession, dir: String): DataFrame = {
+    val s = lit(40.0)
+    val sq3 = lit(1.7320508075688772)
+    val p = cells(pieces(spark, dir))
+    val proj = p
+      .withColumn("px", s * (sq3 * col("q") + sq3 / 2 * col("r")))
+      .withColumn("py", s * lit(1.5) * col("r"))
+    val inv = proj
+      .withColumn("qf", col("px") / sq3 / s - col("py") / 3 / s)
+      .withColumn("rf", lit(2.0) / 3 * (col("py") / s))
+      .withColumn("xf", col("qf"))
+      .withColumn("zf", col("rf"))
+      .withColumn("yf", -col("qf") - col("rf"))
+      .withColumn("rx", round(col("xf")))
+      .withColumn("ry", round(col("yf")))
+      .withColumn("rz", round(col("zf")))
+      .withColumn("xd", abs(col("rx") - col("xf")))
+      .withColumn("yd", abs(col("ry") - col("yf")))
+      .withColumn("zd", abs(col("rz") - col("zf")))
+      .withColumn("rt_q",
+        when(col("xd") > col("yd") && col("xd") > col("zd"),
+          -col("ry") - col("rz")).otherwise(col("rx")).cast("int"))
+      .withColumn("rt_r",
+        when(col("xd") > col("yd") && col("xd") > col("zd"), col("rz"))
+          .when(col("yd") > col("zd"), col("rz"))
+          .otherwise(-col("rx") - col("ry")).cast("int"))
+    inv.select(col("game_id"), col("q"), col("r"),
+        floor(col("px") * 1000).cast("bigint").as("px_x1000"),
+        floor(col("py") * 1000).cast("bigint").as("py_x1000"),
+        col("rt_q"), col("rt_r"))
+      .orderBy("game_id", "q", "r")
+  }
+
   // ---------------------------------------------------------------- q23
   /** q23 — stack views (W1/W2/A11): per occupied cell, stack size, top
     * piece, and the bottom→top stack as a comma-joined id list. */

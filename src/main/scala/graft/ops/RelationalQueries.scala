@@ -324,6 +324,26 @@ object RelationalQueries {
       .orderBy("day")
   }
 
+  /** q43 — exact percentiles (A7 extension): quartiles of order totals
+    * per status via Spark's exact `percentile` (linear interpolation —
+    * the same definition as DuckDB's quantile_cont), floor-scaled. At
+    * 100 TB the exact form needs a per-group sort; approx_percentile
+    * (t-digest, one pass) is the production twin — engine-specific
+    * sketch, so only the exact form carries the oracle. */
+  def q43Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("pct"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"),
+        floor(element_at(col("pct"), 1) * 100).cast("bigint").as("p25_x100"),
+        floor(element_at(col("pct"), 2) * 100).cast("bigint").as("p50_x100"),
+        floor(element_at(col("pct"), 3) * 100).cast("bigint").as("p75_x100"),
+        col("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q12 — set ops (O4): INTERSECT and EXCEPT over per-type user sets. */
   def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
