@@ -92,12 +92,15 @@ object TextOps {
     // sig[j] = min over shingles of xxhash64(j, shingle), j = 0..15
     val sig = docs.withColumn("sig",
       expr("transform(sequence(0, 15), j -> array_min(transform(sh, s -> xxhash64(j, s))))"))
+    // materialize once: the a/b self-join would otherwise recompute the
+    // whole shingle+minhash pipeline twice
     val bands = sig.select(col("doc_id"), col("sh"),
         explode(expr(
           """transform(sequence(0, 3), b ->
             |  struct(b AS band, xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS key))"""
             .stripMargin)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+      .localCheckpoint()
     val a = bands.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = bands.select(col("band"), col("key"),

@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session windows split on the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = Streaming.sessionCounts(
+      input.toDF().toDF("ts", "user_id"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_counts").outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L),   // same session
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 1L))   // gap > 30 min
+      q.processAllAvailable()
+      val rows = spark.table("sess_counts").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.sortBy(_._2).toSeq == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
