@@ -93,6 +93,27 @@ class ReplaySpec extends SparkSpecBase {
     assert(s.n_applied + s.n_rejected == 9)
   }
 
+  test("fuzz: random event streams never crash and keep exact accounting") {
+    val rnd = new scala.util.Random(42)
+    val bugs = Seq("Queen", "Ant", "Spider", "Beetle", "Grasshopper")
+    (1 to 50).foreach { trial =>
+      val n = 1 + rnd.nextInt(30)
+      val events = (1 to n).map { seq =>
+        MoveEvent(trial, seq,
+          if (rnd.nextBoolean()) "White" else "Black",
+          if (rnd.nextInt(4) == 0) "move" else "place",
+          bugs(rnd.nextInt(bugs.size)), rnd.nextInt(8),
+          rnd.nextInt(5) - 2, rnd.nextInt(5) - 2)
+      }
+      val s = Replay.replayAll(trial, events.iterator)
+      assert(s.n_applied + s.n_rejected == n)
+      assert(Seq("None", "Draw", "WhiteWins", "BlackWins").contains(s.outcome))
+      assert(s.game_over == (s.outcome != "None"))
+      // a queen flag requires at least one applied placement
+      if (s.queen_white_placed || s.queen_black_placed) assert(s.n_applied > 0)
+    }
+  }
+
   test("q24 replay: every replicated game reaches the same summary") {
     val rows = SparkEntry.queries("q24_game_replay")(spark, sf).collect()
     assert(rows.nonEmpty)
