@@ -41,14 +41,28 @@ object Bench {
     val warmDir = "/root/testdata/sf0.01"
     val results = SparkEntry.queries.map { case (name, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // duration computed INSIDE the try: a throwing query reports −1,
+      // never its time-to-failure disguised as a normal duration
+      val dur =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      name -> dur
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout is interleaved with sbt noise (BENCH_r02.json parsed as
+    // null); a clean copy on disk preserves the signal regardless
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

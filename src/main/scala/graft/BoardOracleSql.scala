@@ -27,7 +27,7 @@ object BoardOracleSql {
        |  VALUES $fixtureValues
        |), copies AS (
        |  SELECT unnest(generate_series(0,
-       |    GREATEST(CAST((SELECT COUNT(*) FROM orders) / 1500 AS INT), 1) - 1)) AS copy
+       |    GREATEST(CAST(FLOOR((SELECT COUNT(*) FROM orders) / 1500) AS INT), 1) - 1)) AS copy
        |), pieces AS (
        |  SELECT base_game + 9 * copy AS game_id, piece_id, bug, color,
        |         q0 + (copy % 37) * 16 AS q, r0 + (copy // 37) * 16 AS r, height

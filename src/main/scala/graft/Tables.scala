@@ -31,9 +31,12 @@ object Tables {
     "documents", "embeddings")
 
   // Keyed by session identity too: a cached DataFrame is unusable after
-  // its owning session stops (tests create/stop several sessions).
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // its owning session stops (tests create/stop several sessions). The
+  // session reference is kept alongside the frame so entries of stopped
+  // sessions are evicted on the next access — the map never accumulates
+  // dead sessions' frames.
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), (SparkSession, DataFrame)]
 
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -41,15 +44,18 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val caching = spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) raw(spark, sfDir, name)
-    else cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
-      val df0 = raw(spark, sfDir, name)
-      val df =
-        if (factNames(name))
-          df0.repartition(spark.sparkContext.defaultParallelism)
-        else df0
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      df
-    })
+    else {
+      cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+        val df0 = raw(spark, sfDir, name)
+        val df =
+          if (factNames(name))
+            df0.repartition(spark.sparkContext.defaultParallelism)
+          else df0
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        (spark, df)
+      })._2
+    }
   }
 
   /** Materialize the cached form of every table (Bench warmup). */

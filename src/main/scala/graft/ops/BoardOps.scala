@@ -252,37 +252,34 @@ object BoardOps {
     movesFor(spark, dir, "Ant")
 
   // ---------------------------------------------------------------- q22
-  /** q22 — hive connectivity after hypothetical moves (V4), fully
-    * relational: for every top piece and each of its 6 neighbor cells as
-    * destination, apply the occupancy delta (A4: −1 from, +1 to,
-    * re-aggregate, keep > 0) and test connectedness by BFS from the
-    * minimum occupied cell — the pattern that generalizes to one huge
-    * graph (rules.cpp:61-133 semantics).
+  /** q22 — hive connectivity after hypothetical moves (V4): for every
+    * top piece and each of its 6 neighbor cells as destination, apply
+    * the occupancy delta (A4: −1 from, +1 to, re-aggregate, keep > 0)
+    * and test connectedness by BFS over the surviving cells
+    * (rules.cpp:61-133 semantics).
     *
-    * Execution shape (round-2 rewrite): the per-candidate graph is
-    * bounded — ≤16 occupied cells, so BFS diameter ≤15 — which lets the
-    * whole fixpoint run as a FIXED-DEPTH lazy plan with zero per-round
-    * driver actions. Each expansion step is `visited ⋉ offsets7` (the 6
-    * directions plus identity, so visited cells are retained) semi-joined
-    * against the checkpointed occupancy and deduplicated; the dedup hash
-    * partitioning on the full key is reused by the next step's join, and
-    * the occupancy exchange is a ReusedExchange across all steps. Two
-    * prune points (after steps 6 and 12) drop candidates whose answer is
-    * already known — `n_reach == n_occ` (connected) or reach-count stable
-    * across 6 steps (converged, i.e. disconnected) — so the tail steps
-    * run on a residue that is empty for every fixture family. Total
-    * materializations: 3 bounded checkpoints, vs a driver count + 3
-    * checkpoints per round before. On a real cluster the checkpoints
-    * become reliable `checkpoint()` (or re-derivation from the delta
-    * aggregate, which is itself one shuffle); the fixed step bound is
-    * what removes the driver from the loop. */
+    * Execution shape (round-3 rewrite): the delta aggregation stays
+    * relational — one hash shuffle on the full candidate-cell key — and
+    * the BFS runs per candidate inside a single `mapGroups` pass over
+    * the aggregated occupancy. A candidate state is tiny and bounded
+    * (≤ 17 cells: every piece occupies at most one cell plus the
+    * destination), so the exact fixpoint is local, data-independent in
+    * depth, and free of the ~24 tiny shuffle stages the fixed-depth
+    * relational expansion needed (round 2: 11.5 s of pure stage
+    * scheduling at sf0.1). This is the correct 100 TB plan for the data
+    * model — millions of independent bounded candidates, one shuffle to
+    * co-locate each candidate's cells, then embarrassingly parallel
+    * kernels. For one genuinely huge connected graph the scale path is
+    * different machinery (log-depth doubling over the edge relation,
+    * R₂ₖ = Rₖ ∘ Rₖ) — not reachable from this data model, whose graphs
+    * are bounded by the 22-piece reserve seed (ui_app.cpp:500). */
   def q22HiveConnected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = pieces(spark, dir).localCheckpoint()
     val c = cells(p)
     val d = broadcast(dirsDf(spark))
     val cand = tops(p)
-      .crossJoin(d.select("di", "dq", "dr"))
+      .crossJoin(d.select("dq", "dr"))
       .select(col("game_id"), col("piece_id"),
         col("q").as("from_q"), col("r").as("from_r"),
         (col("q") + col("dq")).as("to_q"), (col("r") + col("dr")).as("to_r"))
@@ -294,70 +291,19 @@ object BoardOps {
           col("r") === col("from_r"), 1).otherwise(0)).as("n"))
     val dest = cand.select(col("game_id"), col("piece_id"), col("to_q"),
       col("to_r"), col("to_q").as("q"), col("to_r").as("r"), lit(1L).as("n"))
-    val key = Seq("game_id", "piece_id", "to_q", "to_r")
-    val cellKey = key :+ "q" :+ "r"
+    val cellKey = Seq("game_id", "piece_id", "to_q", "to_r", "q", "r")
     val occAfter = base.unionByName(dest)
       .groupBy(cellKey.map(col): _*)
       .agg(sum("n").as("n")).filter(col("n") > 0)
       .select(cellKey.map(col): _*)
-      .localCheckpoint()
-    val total = occAfter.groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("n_occ"))
-    // Two BFS steps per shuffle: the 37-offset table is every cell within
-    // hex distance ≤2 PLUS the requirement that the intermediate cell is
-    // occupied — enforced by expanding 6+identity twice with a semi-join
-    // in between would cost a shuffle, so instead expand 1 step, filter,
-    // expand 1 step, filter, and dedup ONCE (the dedup is the only
-    // exchange; both semi-joins probe the same checkpointed occupancy
-    // with a shuffle-hash join, no sort).
-    val offsets7 = broadcast(
-      ((0, 0) +: dirRows.map(t => (t._2, t._3))).toDF("dq", "dr"))
-    val offsets7b = broadcast(
-      ((0, 0) +: dirRows.map(t => (t._2, t._3))).toDF("dq2", "dr2"))
-    def expand(v: DataFrame, steps: Int): DataFrame =
-      (1 to steps / 2).foldLeft(v) { (acc, _) =>
-        acc.crossJoin(offsets7)
-          .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
-            (col("q") + col("dq")).as("q"), (col("r") + col("dr")).as("r"))
-          .join(occAfter.hint("shuffle_hash"), cellKey, "left_semi")
-          .crossJoin(offsets7b)
-          .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
-            (col("q") + col("dq2")).as("q"), (col("r") + col("dr2")).as("r"))
-          .join(occAfter.hint("shuffle_hash"), cellKey, "left_semi")
-          .dropDuplicates(cellKey)
+    occAfter.as[(Int, Int, Int, Int, Int, Int)]
+      .groupByKey(t => (t._1, t._2, t._3, t._4))
+      .mapGroups { (key: (Int, Int, Int, Int),
+          it: Iterator[(Int, Int, Int, Int, Int, Int)]) =>
+        (key._1, key._2, key._3, key._4,
+          HexRules.allConnected(it.map(t => (t._5, t._6)).toSeq))
       }
-    def reachCounts(v: DataFrame): DataFrame =
-      v.groupBy(key.map(col): _*).agg(count(lit(1)).as("n_reach"))
-    // BFS seed: the minimum occupied cell of each candidate state
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(key.map(col): _*).orderBy("q", "r")
-    val seed = occAfter.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    // Phase 1: 6 steps, then prune candidates proven connected.
-    val v6 = expand(seed, 6).localCheckpoint()
-    val c6 = reachCounts(v6)
-    val doneA = c6.join(total, key).filter(col("n_reach") === col("n_occ"))
-      .select((key :+ "n_reach").map(col): _*)
-    // Phase 2: 6 more steps on the rest, then prune connected OR stable
-    // (reach count unchanged over 6 steps ⇒ BFS converged ⇒ final).
-    val v12 = expand(v6.join(doneA.select(key.map(col): _*), key, "left_anti"), 6)
-      .localCheckpoint()
-    val c12 = reachCounts(v12)
-    val doneB = c12
-      .join(c6.withColumnRenamed("n_reach", "n6"), key)
-      .join(total, key)
-      .filter(col("n_reach") === col("n6") || col("n_reach") === col("n_occ"))
-      .select((key :+ "n_reach").map(col): _*)
-    // Phase 3: 4 final steps (6+6+4 = 16 ≥ the 15-step diameter bound)
-    // on the residue — empty for every fixture family, so these stages
-    // schedule over empty partitions.
-    val v16 = expand(
-      v12.join(doneB.select(key.map(col): _*), key, "left_anti"), 4)
-    doneA.unionByName(doneB).unionByName(reachCounts(v16))
-      .hint("shuffle_hash")
-      .join(total, key)
-      .select(col("game_id"), col("piece_id"), col("to_q"), col("to_r"),
-        (col("n_reach") === col("n_occ")).as("connected"))
+      .toDF("game_id", "piece_id", "to_q", "to_r", "connected")
       .orderBy("game_id", "piece_id", "to_q", "to_r")
   }
 

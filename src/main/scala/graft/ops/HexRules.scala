@@ -88,6 +88,25 @@ object HexRules {
     seen.size == occ.size
   }
 
+  /** rules.cpp:98-133 — BFS connectivity over an explicit occupied-cell
+    * set (the tail of connectedAfter, exposed for callers that already
+    * materialized the post-move occupancy, e.g. q22's per-candidate
+    * kernel). */
+  def allConnected(cells: Iterable[Cell]): Boolean = {
+    val occ = cells.toSet
+    if (occ.size <= 1) return true
+    val seen = mutable.Set(occ.head)
+    val queue = mutable.Queue(occ.head)
+    while (queue.nonEmpty) {
+      val cur = queue.dequeue()
+      dirs.foreach { d =>
+        val n = add(cur, d)
+        if (occ.contains(n) && seen.add(n)) queue += n
+      }
+    }
+    seen.size == occ.size
+  }
+
   /** rules.cpp:136-144. */
   def queenMoves(board: Board, p: PieceRow): Seq[MoveRow] = {
     val from = (p.q, p.r)

@@ -131,30 +131,35 @@ object Replay {
       queenPlaced("White"), queenPlaced("Black"), gameOver, outcome)
   }
 
-  /** Pure transition shared by batch replay and the streaming twin. */
+  /** Pure transition shared by batch replay and the streaming twin.
+    * Sorts by (seq, piece_id): seq alone is the intended order, but the
+    * post-shuffle iterator is unordered and a duplicated seq (a data
+    * bug upstream) must still fold deterministically — the secondary
+    * key removes the only nondeterminism a malformed log could inject. */
   def replayAll(gameId: Int, moves: Iterator[MoveEvent]): ReplaySummary =
-    moves.toSeq.sortBy(_.seq)
+    moves.toSeq.sortBy(m => (m.seq, m.piece_id))
       .foldLeft(GameReplay())((s, m) => s.apply(m))
       .summary(gameId)
 
   /** Scripted opening: White and Black alternate placements, including
     * events the gates must reject (out-of-turn, non-queen on 4th,
-    * movement before queen). Deterministic literal log. */
+    * movement before queen). Deterministic literal log; seq values are
+    * UNIQUE per game so replay order never depends on tie-breaking. */
   val scriptedMoves: Seq[(Int, String, String, String, Int, Int, Int)] = Seq(
     // (seq, actor, action, bug, piece_id, to_q, to_r)
     (1, "White", "place", "Spider", 0, 0, 0),
     (2, "Black", "place", "Spider", 100, 0, 1),
     (3, "White", "place", "Grasshopper", 1, 0, -1),
     (4, "White", "place", "Ant", 2, 1, -1),     // REJECT: out of turn
-    (4, "Black", "place", "Ant", 101, 0, 2),
-    (5, "White", "move", "Grasshopper", 1, 0, 2), // REJECT: queen not placed
-    (5, "White", "place", "Ant", 2, 1, -1),
-    (6, "Black", "place", "Grasshopper", 102, -1, 3),
-    (7, "White", "place", "Spider", 3, 1, -2),  // REJECT: queen by 4th
-    (7, "White", "place", "Queen", 4, 0, -2),
-    (8, "Black", "place", "Queen", 103, 1, 2),
-    (9, "White", "move", "Grasshopper", 1, 0, 2), // jump over spiders? legality checked
-    (10, "Black", "move", "Ant", 101, 1, 1))
+    (5, "Black", "place", "Ant", 101, 0, 2),
+    (6, "White", "move", "Grasshopper", 1, 0, 2), // REJECT: queen not placed
+    (7, "White", "place", "Ant", 2, 1, -1),
+    (8, "Black", "place", "Grasshopper", 102, -1, 3),
+    (9, "White", "place", "Spider", 3, 1, -2),  // REJECT: queen by 4th
+    (10, "White", "place", "Queen", 4, 0, -2),
+    (11, "Black", "place", "Queen", 103, 1, 2),
+    (12, "White", "move", "Grasshopper", 1, 0, 2), // jump over spiders? legality checked
+    (13, "Black", "move", "Ant", 101, 1, 1))
 
   /** The replicated move-log table (same K replication as BoardOps). */
   def moveLog(spark: SparkSession, dir: String): Dataset[MoveEvent] = {

@@ -48,7 +48,8 @@ object Streaming {
         (gameId: Int, batch: Iterator[Replay.MoveEvent],
          state: GroupState[Replay.GameReplay]) =>
           val prev = state.getOption.getOrElse(Replay.GameReplay())
-          val next = batch.toSeq.sortBy(_.seq).foldLeft(prev)(_.apply(_))
+          val next = batch.toSeq.sortBy(m => (m.seq, m.piece_id))
+            .foldLeft(prev)(_.apply(_))
           state.update(next)
           Iterator.single(next.summary(gameId))
       }

@@ -213,9 +213,15 @@ object TextOps {
     * argmax engine-portable. */
   def q29LangTrigramId(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // guard: texts shorter than 3 chars have NO trigrams. Spark's
+    // sequence(1, 0) yields [1, 0] (descending step −1) while DuckDB's
+    // generate_series(1, 0) is empty — without the CASE the two engines
+    // would diverge on any such doc.
     val docs = Tables.documents(spark, dir)
       .withColumn("tg",
-        expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))"))
+        expr("""CASE WHEN length(text) >= 3
+               |  THEN transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))
+               |  ELSE CAST(array() AS array<string>) END""".stripMargin))
     val train = docs.filter(col("doc_id") % 5 === 0)
       .select(col("lang").as("profile_lang"), explode(col("tg")).as("g"))
       .groupBy("profile_lang", "g")

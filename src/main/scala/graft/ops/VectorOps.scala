@@ -57,48 +57,72 @@ object VectorOps {
   /** q33 — globally most-similar embedding pairs (top-20), rank output.
     * All-pairs exactness baseline for q34's bucketed candidate path.
     *
-    * Shape: the corpus is ~1 MB of normalized vectors — broadcast it
-    * (the same decision a broadcast hash join makes) and let each
-    * partition score its own slice of left-side ids against the
-    * broadcast with primitive-array loops, emitting only its local
-    * top-20 (a superset of the global top-20 since each pair belongs to
-    * exactly one partition). A Catalyst zip_with per pair would allocate
-    * an ArrayData per dot product — 10× the CPU for no benefit. At
-    * 100 TB with a big right side this becomes block-partitioned
-    * matmul; the broadcast variant is correct while one side fits. */
+    * Shape (round-3 rewrite): block-partitioned all-pairs — no driver
+    * collect, no whole-corpus broadcast. Each vector belongs to block
+    * b = vec_id mod B; every unordered block pair (i ≤ j) is one group,
+    * and each vector is replicated to the B groups it participates in
+    * (one shuffle of B·N small rows). A group scores its cross product
+    * with primitive-array loops and emits only its local top-20 — a
+    * superset of the global top-20, since every vector pair belongs to
+    * exactly one block pair. Total work is the same N²/2 dot products,
+    * spread over B(B+1)/2 independent tasks; peak task memory is 2N/B
+    * vectors, so B scales with the corpus until a block fits an
+    * executor — the standard blocked-matmul decomposition. A Catalyst
+    * zip_with per pair would allocate an ArrayData per dot product —
+    * 10× the CPU for no benefit. */
   def q33EmbedTopkPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    val nBlocks = 8
+    val k = 20
     val e = normed(spark, dir)
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
-    // the corpus side: ~1 MB — broadcast-join scale
-    val all = e.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
-    val k = 20
-    val localTop = e.mapPartitions { it =>
-      val vs = bc.value
-      val idx = vs.iterator.map(_._1).zipWithIndex.toMap
-      // min-heap on (sim asc, ids desc): the head is the worst survivor
-      val heap = scala.collection.mutable.PriorityQueue
-        .empty[(Double, Long, Long)](
-          Ordering.by[(Double, Long, Long), (Double, Long, Long)](t =>
-            (-t._1, t._2, t._3)))
-      it.foreach { case (ida, va, na) =>
-        var j = idx(ida) + 1
-        while (j < vs.length) {
-          val (idb, vb, nb) = vs(j)
+    // replicate each vector to every block pair containing its block
+    val tagged = e.flatMap { case (id, v, n) =>
+      val b = (id % nBlocks).toInt
+      Iterator.single((b, b, id, v, n)) ++
+        (b + 1 until nBlocks).iterator.map(j => (b, j, id, v, n)) ++
+        (0 until b).iterator.map(i => (i, b, id, v, n))
+    }
+    val localTop = tagged
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int),
+          it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+        val (bi, bj) = key
+        val rows = it.toArray
+        // min-heap on (sim asc, ids desc): the head is the worst survivor
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long, Long)](
+            Ordering.by[(Double, Long, Long), (Double, Long, Long)](t =>
+              (-t._1, t._2, t._3)))
+        def score(a: (Int, Int, Long, Array[Double], Double),
+            b: (Int, Int, Long, Array[Double], Double)): Unit = {
+          val (ida, idb) = if (a._3 < b._3) (a._3, b._3) else (b._3, a._3)
+          val va = a._4
+          val vb = b._4
           var s = 0.0
           var i = 0
           while (i < va.length) { s += va(i) * vb(i); i += 1 }
-          // same expression shape as the oracle: dot / (na * nb)
-          heap.enqueue((s / (na * nb), ida, idb))
+          // same expression shape as the oracle: dot / (na * nb); the
+          // id swap is value-neutral (dot and double·double commute)
+          heap.enqueue((s / (a._5 * b._5), ida, idb))
           if (heap.size > k) heap.dequeue()
-          j += 1
         }
-      }
-      heap.iterator
-    }.toDF("sim", "vec_a", "vec_b")
+        if (bi == bj) {
+          var x = 0
+          while (x < rows.length) {
+            var y = x + 1
+            while (y < rows.length) { score(rows(x), rows(y)); y += 1 }
+            x += 1
+          }
+        } else {
+          val lo = rows.filter(t => (t._3 % nBlocks).toInt == bi)
+          val hi = rows.filter(t => (t._3 % nBlocks).toInt == bj)
+          lo.foreach(a => hi.foreach(b => score(a, b)))
+        }
+        heap.iterator
+      }.toDF("sim", "vec_a", "vec_b")
     val w = Window.orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
     localTop
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))

@@ -25,7 +25,7 @@ BOARD = f"""WITH RECURSIVE fixture(base_game, piece_id, bug, color, q0, r0, heig
   VALUES {FIXTURE_VALUES}
 ), copies AS (
   SELECT unnest(generate_series(0,
-    GREATEST(CAST((SELECT COUNT(*) FROM orders) / 1500 AS INT), 1) - 1)) AS copy
+    GREATEST(CAST(FLOOR((SELECT COUNT(*) FROM orders) / 1500) AS INT), 1) - 1)) AS copy
 ), pieces AS (
   SELECT base_game + 9 * copy AS game_id, piece_id, bug, color,
          q0 + (copy % 37) * 16 AS q, r0 + (copy // 37) * 16 AS r, height
