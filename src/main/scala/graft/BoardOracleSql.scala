@@ -303,6 +303,66 @@ object BoardOracleSql {
       |FROM rounded
       |ORDER BY game_id, q, r""".stripMargin
 
+  private val seedValues: String = ops.BoardOps.reserveSeed
+    .map { case (bug, n) => s"('$bug',$n)" }.mkString(",")
+
+  private val probeValues: String = ops.BoardOps.hoverProbes
+    .map { case (id, ox, oy) => s"($id,$ox,$oy)" }.mkString(",")
+
+  val q44: String = board +
+    s"""
+       |, seed(bug, seed) AS (VALUES $seedValues)
+       |, colors(color) AS (VALUES ('White'), ('Black'))
+       |, grid AS (
+       |  SELECT g.game_id, col.color, s.bug, s.seed
+       |  FROM (SELECT DISTINCT game_id FROM pieces) g
+       |  CROSS JOIN colors col CROSS JOIN seed s)
+       |, placed AS (
+       |  SELECT game_id, color, bug, COUNT(*) AS n_placed
+       |  FROM pieces GROUP BY game_id, color, bug)
+       |, rem AS (
+       |  SELECT gr.game_id, gr.color, gr.bug, CAST(gr.seed AS BIGINT) AS seed,
+       |    COALESCE(p.n_placed, 0) AS n_placed,
+       |    GREATEST(CAST(gr.seed AS BIGINT) - COALESCE(p.n_placed, 0), 0) AS remaining
+       |  FROM grid gr LEFT JOIN placed p USING (game_id, color, bug))
+       |SELECT game_id, color, bug, seed, n_placed, remaining,
+       |  CAST(11 - SUM(remaining) OVER (PARTITION BY game_id, color) AS BIGINT)
+       |    AS placements_made
+       |FROM rem
+       |ORDER BY game_id, color, bug""".stripMargin
+
+  val q45: String = board +
+    s"""
+       |, proj AS (
+       |  SELECT game_id, q, r,
+       |    40.0 * (1.7320508075688772 * q + 1.7320508075688772 / 2 * r) AS px,
+       |    40.0 * 1.5 * r AS py
+       |  FROM cells)
+       |, anchor AS (
+       |  SELECT game_id, px AS ax, py AS ay FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY game_id ORDER BY q, r) AS rn
+       |    FROM proj) t WHERE rn = 1)
+       |, offsets(probe_id, ox, oy) AS (VALUES $probeValues)
+       |, pts AS (
+       |  SELECT a.game_id, o.probe_id, a.ax + o.ox AS wx, a.ay + o.oy AS wy
+       |  FROM anchor a CROSS JOIN offsets o)
+       |, hits AS (
+       |  SELECT game_id, probe_id, q, r FROM (
+       |    SELECT p.game_id, p.probe_id, c.q, c.r,
+       |      ROW_NUMBER() OVER (PARTITION BY p.game_id, p.probe_id ORDER BY
+       |        (p.wx - c.px) * (p.wx - c.px) + (p.wy - c.py) * (p.wy - c.py),
+       |        c.q, c.r) AS rn
+       |    FROM pts p JOIN proj c USING (game_id)
+       |    WHERE (p.wx - c.px) * (p.wx - c.px) +
+       |          (p.wy - c.py) * (p.wy - c.py) < 1156.0
+       |  ) h WHERE rn = 1)
+       |SELECT p.game_id, p.probe_id,
+       |  h.q IS NOT NULL AS hovered,
+       |  COALESCE(h.q, 0) AS hover_q,
+       |  COALESCE(h.r, 0) AS hover_r
+       |FROM pts p LEFT JOIN hits h USING (game_id, probe_id)
+       |ORDER BY game_id, probe_id""".stripMargin
+
   val q23: String = board +
     """
       |SELECT game_id, q, r, COUNT(*) AS stack_size,

@@ -354,6 +354,42 @@ object OracleSql {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Session reconstruction complementary to Spark's session_window:
+    * break when gap >= 30 min; end = last event + 30 min. */
+  val q46: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id,
+      |  epoch_us(MIN(ts)) AS session_start_us,
+      |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  val q47: String =
+    """SELECT MIN(doc_id) AS doc_id,
+      |  arg_min(source, doc_id) AS source,
+      |  arg_min(lang, doc_id) AS lang,
+      |  COUNT(*) AS n_dups
+      |FROM (
+      |  SELECT doc_id, source, lang,
+      |    array_to_string(list_sort(list_distinct(
+      |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ') AS bow
+      |  FROM documents) d
+      |GROUP BY bow
+      |ORDER BY doc_id""".stripMargin
+
   val q12: String =
     """SELECT op, user_id FROM (
       |  SELECT 'click_and_purchase' AS op, user_id FROM (

@@ -55,7 +55,11 @@ object SparkEntry {
     "q40_outer_join" -> (RelationalQueries.q40OuterJoin _),
     "q41_pivot" -> (RelationalQueries.q41Pivot _),
     "q42_hex_projection" -> (BoardOps.q42HexProjection _),
-    "q43_percentiles" -> (RelationalQueries.q43Percentiles _)
+    "q43_percentiles" -> (RelationalQueries.q43Percentiles _),
+    "q44_reserves" -> (BoardOps.q44Reserves _),
+    "q45_board_hover" -> (BoardOps.q45BoardHover _),
+    "q46_session_windows" -> (RelationalQueries.q46SessionWindows _),
+    "q47_dedup_keep" -> (TextOps.q47DedupKeep _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,7 +101,11 @@ object SparkEntry {
     "q40_outer_join" -> OracleSql.q40,
     "q41_pivot" -> OracleSql.q41,
     "q42_hex_projection" -> BoardOracleSql.q42,
-    "q43_percentiles" -> OracleSql.q43
+    "q43_percentiles" -> OracleSql.q43,
+    "q44_reserves" -> BoardOracleSql.q44,
+    "q45_board_hover" -> BoardOracleSql.q45,
+    "q46_session_windows" -> OracleSql.q46,
+    "q47_dedup_keep" -> OracleSql.q47
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q35 (engine-specific
     // hashes, stub codec) — driver records rows-only checks; ScalaTest
     // covers their semantics instead.

@@ -307,6 +307,15 @@ object BoardOps {
       .orderBy("game_id", "piece_id", "to_q", "to_r")
   }
 
+  /** Axial→pixel projection at hexSize 40 (engine.cpp:38-43), shared by
+    * q42 (round-trip) and q45 (hover): adds px/py columns. */
+  private def withPixel(df: DataFrame): DataFrame = {
+    val s = lit(40.0)
+    val sq3 = lit(1.7320508075688772)
+    df.withColumn("px", s * (sq3 * col("q") + sq3 / 2 * col("r")))
+      .withColumn("py", s * lit(1.5) * col("r"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** q42 — pixel projection round-trip (P8/F2): axial→pixel at hexSize
     * 40 (engine.cpp:38-43) and the cube-rounding inverse
@@ -318,9 +327,7 @@ object BoardOps {
     val s = lit(40.0)
     val sq3 = lit(1.7320508075688772)
     val p = cells(pieces(spark, dir))
-    val proj = p
-      .withColumn("px", s * (sq3 * col("q") + sq3 / 2 * col("r")))
-      .withColumn("py", s * lit(1.5) * col("r"))
+    val proj = withPixel(p)
     val inv = proj
       .withColumn("qf", col("px") / sq3 / s - col("py") / 3 / s)
       .withColumn("rf", lit(2.0) / 3 * (col("py") / s))
@@ -345,6 +352,92 @@ object BoardOps {
         floor(col("py") * 1000).cast("bigint").as("py_x1000"),
         col("rt_q"), col("rt_r"))
       .orderBy("game_id", "q", "r")
+  }
+
+  // ---------------------------------------------------------------- q44
+  /** Seed reserve counts per bug — the full base-Hive set each color
+    * starts with (ui_app.cpp:498-503). */
+  val reserveSeed: Seq[(String, Int)] = Seq(
+    ("Ant", 3), ("Beetle", 2), ("Grasshopper", 3), ("Queen", 1), ("Spider", 2))
+
+  /** q44 — reserves / tray view (A2, ui_app.cpp:498-533): per
+    * (game_id, color, bug), pieces remaining in the tray =
+    * max(seed − placed, 0), plus each color's placements_made =
+    * 11 − Σ remaining (ui_app.cpp:519-525). The grid is games × both
+    * colors × the 5-bug seed dim (broadcast), left-joined with placed
+    * counts — colors with nothing on board still show full trays. */
+  def q44Reserves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = pieces(spark, dir)
+    val placed = p.groupBy("game_id", "color", "bug")
+      .agg(count(lit(1)).as("n_placed"))
+    val grid = p.select("game_id").distinct()
+      .crossJoin(broadcast(Seq("White", "Black").toDF("color")))
+      .crossJoin(broadcast(reserveSeed.toDF("bug", "seed")))
+    val w = Window.partitionBy("game_id", "color")
+    grid.join(placed, Seq("game_id", "color", "bug"), "left")
+      .withColumn("n_placed", coalesce(col("n_placed"), lit(0L)))
+      .withColumn("remaining",
+        greatest(col("seed").cast("long") - col("n_placed"), lit(0L)))
+      .withColumn("placements_made",
+        (lit(11L) - sum(col("remaining")).over(w)).cast("bigint"))
+      .select(col("game_id"), col("color"), col("bug"),
+        col("seed").cast("long").as("seed"), col("n_placed"),
+        col("remaining"), col("placements_made"))
+      .orderBy("game_id", "color", "bug")
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Hover probe offsets in world pixels relative to each game's anchor
+    * cell center: (probe_id, ox, oy). Chosen to exercise hit-on-anchor,
+    * hit-on-neighbor, edge-of-radius, and miss cases with no exact
+    * distance ties. */
+  val hoverProbes: Seq[(Int, Int, Int)] = Seq(
+    (0, 0, 0),      // dead center of the anchor cell
+    (1, 17, 9),     // inside the anchor cell's radius
+    (2, 69, 0),     // ≈ the (q+1, r) neighbor's center
+    (3, 35, 60),    // ≈ the (q, r+1) neighbor's center
+    (4, 300, 300),  // far from everything — no hover
+    (5, -25, -20))  // 32 px out, just inside the 34 px radius
+
+  /** q45 — board hover / nearest-cell lookup (J5/A6,
+    * ui_app.cpp:227-240): for each probe pixel, the nearest occupied
+    * cell center within radius 0.85·hexSize (34 px), else no hover.
+    * Probes are anchored per game (anchor = min-(q,r) cell center) so
+    * every replicated copy exercises the same geometry. Ties broken by
+    * (d², q, r) — the reference's unordered-map iteration leaves ties
+    * unspecified, so the probe set avoids them and the tie-break is
+    * only a determinism guard. Nearest = one min_by aggregation per
+    * (game, probe) after a radius filter — never a global sort. */
+  def q45BoardHover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = withPixel(cells(pieces(spark, dir)))
+    val anchor = c.groupBy("game_id")
+      .agg(min_by(struct(col("px"), col("py")),
+        struct(col("q"), col("r"))).as("a"))
+      .select(col("game_id"), col("a.px").as("ax"), col("a.py").as("ay"))
+    val probes = broadcast(hoverProbes.toDF("probe_id", "ox", "oy"))
+    val pts = anchor.crossJoin(probes)
+      .select(col("game_id"), col("probe_id"),
+        (col("ax") + col("ox")).as("wx"), (col("ay") + col("oy")).as("wy"))
+    val hits = pts.join(c, Seq("game_id"))
+      .withColumn("d2",
+        (col("wx") - col("px")) * (col("wx") - col("px")) +
+          (col("wy") - col("py")) * (col("wy") - col("py")))
+      .filter(col("d2") < lit(34.0 * 34.0))
+      .groupBy("game_id", "probe_id")
+      .agg(min_by(struct(col("q"), col("r")),
+        struct(col("d2"), col("q"), col("r"))).as("h"))
+      .select(col("game_id"), col("probe_id"),
+        col("h.q").as("hq"), col("h.r").as("hr"))
+    pts.select("game_id", "probe_id")
+      .join(hits, Seq("game_id", "probe_id"), "left")
+      .select(col("game_id"), col("probe_id"),
+        col("hq").isNotNull.as("hovered"),
+        coalesce(col("hq"), lit(0)).as("hover_q"),
+        coalesce(col("hr"), lit(0)).as("hover_r"))
+      .orderBy("game_id", "probe_id")
   }
 
   // ---------------------------------------------------------------- q23

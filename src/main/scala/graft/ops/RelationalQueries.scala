@@ -344,6 +344,27 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** q46 — batch `session_window` sessionization (V16): the batch twin
+    * of Streaming.sessionCounts, full oracle. Spark merges two events
+    * into one session when the gap is strictly under 30 minutes (the
+    * [ts, ts+gap) windows overlap), so the oracle reconstructs sessions
+    * with a `gap >= 30 min ⇒ break` lag/cumsum — exactly complementary.
+    * Timestamps are emitted as unix microseconds: events.ts is ns
+    * parquet, and both engines truncate ns→µs identically
+    * (Tables.events / DuckDB CAST(ts AS TIMESTAMP)).
+    * Scale: session_window is one shuffle on user_id with state merged
+    * per partition — the same plan a 100 TB sessionization wants. */
+  def q46SessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** q12 — set ops (O4): INTERSECT and EXCEPT over per-type user sets. */
   def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

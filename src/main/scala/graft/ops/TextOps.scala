@@ -75,6 +75,26 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q47
+  /** q47 — dedup retained rows (V14, the kept-row output q14's comment
+    * promises): per canonical bag-of-words key, keep the minimum doc_id
+    * and report the duplicate-group size. One hash shuffle on the
+    * canonical key; min_by carries the kept row's attributes without a
+    * second join back to the corpus. */
+  def q47DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val bow = array_join(array_sort(array_distinct(toks)), " ")
+    Tables.documents(spark, dir)
+      .withColumn("bow", bow)
+      .groupBy(col("bow"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_dups"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q26
   /** q26 — MinHash + LSH near-dup candidates (no oracle: xxhash64 is
     * engine-specific). 16 minhashes over 3-token shingles, 4 bands × 4

@@ -133,42 +133,81 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------- q34
-  /** q34 — LSH-bucketed approximate nearest neighbors (no oracle;
-    * ScalaTest asserts structural properties and recall against q15).
-    *
-    * Random-hyperplane LSH: 4 deterministic pseudo-random hyperplanes
-    * (components from splitmix64 — no RNG state), bucket = 4 sign bits.
-    * Probes search only their own bucket — the candidate set is ~1/16 of
-    * the corpus. At 100 TB the bucket id becomes the partition key: the
-    * corpus is written bucketed, a probe touches one partition, and
-    * multi-probe (flipping low-margin bits) trades recall for fan-out. */
-  def q34AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dim = 64
-    val nPlanes = 4
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
-      Array.tabulate(dim) { i =>
+  /** Random-hyperplane signatures: 16 deterministic pseudo-random
+    * hyperplanes (components from counter-mode splitmix64 — no RNG
+    * state), split into 4 banded tables of 4 sign bits each. */
+  private val annDim = 64
+  private val annPlanes = 16
+  private val annBands = 4
+  private val annBandBits = annPlanes / annBands
+
+  private def planesCol: Column = {
+    val planes: Array[Array[Double]] = Array.tabulate(annPlanes) { p =>
+      Array.tabulate(annDim) { i =>
         // uniform in [-0.5, 0.5) from a counter-mode splitmix64
-        (Hash64.splitmix64((p * dim + i).toLong) >>> 11).toDouble /
+        (Hash64.splitmix64((p * annDim + i).toLong) >>> 11).toDouble /
           (1L << 53).toDouble - 0.5
       }
     }
-    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val bucketed = normed(spark, dir)
-      .withColumn("planes", planesCol)
-      .withColumn("bucket",
-        aggregate(
-          transform(col("planes"),
-            p => when(dot(col("v"), p) >= 0, 1).otherwise(0)),
-          lit(0), (acc, bit) => acc * 2 + bit))
-      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-    val probes = bucketed.filter(col("vec_id") < 5)
+    array(planes.map(p => array(p.map(lit): _*)): _*)
+  }
+
+  /** The banded LSH tables: one row per (vector, band) keyed by the
+    * band's 4-bit bucket — the multi-table layout that OR-amplifies
+    * recall (a true neighbor is a candidate if it agrees with the probe
+    * in ANY band). At 100 TB this is the table you persist, partitioned
+    * by (band, bucket) — see writeLshLayout/readLshBucket; a probe then
+    * reads only its own partitions (bucket-pruned scan). */
+  def lshTables(spark: SparkSession, dir: String): DataFrame =
+    normed(spark, dir)
+      .withColumn("bits",
+        transform(planesCol, p => when(dot(col("v"), p) >= 0, 1).otherwise(0)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(expr(s"""transform(sequence(0, ${annBands - 1}, 1), b ->
+          |  aggregate(slice(bits, b * $annBandBits + 1, $annBandBits),
+          |            0, (acc, x) -> acc * 2 + x))""".stripMargin)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Persist the LSH tables partitioned by (band, bucket): the on-disk
+    * layout whose directory pruning is what "the probe touches one
+    * bucket" means operationally. */
+  def writeLshLayout(spark: SparkSession, dir: String, out: String): Unit =
+    lshTables(spark, dir).write.mode("overwrite")
+      .partitionBy("band", "bucket").parquet(out)
+
+  /** Bucket-pruned read of one (band, bucket) partition. */
+  def readLshBucket(spark: SparkSession, out: String, band: Int,
+      bucket: Int): DataFrame =
+    spark.read.parquet(out)
+      .filter(col("band") === band && col("bucket") === bucket)
+
+  /** q34 — LSH-banded approximate nearest neighbors (no oracle;
+    * ScalaTest asserts recall@10 >= 0.9 against exact q15 and the
+    * bucket-pruned layout round-trip).
+    *
+    * Candidates = corpus rows sharing ANY band bucket with the probe,
+    * where the probe additionally multi-probes each band's 4 one-bit
+    * flips (5 buckets/band × 4 bands = 20 keys/probe — fan-out on the
+    * TINY side only). The join is an equi-join on (band, bucket); a
+    * probe never scans the corpus, and at scale the corpus side is the
+    * partitioned layout above, so the probe's 20 keys become 20 pruned
+    * directory reads. Scoring happens once per distinct candidate pair
+    * after a dropDuplicates on (probe_id, vec_id). */
+  def q34AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = lshTables(spark, dir)
+    val probeKeys = corpus.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("bucket"))
+        col("nrm").as("pnrm"), col("band"),
+        explode(array(col("bucket"), col("bucket").bitwiseXOR(1),
+          col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
+          col("bucket").bitwiseXOR(8))).as("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    bucketed.join(broadcast(probes), Seq("bucket"))
+    corpus.join(broadcast(probeKeys), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "vec_id")
       .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))

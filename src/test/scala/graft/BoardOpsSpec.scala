@@ -136,6 +136,39 @@ class BoardOpsSpec extends SparkSpecBase {
     assert(rows.exists(!_.getBoolean(4)), "some move must disconnect")
   }
 
+  test("q44: tray reserves match ui_app.cpp seed minus placed") {
+    val rows = SparkEntry.queries("q44_reserves")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // game 1: one White Queen placed, Black untouched
+    assert(rows((1, "White", "Queen")) == (1L, 1L, 0L, 1L))
+    assert(rows((1, "White", "Ant")) == (3L, 0L, 3L, 1L))
+    assert(rows((1, "Black", "Queen")) == (1L, 0L, 1L, 0L))
+    // every (game, color) has exactly the 5 seed bugs
+    val perColor = rows.keys.groupBy(k => (k._1, k._2)).values.map(_.size)
+    assert(perColor.forall(_ == 5))
+    // remaining never negative, placements_made = 11 - sum(remaining)
+    rows.groupBy { case ((g, c, _), _) => (g, c) }.foreach { case (_, m) =>
+      val rem = m.values.map(_._3).sum
+      assert(m.values.forall(v => v._3 >= 0 && v._4 == 11 - rem))
+    }
+  }
+
+  test("q45: hover picks nearest cell within 34px, else none") {
+    val rows = SparkEntry.queries("q45_board_hover")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getBoolean(2), r.getInt(3), r.getInt(4)))).toMap
+    // game 1 (lone queen at (0,0)): probes 0/1/5 hover it, rest miss
+    assert(rows((1, 0)) == (true, 0, 0))
+    assert(rows((1, 1)) == (true, 0, 0))
+    assert(rows((1, 5)) == (true, 0, 0))
+    assert(!rows((1, 2))._1 && !rows((1, 3))._1 && !rows((1, 4))._1)
+    // game 9 (anchor (-1,0)): probe 2 lands on (0,0), probe 3 on (-1,1)
+    assert(rows((9, 2)) == (true, 0, 0))
+    assert(rows((9, 3)) == (true, -1, 1))
+    assert(!rows((9, 4))._1, "far probe never hovers")
+  }
+
   test("q23: stacked cells report correct stack order") {
     val rows = SparkEntry.queries("q23_stack_tops")(spark, sf).collect()
     val g8 = rows.filter(r => r.getInt(0) == 8 && r.getInt(1) == 0 && r.getInt(2) == 0)

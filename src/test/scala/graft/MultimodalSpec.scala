@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{Codec, MediaRow}
+
+/** Byte-level codec round-trips: the decoder must recover dimensions,
+  * sample rates and frame counts from the payload BYTES alone, and
+  * reject malformed containers. */
+class MultimodalSpec extends SparkSpecBase {
+
+  test("PPM round-trip: header parsed from bytes, stats over pixels") {
+    val w = 7; val h = 5
+    val row = MediaRow(42L, "image", w, h, Codec.encodePpm(w, h, 42L))
+    val f = Codec.decodeFeatures(row)
+    assert(f.parsed_w == w && f.parsed_h == h)
+    assert(f.n_units == w * h)
+    assert(f.n_bytes == row.payload.length.toLong)
+    assert(f.stat_min >= 0 && f.stat_max <= 255 && f.stat_min <= f.stat_max)
+    // sum equals a direct recount of the pixel bytes
+    val off = row.payload.length - w * h * 3
+    val expected = row.payload.drop(off).map(b => (b & 0xff).toLong).sum
+    assert(f.stat_sum == expected)
+  }
+
+  test("PPM: multi-digit dimensions parse (header is ASCII, not fixed width)") {
+    val row = MediaRow(1L, "image", 123, 45, Codec.encodePpm(123, 45, 1L))
+    val f = Codec.decodePpm(row)
+    assert(f.parsed_w == 123 && f.parsed_h == 45 && f.n_units == 123 * 45)
+  }
+
+  test("WAV round-trip: RIFF fields parsed, PCM16 stats") {
+    val n = 100
+    val row = MediaRow(7L, "audio", 8000, 16, Codec.encodeWav(n, 8000, 7L))
+    val f = Codec.decodeFeatures(row)
+    assert(f.parsed_w == 8000, "sample rate from fmt chunk")
+    assert(f.parsed_h == 16, "bits per sample")
+    assert(f.n_units == n)
+    assert(f.stat_min >= Short.MinValue && f.stat_max <= Short.MaxValue)
+    assert(f.stat_min <= f.stat_max)
+  }
+
+  test("GFV1 round-trip: frame count and per-frame PPM parsing") {
+    val row = MediaRow(9L, "video", 4, 3, Codec.encodeVideo(6, 4, 3, 9L))
+    val f = Codec.decodeFeatures(row)
+    assert(f.n_units == 6, "frame count")
+    assert(f.parsed_w == 4 && f.parsed_h == 3)
+    assert(f.n_bytes == row.payload.length.toLong)
+  }
+
+  test("decoder rejects malformed containers") {
+    intercept[IllegalArgumentException] {
+      Codec.decodeFeatures(MediaRow(0L, "image", 1, 1,
+        "JUNKJUNKJUNK".getBytes))
+    }
+    // truncated PPM: header promises more pixels than present
+    val good = Codec.encodePpm(4, 4, 0L)
+    intercept[IllegalArgumentException] {
+      Codec.decodeFeatures(MediaRow(0L, "image", 4, 4, good.dropRight(1)))
+    }
+    // WAV with corrupted data-chunk length
+    val wav = Codec.encodeWav(10, 8000, 0L)
+    wav(40) = (wav(40) + 1).toByte
+    intercept[IllegalArgumentException] {
+      Codec.decodeFeatures(MediaRow(0L, "audio", 8000, 16, wav))
+    }
+  }
+
+  test("decode is deterministic: same id, same features") {
+    val a = Codec.decodeFeatures(MediaRow(5L, "video", 4, 3,
+      Codec.encodeVideo(3, 4, 3, 5L)))
+    val b = Codec.decodeFeatures(MediaRow(5L, "video", 4, 3,
+      Codec.encodeVideo(3, 4, 3, 5L)))
+    assert(a == b)
+  }
+
+  test("media table: parsed features agree with synthesis metadata") {
+    val rows = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val kind = r.getString(1)
+      (id % 3) match {
+        case 0 =>
+          assert(kind == "image")
+          assert(r.getInt(3) == (id % 16 + 1).toInt)   // parsed_w
+          assert(r.getInt(4) == (id % 12 + 1).toInt)   // parsed_h
+        case 1 =>
+          assert(kind == "audio")
+          assert(r.getInt(3) == 8000)
+          assert(r.getLong(5) == id % 256 + 16)        // n_units = samples
+        case _ =>
+          assert(kind == "video")
+          assert(r.getLong(5) == id % 5 + 2)           // n_units = frames
+      }
+    }
+  }
+}

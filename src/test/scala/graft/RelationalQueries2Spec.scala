@@ -46,6 +46,22 @@ class RelationalQueries2Spec extends SparkSpecBase {
     assert(rows.forall(_.getLong(2) >= 0L))
   }
 
+  test("q46 session windows: partition all events, 30-min gap semantics") {
+    val rows = SparkEntry.queries("q46_session_windows")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == Tables.events(spark, sf).count())
+    val gapUs = 30L * 60 * 1000000
+    rows.foreach { case (_, start, end, n) =>
+      assert(n >= 1 && end >= start + gapUs) // end = last event + gap
+    }
+    // sessions of one user never overlap and are separated by >= gap
+    rows.groupBy(_._1).values.foreach { ss =>
+      ss.toSeq.sortBy(_._2).sliding(2).foreach { pair =>
+        if (pair.length == 2) assert(pair(1)._2 >= pair(0)._3)
+      }
+    }
+  }
+
   test("q41 pivot: per-day type counts sum to total events") {
     val rows = SparkEntry.queries("q41_pivot")(spark, sf).collect()
     val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum

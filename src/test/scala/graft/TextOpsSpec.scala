@@ -100,6 +100,19 @@ class TextOpsSpec extends SparkSpecBase {
     assert(a.intersect(b).nonEmpty, "shared substring must share fingerprints")
   }
 
+  test("q47: kept rows partition the corpus by canonical key") {
+    val rows = SparkEntry.queries("q47_dedup_keep")(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == Tables.documents(spark, sf).count())
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "kept doc_ids unique")
+    // the kept doc is the min of its group, so groups with n_dups > 1
+    // must exist only if the corpus has bow-duplicates at this SF; either
+    // way every kept id is a real doc
+    val docIds = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.forall(docIds.contains))
+  }
+
   test("q32: one fingerprint per doc") {
     val n = SparkEntry.queries("q32_doc_fingerprint")(spark, sf).count()
     assert(n == Tables.documents(spark, sf).count())

@@ -45,7 +45,7 @@ class VectorOpsSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(1) < r.getLong(2)))
   }
 
-  test("q34 ANN: <= 10 neighbors per probe, all from the probe's bucket") {
+  test("q34 ANN: ranked output shape per probe") {
     val rows = SparkEntry.queries("q34_ann_lsh")(spark, sf).collect()
     assert(rows.nonEmpty)
     val perProbe = rows.groupBy(_.getLong(0))
@@ -54,12 +54,35 @@ class VectorOpsSpec extends SparkSpecBase {
       val ranks = g.map(_.getLong(1)).sorted
       assert(ranks.sameElements(1L to ranks.length))
     }
-    // ANN results overlap the exact top-10 somewhere (weak recall bound —
-    // random embeddings have no cluster structure, LSH recall is modest)
-    val exact = SparkEntry.queries("q15_knn_bruteforce")(spark, sf).collect()
+  }
+
+  test("q34 ANN: recall@10 >= 0.9 vs exact q15 at sf0.01") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q15_knn_bruteforce")(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(approx.intersect(exact).nonEmpty)
+    val approx = SparkEntry.queries("q34_ann_lsh")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("q34 LSH layout: partitioned write, bucket-pruned read") {
+    val out = java.nio.file.Files
+      .createTempDirectory("lsh_layout").toString + "/t"
+    ops.VectorOps.writeLshLayout(spark, sf, out)
+    val pruned = ops.VectorOps.readLshBucket(spark, out, 1, 5)
+    // the band/bucket predicates land in the scan's PartitionFilters —
+    // directory pruning, no data files outside band=1/bucket=5 are read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters[^\\]]*band[^\\]]*1[^\\]]*\\].*"),
+      s"partition filters missing from scan:\n$plan")
+    // and its contents equal the in-memory filter of the same bucket
+    val mem = ops.VectorOps.lshTables(spark, sf)
+      .filter(col("band") === 1 && col("bucket") === 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val disk = pruned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(disk == mem)
   }
 
   test("q35 multimodal: per-kind stats with real byte counts") {
