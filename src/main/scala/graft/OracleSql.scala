@@ -377,6 +377,23 @@ object OracleSql {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Exact threshold near-dup over embedding cosine; FLOOR-scaled sims
+    * (basis points) — same dot-product evaluation order as q15/q33. */
+  val q48: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), s AS (
+      |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+      |    CAST(FLOOR(10000 * (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)))
+      |      AS BIGINT) AS sim_bp
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |)
+      |SELECT keep_id, drop_id, sim_bp FROM s
+      |WHERE sim_bp >= 3800
+      |ORDER BY keep_id, drop_id""".stripMargin
+
   val q47: String =
     """SELECT MIN(doc_id) AS doc_id,
       |  arg_min(source, doc_id) AS source,

@@ -56,10 +56,13 @@ object SparkEntry {
     "q41_pivot" -> (RelationalQueries.q41Pivot _),
     "q42_hex_projection" -> (BoardOps.q42HexProjection _),
     "q43_percentiles" -> (RelationalQueries.q43Percentiles _),
+    "q43b_approx_percentiles" -> (RelationalQueries.q43bApproxPercentiles _),
     "q44_reserves" -> (BoardOps.q44Reserves _),
     "q45_board_hover" -> (BoardOps.q45BoardHover _),
     "q46_session_windows" -> (RelationalQueries.q46SessionWindows _),
-    "q47_dedup_keep" -> (TextOps.q47DedupKeep _)
+    "q47_dedup_keep" -> (TextOps.q47DedupKeep _),
+    "q48_embed_neardup" -> (VectorOps.q48EmbedNeardup _),
+    "q49_ivf_ann" -> (VectorOps.q49IvfAnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,9 +108,11 @@ object SparkEntry {
     "q44_reserves" -> BoardOracleSql.q44,
     "q45_board_hover" -> BoardOracleSql.q45,
     "q46_session_windows" -> OracleSql.q46,
-    "q47_dedup_keep" -> OracleSql.q47
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q35 (engine-specific
-    // hashes, stub codec) — driver records rows-only checks; ScalaTest
-    // covers their semantics instead.
+    "q47_dedup_keep" -> OracleSql.q47,
+    "q48_embed_neardup" -> OracleSql.q48
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49 (engine-specific
+    // hashes / sketch- or iteration-specific candidate sets), q35 (payload
+    // synthesis is engine-side), q43b (approx sketch) — driver records
+    // rows-only checks; ScalaTest covers their semantics instead.
   )
 }

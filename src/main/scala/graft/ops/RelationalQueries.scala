@@ -344,6 +344,26 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** q43b — approx_percentile production twin of q43 (A8): the one-pass
+    * sketch (KLL in Spark; accuracy parameter 10000) a 100 TB deployment
+    * runs instead of the exact per-group sort. Declared rows-only — the
+    * sketch is engine-specific, so there is no cross-engine hash; the
+    * ScalaTest instead bounds its drift against exact q43. */
+  def q43bApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("pct"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"),
+        floor(element_at(col("pct"), 1) * 100).cast("bigint").as("p25_x100"),
+        floor(element_at(col("pct"), 2) * 100).cast("bigint").as("p50_x100"),
+        floor(element_at(col("pct"), 3) * 100).cast("bigint").as("p75_x100"),
+        col("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q46 — batch `session_window` sessionization (V16): the batch twin
     * of Streaming.sessionCounts, full oracle. Spark merges two events
     * into one session when the gap is strictly under 30 minutes (the
@@ -365,17 +385,26 @@ object RelationalQueries {
       .orderBy("user_id", "session_start_us")
   }
 
-  /** q12 — set ops (O4): INTERSECT and EXCEPT over per-type user sets. */
+  /** q12 — set ops (O4): INTERSECT and EXCEPT over per-type user sets.
+    * Round-3 plan: instead of materializing four per-type user sets and
+    * running intersect/except (each its own distinct + join shuffle —
+    * ~6 exchanges), fold everything into ONE groupBy(user_id) computing
+    * per-type presence flags, then filter the flag combinations. One
+    * shuffle; the two branches share the aggregated subtree (Catalyst
+    * reuses the exchange), and at 100 TB the flag aggregation is a
+    * partial/final hash agg over the events scan — the optimal shape
+    * for any number of set-op combinations over the same keyspace. */
   def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    def users(t: String) =
-      ev.filter(col("event_type") === t).select(col("user_id"))
-    val both = users("click").intersect(users("purchase"))
-      .withColumn("op", lit("click_and_purchase"))
-    val viewNoError = users("view").except(users("error"))
-      .withColumn("op", lit("view_no_error"))
+    def flag(t: String) = max(when(col("event_type") === t, 1).otherwise(0))
+    val flags = ev.groupBy(col("user_id"))
+      .agg(flag("click").as("c"), flag("purchase").as("p"),
+        flag("view").as("v"), flag("error").as("e"))
+    val both = flags.filter(col("c") === 1 && col("p") === 1)
+      .select(lit("click_and_purchase").as("op"), col("user_id"))
+    val viewNoError = flags.filter(col("v") === 1 && col("e") === 0)
+      .select(lit("view_no_error").as("op"), col("user_id"))
     both.unionByName(viewNoError)
-      .select(col("op"), col("user_id"))
       .orderBy("op", "user_id")
   }
 }

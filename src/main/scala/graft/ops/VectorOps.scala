@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -70,22 +70,30 @@ object VectorOps {
     * executor — the standard blocked-matmul decomposition. A Catalyst
     * zip_with per pair would allocate an ArrayData per dot product —
     * 10× the CPU for no benefit. */
+  /** Block-pair replication for exact all-pairs kernels: each vector
+    * belongs to block b = vec_id mod B and is shipped to every
+    * unordered block pair containing b. Every vector PAIR lands in
+    * exactly one (bi, bj) group. */
+  private def blockTagged(spark: SparkSession, dir: String, nBlocks: Int)
+    : Dataset[(Int, Int, Long, Array[Double], Double)] = {
+    import spark.implicits._
+    normed(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, n) =>
+        val b = (id % nBlocks).toInt
+        Iterator.single((b, b, id, v, n)) ++
+          (b + 1 until nBlocks).iterator.map(j => (b, j, id, v, n)) ++
+          (0 until b).iterator.map(i => (i, b, id, v, n))
+      }
+  }
+
   def q33EmbedTopkPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val nBlocks = 8
     val k = 20
-    val e = normed(spark, dir)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Array[Double], Double)]
-    // replicate each vector to every block pair containing its block
-    val tagged = e.flatMap { case (id, v, n) =>
-      val b = (id % nBlocks).toInt
-      Iterator.single((b, b, id, v, n)) ++
-        (b + 1 until nBlocks).iterator.map(j => (b, j, id, v, n)) ++
-        (0 until b).iterator.map(i => (i, b, id, v, n))
-    }
-    val localTop = tagged
+    val localTop = blockTagged(spark, dir, nBlocks)
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (key: (Int, Int),
           it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
@@ -208,6 +216,133 @@ object VectorOps {
     corpus.join(broadcast(probeKeys), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .dropDuplicates("probe_id", "vec_id")
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"))
+      .orderBy("probe_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** q48 — embedding-cosine near-dup (V14 × V13): every pair above the
+    * similarity threshold as a (keep, drop) dedup decision, exact. The
+    * threshold 0.38 sits at the ~99.9th percentile of the pair-sim
+    * distribution (the testdata embeddings are unclustered), so the
+    * output is the meaningful tail. Same block-partitioned kernel as
+    * q33 — a threshold emit instead of a top-k heap — so the exact
+    * variant scales by raising B; q34's LSH bands are the approximate
+    * candidate-generation path when even blocked N²/B² is too much.
+    * Full oracle: sims floor-scaled to basis points (the doubles are
+    * bit-identical across engines — q15/q33 hash-match proves the
+    * dot-product evaluation order agrees). */
+  def q48EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBlocks = 8
+    val tauBp = 3800L
+    blockTagged(spark, dir, nBlocks)
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int),
+          it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+        val (bi, bj) = key
+        val rows = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        def score(a: (Int, Int, Long, Array[Double], Double),
+            b: (Int, Int, Long, Array[Double], Double)): Unit = {
+          val (ida, idb) = if (a._3 < b._3) (a._3, b._3) else (b._3, a._3)
+          val va = a._4
+          val vb = b._4
+          var s = 0.0
+          var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          val bp = math.floor(10000.0 * (s / (a._5 * b._5))).toLong
+          if (bp >= tauBp) out += ((ida, idb, bp))
+        }
+        if (bi == bj) {
+          var x = 0
+          while (x < rows.length) {
+            var y = x + 1
+            while (y < rows.length) { score(rows(x), rows(y)); y += 1 }
+            x += 1
+          }
+        } else {
+          val lo = rows.filter(t => (t._3 % nBlocks).toInt == bi)
+          val hi = rows.filter(t => (t._3 % nBlocks).toInt == bj)
+          lo.foreach(a => hi.foreach(b => score(a, b)))
+        }
+        out.iterator
+      }
+      .toDF("keep_id", "drop_id", "sim_bp")
+      .orderBy("keep_id", "drop_id")
+  }
+
+  // ---------------------------------------------------------------- q49
+  /** q49 — IVF approximate nearest neighbors (V13 scale path #2,
+    * complementing q34's LSH): a coarse quantizer (16 centroids =
+    * deterministic seeds refined by one spherical-Lloyd iteration)
+    * partitions the corpus into inverted lists; a probe scores only its
+    * nprobe=6 closest lists. Every step is relational: assignment is a
+    * broadcast join against the 16 centroids (argmax cosine via
+    * min_by), the centroid update is a 16-group mapGroups (element-wise
+    * mean — never a driver collect), and the probe search is an
+    * equi-join on the list id. At 100 TB the inverted lists are the
+    * partition key of the stored corpus, exactly like q34's
+    * (band, bucket) layout. Rows-only (sketch-free but
+    * iteration-order-specific); ScalaTest bounds recall vs exact q15. */
+  def q49IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nCentroids = 16
+    val nProbe = 6
+    val e = normed(spark, dir)
+    // unit vectors: spherical k-means works on directions
+    val unit = e.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+    val seeds = unit.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("u").as("cu"))
+    def assign(cents: DataFrame): DataFrame =
+      unit.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("u"), col("cu")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(-col("csim"), col("cid"))).as("cid"))
+    // one Lloyd iteration: element-wise mean per assigned list
+    val refined = assign(seeds)
+      .join(unit, "vec_id")
+      .as[(Long, Int, Array[Double])]
+      .groupByKey(_._2)
+      .mapGroups { (cid: Int, it: Iterator[(Long, Int, Array[Double])]) =>
+        var sum: Array[Double] = null
+        var n = 0
+        it.foreach { t =>
+          if (sum == null) sum = new Array[Double](t._3.length)
+          var i = 0
+          while (i < t._3.length) { sum(i) += t._3(i); i += 1 }
+          n += 1
+        }
+        (cid, sum.map(_ / n))
+      }
+      .toDF("cid", "cu")
+      // 16 rows feeding two consumers (list build + probe routing):
+      // materialize once so the seed-assign + mean pipeline runs once
+      .localCheckpoint()
+    val lists = assign(refined)
+      .join(e, "vec_id") // inverted lists: (cid, vec_id, v, nrm)
+    val probeLists = unit.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(refined))
+      .withColumn("csim", dot(col("u"), col("cu")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("cid"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+      .join(probeLists, "probe_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))

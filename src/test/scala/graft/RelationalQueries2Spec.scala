@@ -46,6 +46,19 @@ class RelationalQueries2Spec extends SparkSpecBase {
     assert(rows.forall(_.getLong(2) >= 0L))
   }
 
+  test("q43b approx percentiles: within 2% of exact q43 per status") {
+    val exact = SparkEntry.queries("q43_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = SparkEntry.queries("q43b_approx_percentiles")(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      def close(a: Long, e: Long) = math.abs(a - e) <= math.max(1L, e / 50)
+      assert(close(r.getLong(1), e25) && close(r.getLong(2), e50) &&
+        close(r.getLong(3), e75))
+    }
+  }
+
   test("q46 session windows: partition all events, 30-min gap semantics") {
     val rows = SparkEntry.queries("q46_session_windows")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -85,6 +85,44 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(disk == mem)
   }
 
+  test("q48 near-dup pairs match a driver-side exact threshold scan") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def simBp(a: Array[Double], b: Array[Double]): Long = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      math.floor(10000.0 * (d / (math.sqrt(na) * math.sqrt(nb)))).toLong
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      bp = simBp(vecs(ids(i)), vecs(ids(j))) if bp >= 3800L
+    } yield (ids(i), ids(j), bp)).toSet
+    val got = SparkEntry.queries("q48_embed_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "threshold should catch the distribution tail")
+  }
+
+  test("q49 IVF: ranked output, recall@10 >= 0.5 vs exact q15") {
+    val rows = SparkEntry.queries("q49_ivf_ann")(spark, sf).collect()
+    val perProbe = rows.groupBy(_.getLong(0))
+    perProbe.values.foreach { g =>
+      val ranks = g.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+    // nprobe=6 of 16 unclustered lists: recall is bounded but must beat
+    // random candidate selection by a wide margin
+    val exact = SparkEntry.queries("q15_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
   test("q35 multimodal: per-kind stats with real byte counts") {
     val rows = SparkEntry.queries("q35_multimodal_features")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
