@@ -62,7 +62,8 @@ object SparkEntry {
     "q46_session_windows" -> (RelationalQueries.q46SessionWindows _),
     "q47_dedup_keep" -> (TextOps.q47DedupKeep _),
     "q48_embed_neardup" -> (VectorOps.q48EmbedNeardup _),
-    "q49_ivf_ann" -> (VectorOps.q49IvfAnn _)
+    "q49_ivf_ann" -> (VectorOps.q49IvfAnn _),
+    "q50_media_pipeline" -> (Multimodal.q50MediaPipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -200,6 +200,56 @@ object Multimodal {
       else if (new String(b, 0, 4) == "GFV1") decodeVideo(r)
       else throw new IllegalArgumentException("unknown container magic")
     }
+
+    // ------------------------------------------------- transforms
+    /** Nearest-neighbor resize of a P6 payload to (tw, th): source
+      * pixel (x·w/tw, y·h/th) — the standard integer resample; output
+      * is again a valid P6 container. */
+    def resizePpm(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+      val (w, h, maxv, off) = parsePpmHeader(payload, 0)
+      require(maxv == 255, s"unsupported maxval $maxv")
+      require(payload.length == off + w * h * 3, "truncated PPM")
+      val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = y * h / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * w / tw
+          val s = off + (sy * w + sx) * 3
+          val d = (y * tw + x) * 3
+          out(d) = payload(s); out(d + 1) = payload(s + 1)
+          out(d + 2) = payload(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      header ++ out
+    }
+
+    /** Keep every `stride`-th frame of a GFV1 payload (0, stride, …);
+      * output is again a valid GFV1 container. */
+    def sampleFrames(payload: Array[Byte], stride: Int): Array[Byte] = {
+      require(stride >= 1, "stride must be positive")
+      require(payload.length >= 5 && new String(payload, 0, 4) == "GFV1",
+        "not GFV1")
+      val frames = payload(4) & 0xff
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = 5
+      var f = 0
+      while (f < frames) {
+        val (w, h, maxv, po) = parsePpmHeader(payload, off)
+        require(maxv == 255, "unsupported frame maxval")
+        val end = po + w * h * 3
+        require(payload.length >= end, "truncated frame")
+        if (f % stride == 0)
+          kept += java.util.Arrays.copyOfRange(payload, off, end)
+        off = end; f += 1
+      }
+      "GFV1".getBytes("US-ASCII") ++ Array(kept.length.toByte) ++
+        kept.toArray.flatten
+    }
   }
 
   /** Synthesize a media table from `documents` ids: every row is a real
@@ -232,6 +282,36 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map(Codec.decodeFeatures)).toDF()
+  }
+
+  /** q50 — media transform pipeline (the mandate's resize /
+    * frame-sample stages): images resized to 8×8 (nearest-neighbor,
+    * byte-level), videos thinned to every 2nd frame, audio passed
+    * through — then decoded AGAIN from the transformed bytes, proving
+    * the transforms emit valid containers. Transform + decode run in
+    * the same partition pass; payloads never shuffle. Rows-only. */
+  def q50MediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(_.map { r =>
+        val transformed = r.kind match {
+          case "image" => r.copy(width = 8, height = 8,
+            payload = Codec.resizePpm(r.payload, 8, 8))
+          case "video" => r.copy(payload = Codec.sampleFrames(r.payload, 2))
+          case _ => r
+        }
+        Codec.decodeFeatures(transformed)
+      })
+      .toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_units")).as("total_units"),
+        min(col("stat_min")).as("min_stat"),
+        max(col("stat_max")).as("max_stat"))
+      .orderBy("kind")
   }
 
   /** q35 — multimodal feature pipeline: synthesize containers → decode

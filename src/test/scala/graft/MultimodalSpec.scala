@@ -73,6 +73,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("resizePpm: nearest-neighbor sample, output is a valid P6") {
+    val src = Codec.encodePpm(8, 4, 11L)
+    val resized = Codec.resizePpm(src, 4, 2)
+    val f = Codec.decodePpm(MediaRow(0L, "image", 4, 2, resized))
+    assert(f.parsed_w == 4 && f.parsed_h == 2 && f.n_units == 8)
+    // pixel (x, y) of the output == pixel (2x, 2y) of the source
+    val (_, _, _, so) = Codec.parsePpmHeader(src, 0)
+    val (_, _, _, ro) = Codec.parsePpmHeader(resized, 0)
+    for (y <- 0 until 2; x <- 0 until 4; ch <- 0 until 3) {
+      val s = src(so + ((2 * y) * 8 + 2 * x) * 3 + ch)
+      val d = resized(ro + (y * 4 + x) * 3 + ch)
+      assert(s == d, s"pixel ($x,$y) channel $ch")
+    }
+  }
+
+  test("sampleFrames: stride-2 keeps frames 0,2,4; output is valid GFV1") {
+    val src = Codec.encodeVideo(5, 4, 3, 13L)
+    val sampled = Codec.sampleFrames(src, 2)
+    val f = Codec.decodeVideo(MediaRow(0L, "video", 4, 3, sampled))
+    assert(f.n_units == 3, "frames 0, 2, 4 kept")
+    // kept frame 1 (= source frame 2) must be byte-identical to the
+    // source's third frame: both encode seed 13+2
+    val direct = Codec.encodePpm(4, 3, 13L + 2)
+    val (_, _, _, po) = Codec.parsePpmHeader(sampled, 5)
+    val frameLen = po - 5 + 4 * 3 * 3
+    val kept1 = java.util.Arrays.copyOfRange(sampled, 5 + frameLen, 5 + 2 * frameLen)
+    assert(kept1.sameElements(direct))
+  }
+
+  test("q50: transformed media decode cleanly per kind") {
+    val rows = SparkEntry.queries("q50_media_pipeline")(spark, sf).collect()
+    val byKind = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(3))).toMap
+    assert(byKind.keySet == Set("image", "audio", "video"))
+    // images: every one is 8x8 after resize -> total_units = 64 * n
+    assert(byKind("image")._2 == 64L * byKind("image")._1)
+  }
+
   test("media table: parsed features agree with synthesis metadata") {
     val rows = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
       .collect()
