@@ -18,12 +18,17 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Sequential double dot product of two array<double> columns. */
+  /** Sequential double dot product of two array<double> columns: the
+    * native codegen'd expression (graft.functions.DotProduct) — bit-
+    * identical to the previous aggregate(zip_with(...)) composition
+    * (strict left-to-right sum) with no per-row ArrayData allocation.
+    * Resolved via the registry; normed() registers it per session. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dotProduct(a, b)
 
   /** embeddings with v = array<double> embedding and its L2 norm. */
   private def normed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
     e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
