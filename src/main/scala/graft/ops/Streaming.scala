@@ -35,6 +35,17 @@ object Streaming {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup (V14 × S6): the streaming twin of q14/q47 —
+    * drop events whose dedup key was already seen, with state bounded
+    * by the watermark (dropDuplicatesWithinWatermark evicts keys older
+    * than the horizon, so state never grows unboundedly — the property
+    * that makes streaming dedup deployable over an unbounded 100 TB/day
+    * feed; plain dropDuplicates on a stream would accumulate forever). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** V11 streaming form: per-game turn-state machine as keyed state.
     * Each micro-batch folds that game's new moves (ordered by seq) into
     * the persisted GameReplay state and emits the updated summary.

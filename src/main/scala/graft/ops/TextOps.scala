@@ -103,32 +103,39 @@ object TextOps {
     *
     * At 100 TB: band bucketing is one shuffle keyed by (band, key);
     * bucket sizes stay O(near-dup cluster), never O(corpus), and the
-    * exact verification joins only the candidate pairs. */
+    * exact verification joins only the candidate pairs. The band
+    * self-join carries ONLY doc ids — candidate pairs are deduplicated
+    * as narrow (a, b) rows, and the shingle arrays are joined back just
+    * once per distinct pair for the exact-Jaccard verify (the arrays
+    * are the wide payload; shuffling them through the 4-band join and
+    * the pair dedup would multiply the shuffle bytes ~5×). */
   def q26MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val docs = withToks(Tables.documents(spark, dir))
       .withColumn("sh", shingles)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
+      // materialized once: feeds the signature pipeline AND the two
+      // verify joins
+      .localCheckpoint()
     // sig[j] = min over shingles of xxhash64(j, shingle), j = 0..15
     val sig = docs.withColumn("sig",
       expr("transform(sequence(0, 15), j -> array_min(transform(sh, s -> xxhash64(j, s))))"))
-    // materialize once: the a/b self-join would otherwise recompute the
-    // whole shingle+minhash pipeline twice
-    val bands = sig.select(col("doc_id"), col("sh"),
+    val bands = sig.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 3), b ->
             |  struct(b AS band, xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS key))"""
             .stripMargin)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .localCheckpoint()
-    val a = bands.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bands.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("j_bp",

@@ -32,6 +32,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = Streaming.dedupStream(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"),
+        (Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "click"),  // dup
+        (Timestamp.valueOf("2024-01-01 10:00:02"), 1L, "view"))
+      q.processAllAvailable()
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click"),  // dup, later batch
+        (Timestamp.valueOf("2024-01-01 10:05:01"), 2L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(1), r.getString(2)))
+      assert(rows.length == 3, s"got ${rows.mkString(",")}")
+      assert(rows.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
