@@ -84,4 +84,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Persist `df` as a bucketed (+ bucket-sorted) catalog table: the
+    * co-located layout that makes repeated equi-joins/aggregations on
+    * `keys` shuffle-free — both sides of a join bucketed the same way
+    * join with ZERO Exchange (verified in BucketedJoinSpec). At 100 TB
+    * this is the warehouse layout decision for the biggest fact keys
+    * (l_orderkey / o_orderkey); the bucket count becomes the join
+    * parallelism, so size it to the cluster, not the laptop. */
+  def writeBucketedTable(df: DataFrame, tableName: String, path: String,
+      buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(tableName)
 }
