@@ -363,6 +363,25 @@ object BoardOracleSql {
        |FROM pts p LEFT JOIN hits h USING (game_id, probe_id)
        |ORDER BY game_id, probe_id""".stripMargin
 
+  val q51: String = board +
+    """
+      |, keyed AS (
+      |  SELECT game_id, q, r,
+      |    CAST(q AS BIGINT) * 4294967296 +
+      |      (CASE WHEN r < 0 THEN CAST(r AS BIGINT) + 4294967296
+      |            ELSE CAST(r AS BIGINT) END) AS cell_key
+      |  FROM cells)
+      |, dec AS (
+      |  SELECT game_id, q, r, cell_key,
+      |    ((cell_key % 4294967296) + 4294967296) % 4294967296 AS r_low
+      |  FROM keyed)
+      |SELECT game_id, q, r, cell_key,
+      |  CAST((cell_key - r_low) // 4294967296 AS INT) AS rt_q,
+      |  CAST(CASE WHEN r_low >= 2147483648 THEN r_low - 4294967296
+      |            ELSE r_low END AS INT) AS rt_r
+      |FROM dec
+      |ORDER BY game_id, q, r""".stripMargin
+
   val q23: String = board +
     """
       |SELECT game_id, q, r, COUNT(*) AS stack_size,

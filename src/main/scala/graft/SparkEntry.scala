@@ -63,7 +63,8 @@ object SparkEntry {
     "q47_dedup_keep" -> (TextOps.q47DedupKeep _),
     "q48_embed_neardup" -> (VectorOps.q48EmbedNeardup _),
     "q49_ivf_ann" -> (VectorOps.q49IvfAnn _),
-    "q50_media_pipeline" -> (Multimodal.q50MediaPipeline _)
+    "q50_media_pipeline" -> (Multimodal.q50MediaPipeline _),
+    "q51_ring_key" -> (BoardOps.q51RingKey _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,7 +111,8 @@ object SparkEntry {
     "q45_board_hover" -> BoardOracleSql.q45,
     "q46_session_windows" -> OracleSql.q46,
     "q47_dedup_keep" -> OracleSql.q47,
-    "q48_embed_neardup" -> OracleSql.q48
+    "q48_embed_neardup" -> OracleSql.q48,
+    "q51_ring_key" -> BoardOracleSql.q51
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35 (payload
     // synthesis is engine-side), q43b (approx sketch) — driver records

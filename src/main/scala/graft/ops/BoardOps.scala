@@ -440,6 +440,34 @@ object BoardOps {
       .orderBy("game_id", "probe_id")
   }
 
+  // ---------------------------------------------------------------- q51
+  /** q51 — 64-bit cell-key bijection (F1, ui_app.cpp:315-326): pack
+    * (q, r) as (q << 32) | uint32(r), decode with an arithmetic shift
+    * for q and explicit two's-complement reconstruction for r —
+    * written as portable integer arithmetic (no engine-specific
+    * overflow-cast behavior; DuckDB raises on narrowing casts where
+    * Spark truncates). Round-trip (rt_q, rt_r) must equal (q, r) in
+    * the oracle hash. */
+  def q51RingKey(spark: SparkSession, dir: String): DataFrame = {
+    val c = cells(pieces(spark, dir))
+    val u32 = lit(4294967296L)
+    val keyed = c.withColumn("cell_key",
+      (col("q").cast("long") * u32) +
+        (when(col("r") < 0, col("r").cast("long") + u32)
+          .otherwise(col("r").cast("long"))))
+    keyed
+      // mathematical (non-negative) low 32 bits, then exact integer div
+      .withColumn("r_low", pmod(col("cell_key"), u32))
+      .withColumn("rt_q",
+        expr("(cell_key - r_low) div 4294967296").cast("int"))
+      .withColumn("rt_r",
+        when(col("r_low") >= lit(2147483648L), col("r_low") - u32)
+          .otherwise(col("r_low")).cast("int"))
+      .select(col("game_id"), col("q"), col("r"), col("cell_key"),
+        col("rt_q"), col("rt_r"))
+      .orderBy("game_id", "q", "r")
+  }
+
   // ---------------------------------------------------------------- q23
   /** q23 — stack views (W1/W2/A11): per occupied cell, stack size, top
     * piece, and the bottom→top stack as a comma-joined id list. */

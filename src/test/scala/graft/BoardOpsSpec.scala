@@ -169,6 +169,20 @@ class BoardOpsSpec extends SparkSpecBase {
     assert(!rows((9, 4))._1, "far probe never hovers")
   }
 
+  test("q51: cell-key bijection round-trips, matches the C++ packing") {
+    val rows = SparkEntry.queries("q51_ring_key")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, rr) = (r.getInt(1), r.getInt(2))
+      // same packing as ui_app.cpp:315-319
+      val expectedKey = (q.toLong << 32) | (rr.toLong & 0xFFFFFFFFL)
+      assert(r.getLong(3) == expectedKey, s"key for ($q,$rr)")
+      assert(r.getInt(4) == q && r.getInt(5) == rr, s"round-trip ($q,$rr)")
+    }
+    // negative r exercises the two's-complement low word (e.g. (1,-1))
+    assert(rows.exists(r => r.getInt(2) < 0))
+  }
+
   test("q23: stacked cells report correct stack order") {
     val rows = SparkEntry.queries("q23_stack_tops")(spark, sf).collect()
     val g8 = rows.filter(r => r.getInt(0) == 8 && r.getInt(1) == 0 && r.getInt(2) == 0)
