@@ -388,23 +388,24 @@ object RelationalQueries {
   /** q12 — set ops (O4): INTERSECT and EXCEPT over per-type user sets.
     * Round-3 plan: instead of materializing four per-type user sets and
     * running intersect/except (each its own distinct + join shuffle —
-    * ~6 exchanges), fold everything into ONE groupBy(user_id) computing
-    * per-type presence flags, then filter the flag combinations. One
-    * shuffle; the two branches share the aggregated subtree (Catalyst
-    * reuses the exchange), and at 100 TB the flag aggregation is a
-    * partial/final hash agg over the events scan — the optimal shape
-    * for any number of set-op combinations over the same keyspace. */
+    * ~6 exchanges), ONE groupBy(user_id) computes per-type presence
+    * flags and a single explode projects each user's qualifying set-op
+    * labels — one aggregation shuffle, one pass, no duplicated subtree
+    * (a filter-per-branch union would re-aggregate or depend on
+    * runtime exchange reuse). At 100 TB this is a partial/final hash
+    * agg over the events scan — the optimal shape for any number of
+    * set-op combinations over the same keyspace. */
   def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     def flag(t: String) = max(when(col("event_type") === t, 1).otherwise(0))
-    val flags = ev.groupBy(col("user_id"))
+    ev.groupBy(col("user_id"))
       .agg(flag("click").as("c"), flag("purchase").as("p"),
         flag("view").as("v"), flag("error").as("e"))
-    val both = flags.filter(col("c") === 1 && col("p") === 1)
-      .select(lit("click_and_purchase").as("op"), col("user_id"))
-    val viewNoError = flags.filter(col("v") === 1 && col("e") === 0)
-      .select(lit("view_no_error").as("op"), col("user_id"))
-    both.unionByName(viewNoError)
+      .select(col("user_id"), explode(array(
+        when(col("c") === 1 && col("p") === 1, "click_and_purchase"),
+        when(col("v") === 1 && col("e") === 0, "view_no_error"))).as("op"))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("user_id"))
       .orderBy("op", "user_id")
   }
 }
