@@ -168,11 +168,16 @@ object BoardOps {
   // ---------------------------------------------------------------- q17
   /** q17 — placement targets (V2, ui_app.cpp:553-587): frontier empties
     * adjacent to the hive; a color's first placement may use the whole
-    * frontier, otherwise targets must touch an own-colored top (J2
-    * semi) and no opponent-colored top (J3 anti). */
+    * frontier, otherwise targets must touch an own-colored top and no
+    * opponent-colored top. The J2 semi / J3 anti pair is evaluated as
+    * ONE neighbor-color flag aggregation per frontier cell
+    * (has-White-top, has-Black-top) — every frontier cell borders ≥ 1
+    * occupied cell by construction, so the flags are total, and the
+    * per-color rule becomes a flag predicate instead of two more
+    * shuffle joins. */
   def q17PlacementTargets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // tiny table feeding five subtrees — materialize once
+    // tiny table feeding four subtrees — materialize once
     val p = pieces(spark, dir).localCheckpoint()
     val c = cells(p)
     val t = tops(p)
@@ -185,28 +190,25 @@ object BoardOps {
       .join(cKeyed, Seq("game_id", "nq", "nr"), "left_anti")
       .distinct()
       .select(col("game_id"), col("nq").as("q"), col("nr").as("r"))
-    // neighbor top colors of each frontier cell
-    val adjTopColor = frontier.crossJoin(d)
+    // one aggregation: which colors' tops border each frontier cell
+    val adjFlags = frontier.crossJoin(d)
       .select(col("game_id"), col("q"), col("r"),
         (col("q") + col("dq")).as("nq"), (col("r") + col("dr")).as("nr"))
       .join(t.select(col("game_id"), col("q").as("nq"), col("r").as("nr"),
         col("color").as("top_color")), Seq("game_id", "nq", "nr"))
-      .select("game_id", "q", "r", "top_color")
-    val colors = p.select("game_id").distinct()
-      .crossJoin(Seq("White", "Black").toDF("color"))
+      .groupBy("game_id", "q", "r")
+      .agg(
+        max(when(col("top_color") === "White", 1).otherwise(0)).as("w"),
+        max(when(col("top_color") === "Black", 1).otherwise(0)).as("b"))
     val placed = p.groupBy("game_id", "color").agg(count(lit(1)).as("n_placed"))
-    val cand = colors.join(placed, Seq("game_id", "color"), "left")
+    val colors = p.select("game_id").distinct()
+      .crossJoin(broadcast(Seq("White", "Black").toDF("color")))
+      .join(placed, Seq("game_id", "color"), "left")
       .withColumn("first_placement", coalesce(col("n_placed"), lit(0L)) === 0)
-      .join(frontier, Seq("game_id"))
-      .select("game_id", "color", "q", "r", "first_placement")
-    val own = adjTopColor.withColumnRenamed("top_color", "color").distinct()
-    val opp = adjTopColor.withColumn("color",
-      when(col("top_color") === "White", "Black").otherwise("White"))
-      .drop("top_color").distinct()
-    val later = cand.filter(!col("first_placement"))
-      .join(own, Seq("game_id", "color", "q", "r"), "left_semi")
-      .join(opp, Seq("game_id", "color", "q", "r"), "left_anti")
-    cand.filter(col("first_placement")).unionByName(later)
+    colors.join(adjFlags, Seq("game_id"))
+      .filter(col("first_placement") ||
+        when(col("color") === "White", col("w") === 1 && col("b") === 0)
+          .otherwise(col("b") === 1 && col("w") === 0))
       .select("game_id", "color", "q", "r")
       .orderBy("game_id", "color", "q", "r")
   }
