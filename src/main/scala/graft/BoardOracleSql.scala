@@ -140,8 +140,16 @@ object BoardOracleSql {
       |LEFT JOIN (SELECT game_id, surr FROM surr WHERE color = 'Black') b USING (game_id)
       |ORDER BY game_id""".stripMargin
 
+  /** Game universe from a sequence: ids 1..9K are populated, id 0 is
+    * the empty board (ui_app.cpp:557-560 → single target (0,0)). */
   val q17: String = board +
     """
+      |, universe AS (
+      |  SELECT unnest(generate_series(0,
+      |    9 * GREATEST(CAST(FLOOR((SELECT COUNT(*) FROM orders) / 1500) AS INT), 1))) AS game_id)
+      |, empty_games AS (
+      |  SELECT game_id FROM universe u
+      |  WHERE NOT EXISTS (SELECT 1 FROM pieces p WHERE p.game_id = u.game_id))
       |, frontier AS (
       |  SELECT DISTINCT c.game_id, c.q + d.dq AS q, c.r + d.dr AS r
       |  FROM cells c CROSS JOIN dirs d
@@ -163,6 +171,9 @@ object BoardOracleSql {
       |               AND a.q = cand.q AND a.r = cand.r AND a.top_color = cand.color)
       |       AND NOT EXISTS (SELECT 1 FROM adj_top a WHERE a.game_id = cand.game_id
       |               AND a.q = cand.q AND a.r = cand.r AND a.top_color <> cand.color))
+      |UNION ALL
+      |SELECT e.game_id, col.color, 0 AS q, 0 AS r
+      |FROM empty_games e CROSS JOIN colors col
       |ORDER BY game_id, color, q, r""".stripMargin
 
   val q18: String = board +

@@ -174,11 +174,20 @@ object BoardOps {
     * (has-White-top, has-Black-top) — every frontier cell borders ≥ 1
     * occupied cell by construction, so the flags are total, and the
     * per-color rule becomes a flag predicate instead of two more
-    * shuffle joins. */
+    * shuffle joins.
+    *
+    * The game universe comes from a SEQUENCE, not from `pieces`: ids
+    * 1..9K are the populated fixtures and id 0 has no pieces, so the
+    * empty-board branch (ui_app.cpp:557-560 — an empty board's only
+    * placement target is the origin) is exercised under the oracle
+    * hash: game 0 emits (0,0) for both colors. */
   def q17PlacementTargets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // tiny table feeding four subtrees — materialize once
     val p = pieces(spark, dir).localCheckpoint()
+    val universe = Tables.orders(spark, dir)
+      .agg(greatest((count(lit(1)) / 1500).cast("int"), lit(1)).as("k"))
+      .select(explode(sequence(lit(0), lit(9) * col("k"))).as("game_id"))
     val c = cells(p)
     val t = tops(p)
     val d = broadcast(dirsDf(spark).select("dq", "dr"))
@@ -201,15 +210,22 @@ object BoardOps {
         max(when(col("top_color") === "White", 1).otherwise(0)).as("w"),
         max(when(col("top_color") === "Black", 1).otherwise(0)).as("b"))
     val placed = p.groupBy("game_id", "color").agg(count(lit(1)).as("n_placed"))
-    val colors = p.select("game_id").distinct()
-      .crossJoin(broadcast(Seq("White", "Black").toDF("color")))
+    val colorDim = broadcast(Seq("White", "Black").toDF("color"))
+    val colors = universe
+      .crossJoin(colorDim)
       .join(placed, Seq("game_id", "color"), "left")
       .withColumn("first_placement", coalesce(col("n_placed"), lit(0L)) === 0)
-    colors.join(adjFlags, Seq("game_id"))
+    val nonEmpty = colors.join(adjFlags, Seq("game_id"))
       .filter(col("first_placement") ||
         when(col("color") === "White", col("w") === 1 && col("b") === 0)
           .otherwise(col("b") === 1 && col("w") === 0))
       .select("game_id", "color", "q", "r")
+    // empty boards have no frontier: their single target is the origin
+    val emptyBoards = universe
+      .join(p.select("game_id").distinct(), Seq("game_id"), "left_anti")
+      .crossJoin(colorDim)
+      .select(col("game_id"), col("color"), lit(0).as("q"), lit(0).as("r"))
+    nonEmpty.union(emptyBoards)
       .orderBy("game_id", "color", "q", "r")
   }
 
