@@ -180,10 +180,19 @@ object OracleSql {
       |        FROM toks WHERE len(t) >= 3) x
       |), sizes AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), sdf AS (
+      |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+      |), rare AS (
+      |  SELECT sh.doc_id, sh.s FROM sh JOIN sdf USING (s) WHERE sdf.df <= 64
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
       |), pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      |  GROUP BY c.doc_a, c.doc_b
       |), scored AS (
       |  SELECT p.doc_a, p.doc_b, p.n_inter,
       |    sa.n_sh + sb.n_sh - p.n_inter AS n_union

@@ -18,10 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * per evaluation and walks two higher-order-function closures per
   * element; this expression is a single fused loop, and `doGenCode`
   * splices that loop directly into whole-stage codegen (no virtual
-  * calls, no allocation). Semantics are IDENTICAL to the composed form
-  * — a strict sequential left-to-right sum, the same evaluation order
-  * DuckDB's list_dot_product uses — so every oracle hash is unchanged
-  * (asserted by DotProductSpec at the bit level).
+  * calls, no allocation). For EQUAL-LENGTH inputs — the only shape the
+  * engine produces; every embedding column is fixed-dim — semantics
+  * are IDENTICAL to the composed form: a strict sequential
+  * left-to-right sum, the same evaluation order DuckDB's
+  * list_dot_product uses, so every oracle hash is unchanged (asserted
+  * by DotProductSpec at the bit level). On unequal lengths the two
+  * forms diverge by construction: zip_with null-pads to the longer
+  * array (the composed form returns NULL), while this expression
+  * truncates to min(length) and returns the partial sum. Callers must
+  * guarantee equal dims.
   *
   * This is the preference order the engine follows for extensions:
   * compose built-ins where they fuse well; drop to a native Expression

@@ -147,38 +147,49 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- q27
-  /** q27 — exact n-gram (3-token shingle) Jaccard, top-50 pairs. The
-    * pair generation is an inverted-index self-join on the shingle —
-    * the scalable formulation of "n-gram Jaccard similarity" (no
-    * all-pairs cross join; pairs sharing zero shingles never appear).
-    * Integer output (counts + rank), oracle-safe. */
+  /** q27 — exact n-gram (3-token shingle) Jaccard, top-50 pairs.
+    * Candidate generation is an inverted-index self-join on the shingle
+    * with a DOCUMENT-FREQUENCY CAP: a shingle occurring in more than
+    * `dfCap` docs generates O(df²) candidate pairs while discriminating
+    * nothing — it is the n-gram analogue of a stopword, and at 100 TB
+    * one such hot key funnels a quadratic bucket through a single task.
+    * Capped shingles are only barred from NOMINATING candidates; the
+    * scoring below is the exact full-set Jaccard, computed once per
+    * distinct candidate pair by joining the two shingle arrays (q26's
+    * bounded shape). Integer output (counts + rank), oracle-safe. */
   def q27ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialize the shingle arrays once — they feed the self-join
-    // (twice) and the size table; recomputing the string transforms 3×
-    // dominates otherwise
+    val dfCap = 64
+    // materialize the shingle arrays once — they feed the inverted
+    // index and the per-pair scoring join; recomputing the string
+    // transforms 3× dominates otherwise
     val docs = withToks(Tables.documents(spark, dir))
       .withColumn("sh", shingles)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .localCheckpoint()
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val pairs = inv.as("x").join(inv.as("y"),
+    val rare = inv.join(
+      inv.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
+      "s")
+    val cand = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     // Distributed top-k (TakeOrderedAndProject) FIRST, then rank the 50
     // survivors — a global row_number() window would funnel every
     // candidate pair through a single task.
     val w = Window.orderBy(
       (col("n_inter") / col("n_union")).desc, col("doc_a"), col("doc_b"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "nb"), "doc_b")
-      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("n_inter"))
       .orderBy((col("n_inter") / col("n_union")).desc, col("doc_a"), col("doc_b"))
       .limit(50)
       .withColumn("rank", row_number().over(w).cast("bigint"))
