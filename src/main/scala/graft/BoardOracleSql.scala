@@ -270,6 +270,16 @@ object BoardOracleSql {
        |  FROM visited)""".stripMargin +
     connectivity + "\n" + moveSelect
 
+  /** q52 — union-dispatch legal moves (rules.cpp:334-344): the five
+    * per-bug oracles combined. Each component is a complete WITH query;
+    * DuckDB accepts a WITH clause inside a derived table, so the union
+    * wraps them verbatim — no fragment surgery to drift out of sync. */
+  val q52: String =
+    Seq(q18, q18b, q19, q20, q21)
+      .map(q => s"SELECT * FROM (\n$q\n)")
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY game_id, piece_id, to_q, to_r")
+
   val q22: String = board +
     """
       |, cand0 AS (
@@ -391,6 +401,41 @@ object BoardOracleSql {
       |  CAST(CASE WHEN r_low >= 2147483648 THEN r_low - 4294967296
       |            ELSE r_low END AS INT) AS rt_r
       |FROM dec
+      |ORDER BY game_id, q, r""".stripMargin
+
+  /** q53 — viewport culling: unproject the four window corners with the
+    * q42 inverse + cube rounding, pad ±3, keep cells inside the box. */
+  val q53: String = board +
+    """
+      |, corners(wx, wy) AS (VALUES
+      |  (CAST(-640 AS DOUBLE), CAST(-360 AS DOUBLE)),
+      |  (CAST(640 AS DOUBLE), CAST(-360 AS DOUBLE)),
+      |  (CAST(-640 AS DOUBLE), CAST(360 AS DOUBLE)),
+      |  (CAST(640 AS DOUBLE), CAST(360 AS DOUBLE)))
+      |, cin AS (
+      |  SELECT wx / 1.7320508075688772 / 40.0 - wy / 3 / 40.0 AS qf,
+      |         2.0 / 3 * (wy / 40.0) AS rf
+      |  FROM corners)
+      |, crnd AS (
+      |  SELECT qf, rf, ROUND(qf) AS rx, ROUND(-qf - rf) AS ry, ROUND(rf) AS rz,
+      |    ABS(ROUND(qf) - qf) AS xd,
+      |    ABS(ROUND(-qf - rf) - (-qf - rf)) AS yd,
+      |    ABS(ROUND(rf) - rf) AS zd
+      |  FROM cin)
+      |, cax AS (
+      |  SELECT CAST(CASE WHEN xd > yd AND xd > zd THEN -ry - rz ELSE rx END AS INT) AS cq,
+      |         CAST(CASE WHEN xd > yd AND xd > zd THEN rz
+      |                   WHEN yd > zd THEN rz
+      |                   ELSE -rx - ry END AS INT) AS cr
+      |  FROM crnd)
+      |, bbox AS (
+      |  SELECT MIN(cq) - 3 AS min_q, MAX(cq) + 3 AS max_q,
+      |         MIN(cr) - 3 AS min_r, MAX(cr) + 3 AS max_r
+      |  FROM cax)
+      |SELECT c.game_id, c.q, c.r, c.n
+      |FROM cells c, bbox b
+      |WHERE c.q BETWEEN b.min_q AND b.max_q
+      |  AND c.r BETWEEN b.min_r AND b.max_r
       |ORDER BY game_id, q, r""".stripMargin
 
   val q23: String = board +

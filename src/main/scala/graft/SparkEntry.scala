@@ -64,7 +64,9 @@ object SparkEntry {
     "q48_embed_neardup" -> (VectorOps.q48EmbedNeardup _),
     "q49_ivf_ann" -> (VectorOps.q49IvfAnn _),
     "q50_media_pipeline" -> (Multimodal.q50MediaPipeline _),
-    "q51_ring_key" -> (BoardOps.q51RingKey _)
+    "q51_ring_key" -> (BoardOps.q51RingKey _),
+    "q52_legal_moves" -> (BoardOps.q52LegalMoves _),
+    "q53_viewport" -> (BoardOps.q53Viewport _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,7 +114,9 @@ object SparkEntry {
     "q46_session_windows" -> OracleSql.q46,
     "q47_dedup_keep" -> OracleSql.q47,
     "q48_embed_neardup" -> OracleSql.q48,
-    "q51_ring_key" -> BoardOracleSql.q51
+    "q51_ring_key" -> BoardOracleSql.q51,
+    "q52_legal_moves" -> BoardOracleSql.q52,
+    "q53_viewport" -> BoardOracleSql.q53
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35 (payload
     // synthesis is engine-side), q43b (approx sketch) — driver records

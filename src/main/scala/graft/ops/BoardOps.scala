@@ -233,7 +233,7 @@ object BoardOps {
   /** Shared flatMapGroups driver: per game, build the HexRules board and
     * generate moves for every TOP piece of the given bug (the UI only
     * ever queries top pieces — ui_app.cpp:204-206). */
-  private def movesFor(spark: SparkSession, dir: String, bug: String)
+  private def movesFor(spark: SparkSession, dir: String, bug: Option[String])
     : DataFrame = {
     import spark.implicits._
     val p = pieces(spark, dir).as[PieceRow]
@@ -241,12 +241,15 @@ object BoardOps {
       .flatMapGroups { (_, it) =>
         val rows = it.toSeq
         val board = new HexRules.Board(rows)
-        board.tops.filter(_.bug == bug).toSeq.sortBy(_.piece_id)
+        board.tops.filter(t => bug.forall(_ == t.bug)).toSeq.sortBy(_.piece_id)
           .flatMap(piece => HexRules.legalMoves(board, piece))
       }
       .toDF()
       .orderBy("game_id", "piece_id", "to_q", "to_r")
   }
+
+  private def movesFor(spark: SparkSession, dir: String, bug: String)
+    : DataFrame = movesFor(spark, dir, Some(bug))
 
   /** q18 — queen moves (V5). */
   def q18QueenMoves(spark: SparkSession, dir: String): DataFrame =
@@ -268,6 +271,15 @@ object BoardOps {
   /** q21 — ant BFS reachability (V8). */
   def q21AntReachability(spark: SparkSession, dir: String): DataFrame =
     movesFor(spark, dir, "Ant")
+
+  /** q52 — every legal move of every top piece (V10,
+    * rules.cpp:334-344): the single union-dispatch surface
+    * `legalMovesForPiece` exposes — all five per-bug generators through
+    * the one kernel, in one shuffle, instead of five separate queries.
+    * Same per-game flatMapGroups plan as the per-bug queries; the bug
+    * filter is simply absent. */
+  def q52LegalMoves(spark: SparkSession, dir: String): DataFrame =
+    movesFor(spark, dir, None)
 
   // ---------------------------------------------------------------- q22
   /** q22 — hive connectivity after hypothetical moves (V4): for every
@@ -369,6 +381,51 @@ object BoardOps {
         floor(col("px") * 1000).cast("bigint").as("px_x1000"),
         floor(col("py") * 1000).cast("bigint").as("py_x1000"),
         col("rt_q"), col("rt_r"))
+      .orderBy("game_id", "q", "r")
+  }
+
+  // ---------------------------------------------------------------- q53
+  /** Axial bbox of the default viewport — a 1280×720 window with the
+    * board origin at screen center (offset 640,360) and hexSize 40:
+    * the four screen corners unprojected through the q42 inverse +
+    * cube rounding, min/maxed, padded ±3 (ui_app.cpp:345-359). Pure
+    * window geometry, so it is evaluated at PLAN time; none of the
+    * corner values sits near a rounding tie. halfUp mirrors Spark's/
+    * DuckDB's ROUND (half away from zero). */
+  val viewportBox: (Int, Int, Int, Int) = {
+    val s = 40.0
+    val sq3 = 1.7320508075688772
+    def halfUp(x: Double): Double = math.signum(x) * math.floor(math.abs(x) + 0.5)
+    val ax = Seq((0.0, 0.0), (1280.0, 0.0), (0.0, 720.0), (1280.0, 720.0))
+      .map { case (x, y) => (x - 640.0, y - 360.0) }
+      .map { case (px, py) =>
+        val qf = px / sq3 / s - py / 3 / s
+        val rf = 2.0 / 3 * (py / s)
+        val yf = -qf - rf
+        val rx = halfUp(qf); val ry = halfUp(yf); val rz = halfUp(rf)
+        val xd = math.abs(rx - qf); val yd = math.abs(ry - yf)
+        val zd = math.abs(rz - rf)
+        val cq = if (xd > yd && xd > zd) -ry - rz else rx
+        val cr = if (xd > yd && xd > zd) rz else if (yd > zd) rz else -rx - ry
+        (cq.toInt, cr.toInt)
+      }
+    (ax.map(_._1).min - 3, ax.map(_._1).max + 3,
+      ax.map(_._2).min - 3, ax.map(_._2).max + 3)
+  }
+
+  /** q53 — viewport culling (P6, ui_app.cpp:345-359): only cells whose
+    * axial coords fall in the padded viewport box are emitted. The box
+    * is a literal at plan time, so the range predicate pushes BELOW the
+    * per-cell aggregation to the row source — the board analogue of
+    * parquet min/max row-group pruning: a 100 TB stored `cells` table
+    * range-partitioned on (q, r) serves this by reading only on-screen
+    * partitions. Off-origin fixture copies are culled wholesale. */
+  def q53Viewport(spark: SparkSession, dir: String): DataFrame = {
+    val (minQ, maxQ, minR, maxR) = viewportBox
+    cells(pieces(spark, dir))
+      .filter(col("q") >= minQ && col("q") <= maxQ &&
+        col("r") >= minR && col("r") <= maxR)
+      .select(col("game_id"), col("q"), col("r"), col("n"))
       .orderBy("game_id", "q", "r")
   }
 
