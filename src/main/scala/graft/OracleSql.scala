@@ -184,19 +184,21 @@ object OracleSql {
       |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
       |), rare AS (
       |  SELECT sh.doc_id, sh.s FROM sh JOIN sdf USING (s) WHERE sdf.df <= 64
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |), pairs_rare AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_rare
       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
-      |), pairs AS (
-      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-      |  FROM cand c
-      |  JOIN sh a ON a.doc_id = c.doc_a
-      |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-      |  GROUP BY c.doc_a, c.doc_b
+      |  GROUP BY a.doc_id, b.doc_id
+      |), common AS (
+      |  SELECT sh.doc_id, sh.s FROM sh JOIN sdf USING (s) WHERE sdf.df > 64
+      |), pairs_common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM common a JOIN common b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
       |), scored AS (
-      |  SELECT p.doc_a, p.doc_b, p.n_inter,
-      |    sa.n_sh + sb.n_sh - p.n_inter AS n_union
-      |  FROM pairs p
+      |  SELECT p.doc_a, p.doc_b, p.n_rare + COALESCE(pc.n_common, 0) AS n_inter,
+      |    sa.n_sh + sb.n_sh - p.n_rare - COALESCE(pc.n_common, 0) AS n_union
+      |  FROM pairs_rare p
+      |  LEFT JOIN pairs_common pc ON pc.doc_a = p.doc_a AND pc.doc_b = p.doc_b
       |  JOIN sizes sa ON sa.doc_id = p.doc_a
       |  JOIN sizes sb ON sb.doc_id = p.doc_b
       |)

@@ -154,14 +154,20 @@ object TextOps {
     * nothing — it is the n-gram analogue of a stopword, and at 100 TB
     * one such hot key funnels a quadratic bucket through a single task.
     * Capped shingles are only barred from NOMINATING candidates; the
-    * scoring below is the exact full-set Jaccard, computed once per
-    * distinct candidate pair by joining the two shingle arrays (q26's
-    * bounded shape). Integer output (counts + rank), oracle-safe. */
+    * intersection they contribute is still counted exactly, split by
+    * frequency class: n_inter = (shared RARE shingles, the self-join's
+    * own group count — every joined row is one shared rare shingle) +
+    * (shared COMMON shingles, an array-intersect of the two docs'
+    * common-shingle sets — tiny arrays, because only a handful of
+    * DISTINCT shingles ever exceed the cap even when every doc
+    * contains them). Nothing quadratic touches a hot key, and no
+    * full shingle array ever crosses a shuffle. Integer output
+    * (counts + rank), oracle-safe. */
   def q27ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfCap = 64
     // materialize the shingle arrays once — they feed the inverted
-    // index and the per-pair scoring join; recomputing the string
+    // index and the per-doc meta table; recomputing the string
     // transforms 3× dominates otherwise
     val docs = withToks(Tables.documents(spark, dir))
       .withColumn("sh", shingles)
@@ -169,27 +175,34 @@ object TextOps {
       .select(col("doc_id"), col("sh"))
       .localCheckpoint()
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = inv.join(
-      inv.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
-      "s")
-    val cand = rare.as("x").join(rare.as("y"),
+    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val rare = inv.join(dfTab.filter(col("df") <= dfCap), "s")
+      .select("doc_id", "s")
+    val nRare = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_rare"))
+    // per-doc meta: shingle-set size + the doc's (small) common-shingle set
+    val commonSets = inv.join(dfTab.filter(col("df") > dfCap), "s")
+      .groupBy("doc_id").agg(collect_list(col("s")).as("cs"))
+    val meta = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      .join(commonSets, Seq("doc_id"), "left")
     // Distributed top-k (TakeOrderedAndProject) FIRST, then rank the 50
     // survivors — a global row_number() window would funnel every
     // candidate pair through a single task.
     val w = Window.orderBy(
       (col("n_inter") / col("n_union")).desc, col("doc_a"), col("doc_b"))
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        "doc_b")
-      .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+    nRare
+      .join(meta.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("cs").as("ca")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("cs").as("cb")), "doc_b")
+      .withColumn("n_common",
+        when(col("ca").isNull || col("cb").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("ca"), col("cb"))).cast("long")))
+      .withColumn("n_inter", col("n_rare") + col("n_common"))
       .withColumn("n_union",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("n_inter"))
+        (col("na") + col("nb")).cast("bigint") - col("n_inter"))
       .orderBy((col("n_inter") / col("n_union")).desc, col("doc_a"), col("doc_b"))
       .limit(50)
       .withColumn("rank", row_number().over(w).cast("bigint"))
