@@ -183,6 +183,35 @@ class BoardOpsSpec extends SparkSpecBase {
     assert(rows.exists(r => r.getInt(2) < 0))
   }
 
+  test("q52: union dispatch equals the five per-bug move queries") {
+    def rows(name: String): Set[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSet
+    val perBug = Seq("q18_queen_moves", "q18b_beetle_moves",
+      "q19_grasshopper_moves", "q20_spider_moves", "q21_ant_reachability")
+      .map(rows).reduce(_ union _)
+    assert(rows("q52_legal_moves") == perBug)
+  }
+
+  test("q53: viewport culls off-origin copies; literal box below the agg") {
+    val df = SparkEntry.queries("q53_viewport")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the fixed viewport contains only copy 0 (games 1..9); copies are
+    // translated 16 cells apart, past the +-3-padded box
+    assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+    val (minQ, maxQ, minR, maxR) = ops.BoardOps.viewportBox
+    assert((minQ, maxQ, minR, maxR) == (-15, 15, -9, 9))
+    rows.foreach { r =>
+      assert(r.getInt(1) >= minQ && r.getInt(1) <= maxQ)
+      assert(r.getInt(2) >= minR && r.getInt(2) <= maxR)
+    }
+    // the culling predicate must sit below the aggregation, at the row
+    // source (pushed through the groupBy on its keys)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(">= -15") || plan.contains("-15 <="),
+      s"literal viewport bound missing from plan:\n$plan")
+  }
+
   test("q23: stacked cells report correct stack order") {
     val rows = SparkEntry.queries("q23_stack_tops")(spark, sf).collect()
     val g8 = rows.filter(r => r.getInt(0) == 8 && r.getInt(1) == 0 && r.getInt(2) == 0)
