@@ -405,6 +405,40 @@ object OracleSql {
       |WHERE sim_bp >= 3800
       |ORDER BY keep_id, drop_id""".stripMargin
 
+  /** q55 — connected components over the q48 pair graph via recursive
+    * transitive closure + min per node (the declarative mirror of the
+    * Spark side's label propagation — both converge to min-member-id
+    * components). */
+  val q55: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT keep_id, drop_id FROM (
+       |$q48
+       |  )
+       |), ed AS (
+       |  SELECT keep_id AS a, drop_id AS b FROM pairs
+       |  UNION ALL
+       |  SELECT drop_id AS a, keep_id AS b FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM ed
+       |  UNION
+       |  SELECT ed.a, rr.r FROM ed JOIN reach rr ON rr.id = ed.b
+       |), comp AS (
+       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT cluster_id, id AS vec_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM comp
+       |ORDER BY 1, 2""".stripMargin
+
+  val q54: String =
+    """WITH rates(lang, thr) AS (VALUES
+      |  ('en','80'),('de','40'),('fr','40'),('es','20'),('zh','20'))
+      |SELECT d.lang, d.doc_id,
+      |  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents d JOIN rates r ON r.lang = d.lang
+      |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < r.thr
+      |ORDER BY d.lang, d.doc_id""".stripMargin
+
   val q47: String =
     """SELECT MIN(doc_id) AS doc_id,
       |  arg_min(source, doc_id) AS source,

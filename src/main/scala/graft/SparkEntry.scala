@@ -66,7 +66,9 @@ object SparkEntry {
     "q50_media_pipeline" -> (Multimodal.q50MediaPipeline _),
     "q51_ring_key" -> (BoardOps.q51RingKey _),
     "q52_legal_moves" -> (BoardOps.q52LegalMoves _),
-    "q53_viewport" -> (BoardOps.q53Viewport _)
+    "q53_viewport" -> (BoardOps.q53Viewport _),
+    "q54_stratified_sample" -> (TextOps.q54StratifiedSample _),
+    "q55_dup_clusters" -> (VectorOps.q55DupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,7 +118,9 @@ object SparkEntry {
     "q48_embed_neardup" -> OracleSql.q48,
     "q51_ring_key" -> BoardOracleSql.q51,
     "q52_legal_moves" -> BoardOracleSql.q52,
-    "q53_viewport" -> BoardOracleSql.q53
+    "q53_viewport" -> BoardOracleSql.q53,
+    "q54_stratified_sample" -> OracleSql.q54,
+    "q55_dup_clusters" -> OracleSql.q55
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35 (payload
     // synthesis is engine-side), q43b (approx sketch) — driver records

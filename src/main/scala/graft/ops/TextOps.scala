@@ -211,6 +211,30 @@ object TextOps {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q54
+  /** q54 — deterministic stratified sampling: the curation step of a
+    * training-data pipeline (downsample over-represented languages at
+    * per-stratum rates). The sampler is content-addressed, not RNG:
+    * keep a doc iff the first md5(doc_id) hex byte falls below the
+    * stratum's threshold — reproducible across engines, machines and
+    * reruns, a codegen'd filter over the scan with no shuffle before
+    * the final sort, and exact: md5 is bit-identical in Spark and
+    * DuckDB, so the sample MEMBERSHIP itself sits under the oracle
+    * hash. Rates (out of 256): en 0x80=50%, de/fr 0x40=25%,
+    * es/zh 0x20=12.5%. */
+  def q54StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(("en", "80"), ("de", "40"), ("fr", "40"),
+      ("es", "20"), ("zh", "20")).toDF("lang", "thr")
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("thr"))
+      .select(col("lang"), col("doc_id"), col("bucket"))
+      .orderBy("lang", "doc_id")
+  }
+
   // ---------------------------------------------------------------- q28
   /** SimHash of the distinct-token set: bit i of the 64-bit signature is
     * set iff the sum over tokens of ±1 (sign of bit i of splitmix64(token))

@@ -282,6 +282,50 @@ object VectorOps {
       .orderBy("keep_id", "drop_id")
   }
 
+  // ---------------------------------------------------------------- q55
+  /** q55 — near-dup CLUSTERS: connected components over the q48
+    * near-dup pair graph — the step that turns pairwise dedup
+    * decisions into groups with one canonical representative
+    * (cluster id = min member id). Iterative min-label propagation:
+    * each round is one equi-join (pull neighbor labels) + one
+    * aggregation (min per vertex), converging in O(component diameter)
+    * rounds — tiny for dup clusters, which are near-cliques. This is
+    * the standard distributed-CC shape (Pregel CC / large-star): at
+    * 100 TB each round is one shuffle keyed by vertex id and the
+    * driver holds no graph state, only the converged flag. Bounded at
+    * 20 rounds; localCheckpoint truncates per-iteration lineage so the
+    * plan does not grow with the round count. */
+  def q55DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q48EmbedNeardup(spark, dir)
+      .select(col("keep_id").as("a"), col("drop_id").as("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbr = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    val w = Window.partitionBy(col("cluster_id"))
+    labels.select(col("lbl").as("cluster_id"), col("id").as("vec_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
+      .orderBy("cluster_id", "vec_id")
+  }
+
   // ---------------------------------------------------------------- q49
   /** q49 — IVF approximate nearest neighbors (V13 scale path #2,
     * complementing q34's LSH): a coarse quantizer (16 centroids =

@@ -117,4 +117,18 @@ class TextOpsSpec extends SparkSpecBase {
     val n = SparkEntry.queries("q32_doc_fingerprint")(spark, sf).count()
     assert(n == Tables.documents(spark, sf).count())
   }
+
+  test("q54: sample membership is content-addressed and stratified") {
+    val rows = SparkEntry.queries("q54_stratified_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val thr = Map("en" -> "80", "de" -> "40", "fr" -> "40",
+      "es" -> "20", "zh" -> "20")
+    rows.foreach { r =>
+      val (lang, bucket) = (r.getString(0), r.getString(2))
+      assert(bucket < thr(lang), s"bucket $bucket over threshold for $lang")
+    }
+    // deterministic: identical membership on a second run
+    val again = SparkEntry.queries("q54_stratified_sample")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -131,4 +131,26 @@ class VectorOpsSpec extends SparkSpecBase {
       assert(r.getLong(2) > 0)
     }
   }
+
+  test("q55: clusters match a driver-side union-find over the q48 pairs") {
+    val pairs = SparkEntry.queries("q48_embed_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find; union keeps the smaller root, so roots ARE
+    // min member ids — the cluster-id convention q55 outputs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = ids.map(id => id -> find(id)).toMap
+    val got = SparkEntry.queries("q55_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got == expected)
+  }
 }
