@@ -286,16 +286,33 @@ object VectorOps {
   /** q55 — near-dup CLUSTERS: connected components over the q48
     * near-dup pair graph — the step that turns pairwise dedup
     * decisions into groups with one canonical representative
-    * (cluster id = min member id). Iterative min-label propagation:
-    * each round is one equi-join (pull neighbor labels) + one
-    * aggregation (min per vertex), converging in O(component diameter)
-    * rounds — tiny for dup clusters, which are near-cliques. This is
-    * the standard distributed-CC shape (Pregel CC / large-star): at
-    * 100 TB each round is one shuffle keyed by vertex id and the
-    * driver holds no graph state, only the converged flag. Bounded at
-    * 20 rounds; localCheckpoint truncates per-iteration lineage so the
-    * plan does not grow with the round count. */
+    * (cluster id = min member id). Shape: ITERATE-THEN-FINISH, the
+    * standard production CC pattern.
+    *
+    * (1) A FIXED number of synchronous min-label-propagation rounds
+    * with pointer jumping (each round pulls the min neighbor label AND
+    * the label of its own label — reach grows geometrically per
+    * round). Each round is two equi-joins + one aggregation keyed by
+    * vertex id; localCheckpoint (not persist) ends each round because
+    * a round references the prior labels three times, so an
+    * un-truncated logical plan would grow as 3^rounds and analysis
+    * alone explodes. No data-dependent convergence loop: the depth is
+    * a constant, so the job count is too.
+    *
+    * (2) CONTRACT the graph to label space (edges between distinct
+    * current labels, dedup'd) — after the geometric shrink this
+    * remainder is orders of magnitude smaller than the pair graph,
+    * which is itself orders smaller than the corpus — and FINISH
+    * exactly with one union-find task over the contracted edges,
+    * mapping every vertex through its contracted root. The finisher
+    * makes the result exact at ANY propagation depth (even chains the
+    * fixed rounds did not fully collapse), so correctness never
+    * depends on convergence; depth only tunes how small the
+    * contracted remainder is. At 100 TB you recurse the
+    * propagate+contract pair until the remainder fits a task — here
+    * one level suffices by construction. */
   def q55DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val pairs = q48EmbedNeardup(spark, dir)
       .select(col("keep_id").as("a"), col("drop_id").as("b"))
@@ -305,23 +322,45 @@ object VectorOps {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
+    for (_ <- 1 to 4) {
       val nbr = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl1"))
+      labels = stepped
+        .join(labels.select(col("id").as("lbl1"), col("lbl").as("jl")),
+          Seq("lbl1"), "left")
+        .select(col("id"),
+          least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = next
-      iter += 1
     }
+    // contraction: the edges still crossing label boundaries
+    val contracted = edges
+      .join(labels.select(col("id").as("a"), col("lbl").as("la")), "a")
+      .join(labels.select(col("id").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb")).distinct()
+      .as[(Long, Long)]
+    // exact finisher: union-find over the contracted remainder (union
+    // keeps the smaller root, so roots are min member ids)
+    val mapping = contracted.repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      it.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      parent.keys.toArray.iterator.map(k => (k, find(k)))
+    }.toDF("lbl", "root")
     val w = Window.partitionBy(col("cluster_id"))
-    labels.select(col("lbl").as("cluster_id"), col("id").as("vec_id"))
+    labels.join(mapping, Seq("lbl"), "left")
+      .select(coalesce(col("root"), col("lbl")).as("cluster_id"),
+        col("id").as("vec_id"))
       .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
       .orderBy("cluster_id", "vec_id")
   }
