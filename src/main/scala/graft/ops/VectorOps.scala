@@ -171,9 +171,16 @@ object VectorOps {
     * recall (a true neighbor is a candidate if it agrees with the probe
     * in ANY band). At 100 TB this is the table you persist, partitioned
     * by (band, bucket) — see writeLshLayout/readLshBucket; a probe then
-    * reads only its own partitions (bucket-pruned scan). */
-  def lshTables(spark: SparkSession, dir: String): DataFrame =
-    normed(spark, dir)
+    * reads only its own partitions (bucket-pruned scan). Under
+    * `spark.graft.cacheTables` the signature table is persisted once
+    * per (session, dir) — the in-memory analogue of that on-disk
+    * layout, exactly like Tables' cached fact tables: an index is
+    * built once and probed many times, not recomputed per query. */
+  private val lshCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  def lshTables(spark: SparkSession, dir: String): DataFrame = {
+    def build: DataFrame = normed(spark, dir)
       .withColumn("bits",
         transform(planesCol, p => when(dot(col("v"), p) >= 0, 1).otherwise(0)))
       .select(col("vec_id"), col("v"), col("nrm"),
@@ -182,6 +189,18 @@ object VectorOps {
           |            0, (acc, x) -> acc * 2 + x))""".stripMargin)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else {
+      lshCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      lshCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val df = build.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (spark, df)
+      })._2
+    }
+  }
 
   /** Persist the LSH tables partitioned by (band, bucket): the on-disk
     * layout whose directory pruning is what "the probe touches one
