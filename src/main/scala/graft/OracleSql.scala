@@ -430,6 +430,43 @@ object OracleSql {
        |FROM comp
        |ORDER BY 1, 2""".stripMargin
 
+  /** q56 — train/test decontamination: pairs sharing >= 3 rare
+    * (df <= 64) distinct 3-token shingles across the md5-addressed
+    * test/train split; severity = flagged fraction of the test doc's
+    * shingle set in floor basis points. */
+  val q56: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      |        FROM toks WHERE len(t) >= 3) x
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), sdf AS (
+      |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+      |), rare AS (
+      |  SELECT sh.doc_id, sh.s FROM sh JOIN sdf USING (s) WHERE sdf.df <= 64
+      |), split AS (
+      |  SELECT doc_id,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' AS is_test
+      |  FROM documents
+      |), overlap AS (
+      |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+      |    COUNT(*) AS n_overlap
+      |  FROM rare te
+      |  JOIN split ste ON ste.doc_id = te.doc_id AND ste.is_test
+      |  JOIN rare tr ON tr.s = te.s
+      |  JOIN split str ON str.doc_id = tr.doc_id AND NOT str.is_test
+      |  GROUP BY te.doc_id, tr.doc_id
+      |  HAVING COUNT(*) >= 3
+      |)
+      |SELECT o.test_id, o.train_id, o.n_overlap,
+      |  CAST(FLOOR(10000 * o.n_overlap / z.n_sh) AS BIGINT) AS contam_bp
+      |FROM overlap o JOIN sizes z ON z.doc_id = o.test_id
+      |ORDER BY o.n_overlap DESC, o.test_id, o.train_id""".stripMargin
+
   val q54: String =
     """WITH rates(lang, thr) AS (VALUES
       |  ('en','80'),('de','40'),('fr','40'),('es','20'),('zh','20'))

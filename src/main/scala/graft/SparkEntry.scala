@@ -68,7 +68,8 @@ object SparkEntry {
     "q52_legal_moves" -> (BoardOps.q52LegalMoves _),
     "q53_viewport" -> (BoardOps.q53Viewport _),
     "q54_stratified_sample" -> (TextOps.q54StratifiedSample _),
-    "q55_dup_clusters" -> (VectorOps.q55DupClusters _)
+    "q55_dup_clusters" -> (VectorOps.q55DupClusters _),
+    "q56_decontamination" -> (TextOps.q56Decontamination _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,7 +121,8 @@ object SparkEntry {
     "q52_legal_moves" -> BoardOracleSql.q52,
     "q53_viewport" -> BoardOracleSql.q53,
     "q54_stratified_sample" -> OracleSql.q54,
-    "q55_dup_clusters" -> OracleSql.q55
+    "q55_dup_clusters" -> OracleSql.q55,
+    "q56_decontamination" -> OracleSql.q56
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35 (payload
     // synthesis is engine-side), q43b (approx sketch) — driver records

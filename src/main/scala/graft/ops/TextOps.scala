@@ -235,6 +235,55 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  // ---------------------------------------------------------------- q56
+  /** q56 — train/test decontamination: the eval-integrity step of a
+    * training-data pipeline (find test-set documents whose content
+    * leaked into the training split). Split membership is
+    * content-addressed like q54 (first md5(doc_id) hex byte < 0x10 →
+    * test, ~6%), so the split is reproducible and oracle-checkable.
+    * Evidence = shared distinct 3-token shingles with a DOCUMENT-
+    * FREQUENCY CAP: a shingle in > dfCap docs is boilerplate, not
+    * leakage, and — exactly as in q27 — an uncapped inverted index
+    * funnels a quadratic hot-key bucket through one task at 100 TB.
+    * Flagged pairs share >= 3 rare shingles; severity is the flagged
+    * fraction of the test doc's shingle set (floor basis points).
+    *
+    * Scale shape: the test side of the shingle join is a few percent
+    * of the corpus and the index is df-capped, so candidate volume is
+    * O(test shingles × df) — never corpus × corpus. One hash shuffle
+    * on the shingle, one on the (test, train) pair. */
+  def q56Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val dfCap = 64
+    val docs = withToks(Tables.documents(spark, dir))
+      .withColumn("sh", shingles)
+      .filter(size(col("sh")) > 0)
+      .withColumn("is_test",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          < lit("10"))
+      .select(col("doc_id"), col("is_test"), col("sh"))
+      .localCheckpoint()
+    val inv = docs.select(col("doc_id"), col("is_test"),
+      explode(col("sh")).as("s"))
+    val rare = inv.join(
+      inv.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap), "s")
+    val overlap = rare.filter(col("is_test"))
+      .select(col("doc_id").as("test_id"), col("s"))
+      .join(rare.filter(!col("is_test"))
+        .select(col("doc_id").as("train_id"), col("s")), "s")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 3)
+    overlap
+      .join(docs.select(col("doc_id").as("test_id"),
+        size(col("sh")).cast("long").as("n_test_sh")), "test_id")
+      .withColumn("contam_bp",
+        floor(lit(10000) * col("n_overlap") / col("n_test_sh")))
+      .select(col("test_id"), col("train_id"), col("n_overlap"),
+        col("contam_bp"))
+      .orderBy(col("n_overlap").desc, col("test_id"), col("train_id"))
+  }
+
   // ---------------------------------------------------------------- q28
   /** SimHash of the distinct-token set: bit i of the 64-bit signature is
     * set iff the sum over tokens of ±1 (sign of bit i of splitmix64(token))

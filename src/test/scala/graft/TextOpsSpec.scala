@@ -131,4 +131,25 @@ class TextOpsSpec extends SparkSpecBase {
     val again = SparkEntry.queries("q54_stratified_sample")(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("q56: flagged pairs cross the split, overlap >= 3, contam_bp sane") {
+    val rows = SparkEntry.queries("q56_decontamination")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def isTest(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x" < "10"
+    }
+    rows.foreach { r =>
+      val (testId, trainId) = (r.getLong(0), r.getLong(1))
+      assert(isTest(testId), s"$testId flagged as test but hashes to train")
+      assert(!isTest(trainId), s"$trainId flagged as train but hashes to test")
+      assert(r.getLong(2) >= 3)
+      val bp = r.getLong(3)
+      assert(bp >= 0 && bp <= 10000)
+    }
+    // overlaps are sorted descending (severity-first report)
+    val ov = rows.map(_.getLong(2))
+    assert(ov.zip(ov.tail).forall { case (a, b) => a >= b })
+  }
 }
