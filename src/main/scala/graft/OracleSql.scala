@@ -467,6 +467,28 @@ object OracleSql {
       |FROM overlap o JOIN sizes z ON z.doc_id = o.test_id
       |ORDER BY o.n_overlap DESC, o.test_id, o.train_id""".stripMargin
 
+  /** q57 — shard packing: the declarative (global-window) mirror of the
+    * Spark side's two-level distributed prefix sum; both compute
+    * shard_id = floor(tokens-before-doc / 4096) over the md5-shuffled
+    * concatenation order. */
+  val q57: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      |  FROM d
+      |)
+      |SELECT CAST(FLOOR(bef / 4096) AS BIGINT) AS shard_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q54: String =
     """WITH rates(lang, thr) AS (VALUES
       |  ('en','80'),('de','40'),('fr','40'),('es','20'),('zh','20'))

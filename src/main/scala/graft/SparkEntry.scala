@@ -69,7 +69,8 @@ object SparkEntry {
     "q53_viewport" -> (BoardOps.q53Viewport _),
     "q54_stratified_sample" -> (TextOps.q54StratifiedSample _),
     "q55_dup_clusters" -> (VectorOps.q55DupClusters _),
-    "q56_decontamination" -> (TextOps.q56Decontamination _)
+    "q56_decontamination" -> (TextOps.q56Decontamination _),
+    "q57_shard_packing" -> (TextOps.q57ShardPacking _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,7 +123,8 @@ object SparkEntry {
     "q53_viewport" -> BoardOracleSql.q53,
     "q54_stratified_sample" -> OracleSql.q54,
     "q55_dup_clusters" -> OracleSql.q55,
-    "q56_decontamination" -> OracleSql.q56
+    "q56_decontamination" -> OracleSql.q56,
+    "q57_shard_packing" -> OracleSql.q57
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35 (payload
     // synthesis is engine-side), q43b (approx sketch) — driver records

@@ -284,6 +284,56 @@ object TextOps {
       .orderBy(col("n_overlap").desc, col("test_id"), col("train_id"))
   }
 
+  // ---------------------------------------------------------------- q57
+  /** q57 — training-shard packing: concatenate the (deterministically
+    * shuffled) corpus and cut it into shards of `budget` tokens — the
+    * step that turns a curated corpus into fixed-size training shards.
+    * A document's shard is the one containing its first token:
+    * shard_id = floor(prefix_tokens_before_doc / budget). The shuffle
+    * order is content-addressed (md5(doc_id)), so the packing is
+    * reproducible across engines and reruns.
+    *
+    * The prefix sum is computed DISTRIBUTED, not with a global
+    * single-task window: range-partition on the order key (contiguous
+    * key ranges per partition), then (pass 1) one tiny row per
+    * partition — its token total — is collected and prefix-summed into
+    * per-partition offsets (a bounded dimension build, ≤ one row per
+    * partition, like q49's centroids); (pass 2) a window PARTITIONED
+    * by partition id computes within-partition prefixes in parallel
+    * and adds the broadcast offset. Shard assignment is invariant to
+    * where partition boundaries fall, so the result is exactly the
+    * sequential packing at any parallelism — the standard two-level
+    * scan/prefix-sum decomposition, which holds at 100 TB where a
+    * global ORDER BY window would funnel the corpus through one task. */
+  def q57ShardPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val budget = 4096
+    val parted = withToks(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string").cast("binary")).as("ord"))
+      .repartitionByRange(col("ord"), col("doc_id"))
+      .sortWithinPartitions(col("ord"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = parted.groupBy("pid").agg(sum("n_tok").as("ptok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    } // offset of a partition = token total of all partitions before it
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("wb", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(offDf, "pid")
+      .withColumn("shard_id", floor((col("off") + col("wb")) / budget))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("shard_id")
+  }
+
   // ---------------------------------------------------------------- q28
   /** SimHash of the distinct-token set: bit i of the 64-bit signature is
     * set iff the sum over tokens of ±1 (sign of bit i of splitmix64(token))

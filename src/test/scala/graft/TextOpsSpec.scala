@@ -152,4 +152,27 @@ class TextOpsSpec extends SparkSpecBase {
     val ov = rows.map(_.getLong(2))
     assert(ov.zip(ov.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q57: distributed packing equals a sequential driver-side pack") {
+    val got = SparkEntry.queries("q57_shard_packing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // sequential reference: md5-shuffle order, running token prefix
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val nTok = r.getString(1).split(" ").count(_.nonEmpty).toLong
+        (md5hex(r.getLong(0).toString), r.getLong(0), nTok)
+      }
+      .sortBy(t => (t._1, t._2))
+    var before = 0L
+    val expected = docs.map { case (_, _, nTok) =>
+      val s = before / 4096; before += nTok; (s, nTok)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, g) => (s, g.length.toLong, g.map(_._2).sum) }
+    assert(got.toSeq == expected)
+  }
 }
