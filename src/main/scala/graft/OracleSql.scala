@@ -489,6 +489,23 @@ object OracleSql {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q58 — the plain (unsalted) form of the salted profile join;
+    * salting must be result-invisible, so the oracle simply omits it. */
+  val q58: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents
+      |), p AS (
+      |  SELECT lang, AVG(n_tok) AS avg_tok FROM d GROUP BY lang
+      |)
+      |SELECT d.doc_id, d.lang, d.n_tok,
+      |  CAST(FLOOR(100 * p.avg_tok) AS BIGINT) AS avg_x100,
+      |  CAST(FLOOR(100 * (d.n_tok - p.avg_tok)) AS BIGINT) AS dev_x100
+      |FROM d JOIN p USING (lang)
+      |ORDER BY d.doc_id""".stripMargin
+
   val q54: String =
     """WITH rates(lang, thr) AS (VALUES
       |  ('en','80'),('de','40'),('fr','40'),('es','20'),('zh','20'))
