@@ -506,6 +506,33 @@ object OracleSql {
       |FROM d JOIN p USING (lang)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q59 — rational TF-IDF top-3 terms per doc; both engines rank by
+    * the same floored integer score, so order is hash-exact. */
+  val q59: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    CAST(FLOOR(10000 * tf.tf * n.n / df.df) AS BIGINT) AS score_bp
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, rn, term, CAST(tf AS BIGINT) AS tf, score_bp FROM (
+      |  SELECT doc_id, term, tf, score_bp,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score_bp DESC, term) AS BIGINT) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val q54: String =
     """WITH rates(lang, thr) AS (VALUES
       |  ('en','80'),('de','40'),('fr','40'),('es','20'),('zh','20'))

@@ -264,9 +264,12 @@ object TextOps {
       .localCheckpoint()
     val inv = docs.select(col("doc_id"), col("is_test"),
       explode(col("sh")).as("s"))
+    // materialized once: both sides of the overlap join read it, and
+    // recomputing the explode + df-cap join per side doubles the cost
     val rare = inv.join(
       inv.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap), "s")
+      .localCheckpoint()
     val overlap = rare.filter(col("is_test"))
       .select(col("doc_id").as("test_id"), col("s"))
       .join(rare.filter(!col("is_test"))
@@ -332,6 +335,39 @@ object TextOps {
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy("shard_id")
+  }
+
+  // ---------------------------------------------------------------- q59
+  /** q59 — per-document keyword extraction by TF-IDF, top-3 terms per
+    * doc. The idf is the LOG-FREE rational variant N/df (same ranking
+    * family; log compresses but never reorders a single-term score),
+    * so the emitted score floor(10000·tf·N/df) is exact integer-in,
+    * integer-out arithmetic — no transcendental whose last ulp could
+    * differ across engines — and BOTH engines rank by the emitted
+    * integer, so rank and hash agree by construction.
+    *
+    * Shape: explode → two hash aggs (tf by (doc,term), df by term) →
+    * equi-join on term → per-doc top-k window. Everything partitions
+    * by doc_id or term; N is a one-row dimension (driver scalar).
+    * At 100 TB the df table is vocabulary-sized (Zipf: ≪ corpus) and
+    * the per-doc window is embarrassingly parallel. */
+  def q59TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // bounded scalar: corpus cardinality
+    val tok = withToks(docs).select(col("doc_id"), explode(col("t")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_bp").desc, col("term"))
+    tf.join(dfTab, "term")
+      .withColumn("score_bp",
+        floor(lit(10000L) * col("tf") * lit(n) / col("df")))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+        col("score_bp"))
+      .orderBy("doc_id", "rn")
   }
 
   // ---------------------------------------------------------------- q28

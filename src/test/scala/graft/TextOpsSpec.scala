@@ -175,4 +175,17 @@ class TextOpsSpec extends SparkSpecBase {
       .map { case (s, g) => (s, g.length.toLong, g.map(_._2).sum) }
     assert(got.toSeq == expected)
   }
+
+  test("q59: per-doc top terms are distinct with non-increasing scores") {
+    val rows = SparkEntry.queries("q59_tfidf_terms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      assert(sorted.map(_.getString(2)).distinct.length == sorted.length)
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ > 0))
+    }
+  }
 }
