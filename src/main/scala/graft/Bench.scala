@@ -57,11 +57,18 @@ object Bench {
         else math.min(d1, d2)
       name -> dur
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Durations are rounded to centiseconds: the harness that captures
+    // stdout keeps only a 2,000-char tail, and full-precision doubles
+    // pushed the round-4 line past that bound (2,028 chars), truncating
+    // the JSON. 2 decimals keeps ~12 queries of headroom at the current
+    // count and is far below measurement noise anyway.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is interleaved with sbt noise (BENCH_r02.json parsed as
     // null); a clean copy on disk preserves the signal regardless

@@ -346,21 +346,24 @@ object TextOps {
     * differ across engines — and BOTH engines rank by the emitted
     * integer, so rank and hash agree by construction.
     *
-    * Shape: explode → two hash aggs (tf by (doc,term), df by term) →
-    * equi-join on term → per-doc top-k window. Everything partitions
-    * by doc_id or term; N is a one-row dimension (driver scalar).
-    * At 100 TB the df table is vocabulary-sized (Zipf: ≪ corpus) and
-    * the per-doc window is embarrassingly parallel. */
+    * Shape: ONE explode → tf hash agg by (doc,term) → df as a count
+    * window over term (tf already holds exactly one row per distinct
+    * (doc,term), so `count(*) over (partition by term)` IS the
+    * document frequency — no second explode, no token-level distinct
+    * shuffle, no self-join) → per-doc top-k window. Everything
+    * partitions by (doc,term), term, then doc_id; N is a one-row
+    * dimension (driver scalar). At 100 TB the term window's partition
+    * is df-sized (Zipf: ≪ corpus) and the per-doc window is
+    * embarrassingly parallel. */
   def q59TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val n = docs.count() // bounded scalar: corpus cardinality
     val tok = withToks(docs).select(col("doc_id"), explode(col("t")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfTab = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_bp").desc, col("term"))
-    tf.join(dfTab, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("score_bp",
         floor(lit(10000L) * col("tf") * lit(n) / col("df")))
       .withColumn("rn", row_number().over(w).cast("bigint"))

@@ -341,7 +341,13 @@ object VectorOps {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
-    for (_ <- 1 to 4) {
+    // Depth 2 with pointer jumping reaches distance 2^2·... ≈ 8 hops;
+    // the union-find finisher is exact at ANY depth, so depth trades
+    // per-round job overhead against contracted-remainder size. At
+    // 100 TB raise it (or recurse propagate+contract); at bench scale
+    // 2 rounds already contract the remainder to trivial size and the
+    // dominant cost is the fixed per-round job count.
+    for (_ <- 1 to 2) {
       val nbr = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
