@@ -568,4 +568,115 @@ object OracleSql {
       |    SELECT user_id FROM events WHERE event_type = 'error') b
       |) u
       |ORDER BY op, user_id""".stripMargin
+
+  /** q60 — moment aggregates floored at x100; avg is exact (integer-
+    * valued doubles), the moments agree to ~1e-12 relative — far inside
+    * the floor's slack. */
+  val q60: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  CAST(FLOOR(100 * corr(l_quantity, l_extendedprice)) AS BIGINT)
+      |    AS corr_x100,
+      |  CAST(FLOOR(100 * covar_samp(l_quantity, l_extendedprice)) AS BIGINT)
+      |    AS covar_x100,
+      |  CAST(FLOOR(100 * stddev_samp(l_extendedprice)) AS BIGINT)
+      |    AS sd_price_x100,
+      |  CAST(FLOOR(100 * avg(l_quantity)) AS BIGINT) AS avg_qty_x100
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q61 — rank ratios are integer/integer divisions: bit-exact. */
+  val q61: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+      |  CAST(FLOOR(10000 * percent_rank() OVER w) AS BIGINT) AS pr_bp,
+      |  CAST(FLOOR(10000 * cume_dist() OVER w) AS BIGINT) AS cd_bp
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** q62 — levenshtein is integer-exact; string_split is 1-indexed here
+    * (Spark's getItem(1) is the same 2nd token, 0-indexed). */
+  val q62: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, string_split(p_name, ' ')[2] AS noun,
+      |    COUNT(*) AS n_parts
+      |  FROM part GROUP BY 1, 2
+      |)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      |  a.n_parts AS cnt_a, b.n_parts AS cnt_b
+      |FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** q63 — revenue is an exact DECIMAL sum cast to double (the q01/q02
+    | convention), immune to double-summation order. */
+  val q63: String =
+    """WITH parsed AS (
+      |  SELECT CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS cid,
+      |    c_mktsegment
+      |  FROM customer
+      |)
+      |SELECT p.c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM parsed p JOIN orders o ON o.o_custkey = p.cid
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q64 — bin edges from exact min/max; the bin expression keeps the
+    * identical association on both sides, so bins are bit-identical. */
+  val q64: String =
+    """WITH mm AS (
+      |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+      |)
+      |SELECT
+      |  CAST(LEAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)), 19) AS BIGINT)
+      |    AS bin,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
+      |FROM orders CROSS JOIN mm
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q65 — bigram LM: counts and integer-in double division only. */
+  val q65: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+      |      i -> [t[i], t[i+1]])) AS pair
+      |  FROM toks WHERE len(t) >= 2
+      |), bc AS (
+      |  SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS c2 FROM bg GROUP BY 1,2
+      |), uc AS (
+      |  SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1
+      |)
+      |SELECT w1, rn, w2, c2, p_bp FROM (
+      |  SELECT bc.w1, bc.w2, bc.c2,
+      |    CAST(FLOOR(10000 * bc.c2 / uc.c1) AS BIGINT) AS p_bp,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY bc.w1
+      |      ORDER BY bc.c2 DESC, bc.w2) AS BIGINT) AS rn
+      |  FROM bc JOIN uc USING (w1)) x
+      |WHERE rn <= 3 ORDER BY w1, rn""".stripMargin
+
+  /** q66 — medians of integer counts interpolate to k or k+0.5 exactly
+    * in both engines (quantile_cont ≙ Spark percentile), so the ×10
+    * integerization and the 2·MAD comparison are exact. */
+  val q66: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents
+      |), med AS (
+      |  SELECT lang, median(n_tok) AS med FROM d GROUP BY 1
+      |), mad AS (
+      |  SELECT d.lang, median(abs(d.n_tok - med.med)) AS mad
+      |  FROM d JOIN med USING (lang) GROUP BY 1
+      |)
+      |SELECT d.doc_id, d.lang, d.n_tok,
+      |  CAST(FLOOR(10 * med.med) AS BIGINT) AS med_x10,
+      |  CAST(FLOOR(10 * mad.mad) AS BIGINT) AS mad_x10
+      |FROM d JOIN med USING (lang) JOIN mad USING (lang)
+      |WHERE abs(d.n_tok - med.med) > 2 * mad.mad
+      |ORDER BY d.doc_id""".stripMargin
 }

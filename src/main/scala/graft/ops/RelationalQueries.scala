@@ -408,4 +408,88 @@ object RelationalQueries {
       .select(col("op"), col("user_id"))
       .orderBy("op", "user_id")
   }
+
+  // ---------------------------------------------------------------- q60
+  /** q60 — statistical profile per return flag (A7 extension): corr /
+    * covar_samp / stddev_samp / avg as floor-scaled integers. All four
+    * are single-pass distributive aggregates (co-moment partials merge
+    * associatively), so the plan is the same partial+final hash agg as
+    * q01 — no second pass, no sort, scales like any groupBy at 100 TB.
+    * Exactness note: avg(l_quantity) is exact (integer-valued doubles
+    * sum exactly below 2^53); the moment aggregates agree with DuckDB
+    * to ~1e-12 relative, far inside the x100 floor's slack. */
+  def q60StatsProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        floor(lit(100) * corr(col("l_quantity"), col("l_extendedprice")))
+          .as("corr_x100"),
+        floor(lit(100) * covar_samp(col("l_quantity"), col("l_extendedprice")))
+          .as("covar_x100"),
+        floor(lit(100) * stddev_samp(col("l_extendedprice")))
+          .as("sd_price_x100"),
+        floor(lit(100) * avg(col("l_quantity"))).as("avg_qty_x100"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q61
+  /** q61 — distribution ranks (W3 extension): ntile deciles,
+    * percent_rank and cume_dist of account balance within each market
+    * segment. Both rank ratios are integer-over-integer divisions of
+    * identical operands in both engines, so the basis-point floors are
+    * bit-exact. The window partitions by segment — bounded per-group
+    * sort, embarrassingly parallel across segments; the custkey
+    * tie-break makes the frame deterministic. */
+  def q61NtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(10).over(w).cast("bigint").as("decile"),
+        floor(lit(10000) * percent_rank().over(w)).as("pr_bp"),
+        floor(lit(10000) * cume_dist().over(w)).as("cd_bp"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q63
+  /** q63 — parse-then-join (F4/J7): recover the customer id embedded in
+    * the denormalized name string via regexp_extract, then join it back
+    * to the orders fact and aggregate revenue per segment. The parsed
+    * dimension is customer-sized → broadcast join, no fact shuffle; the
+    * regexp runs inside whole-stage codegen. Revenue is an exact
+    * DECIMAL sum (order-independent) cast to double at the end. */
+  def q63NameParseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = Tables.customer(spark, dir).select(
+      regexp_extract(col("c_name"), "#(\\d+)", 1).cast("long").as("cid"),
+      col("c_mktsegment"))
+    Tables.orders(spark, dir)
+      .join(broadcast(parsed), col("o_custkey") === col("cid"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** q64 — equi-width histogram of order totals (A7/P6): global min/max
+    * (a one-row bounded aggregate, broadcast back) → bin assignment →
+    * hash agg per bin. Two scans of the fact, zero fact-side shuffles
+    * beyond the 20-row final agg — the canonical scalable histogram.
+    * The bin expression keeps DuckDB's association
+    * ((x − lo) · 20 / (hi − lo)) so identical IEEE operands round
+    * identically; the top edge clamps into the last bin. */
+  def q64Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mm = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(floor((col("o_totalprice") - col("lo")) * lit(20)
+          / (col("hi") - col("lo"))), lit(19L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("tot"))
+      .orderBy("bin")
+  }
 }

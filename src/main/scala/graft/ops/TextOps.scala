@@ -523,6 +523,93 @@ object TextOps {
     * ScalaTest instead). */
   def q32DocFingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------- q62
+  /** q62 — fuzzy name linkage (V14/F4): unordered pairs of distinct
+    * part names within edit distance 4, blocked on the head noun.
+    * The classic record-linkage shape: collapse the corpus to a
+    * DISTINCT-key dictionary first (dictionary ≪ corpus — here 64
+    * names over 2k..200M parts), then an intra-block self-join with
+    * the exact levenshtein verifier on candidate pairs only. At 100 TB
+    * the dictionary is still vocabulary-sized (broadcast-able) and the
+    * blocking key bounds each join group; no all-pairs over raw rows.
+    * levenshtein is integer-exact, so the oracle hash is trivially
+    * stable. */
+  def q62FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"),
+        split(col("p_name"), " ").getItem(1).as("noun"))
+      .agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("noun"), col("name").as("name_a"),
+      col("n_parts").as("cnt_a"))
+    val b = names.select(col("noun"), col("name").as("name_b"),
+      col("n_parts").as("cnt_b"))
+    a.join(b, Seq("noun"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .where(col("dist") <= 4)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** q65 — bigram language model (V15): top-3 continuations per prefix
+    * token with conditional probability in basis points. One explode
+    * of per-doc bigram structs → hash agg by (w1,w2); the prefix total
+    * is a sum window over that aggregate (one row per distinct bigram —
+    * vocabulary², not corpus-sized), same trick as q59's df. The score
+    * floor(10000·c2/c1) is integer-in double division, identical in
+    * both engines, and ranking is by (count desc, w2) so rank and hash
+    * agree by construction. At 100 TB: explode partitions by doc, the
+    * agg by bigram; nothing global. */
+  def q65BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = withToks(Tables.documents(spark, dir))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val w = Window.partitionBy(col("w1")).orderBy(col("c2").desc, col("w2"))
+    bc.withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+      .withColumn("p_bp", floor(lit(10000) * col("c2") / col("c1")))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .where(col("rn") <= 3)
+      .select(col("w1"), col("rn"), col("w2"), col("c2"), col("p_bp"))
+      .orderBy("w1", "rn")
+  }
+
+  // ---------------------------------------------------------------- q66
+  /** q66 — robust outlier detection (V15 quality filtering): documents
+    * whose token count sits more than 2 MADs from their language's
+    * median (median absolute deviation — the robust z-score every
+    * curation pipeline runs before training). Two bounded per-lang
+    * aggregates (median, then MAD) broadcast back over the corpus; the
+    * corpus itself is scanned, never sorted globally. Medians of
+    * integer counts are exactly k or k+0.5 under linear interpolation
+    * in both engines, so the ×10 integerization and the 2·MAD
+    * comparison are exact. */
+  def q66TokenOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = withToks(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), size(col("t")).cast("long").as("n_tok"))
+    val med = d.groupBy("lang")
+      .agg(expr("percentile(n_tok, 0.5)").as("med"))
+    val withMed = d.join(broadcast(med), "lang")
+    val mad = withMed.groupBy("lang")
+      .agg(expr("percentile(abs(n_tok - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "lang")
+      .where(abs(col("n_tok") - col("med")) > lit(2) * col("mad"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        // explicit FLOOR on both sides: a .25-grain MAD (even-sized
+        // group over .5-grain deviations) makes 10·mad .5-grain, where
+        // DuckDB's CAST rounds but Spark's cast truncates
+        floor(lit(10) * col("med")).as("med_x10"),
+        floor(lit(10) * col("mad")).as("mad_x10"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Deterministic 64-bit hashing used by the Spark-only text ops

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 query surface: statistical profile, distribution ranks,
+  * fuzzy linkage, parse-join, histogram, bigram LM, MAD outliers.
+  * The oracle gate covers value-exactness; these specs assert the
+  * structural invariants and cross-check the nontrivial math against
+  * driver-side exact recomputations at sf0.001. */
+class Round5QueriesSpec extends SparkSpecBase {
+
+  test("q60: one row per return flag; counts partition lineitem; avg is exact") {
+    val rows = SparkEntry.queries("q60_stats_profile")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(Array("A", "N", "R")))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.map(_.getLong(1)).sum == li.length)
+    val byFlag = li.groupBy(_._1)
+    rows.foreach { r =>
+      val g = byFlag(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == g.length)
+      assert(r.getLong(5) == math.floor(100.0 * g.sum / g.length).toLong)
+    }
+  }
+
+  test("q61: every customer ranked; deciles balanced; rank ratios bounded") {
+    val rows = SparkEntry.queries("q61_ntile_deciles")(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.length == nCust)
+    rows.groupBy(_.getString(0)).values.foreach { seg =>
+      val sizes = seg.groupBy(_.getLong(2)).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1) // ntile balance property
+      seg.foreach { r =>
+        assert(r.getLong(2) >= 1 && r.getLong(2) <= 10)
+        assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+        assert(r.getLong(4) > 0 && r.getLong(4) <= 10000)
+      }
+    }
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q62: pairs share the noun, distances exact, counts cover the block") {
+    val rows = SparkEntry.queries("q62_fuzzy_names")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.part(spark, sf).groupBy("p_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      assert(a.split(" ")(1) == b.split(" ")(1)) // blocking key respected
+      assert(r.getLong(2) == lev(a, b).toLong)
+      assert(r.getLong(2) <= 4)
+      assert(r.getLong(3) == counts(a) && r.getLong(4) == counts(b))
+    }
+  }
+
+  test("q63: parsed ids reconstruct the orders↔customer join exactly") {
+    val rows = SparkEntry.queries("q63_name_parse_join")(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders) // every order has a valid cid
+    assert(rows.length == 5) // one row per market segment
+  }
+
+  test("q64: 20 bins cover all orders; bin totals consistent") {
+    val rows = SparkEntry.queries("q64_histogram")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 19))
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    rows.foreach(r => assert(r.getDouble(2) > 0))
+  }
+
+  test("q65: per-prefix ranks are 1..k and probabilities non-increasing") {
+    val rows = SparkEntry.queries("q65_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to sorted.length))
+      val ps = sorted.map(_.getLong(4))
+      assert(ps.zip(ps.tail).forall { case (x, y) => x >= y })
+      ps.foreach(p => assert(p >= 0 && p <= 10000))
+    }
+  }
+
+  test("q66 agrees with a driver-side exact median/MAD recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    def median(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      val med = median(g.map(_._3).toSeq)
+      val mad = median(g.map(d => math.abs(d._3 - med))
+        .map(x => (x * 2).toLong).toSeq) / 2.0 // halves stay exact
+      g.filter(d => math.abs(d._3 - med) > 2 * mad)
+        .map(d => (d._1, lang, d._3,
+          (10 * med).toLong, (10 * mad).toLong))
+    }.toSet
+    val got = SparkEntry.queries("q66_token_outliers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+}
