@@ -679,4 +679,43 @@ object OracleSql {
       |FROM d JOIN med USING (lang) JOIN mad USING (lang)
       |WHERE abs(d.n_tok - med.med) > 2 * mad.mad
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q67 — integer counts and integer-in double division only. */
+  val q67: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), c AS (
+      |  SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2
+      |), a AS (
+      |  SELECT doc_id, SUM(c) AS n_sh, COUNT(*) AS n_uniq, MAX(c) AS max_c
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+      |  CAST(FLOOR(10000 * (n_sh - n_uniq) / n_sh) AS BIGINT) AS dup_bp,
+      |  CAST(FLOOR(10000 * max_c / n_sh) AS BIGINT) AS top_bp
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q68 — the oracle aggregates the ORIGINAL parquet; the engine
+    * aggregates its CSV-roundtripped copy, so a hash match proves the
+    * CSV sink/source path loses nothing. */
+  val q68: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |    AS BIGINT) AS n_tokens,
+      |  CAST(SUM(len(text)) AS BIGINT) AS n_text_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q69 — md5 of the decimal doc_id string, same addressing as q54. */
+  val q69: String =
+    """SELECT lang, rnk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+      |  FROM documents) t
+      |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
 }

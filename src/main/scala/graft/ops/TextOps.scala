@@ -524,6 +524,56 @@ object TextOps {
   def q32DocFingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(spark, dir))
 
+  // ---------------------------------------------------------------- q67
+  /** q67 — within-document repetition signals (V15, the classic
+    * pre-training quality heuristics): per doc, the duplicate-shingle
+    * fraction (1 − distinct/total 3-token shingles) and the top
+    * shingle's share, both in basis points. One explode → (doc,
+    * shingle) hash agg → per-doc re-agg; everything partitions by
+    * doc_id, shingle counts never leave their document, so this is
+    * embarrassingly parallel at any corpus size. Integer-in double
+    * division with matched association keeps the floors hash-exact. */
+  def q67Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val sh = withToks(Tables.documents(spark, dir))
+      .where(size(t) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2)))).as("s"))
+    sh.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_sh"), count(lit(1)).as("n_uniq"),
+        max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_sh"),
+        floor(lit(10000) * (col("n_sh") - col("n_uniq")) / col("n_sh"))
+          .as("dup_bp"),
+        floor(lit(10000) * col("max_c") / col("n_sh")).as("top_bp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q69
+  /** q69 — deterministic exact-k per-group sampling: the 10 smallest
+    * md5(doc_id) per language. Complements q54 (Bernoulli-by-hash:
+    * reproducible RATE) with reproducible COUNT — the other sampling
+    * contract a curation pipeline needs. The rank window partitions by
+    * lang, and Catalyst's WindowGroupLimit pushes the rnk ≤ 10 filter
+    * into a per-partition top-k before the shuffle, so the full corpus
+    * is never sorted — each map task forwards at most k rows per
+    * group. */
+  def q69HashSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+        col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+  }
+
   // ---------------------------------------------------------------- q62
   /** q62 — fuzzy name linkage (V14/F4): unordered pairs of distinct
     * part names within edit distance 4, blocked on the head noun.

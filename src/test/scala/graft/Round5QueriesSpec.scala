@@ -112,4 +112,50 @@ class Round5QueriesSpec extends SparkSpecBase {
         r.getLong(3), r.getLong(4))).toSet
     assert(got == expected)
   }
+
+  test("q67 agrees with a driver-side exact shingle recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val expected = docs.filter(_._2.length >= 3).map { case (id, t) =>
+      val counts = t.sliding(3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map(_._2.length.toLong).toSeq
+      val nSh = counts.sum
+      (id, nSh,
+        math.floor(10000.0 * (nSh - counts.length) / nSh).toLong,
+        math.floor(10000.0 * counts.max / nSh).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q67_repetition")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("q68 CSV roundtrip aggregate equals the direct parquet aggregate") {
+    val direct = Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), t => t =!= lit(""))))
+          .cast("bigint").as("n_tokens"),
+        sum(length(col("text"))).cast("bigint").as("n_text_chars"))
+      .orderBy("lang").collect().toSeq
+    val viaCsv = SparkEntry.queries("q68_csv_roundtrip")(spark, sf)
+      .collect().toSeq
+    assert(viaCsv == direct)
+  }
+
+  test("q69: exactly 10 per language, the 10 smallest md5(doc_id)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+      g.map(_._2).sortBy(id => (md5hex(id.toString), id)).take(10)
+        .zipWithIndex.map { case (id, i) => (lang, (i + 1).toLong, id) }
+    }.toSet
+    val got = SparkEntry.queries("q69_hash_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
 }
