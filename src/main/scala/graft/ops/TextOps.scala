@@ -41,6 +41,32 @@ object TextOps {
   private def withToks(docs: DataFrame): DataFrame =
     docs.withColumn("t", toks)
 
+  /** The materialized per-doc 3-shingle arrays — the shared input index
+    * of every shingle-based op (q26 MinHash, q27 exact Jaccard, q56
+    * decontamination). Built once and kept per (session, dir) under
+    * `spark.graft.cacheTables` (the q34/q49 convention: an index is
+    * built once and probed many times); uncached callers still get a
+    * per-call localCheckpoint so the string transforms never recompute
+    * inside one query's multi-branch plan. */
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  private def shingleDocs(spark: SparkSession, dir: String): DataFrame = {
+    def build: DataFrame = withToks(Tables.documents(spark, dir))
+      .withColumn("sh", shingles)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else {
+      shingleCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      shingleCache.getOrElseUpdate(
+        (System.identityHashCode(spark), dir), (spark, build))._2
+    }
+  }
+
   // ---------------------------------------------------------------- q13
   /** q13 — token frequencies: top-5 tokens per lang (V15).
     * explode → partial+final hash agg → per-lang top-k window. */
@@ -110,13 +136,9 @@ object TextOps {
     * are the wide payload; shuffling them through the 4-band join and
     * the pair dedup would multiply the shuffle bytes ~5×). */
   def q26MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withToks(Tables.documents(spark, dir))
-      .withColumn("sh", shingles)
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
-      // materialized once: feeds the signature pipeline AND the two
-      // verify joins
-      .localCheckpoint()
+    // materialized once (shared shingle index): feeds the signature
+    // pipeline AND the two verify joins
+    val docs = shingleDocs(spark, dir)
     // sig[j] = min over shingles of xxhash64(j, shingle), j = 0..15
     val sig = docs.withColumn("sig",
       expr("transform(sequence(0, 15), j -> array_min(transform(sh, s -> xxhash64(j, s))))"))
@@ -166,14 +188,10 @@ object TextOps {
   def q27ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfCap = 64
-    // materialize the shingle arrays once — they feed the inverted
-    // index and the per-doc meta table; recomputing the string
-    // transforms 3× dominates otherwise
-    val docs = withToks(Tables.documents(spark, dir))
-      .withColumn("sh", shingles)
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
+    // the shared shingle index — feeds the inverted index and the
+    // per-doc meta table; recomputing the string transforms 3×
+    // dominates otherwise
+    val docs = shingleDocs(spark, dir)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val rare = inv.join(dfTab.filter(col("df") <= dfCap), "s")
@@ -264,14 +282,12 @@ object TextOps {
   private def contamIndex(spark: SparkSession, dir: String, dfCap: Int)
       : (DataFrame, DataFrame) = {
     def build: (DataFrame, DataFrame) = {
-      val docs = withToks(Tables.documents(spark, dir))
-        .withColumn("sh", shingles)
-        .filter(size(col("sh")) > 0)
+      // the split flag is a cheap column over the shared shingle index
+      val docs = shingleDocs(spark, dir)
         .withColumn("is_test",
           substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
             < lit("10"))
         .select(col("doc_id"), col("is_test"), col("sh"))
-        .localCheckpoint()
       // materialized once: both sides of the overlap join read it, and
       // recomputing the explode + df-cap join per side doubles the cost
       val inv = docs.select(col("doc_id"), col("is_test"),
