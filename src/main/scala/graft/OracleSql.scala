@@ -710,6 +710,20 @@ object OracleSql {
       |  CAST(SUM(len(text)) AS BIGINT) AS n_text_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q70 — explicit grouping sets; nulls coalesced to 'ALL' pre-sort
+    * (q38 convention) so null ordering can't diverge. */
+  val q70: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |  (o_orderstatus, o_orderpriority))
+      |ORDER BY status, priority, g_status, g_priority""".stripMargin
+
   /** q69 — md5 of the decimal doc_id string, same addressing as q54. */
   val q69: String =
     """SELECT lang, rnk, doc_id FROM (

@@ -43,4 +43,26 @@ object FormatOps {
         sum(length(col("text"))).cast("bigint").as("n_text_chars"))
       .orderBy("lang")
   }
+
+  /** JSON-lines twin of q68 — same write/read-back/aggregate contract
+    * over the JSONL sink+source (ScalaTest-verified against the direct
+    * parquet aggregate; not a declared query only to keep the bench
+    * summary line inside the result collector's bounded stdout tail). */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("doc_id long, text string, lang string, source string, n_chars long")
+      .json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), t => t =!= lit(""))))
+          .cast("bigint").as("n_tokens"),
+        sum(length(col("text"))).cast("bigint").as("n_text_chars"))
+      .orderBy("lang")
+  }
 }

@@ -452,6 +452,30 @@ object RelationalQueries {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  // ---------------------------------------------------------------- q70
+  /** q70 — explicit GROUPING SETS (A9, completing rollup/cube): the
+    * two single-column marginals plus the full cross, with grouping()
+    * markers and an exact DECIMAL revenue. Same one-shuffle expand+agg
+    * plan as cube, but with a user-chosen set list — the shape ETL
+    * reporting actually uses when the full cube is too wide. Nulls are
+    * coalesced to 'ALL' before the sort (the q38 convention) so null
+    * ordering can't diverge between engines. */
+  def q70GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+          Seq(col("o_orderstatus"), col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n_orders"), col("revenue"))
+      .orderBy("status", "priority", "g_status", "g_priority")
+
   // ---------------------------------------------------------------- q63
   /** q63 — parse-then-join (F4/J7): recover the customer id embedded in
     * the denormalized name string via regexp_extract, then join it back

@@ -158,4 +158,34 @@ class Round5QueriesSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("q70: marginals sum to the full cross; markers label each set") {
+    val rows = SparkEntry.queries("q70_grouping_sets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val cross = rows.filter(r => r._3 == 0 && r._4 == 0)
+    val byStatus = rows.filter(r => r._3 == 0 && r._4 == 1)
+    val byPrio = rows.filter(r => r._3 == 1 && r._4 == 0)
+    assert(cross.nonEmpty && byStatus.nonEmpty && byPrio.nonEmpty)
+    assert(cross.length + byStatus.length + byPrio.length == rows.length)
+    val total = Tables.orders(spark, sf).count()
+    assert(byStatus.map(_._5).sum == total)
+    assert(byPrio.map(_._5).sum == total)
+    assert(cross.map(_._5).sum == total)
+    // each marginal's count equals the sum of its cross-cells
+    byStatus.foreach { m =>
+      assert(m._5 == cross.filter(_._1 == m._1).map(_._5).sum)
+    }
+  }
+
+  test("JSONL roundtrip aggregate equals the direct parquet aggregate") {
+    val direct = Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), t => t =!= lit(""))))
+          .cast("bigint").as("n_tokens"),
+        sum(length(col("text"))).cast("bigint").as("n_text_chars"))
+      .orderBy("lang").collect().toSeq
+    assert(ops.FormatOps.jsonlRoundtrip(spark, sf).collect().toSeq == direct)
+  }
 }
