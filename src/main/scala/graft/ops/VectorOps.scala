@@ -330,14 +330,34 @@ object VectorOps {
     * contracted remainder is. At 100 TB you recurse the
     * propagate+contract pair until the remainder fits a task — here
     * one level suffices by construction. */
+  // The symmetrized near-dup pair graph is an index-like intermediate
+  // (derived once from the corpus, consumed by every clustering pass),
+  // so under spark.graft.cacheTables it is kept per (session, dir)
+  // like the LSH tables and the shingle index.
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  private def neardupEdges(spark: SparkSession, dir: String): DataFrame = {
+    def build: DataFrame = {
+      val pairs = q48EmbedNeardup(spark, dir)
+        .select(col("keep_id").as("a"), col("drop_id").as("b"))
+      pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+    }
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else {
+      edgeCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      edgeCache.getOrElseUpdate(
+        (System.identityHashCode(spark), dir), (spark, build))._2
+    }
+  }
+
   def q55DupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = q48EmbedNeardup(spark, dir)
-      .select(col("keep_id").as("a"), col("drop_id").as("b"))
-    val edges = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val edges = neardupEdges(spark, dir)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
