@@ -710,6 +710,39 @@ object OracleSql {
       |  CAST(SUM(len(text)) AS BIGINT) AS n_text_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q71 — int8 quantize → dequantize → the q15 scoring pass. round()
+    * ties go away from zero in both engines, and q·scale is the same
+    * IEEE product, so the dequantized cosines are bit-comparable. */
+  val q71: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale, v
+      |  FROM e
+      |), dq AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x / scale) AS INTEGER) * scale)
+      |      AS dv
+      |  FROM qz
+      |), n AS (
+      |  SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nrm FROM dq
+      |), p AS (
+      |  SELECT vec_id AS probe_id, dv AS pv, nrm AS pnrm FROM n
+      |  WHERE vec_id < 5
+      |), s AS (
+      |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+      |    list_dot_product(p.pv, n.dv) / (p.pnrm * n.nrm) AS sim
+      |  FROM p JOIN n ON n.vec_id <> p.probe_id
+      |)
+      |SELECT probe_id, rank, neighbor_id FROM (
+      |  SELECT probe_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM s) t
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** q70 — explicit grouping sets; nulls coalesced to 'ALL' pre-sort
     * (q38 convention) so null ordering can't diverge. */
   val q70: String =

@@ -58,6 +58,53 @@ object VectorOps {
       .orderBy("probe_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Symmetric per-vector int8 quantization: scale = max|v_i| / 127,
+    * q_i = round(v_i / scale) ∈ [−127, 127], reconstruction
+    * dv_i = q_i · scale. The compression every large ANN deployment
+    * applies before the index (4× smaller vectors, SIMD-able integer
+    * dot products); reconstruction error is bounded by scale/2 per
+    * coordinate. All column expressions — quantization happens inside
+    * whole-stage codegen, no UDF. Both engines round ties away from
+    * zero, and the reconstructed doubles are the identical IEEE
+    * products q·scale, so downstream cosine math stays bit-comparable
+    * (the q15 convention). */
+  private def dequantizedInt8(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127)
+      .withColumn("qv",
+        transform(col("v"), x => round(x / col("scale")).cast("int")))
+      .withColumn("dv", transform(col("qv"), q => q * col("scale")))
+      .select(col("vec_id"), col("scale"), col("qv"), col("dv"))
+  }
+
+  /** q71 — brute-force cosine top-k over the int8-DEQUANTIZED corpus:
+    * q15's exact scoring pass run on the compressed representation.
+    * Same broadcast-probes / stream-corpus / per-probe top-k shape;
+    * the spec gates recall@10 ≥ 0.9 against exact q15, quantifying
+    * what the 4× compression costs. */
+  def q71QuantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = dequantizedInt8(spark, dir)
+      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
+      .select(col("vec_id"), col("dv"), col("nrm"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("dv").as("pv"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("dv"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"))
+      .orderBy("probe_id", "rank")
+  }
+
   // ---------------------------------------------------------------- q33
   /** q33 — globally most-similar embedding pairs (top-20), rank output.
     * All-pairs exactness baseline for q34's bucketed candidate path.

@@ -178,6 +178,34 @@ class Round5QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q71: int8 quantization keeps recall@10 >= 0.9 vs exact q15") {
+    def sets(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets("q15_knn_bruteforce")
+    val quant = sets("q71_quantized_knn")
+    assert(quant.keySet == exact.keySet)
+    exact.foreach { case (probe, nbrs) =>
+      val recall = quant(probe).intersect(nbrs).size.toDouble / nbrs.size
+      assert(recall >= 0.9, s"probe $probe recall $recall")
+    }
+  }
+
+  test("int8 reconstruction error is bounded by scale/2 per coordinate") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).limit(100).collect()
+      .map(_.getSeq[Double](0).toArray)
+    rows.foreach { v =>
+      val scale = v.map(math.abs).max / 127
+      v.foreach { x =>
+        val dq = math.round(x / scale).toDouble * scale
+        assert(math.abs(dq - x) <= scale / 2 + 1e-12)
+        assert(math.abs(math.round(x / scale)) <= 127)
+      }
+    }
+  }
+
   test("JSONL roundtrip aggregate equals the direct parquet aggregate") {
     val direct = Tables.documents(spark, sf)
       .groupBy("lang")
