@@ -710,6 +710,13 @@ object OracleSql {
       |  CAST(SUM(len(text)) AS BIGINT) AS n_text_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q72 — the oracle is the full-scan predicate; the engine's
+    * trigram-index route must return exactly this set. */
+  val q72: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE contains(text, 'hash join')
+      |ORDER BY doc_id""".stripMargin
+
   /** q71 — int8 quantize → dequantize → the q15 scoring pass. round()
     * ties go away from zero in both engines, and q·scale is the same
     * IEEE product, so the dequantized cosines are bit-comparable. */

@@ -616,6 +616,57 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  // ---------------------------------------------------------------- q72
+  /** The char-trigram inverted index over `documents.text` — the
+    * pg_trgm / search-engine structure that accelerates substring
+    * selection: a pattern's candidates are the docs whose trigram set
+    * covers the pattern's trigrams, and only candidates are verified
+    * with the exact `contains`. Lossless by construction (any doc
+    * containing the pattern contains every one of its trigrams), so
+    * the indexed route returns EXACTLY the scan's answer. Kept per
+    * (session, dir) under spark.graft.cacheTables — at 100 TB this is
+    * the artifact you persist partitioned by trigram, and a query
+    * reads |pattern| posting lists instead of the corpus. */
+  private val trigramCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  private def trigramIndex(spark: SparkSession, dir: String): DataFrame = {
+    def build: DataFrame = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
+        .as("tri"))
+      .localCheckpoint()
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else {
+      trigramCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      trigramCache.getOrElseUpdate(
+        (System.identityHashCode(spark), dir), (spark, build))._2
+    }
+  }
+
+  /** q72 — index-accelerated substring search for a fixed phrase:
+    * trigram-covering candidates from the inverted index, then the
+    * exact `contains` verify on candidates only. The oracle is the
+    * plain full-scan predicate, so the hash match proves the index
+    * route is lossless. */
+  def q72SubstringSearch(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "hash join"
+    val patTris = pattern.sliding(3).toSeq.distinct
+    val cand = trigramIndex(spark, dir)
+      .filter(col("tri").isin(patTris: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n")) // index rows are distinct
+      .filter(col("n") === patTris.length)
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(cand, "doc_id")
+      .filter(col("text").contains(pattern))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q62
   /** q62 — fuzzy name linkage (V14/F4): unordered pairs of distinct
     * part names within edit distance 4, blocked on the head noun.

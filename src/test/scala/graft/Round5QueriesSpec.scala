@@ -206,6 +206,17 @@ class Round5QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q72: the trigram-index route equals the full-scan predicate") {
+    val expected = Tables.documents(spark, sf)
+      .filter(col("text").contains("hash join"))
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.nonEmpty)
+    val got = SparkEntry.queries("q72_substring_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+  }
+
   test("JSONL roundtrip aggregate equals the direct parquet aggregate") {
     val direct = Tables.documents(spark, sf)
       .groupBy("lang")
