@@ -420,10 +420,12 @@ object TextOps {
     * set iff the sum over tokens of ±1 (sign of bit i of splitmix64(token))
     * is positive. Docs with identical token sets get identical signatures,
     * so bag-of-words duplicates collide exactly. */
-  def simhashGroups(docs: DataFrame): DataFrame = {
+  /** The 64-bit SimHash signature per doc (shared by q28 groups and
+    * q73 near-pairs). Narrow typed map — per-row, no shuffle. */
+  def simhashSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val tokens = text.split(" ").filter(_.nonEmpty).distinct
@@ -441,6 +443,10 @@ object TextOps {
         while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
         (id, sig)
       }.toDF("doc_id", "simhash")
+  }
+
+  def simhashGroups(docs: DataFrame): DataFrame = {
+    val sigs = simhashSigs(docs)
     import org.apache.spark.sql.expressions.Window
     val dupSigs = sigs.groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"))
@@ -457,6 +463,44 @@ object TextOps {
     * shuffle); grouping shuffles only the 64-bit signature. */
   def q28SimhashDups(spark: SparkSession, dir: String): DataFrame =
     simhashGroups(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------- q73
+  /** q73 — SimHash near-dup PAIRS at hamming distance ≤ 3 (q28 finds
+    * exact-signature groups; this finds the near misses a changed word
+    * or two produces). Candidate generation is pigeonhole-LOSSLESS
+    * banding: the 64-bit signature splits into 4 disjoint 16-bit
+    * bands, and a pair within distance 3 has at most 3 differing bits,
+    * so it agrees EXACTLY on at least one band — the (band, value)
+    * equi-join therefore yields a superset of every true pair, and the
+    * exact popcount verify (bit_count(xor), codegen built-in) keeps
+    * truth only. At 100 TB candidate volume is bounded by band-bucket
+    * sizes (16-bit buckets shatter the corpus); only 64-bit sigs cross
+    * the shuffle, never token sets. No oracle (engine-specific hash);
+    * ScalaTest equates the result with a driver-side all-pairs
+    * recomputation. */
+  def q73SimhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(Tables.documents(spark, dir))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
+        "doc_b")
+      .withColumn("dist", expr("bit_count(sa ^ sb)").cast("bigint"))
+      .filter(col("dist") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   // ---------------------------------------------------------------- q29
   /** q29 — n-gram language-ID heuristic: character-trigram profiles are

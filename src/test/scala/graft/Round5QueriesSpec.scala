@@ -217,6 +217,19 @@ class Round5QueriesSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q73 equals a driver-side all-pairs hamming recomputation") {
+    val sigs = ops.TextOps.simhashSigs(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(expected.nonEmpty)
+    val got = SparkEntry.queries("q73_simhash_near_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected) // banding is lossless at distance <= 3
+  }
+
   test("JSONL roundtrip aggregate equals the direct parquet aggregate") {
     val direct = Tables.documents(spark, sf)
       .groupBy("lang")
