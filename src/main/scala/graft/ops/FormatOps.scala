@@ -25,10 +25,15 @@ object FormatOps {
     * the oracle computes straight from parquet. Header on, explicit
     * read schema (no inference pass at scale), default quoting — the
     * hash match is the proof that the CSV path is byte-faithful. */
+  /** Scratch dir for roundtrip files: under the build's target/ (CWD
+    * is the repo root for every harness main), keyed by the source dir
+    * so scales never collide. */
+  private def scratch(kind: String, dir: String): String =
+    new java.io.File("target/fmt_roundtrip",
+      kind + "_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+
   def q68CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_csv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val out = scratch("csv", dir)
     Tables.documents(spark, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -49,9 +54,7 @@ object FormatOps {
     * parquet aggregate; not a declared query only to keep the bench
     * summary line inside the result collector's bounded stdout tail). */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val out = scratch("jsonl", dir)
     Tables.documents(spark, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").json(out)
