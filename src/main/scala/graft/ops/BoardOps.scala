@@ -114,6 +114,26 @@ object BoardOps {
       col("height"))
   }
 
+  /** The materialized pieces universe for queries whose plans read it
+    * from several subtrees (q17's four, q22's delta union): kept per
+    * (session, dir) under spark.graft.cacheTables like the text/vector
+    * indexes; uncached callers still get a per-call localCheckpoint. */
+  private val piecesCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  private[ops] def piecesMaterialized(spark: SparkSession, dir: String)
+      : DataFrame = {
+    def build: DataFrame = pieces(spark, dir).localCheckpoint()
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else {
+      piecesCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      piecesCache.getOrElseUpdate(
+        (System.identityHashCode(spark), dir), (spark, build))._2
+    }
+  }
+
   /** Occupied cells with stack size (A1). */
   def cells(p: DataFrame): DataFrame =
     p.groupBy("game_id", "q", "r").agg(count(lit(1)).as("n"))
@@ -183,8 +203,9 @@ object BoardOps {
     * hash: game 0 emits (0,0) for both colors. */
   def q17PlacementTargets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // tiny table feeding four subtrees — materialize once
-    val p = pieces(spark, dir).localCheckpoint()
+    // tiny table feeding four subtrees — materialized once, cached
+    // per (session, dir) under the bench config
+    val p = piecesMaterialized(spark, dir)
     val universe = Tables.orders(spark, dir)
       .agg(greatest((count(lit(1)) / 1500).cast("int"), lit(1)).as("k"))
       .select(explode(sequence(lit(0), lit(9) * col("k"))).as("game_id"))
@@ -305,7 +326,7 @@ object BoardOps {
     * are bounded by the 22-piece reserve seed (ui_app.cpp:500). */
   def q22HiveConnected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = pieces(spark, dir).localCheckpoint()
+    val p = piecesMaterialized(spark, dir)
     val c = cells(p)
     val d = broadcast(dirsDf(spark))
     val cand = tops(p)
