@@ -35,6 +35,28 @@ object Streaming {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Sliding-window counts (V16): overlapping windows — each event
+    * lands in windowDuration/slideDuration windows, the trend-monitor
+    * shape (e.g. "events per day, refreshed every 6 hours"). Same
+    * watermark-bounded state as the tumbling form. */
+  def slidingEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  /** Stream-static enrichment join (V16 × J7): each micro-batch joins
+    * the stream against a static dimension, broadcast at plan time —
+    * the canonical "enrich the clickstream with dimension attributes"
+    * deployment shape. Stateless: the static side is re-snapshotted
+    * per batch, so dimension updates between batches are picked up and
+    * no join state accumulates. */
+  def enrichedStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup (V14 × S6): the streaming twin of q14/q47 —
     * drop events whose dedup key was already seen, with state bounded
     * by the watermark (dropDuplicatesWithinWatermark evicts keys older

@@ -32,6 +32,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sliding windows land each event in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.slidingEventCounts(
+      input.toDF().toDF("ts", "event_type"))
+    val q = counts.writeStream.format("memory")
+      .queryName("slide_counts").outputMode("complete").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("slide_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      // 1-day window sliding every 6h → the event appears in 4 windows
+      assert(rows.length == 4, s"got ${rows.mkString(",")}")
+      assert(rows.forall(_._2 == 1L))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches each micro-batch from the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long)]
+    val enriched = Streaming.enrichedStream(
+      input.toDF().toDF("ts", "user_id"), dim, "user_id")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched_out").outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:00:01"), 3L)) // no dim row
+      q.processAllAvailable()
+      // USING-join output order: (user_id, ts, tier)
+      val rows = spark.table("enriched_out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
