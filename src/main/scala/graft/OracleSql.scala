@@ -772,4 +772,95 @@ object OracleSql {
       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
       |  FROM documents) t
       |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
+
+  /** q74 — sliding token chunks, size 32 / stride 24; chunk starts are
+    * every stride multiple below the token count (generate_series stop
+    * is inclusive, hence len(t)-1), list_slice's inclusive end =
+    * Spark's slice(start+1, 32). */
+  val q74: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), st AS (
+      |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+      |  FROM toks
+      |)
+      |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+      |  CAST(len(list_slice(t, s + 1, s + 32)) AS BIGINT) AS n_tok,
+      |  array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk
+      |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q75 — per-lang quota = ceil(8·√n) (α=0.5 temperature), selection =
+    * quota smallest md5(doc_id); √/ceil are correctly-rounded IEEE in
+    * both engines so the quotas agree exactly. */
+  val q75: String =
+    """SELECT lang, rnk, doc_id, quota FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+      |    CAST(LEAST(COUNT(*) OVER (PARTITION BY lang),
+      |      CAST(CEIL(8 * SQRT(COUNT(*) OVER (PARTITION BY lang))) AS BIGINT))
+      |      AS BIGINT) AS quota
+      |  FROM documents) t
+      |WHERE rnk <= quota ORDER BY lang, rnk""".stripMargin
+
+  /** q76 — oracle aggregates the ORIGINAL parquet per source; the
+    * engine aggregates its ORC-roundtripped copy (q68's contract). */
+  val q76: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |    AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q77 — identical synthetic-PII injection, then identical
+    * character-class-only regexes (the Java-regex ∩ RE2 portable
+    * subset); 'g' makes DuckDB's regexp_replace global like Spark's. */
+  val q77: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |    || '@mail.example or call '
+      |    || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+      |    || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS aug
+      |  FROM documents
+      |), cl AS (
+      |  SELECT doc_id, aug,
+      |    regexp_replace(regexp_replace(aug,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |  FROM aug
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+      |    AS n_phones,
+      |  CAST(len(aug) AS BIGINT) AS len_raw,
+      |  CAST(len(clean) AS BIGINT) AS len_clean,
+      |  md5(clean) AS md5_clean
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** q78 — distinct 4-grams per doc, global first owner = min(doc_id),
+    * novelty = floored basis points of grams first owned. */
+  val q78: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 4
+      |), gr AS (
+      |  SELECT DISTINCT doc_id, g FROM sh
+      |), o AS (
+      |  SELECT g, MIN(doc_id) AS owner FROM gr GROUP BY 1
+      |)
+      |SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN o.owner = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(FLOOR(10000 * SUM(CASE WHEN o.owner = gr.doc_id THEN 1 ELSE 0 END)
+      |    / COUNT(*)) AS BIGINT) AS novelty_bp
+      |FROM gr JOIN o USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -49,6 +49,29 @@ object FormatOps {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q76
+  /** q76 — ORC sink + source roundtrip (the columnar interchange twin
+    * of q68's CSV): write the corpus as ORC, read it back with an
+    * explicit schema, aggregate per SOURCE (doc count, token count,
+    * char sum over the n_chars column — so both string and integer
+    * fidelity sit under the hash); the oracle computes the same
+    * aggregate from the original parquet. */
+  def q76OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("orc", dir)
+    Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").orc(out)
+    spark.read
+      .schema("doc_id long, text string, lang string, source string, n_chars long")
+      .orc(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), t => t =!= lit(""))))
+          .cast("bigint").as("n_tokens"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** JSON-lines twin of q68 — same write/read-back/aggregate contract
     * over the JSONL sink+source (ScalaTest-verified against the direct
     * parquet aggregate; not a declared query only to keep the bench

@@ -797,6 +797,129 @@ object TextOps {
         floor(lit(10) * col("mad")).as("mad_x10"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- q74
+  /** q74 — context-window chunking: the step that turns a raw corpus
+    * into training examples. Sliding token windows of size 32 with
+    * stride 24 (chunk starts at every multiple of the stride below the
+    * doc's token count, so the tail is always covered and every token
+    * lands in ≥ 1 chunk). The chunk TEXT itself is in the output, so
+    * the oracle hash proves the slicing is byte-identical.
+    *
+    * At 100 TB: per-row explode with no shuffle before the final sort —
+    * chunking parallelizes embarrassingly by document, and output
+    * partitioning inherits the scan's. */
+  def q74DocChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (chunk, stride) = (32, 24)
+    withToks(Tables.documents(spark, dir))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
+      .withColumn("ct", slice(col("t"), col("start") + 1, lit(chunk)))
+      .select(col("doc_id"),
+        floor(col("start") / lit(stride)).cast("bigint").as("chunk_id"),
+        size(col("ct")).cast("bigint").as("n_tok"),
+        array_join(col("ct"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // ---------------------------------------------------------------- q75
+  /** q75 — temperature-flattened mixture sampling: rebalance a
+    * multilingual corpus by capping each language at
+    * quota = ceil(8·√n) docs (α = 0.5 temperature — over-represented
+    * languages are downsampled hardest, the standard multilingual-
+    * pretraining mix). Selection is content-addressed and exact-k: the
+    * quota smallest md5(doc_id) per language, so sample MEMBERSHIP is
+    * reproducible and sits under the oracle hash (q54 samples by rate,
+    * q69 by fixed k; this derives k from the data). √ and ceil are
+    * correctly-rounded IEEE in both engines, so quotas agree exactly.
+    *
+    * At 100 TB the per-lang row_number funnels each language through
+    * one task; the documented fix is the q57-style two-level exact-k
+    * (per-partition top-quota heaps, then merge) — at bench scale the
+    * single window keeps the plan to one shuffle. */
+  def q75MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(col("doc_id").cast("string").cast("binary"))
+    val wAll = Window.partitionBy(col("lang"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("key", key)
+      .withColumn("quota",
+        least(count(lit(1)).over(wAll),
+          ceil(lit(8) * sqrt(count(lit(1)).over(wAll)))).cast("bigint"))
+      .withColumn("rnk", row_number().over(wRank).cast("bigint"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("lang"), col("rnk"), col("doc_id"), col("quota"))
+      .orderBy("lang", "rnk")
+  }
+
+  // ---------------------------------------------------------------- q77
+  /** q77 — PII redaction: the scrubbing pass of a training-data
+    * pipeline. The corpus text is digit- and @-free, so deterministic
+    * synthetic PII (an email and a phone derived from doc_id) is
+    * appended first and then scrubbed back out with the generic
+    * patterns a real pipeline would use; counts, lengths and the md5 of
+    * the scrubbed text are all under the oracle hash, proving the
+    * regex semantics match engine-for-engine (character classes only —
+    * the portable subset of Java regex and RE2).
+    *
+    * At 100 TB: pure per-row map over the scan, no shuffle; regexes are
+    * codegen'd string expressions, not UDFs. */
+  def q77PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example or call "),
+      (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+      lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .withColumn("aug", aug)
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        length(col("aug")).cast("bigint").as("len_raw"),
+        length(col("clean")).cast("bigint").as("len_clean"),
+        md5(col("clean").cast("binary")).as("md5_clean"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q78
+  /** q78 — n-gram novelty scoring: per document, the fraction of its
+    * distinct 4-gram vocabulary it is the FIRST (min doc_id) to use —
+    * the dedup-adjacent signal curation pipelines use to rank documents
+    * by contribution of new content (a near-dup of an earlier doc
+    * scores ~0). Basis points floored, q67's integer convention.
+    *
+    * At 100 TB: one explode → hash shuffle keyed by gram for the
+    * first-owner table, one shuffle back by gram to tag rows, one agg
+    * by doc_id — all bounded, no self-join, no all-pairs. */
+  def q78NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val grams4 = array_distinct(transform(sequence(lit(1), size(t) - 3), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2), element_at(t, i + 3))))
+    val grams = withToks(Tables.documents(spark, dir))
+      .filter(size(t) >= 4)
+      .select(col("doc_id"), explode(grams4).as("g"))
+    val owner = grams.groupBy("g").agg(min(col("doc_id")).as("owner"))
+    grams.join(owner, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp",
+        floor(lit(10000) * col("n_novel") / col("n_grams")).cast("bigint"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        col("novelty_bp"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Deterministic 64-bit hashing used by the Spark-only text ops

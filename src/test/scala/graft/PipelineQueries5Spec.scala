@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 pipeline additions: context-window chunking, temperature
+  * mixture sampling, ORC roundtrip, PII scrubbing, n-gram novelty.
+  * The oracle gate covers value-exactness at sf0.01; these specs
+  * re-derive the semantics driver-side at sf0.001 so a refactor that
+  * silently changes the CONTRACT (not just the values) also fails. */
+class PipelineQueries5Spec extends SparkSpecBase {
+
+  private def docTokens: Map[Long, Array[String]] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+
+  test("q74: chunks are exactly the size-32/stride-24 windows of each doc") {
+    val rows = SparkEntry.queries("q74_doc_chunks")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val toks = docTokens
+    assert(byDoc.keySet == toks.keySet)
+    toks.foreach { case (id, t) =>
+      val expected = (0 until t.length by 24).map(s =>
+        t.slice(s, s + 32)).toArray
+      val got = byDoc(id).sortBy(_.getLong(1))
+      assert(got.length == expected.length)
+      got.zip(expected).zipWithIndex.foreach { case ((r, e), i) =>
+        assert(r.getLong(1) == i)
+        assert(r.getLong(2) == e.length)
+        assert(r.getString(3) == e.mkString(" "))
+      }
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q75: per-lang sample is the ceil(8*sqrt(n)) smallest md5 keys") {
+    val rows = SparkEntry.queries("q75_mixture_sample")(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    langs.foreach { case (lang, docs) =>
+      val n = docs.length
+      val quota = math.min(n.toLong, math.ceil(8 * math.sqrt(n.toDouble)).toLong)
+      val expected = docs.map(_._2)
+        .sortBy(id => (md5hex(id.toString), id)).take(quota.toInt)
+      val got = rows.filter(_.getString(0) == lang).sortBy(_.getLong(1))
+      assert(got.length == expected.length)
+      assert(got.map(_.getLong(2)).sameElements(expected))
+      got.foreach(r => assert(r.getLong(3) == quota))
+    }
+  }
+
+  test("q76: ORC roundtrip aggregate equals the direct-parquet aggregate") {
+    val got = SparkEntry.queries("q76_orc_roundtrip")(spark, sf).collect()
+    val direct = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), t => t =!= lit(""))))
+          .cast("bigint").as("n_tokens"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy("source").collect()
+    assert(got.length == direct.length)
+    got.zip(direct).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("q77: exactly one email + one phone found and scrubbed per doc") {
+    val rows = SparkEntry.queries("q77_pii_scrub")(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}".r
+    val phoneRe = "[0-9]{3}-[0-9]{4}".r
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 1L, "one injected email")
+      assert(r.getLong(2) == 1L, "one injected phone")
+      val aug = texts(id) + s" contact user$id@mail.example or call " +
+        (id % 900 + 100) + "-" + "%04d".format((id * 7) % 10000)
+      assert(r.getLong(3) == aug.length)
+      val clean = phoneRe.replaceAllIn(
+        emailRe.replaceAllIn(aug, "<EMAIL>"), "<PHONE>")
+      assert(r.getLong(4) == clean.length)
+      assert(r.getString(5) == md5hex(clean))
+      assert(!clean.contains("@") && clean.contains("<EMAIL>")
+        && clean.contains("<PHONE>"))
+    }
+  }
+
+  test("q78: novelty matches a driver-side first-owner recomputation") {
+    val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
+    val grams = docTokens.view.mapValues(t =>
+      t.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet)
+      .toMap.filter(_._2.nonEmpty)
+    val owner = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    assert(rows.length == grams.size)
+    // every distinct gram is first-owned exactly once across the corpus
+    assert(rows.map(_.getLong(2)).sum == owner.size)
+    rows.foreach { r =>
+      val gs = grams(r.getLong(0))
+      val novel = gs.count(g => owner(g) == r.getLong(0))
+      assert(r.getLong(1) == gs.size)
+      assert(r.getLong(2) == novel)
+      assert(r.getLong(3) == math.floor(10000.0 * novel / gs.size).toLong)
+    }
+  }
+}
