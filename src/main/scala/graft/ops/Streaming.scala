@@ -68,6 +68,24 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-STREAM interval join (V16 × J10): impressions ⋈ clicks on
+    * user within an event-time window — the attribution-join deployment
+    * shape. BOTH sides carry watermarks and the join condition bounds
+    * event-time distance, so each side's buffered state is evicted once
+    * the other side's watermark passes the window — the pair of
+    * constraints that makes a stream-stream join runnable forever on an
+    * unbounded feed (either one alone accumulates state without bound).
+    * State is partitioned by the equi-key (user), same as a batch
+    * shuffle join. */
+  def attributionJoinStream(impressions: DataFrame,
+      clicks: DataFrame): DataFrame =
+    impressions.withWatermark("imp_ts", "30 minutes")
+      .join(clicks.withWatermark("click_ts", "30 minutes"),
+        expr("imp_user = click_user AND " +
+          "click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 10 MINUTES"))
+      .select(col("imp_user").as("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+
   /** V11 streaming form: per-game turn-state machine as keyed state.
     * Each micro-batch folds that game's new moves (ordered by seq) into
     * the persisted GameReplay state and emits the updated summary.

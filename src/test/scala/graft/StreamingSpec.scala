@@ -98,6 +98,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streaming.attributionJoinStream(
+      imps.toDF().toDF("imp_ts", "imp_user", "imp_id"),
+      clicks.toDF().toDF("click_ts", "click_user", "click_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("attr_out").outputMode("append").start()
+    try {
+      imps.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 100L))
+      clicks.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 500L), // in window
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L, 501L), // > 10 min late
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 502L)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 100L, 500L)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
