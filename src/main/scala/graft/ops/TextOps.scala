@@ -897,10 +897,12 @@ object TextOps {
     * by contribution of new content (a near-dup of an earlier doc
     * scores ~0). Basis points floored, q67's integer convention.
     *
-    * At 100 TB: one explode → hash shuffle keyed by gram for the
-    * first-owner table, one shuffle back by gram to tag rows, one agg
-    * by doc_id — all bounded, no self-join, no all-pairs. */
+    * At 100 TB: ONE corpus scan — the first owner is a min() window
+    * over the gram partition (one hash shuffle keyed by gram, no
+    * groupBy+join-back, which would re-scan and re-explode the corpus)
+    * — then one agg shuffle by doc_id. No self-join, no all-pairs. */
   def q78NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = col("t")
     val grams4 = array_distinct(transform(sequence(lit(1), size(t) - 3), i =>
       concat_ws(" ", element_at(t, i), element_at(t, i + 1),
@@ -908,8 +910,8 @@ object TextOps {
     val grams = withToks(Tables.documents(spark, dir))
       .filter(size(t) >= 4)
       .select(col("doc_id"), explode(grams4).as("g"))
-    val owner = grams.groupBy("g").agg(min(col("doc_id")).as("owner"))
-    grams.join(owner, "g")
+    grams
+      .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("g"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
