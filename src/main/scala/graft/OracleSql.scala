@@ -863,4 +863,36 @@ object OracleSql {
       |    / COUNT(*)) AS BIGINT) AS novelty_bp
       |FROM gr JOIN o USING (g)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q79 — the composed curation pipeline: quality gate → q47 dedup
+    * rule → q75 quota rule (4·√n over the survivors) → per-lang
+    * accounting. 4096.0 is a power of two, so the shard division is
+    * exact binary and ceil agrees engine-for-engine. */
+  val q79: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), gated AS (
+      |  SELECT doc_id, lang, len(t) AS n_tok,
+      |    array_to_string(list_sort(list_distinct(t)), ' ') AS bow
+      |  FROM toks WHERE len(t) BETWEEN 20 AND 80
+      |), dedup AS (
+      |  SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+      |    arg_min(n_tok, doc_id) AS n_tok
+      |  FROM gated GROUP BY bow
+      |), ranked AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+      |    CAST(LEAST(COUNT(*) OVER (PARTITION BY lang),
+      |      CAST(CEIL(4 * SQRT(COUNT(*) OVER (PARTITION BY lang)))
+      |        AS BIGINT)) AS BIGINT) AS quota
+      |  FROM dedup
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(CEIL(SUM(n_tok) / 4096.0) AS BIGINT) AS n_shards
+      |FROM ranked WHERE rnk <= quota
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

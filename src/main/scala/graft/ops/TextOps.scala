@@ -922,6 +922,50 @@ object TextOps {
         col("novelty_bp"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- q79
+  /** q79 — the curation pipeline END TO END as one declared plan:
+    * quality gate (20 ≤ tokens ≤ 80) → exact dedup (keep min doc_id
+    * per bag-of-words key, q47's rule) → per-lang quota cap (the
+    * ceil(4·√n) smallest md5 keys of the SURVIVORS, q75's rule) →
+    * per-lang corpus accounting (docs kept, tokens kept, 4096-token
+    * shard count, q57's packing unit). One query proves the operators
+    * COMPOSE — the property that makes the engine a pipeline engine
+    * rather than a query collection; Catalyst fuses the whole chain
+    * into one plan (the dedup agg, the two windows, and the final agg
+    * share the pipeline; no materialization boundaries).
+    *
+    * At 100 TB each stage keeps the previous stage's partitioning
+    * lineage: dedup shuffles by bow key, the quota window by lang,
+    * the final agg reuses the lang partitioning. */
+  def q79CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bow = array_join(array_sort(array_distinct(col("t"))), " ")
+    val gated = withToks(Tables.documents(spark, dir))
+      .withColumn("n_tok", size(col("t")))
+      .filter(col("n_tok").between(20, 80))
+    val deduped = gated
+      .withColumn("bow", bow)
+      .groupBy(col("bow"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tok"), col("doc_id")).as("n_tok"))
+    val wAll = Window.partitionBy(col("lang"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("key"), col("doc_id"))
+    deduped
+      .withColumn("key", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("quota",
+        least(count(lit(1)).over(wAll),
+          ceil(lit(4) * sqrt(count(lit(1)).over(wAll)))).cast("bigint"))
+      .withColumn("rnk", row_number().over(wRank).cast("bigint"))
+      .filter(col("rnk") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("n_tokens"),
+        ceil(sum(col("n_tok")) / lit(4096.0)).cast("bigint").as("n_shards"))
+      .orderBy("lang")
+  }
 }
 
 /** Deterministic 64-bit hashing used by the Spark-only text ops

@@ -88,6 +88,27 @@ class PipelineQueries5Spec extends SparkSpecBase {
     }
   }
 
+  test("q79: composed pipeline equals gate -> dedup -> quota run stepwise") {
+    val rows = SparkEntry.queries("q79_curation_pipeline")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+    val gated = docs.filter(d => d._3.length >= 20 && d._3.length <= 80)
+    val deduped = gated.groupBy(_._3.distinct.sorted.mkString(" "))
+      .values.map(_.minBy(_._1)).toSeq
+    val expected = deduped.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (lang, ds) =>
+        val quota = math.min(ds.length.toLong,
+          math.ceil(4 * math.sqrt(ds.length.toDouble)).toLong)
+        val kept = ds.sortBy(d => (md5hex(d._1.toString), d._1))
+          .take(quota.toInt)
+        val tok = kept.map(_._3.length.toLong).sum
+        (lang, kept.length.toLong, tok, math.ceil(tok / 4096.0).toLong)
+    }
+    assert(rows.toSeq == expected)
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
