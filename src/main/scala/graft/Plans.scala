@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * order key (zero input-side shuffles, `SelectedBucketsCount` in the
   * scans). At 100 TB that bucketing decision is made once at write
   * time and every downstream equi-join/agg on the key rides it.
+  *
+  * `runMain graft.Plans partitioned [sfDir]` — the scan-side twin:
+  * documents hive-partitioned by lang, a one-language filter becomes a
+  * PartitionFilter and the scan lists only that language's directory
+  * (file counts printed for proof). Bucketing kills the join shuffle;
+  * partitioning kills the scan.
   */
 object Plans {
   def main(args: Array[String]): Unit = {
@@ -27,6 +33,11 @@ object Plans {
       spark.stop()
       return
     }
+    if (args.headOption.contains("partitioned")) {
+      partitionedDemo(spark, dir)
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args(0).split(",").toSeq
       else Seq("q01_pricing_summary", "q03_star_join")
     names.foreach { n =>
@@ -35,6 +46,28 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
+  }
+
+  private def partitionedDemo(spark: SparkSession, dir: String): Unit = {
+    val out = java.nio.file.Files
+      .createTempDirectory("part_layout").toString + "/documents"
+    Tables.writePartitionedTable(Tables.documents(spark, dir), out, Seq("lang"))
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .get.metrics("numFiles").value
+    }
+    val all = spark.read.parquet(out)
+    val en = all.filter(col("lang") === "en")
+    val (nEn, nAll) = (filesRead(en), filesRead(all))
+    val plan = en.queryExecution.executedPlan.toString
+    println("===== documents partitioned by lang, filter lang='en' =====")
+    println(s"files read: $nEn of $nAll" +
+      s"   PartitionFilters on lang: ${
+        "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined}")
+    println(plan)
   }
 
   private def bucketedDemo(spark: SparkSession, dir: String): Unit = {

@@ -99,4 +99,21 @@ object Tables {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tableName)
+
+  /** Persist `df` hive-partitioned on `keys` (one directory per key
+    * value): the OTHER half of the warehouse layout story. Bucketing
+    * kills the join shuffle; partitioning kills the SCAN — an equality
+    * or range predicate on a partition key becomes a PartitionFilter,
+    * and Spark lists only the matching directories, so a
+    * one-language query over a 100 TB multilingual corpus reads that
+    * language's bytes and nothing else (PartitionedScanSpec asserts
+    * the pruned file set). Choose low-cardinality, always-filtered
+    * keys (lang, date, source); high-cardinality keys belong in
+    * bucketing or sort order instead — a million tiny directories is
+    * its own scale bug. */
+  def writePartitionedTable(df: DataFrame, path: String,
+      keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(keys: _*)
+      .parquet(path)
 }
