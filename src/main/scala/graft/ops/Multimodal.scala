@@ -228,6 +228,36 @@ object Multimodal {
       header ++ out
     }
 
+    /** 64-bit difference hash (dHash — the standard perceptual image
+      * fingerprint): nearest-neighbor resize to 9×8 (reusing resizePpm,
+      * so the hash is defined on CONTAINER bytes, not decoded
+      * intermediates), integer grayscale = channel sum (no division —
+      * exact), bit i = gray(x,y) > gray(x+1,y) over the 8×8 horizontal
+      * comparisons. A one-pixel change in the source flips at most 2
+      * bits (the pixel feeds ≤ 1 grid cell — the 9×8 target is a
+      * strict downsample — and a cell sits in ≤ 2 comparisons), which
+      * is what makes hamming-≤3 the right near-dup radius. */
+    def dHashPpm(payload: Array[Byte]): Long = {
+      val small = resizePpm(payload, 9, 8)
+      val (w, _, _, off) = parsePpmHeader(small, 0)
+      def gray(x: Int, y: Int): Int = {
+        val p = off + (y * w + x) * 3
+        (small(p) & 0xff) + (small(p + 1) & 0xff) + (small(p + 2) & 0xff)
+      }
+      var bits = 0L
+      var i = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x, y) > gray(x + 1, y)) bits |= (1L << i)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
     /** Keep every `stride`-th frame of a GFV1 payload (0, stride, …);
       * output is again a valid GFV1 container. */
     def sampleFrames(payload: Array[Byte], stride: Int): Array[Byte] = {
@@ -312,6 +342,70 @@ object Multimodal {
         min(col("stat_min")).as("min_stat"),
         max(col("stat_max")).as("max_stat"))
       .orderBy("kind")
+  }
+
+  /** Image corpus with PLANTED duplicates, one per 10-id block: id ≡ 9
+    * (mod 10) re-encodes id−1's content byte-for-byte (exact dup) and
+    * id ≡ 5 (mod 10) re-encodes id−1's content with ONE pixel byte
+    * perturbed (near dup, ≤ 2 dHash bits away by construction — see
+    * dHashPpm). Dup volume is linear in the corpus, never quadratic. */
+  def imageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val (w, h) = (16, 12)
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val seed = if (id % 10 == 9 || id % 10 == 5) id - 1 else id
+      val base = Codec.encodePpm(w, h, seed)
+      val payload =
+        if (id % 10 == 5) {
+          val b = base.clone()
+          val p = (b.length - w * h * 3) + ((id * 31) % (w * h * 3)).toInt
+          b(p) = ((b(p) + 16) & 0xff).toByte
+          b
+        } else base
+      MediaRow(id, "image", w, h, payload)
+    }
+  }
+
+  /** q80 — perceptual-hash image near-dup pairs: the image-side twin of
+    * the text near-dup family (the mandate's multimodal dedup). dHash
+    * every image from its container bytes, then find pairs at hamming
+    * ≤ 3 with q73's pigeonhole-lossless banding — the 64-bit hash
+    * splits into 4 disjoint 16-bit bands and a ≤3-bit-distant pair
+    * agrees exactly on ≥ 1 band, so the (band, key) equi-join yields a
+    * superset of every true pair; bit_count(xor) keeps truth only.
+    *
+    * At 100 TB: payloads never shuffle (hashing is partition-local
+    * decode); only (id, 64-bit sig) rows enter the band join, and
+    * 16-bit buckets shatter the corpus. No oracle (hash is
+    * engine-specific); MultimodalSpec equates the result with a
+    * driver-side all-pairs recomputation and checks the planted dups. */
+  def q80ImageDups(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val sigs = imageTable(spark, dir)
+      .mapPartitions(_.map(r => (r.media_id, Codec.dHashPpm(r.payload))))
+      .toDF("media_id", "dhash")
+    val bands = sigs.select(col("media_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (dhash >> (b * 16)) & 65535)")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    val cand = bands
+      .select(col("band"), col("key"), col("media_id").as("media_a"))
+      .join(bands.select(col("band"), col("key"), col("media_id").as("media_b")),
+        Seq("band", "key"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b")
+      .dropDuplicates("media_a", "media_b")
+    cand
+      .join(sigs.select(col("media_id").as("media_a"), col("dhash").as("ha")),
+        "media_a")
+      .join(sigs.select(col("media_id").as("media_b"), col("dhash").as("hb")),
+        "media_b")
+      .withColumn("dist", expr("bit_count(ha ^ hb)").cast("bigint"))
+      .filter(col("dist") <= 3)
+      .select(col("media_a"), col("media_b"), col("dist"))
+      .orderBy("media_a", "media_b")
   }
 
   /** q35 — multimodal feature pipeline: synthesize containers → decode

@@ -111,6 +111,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(byKind("image")._2 == 64L * byKind("image")._1)
   }
 
+  test("q80: banded pairs equal driver-side all-pairs; planted dups found") {
+    import graft.ops.Multimodal.Codec
+    val got = SparkEntry.queries("q80_image_dups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver-side exhaustive recomputation over the same corpus
+    val sigs = Multimodal.imageTable(spark, sf).collect()
+      .map(r => r.media_id -> Codec.dHashPpm(r.payload)).sortBy(_._1)
+    val expected = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if d <= 3
+    } yield (sigs(i)._1, sigs(j)._1, d.toLong)
+    assert(got.toSeq == expected.toSeq) // banding is lossless at radius 3
+    // the planted dups are all present: 10k+8/10k+9 exact (dist 0),
+    // 10k+4/10k+5 near (one pixel -> at most 2 bits)
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    val n = sigs.length
+    (0L until n by 10).foreach { base =>
+      if (base + 9 < n) assert(byPair((base + 8, base + 9)) == 0L)
+      if (base + 5 < n) {
+        val d = byPair((base + 4, base + 5))
+        assert(d <= 2L, s"near-dup pair ${base + 4}/${base + 5} at $d")
+      }
+    }
+  }
+
   test("media table: parsed features agree with synthesis metadata") {
     val rows = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
       .collect()
