@@ -895,4 +895,52 @@ object OracleSql {
       |  CAST(CEIL(SUM(n_tok) / 4096.0) AS BIGINT) AS n_shards
       |FROM ranked WHERE rnk <= quota
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q81 — densify each user's purchase span day-by-day and forward
+    * fill; the fill copies doubles (no float arithmetic). */
+  val q81: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), daily AS (
+      |  SELECT user_id, day, value FROM (
+      |    SELECT user_id, day, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev) t
+      |  WHERE rn = 1
+      |), span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+      |), dense AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |)
+      |SELECT dense.user_id, dense.day,
+      |  LAST_VALUE(daily.value IGNORE NULLS) OVER (PARTITION BY dense.user_id
+      |    ORDER BY dense.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  CAST(CASE WHEN daily.value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS observed
+      |FROM dense LEFT JOIN daily
+      |  ON dense.user_id = daily.user_id AND dense.day = daily.day
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q82 — the melted pivot including zero cells, rebuilt relationally
+    * with a dimension cross join. */
+  val q82: String =
+    """WITH dims AS (
+      |  SELECT DISTINCT o_orderpriority AS priority FROM orders
+      |), st(status) AS (VALUES ('F'), ('O'), ('P')),
+      |cnt AS (
+      |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT dims.priority, st.status,
+      |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+      |FROM dims CROSS JOIN st
+      |LEFT JOIN cnt
+      |  ON cnt.priority = dims.priority AND cnt.status = st.status
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -516,4 +516,61 @@ object RelationalQueries {
         sum(dec("o_totalprice")).cast("double").as("tot"))
       .orderBy("bin")
   }
+
+  // ---------------------------------------------------------------- q81
+  /** q81 — time-series densification + forward fill (the gap-fill
+    * operator every metrics/feature store needs): per user, the daily
+    * last purchase value over the user's own active span, with missing
+    * days generated (sequence + explode) and filled from the last
+    * observed day (last(ignoreNulls) over an unbounded-preceding row
+    * frame). The fill COPIES doubles — no float arithmetic — so the
+    * oracle hash is safe.
+    *
+    * At 100 TB everything partitions by user_id: the daily top-1
+    * window, the span agg, the dense explode and the fill window all
+    * share the key, so Catalyst plans one Exchange and the per-user
+    * state is bounded by the span length. */
+  def q81GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val dense = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(wFill))
+      .withColumn("observed",
+        when(col("value").isNotNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("day"), col("filled"), col("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** q82 — unpivot/melt (A9's inverse, the missing half of q41's
+    * pivot): the per-priority status counts land as three columns via
+    * pivot, then melt back into (priority, status, n) rows with
+    * Dataset.unpivot — zero-count cells included, which is exactly what
+    * distinguishes the operator from a plain GROUP BY over both keys
+    * (the oracle rebuilds those zeros with a dimension cross join).
+    * Scale: pivot is one hash agg; unpivot is a per-row map. */
+  def q82Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(coalesce(count(lit(1)), lit(0L)))
+    wide.unpivot(
+        Array(col("priority")),
+        Array(col("F"), col("O"), col("P")),
+        "status", "n")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .orderBy("priority", "status")
+  }
 }

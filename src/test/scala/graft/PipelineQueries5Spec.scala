@@ -109,6 +109,42 @@ class PipelineQueries5Spec extends SparkSpecBase {
     assert(rows.toSeq == expected)
   }
 
+  test("q81: span is dense per user; fill carries the last observed value") {
+    val rows = SparkEntry.queries("q81_gap_fill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { user =>
+      val days = user.map(_._2).sorted
+      // dense: every day between the user's first and last is present
+      assert(days.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1)
+      // span edges are observed; fill equals the last observed value
+      val ordered = user.sortBy(_._2.toEpochDay)
+      assert(ordered.head._4 == 1L)
+      var lastObserved = ordered.head._3
+      ordered.foreach { case (_, _, filled, observed) =>
+        if (observed == 1L) lastObserved = filled
+        assert(filled == lastObserved)
+      }
+    }
+  }
+
+  test("q82: melt emits every priority x status cell and counts cover orders") {
+    val rows = SparkEntry.queries("q82_unpivot")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nPrio = Tables.orders(spark, sf)
+      .select("o_orderpriority").distinct().count()
+    assert(rows.length == nPrio * 3) // zero cells included
+    assert(rows.map(_._3).sum == Tables.orders(spark, sf).count())
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority", "o_orderstatus").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (p, s, n) =>
+      assert(n == direct.getOrElse((p, s), 0L))
+    }
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
