@@ -526,10 +526,14 @@ object RelationalQueries {
     * frame). The fill COPIES doubles — no float arithmetic — so the
     * oracle hash is safe.
     *
-    * At 100 TB everything partitions by user_id: the daily top-1
-    * window, the span agg, the dense explode and the fill window all
-    * share the key, so Catalyst plans one Exchange and the per-user
-    * state is bounded by the span length. */
+    * Single-pass shape: each observed day emits ITSELF plus the gap
+    * days up to (not including) the user's next observed day
+    * (lead(day) − 1), carrying its value — so densification and fill
+    * are one explode, with no span table, no join-back and no second
+    * scan (the first draft's dense ⋈ daily join re-scanned events and
+    * re-ran the daily window; this plan is one scan and two hash
+    * Exchanges — both keyed by the user — ahead of the output sort,
+    * and per-user state is one row of lookahead). */
   def q81GapFill(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
@@ -540,16 +544,17 @@ object RelationalQueries {
         .orderBy(col("ts").desc, col("event_id").desc)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("day"), col("value"))
-    val dense = daily.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    val wFill = Window.partitionBy("user_id").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dense.join(daily, Seq("user_id", "day"), "left")
-      .withColumn("filled", last(col("value"), ignoreNulls = true).over(wFill))
-      .withColumn("observed",
-        when(col("value").isNotNull, 1L).otherwise(0L))
-      .select(col("user_id"), col("day"), col("filled"), col("observed"))
+    val gapEnd = coalesce(
+      date_sub(lead(col("day"), 1).over(
+        Window.partitionBy("user_id").orderBy("day")), 1),
+      col("day"))
+    daily
+      .withColumn("gap_end", gapEnd)
+      .select(col("user_id"), col("day"), col("value"),
+        explode(sequence(col("day"), col("gap_end"))).as("gen_day"))
+      .select(col("user_id"), col("gen_day").as("day"),
+        col("value").as("filled"),
+        when(col("gen_day") === col("day"), 1L).otherwise(0L).as("observed"))
       .orderBy("user_id", "day")
   }
 
