@@ -943,4 +943,32 @@ object OracleSql {
       |LEFT JOIN cnt
       |  ON cnt.priority = dims.priority AND cnt.status = st.status
       |ORDER BY 1, 2""".stripMargin
+
+  /** q83 — integer chi-square-style drift per source over the corpus
+    * top-20 tokens; // is DuckDB's floor division = Spark's DIV. */
+  val q83: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |), top AS (
+      |  SELECT t FROM (SELECT t, SUM(c) AS ct FROM cnt GROUP BY 1
+      |    ORDER BY ct DESC, t LIMIT 20) z
+      |), sub AS (
+      |  SELECT source, cnt.t, c FROM cnt JOIN top ON cnt.t = top.t
+      |), tots AS (
+      |  SELECT source, t, c,
+      |    SUM(c) OVER (PARTITION BY source) AS ns,
+      |    SUM(c) OVER (PARTITION BY t) AS ct,
+      |    SUM(c) OVER () AS n
+      |  FROM sub
+      |)
+      |SELECT source,
+      |  CAST(SUM((c*n - ns*ct)*(c*n - ns*ct)
+      |    // GREATEST(ns*ct*n // 10000, 1)) AS BIGINT) AS drift,
+      |  CAST(MAX(ABS(c*n - ns*ct) // GREATEST(ns*n // 10000, 1)) AS BIGINT)
+      |    AS max_token_bp
+      |FROM tots GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -966,6 +966,45 @@ object TextOps {
         ceil(sum(col("n_tok")) / lit(4096.0)).cast("bigint").as("n_shards"))
       .orderBy("lang")
   }
+
+  // ---------------------------------------------------------------- q83
+  /** q83 — per-source distribution drift (the data-quality monitor a
+    * pipeline runs on every ingest batch): a chi-square-style score of
+    * each source's token mix against the corpus mix, over the corpus's
+    * top-20 tokens. ENTIRELY integer: with per-cell count c, source
+    * total ns, token total ct and grand total n, each cell contributes
+    * floor((c·n − ns·ct)² / floor(ns·ct·n / 10000)) — the ×10000
+    * basis-point scale is divided INTO the denominator before the
+    * floor, keeping every intermediate within int64 at the test SFs
+    * (documented headroom: diff² ≤ ~2e16; at larger corpora this
+    * becomes DECIMAL(38) arithmetic, same expression). No
+    * transcendentals anywhere, so the score is engine-exact.
+    *
+    * At 100 TB: one explode → (source, token) hash agg; the top-20
+    * table is a TakeOrdered (tiny, broadcast back); the marginal
+    * windows run over |sources|×20 rows. Nothing scales with corpus
+    * size after the first agg. */
+  def q83SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val top = cnt.groupBy("t").agg(sum(col("c")).as("ct_all"))
+      .orderBy(col("ct_all").desc, col("t")).limit(20)
+      .select("t")
+    val sub = cnt.join(broadcast(top), "t")
+    val withN = sub.crossJoin(broadcast(sub.agg(sum(col("c")).as("n"))))
+      .withColumn("ns", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("ct", sum(col("c")).over(Window.partitionBy("t")))
+    withN
+      .groupBy("source")
+      .agg(
+        expr("CAST(SUM((c*n - ns*ct)*(c*n - ns*ct) " +
+          "DIV greatest((ns*ct*n) DIV 10000, 1)) AS BIGINT)").as("drift"),
+        expr("CAST(MAX(abs(c*n - ns*ct) " +
+          "DIV greatest((ns*n) DIV 10000, 1)) AS BIGINT)").as("max_token_bp"))
+      .orderBy("source")
+  }
 }
 
 /** Deterministic 64-bit hashing used by the Spark-only text ops

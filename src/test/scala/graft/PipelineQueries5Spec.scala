@@ -145,6 +145,30 @@ class PipelineQueries5Spec extends SparkSpecBase {
     }
   }
 
+  test("q83: drift equals an exact integer recomputation over top-20 tokens") {
+    val rows = SparkEntry.queries("q83_source_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val cnt = docs.flatMap { case (s, ts) => ts.map(t => (s, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTok = cnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val top = byTok.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    val sub = cnt.filter { case ((_, t), _) => top(t) }
+    val ns = sub.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = sub.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = sub.values.sum
+    val expected = sub.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (s, cells) =>
+      val terms = cells.toSeq.map { case ((_, t), c) =>
+        val diff = c * n - ns(s) * ct(t)
+        (diff * diff / math.max(ns(s) * ct(t) * n / 10000, 1L),
+          math.abs(diff) / math.max(ns(s) * n / 10000, 1L))
+      }
+      (s, terms.map(_._1).sum, terms.map(_._2).max)
+    }
+    assert(rows.toSeq == expected)
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
