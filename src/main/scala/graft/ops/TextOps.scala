@@ -967,6 +967,33 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q84
+  /** q84 — q13's per-lang top-5 tokens answered by the custom typed
+    * TopKPairs Aggregator instead of a row_number window: the
+    * Aggregator's k-bounded buffers combine MAP-SIDE, so at most
+    * partitions × k rows per lang cross the shuffle — the window form
+    * shuffles and sorts every (lang, token, n) row and discards all
+    * but 5. Same rows, same order, same DuckDB oracle as q13 — the
+    * hash match is the proof the Aggregator implements exactly the
+    * declarative semantics. */
+  def q84TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKPairs(5)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, token, n) => (token, n) }
+      .agg(topk.toColumn.name("top"))
+      .toDF("lang", "top")
+      .select(col("lang"), posexplode(col("top.items")))
+      .select(col("lang"), (col("pos") + 1).cast("bigint").as("rn"),
+        col("col._1").as("token"), col("col._2").as("n"))
+      .orderBy("lang", "rn")
+  }
+
   // ---------------------------------------------------------------- q83
   /** q83 — per-source distribution drift (the data-quality monitor a
     * pipeline runs on every ingest batch): a chi-square-style score of

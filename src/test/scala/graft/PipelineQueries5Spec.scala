@@ -169,6 +169,27 @@ class PipelineQueries5Spec extends SparkSpecBase {
     assert(rows.toSeq == expected)
   }
 
+  test("q84: TopKPairs Aggregator reproduces q13's window top-k exactly") {
+    val viaAgg = SparkEntry.queries("q84_topk_agg")(spark, sf).collect()
+    val viaWindow = SparkEntry.queries("q13_text_tokens")(spark, sf).collect()
+    assert(viaAgg.length == viaWindow.length)
+    viaAgg.zip(viaWindow).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("TopKPairs: merge is order-insensitive and bounded at k") {
+    val agg = new graft.functions.TopKPairs(3)
+    val items = Seq(("a", 5L), ("b", 9L), ("c", 9L), ("d", 1L), ("e", 7L))
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    // every 2-way split of the stream merges to the same top-3
+    (0 to items.length).foreach { cut =>
+      val (l, r) = items.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m == whole)
+    }
+    assert(whole.items == Seq(("b", 9L), ("c", 9L), ("e", 7L)))
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
