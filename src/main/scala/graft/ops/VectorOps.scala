@@ -210,7 +210,7 @@ object VectorOps {
           (1L << 53).toDouble - 0.5
       }
     }
-    array(planes.map(p => array(p.map(lit): _*)): _*)
+    array(planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*)): _*)
   }
 
   /** The banded LSH tables: one row per (vector, band) keyed by the

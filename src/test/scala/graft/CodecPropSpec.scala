@@ -86,4 +86,43 @@ class CodecPropSpec extends AnyFunSuite {
       rtQ == q && rtR == r
     })
   }
+
+  test("dHash: any single-byte perturbation moves the hash <= 2 bits") {
+    // the q80 near-dup radius rests on this bound: a one-pixel change
+    // feeds <= 1 downsampled grid cell, which sits in <= 2 comparisons
+    val (w, h) = (16, 12)
+    check(Prop.forAll(
+        Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.choose(0, w * h * 3 - 1),
+        Gen.choose(1, 255)) { (seed, pos, delta) =>
+      val base = Codec.encodePpm(w, h, seed)
+      val mut = base.clone()
+      val off = mut.length - w * h * 3
+      mut(off + pos) = ((mut(off + pos) + delta) & 0xff).toByte
+      java.lang.Long.bitCount(
+        Codec.dHashPpm(base) ^ Codec.dHashPpm(mut)) <= 2
+    })
+  }
+
+  test("dHash: identical content hashes identically across dimensions") {
+    check(Prop.forAll(Gen.choose(9, 40), Gen.choose(8, 30),
+        Gen.choose(Long.MinValue, Long.MaxValue)) { (w, h, seed) =>
+      val p = Codec.encodePpm(w, h, seed)
+      Codec.dHashPpm(p) == Codec.dHashPpm(p.clone())
+    })
+  }
+
+  test("TopKPairs: agg result equals brute-force top-k on any input split") {
+    val agg = new graft.functions.TopKPairs(5)
+    val itemGen = Gen.listOf(Gen.zip(
+      Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"),
+      Gen.choose(0L, 20L)))
+    check(Prop.forAll(itemGen, Gen.choose(0, 100)) { (items, cutPct) =>
+      val brute = items.sortBy { case (t, n) => (-n, t) }.take(5)
+      val cut = items.length * cutPct / 100
+      val (l, r) = items.splitAt(cut)
+      agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)).items == brute
+    })
+  }
 }
