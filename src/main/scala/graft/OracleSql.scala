@@ -944,6 +944,64 @@ object OracleSql {
       |  ON cnt.priority = dims.priority AND cnt.status = st.status
       |ORDER BY 1, 2""".stripMargin
 
+  /** q85 — weekly cohorts from the corpus's first day; DATE − DATE is
+    * integer days in DuckDB, datediff in Spark. */
+  val q85: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      |), d0 AS (SELECT MIN(day) AS d0 FROM ev),
+      |weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST((day - (SELECT d0 FROM d0)) // 7 AS BIGINT) AS week
+      |  FROM ev
+      |), cohort AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
+      |), cells AS (
+      |  SELECT cohort_week, week - cohort_week AS "offset",
+      |    COUNT(*) AS n_users
+      |  FROM weeks JOIN cohort USING (user_id) GROUP BY 1, 2
+      |)
+      |SELECT cohort_week, "offset", CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(cohort_size AS BIGINT) AS cohort_size,
+      |  CAST(FLOOR(10000 * n_users / cohort_size) AS BIGINT) AS retention_bp
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q86 — ordered funnel; each stage's min-time join makes event
+    * ORDER matter. ns→µs truncation matches Tables.events. */
+  val q86: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      |  GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      |  GROUP BY 1
+      |), n AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |    (SELECT COUNT(*) FROM s2) AS n2,
+      |    (SELECT COUNT(*) FROM s3) AS n3
+      |)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+      |    CAST(n1 AS BIGINT) AS n_users, CAST(10000 AS BIGINT) AS conv_bp
+      |  FROM n
+      |  UNION ALL
+      |  SELECT 2, 'click_after_signup', n2,
+      |    CAST(FLOOR(10000 * n2 / n1) AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_click', n3,
+      |    CAST(FLOOR(10000 * n3 / n2) AS BIGINT) FROM n
+      |) t ORDER BY stage""".stripMargin
+
   /** q83 — integer chi-square-style drift per source over the corpus
     * top-20 tokens; // is DuckDB's floor division = Spark's DIV. */
   val q83: String =

@@ -558,6 +558,82 @@ object RelationalQueries {
       .orderBy("user_id", "day")
   }
 
+  // ---------------------------------------------------------------- q85
+  /** q85 — weekly cohort retention (the product-analytics staple):
+    * users are cohorted by the week of their first event (weeks
+    * counted from the corpus's first day — a one-row broadcast scalar,
+    * q64's histogram pattern) and each (cohort, week-offset) cell
+    * counts the distinct users still active, with floored basis-point
+    * retention against the cohort size. All-integer arithmetic.
+    *
+    * At 100 TB: one distinct shuffle on (user, week), one agg by user
+    * for the cohort, then cell aggregation over the tiny
+    * cohort × offset grid. */
+  def q85RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val weeks = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        expr("CAST(datediff(day, d0) DIV 7 AS BIGINT)").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohort, "user_id")
+      .withColumn("offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "offset")
+      .agg(count(lit(1)).as("n_users")) // (user, week) is distinct already
+      .join(sizes, "cohort_week")
+      .withColumn("retention_bp",
+        floor(lit(10000) * col("n_users") / col("cohort_size")).cast("bigint"))
+      .select(col("cohort_week"), col("offset"), col("n_users"),
+        col("cohort_size"), col("retention_bp"))
+      .orderBy("cohort_week", "offset")
+  }
+
+  // ---------------------------------------------------------------- q86
+  /** q86 — ordered funnel (signup → first click AFTER the signup →
+    * first purchase AFTER that click): each stage is a semi-join
+    * against the previous stage's first-event time, so the ORDER of
+    * events matters, not just their presence — what separates a funnel
+    * from three independent counts. Output: users reaching each stage
+    * and the floored basis-point conversion from the previous stage.
+    *
+    * At 100 TB every stage is a hash agg + broadcast-or-shuffle join
+    * keyed by user; the final grid is 3 rows. */
+  def q86Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.join(s2.select(col("user_id"), lit(1).as("r2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1).as("r3")), Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n1"),
+        count(col("r2")).as("n2"),
+        count(col("r3")).as("n3"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("signup").as("event_type"),
+          col("n1").as("n_users"),
+          lit(10000L).as("conv_bp")),
+        struct(lit(2L).as("stage"), lit("click_after_signup").as("event_type"),
+          col("n2").as("n_users"),
+          floor(lit(10000) * col("n2") / col("n1")).cast("bigint").as("conv_bp")),
+        struct(lit(3L).as("stage"), lit("purchase_after_click").as("event_type"),
+          col("n3").as("n_users"),
+          floor(lit(10000) * col("n3") / col("n2")).cast("bigint").as("conv_bp"))
+      )).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.n_users"),
+        col("r.conv_bp"))
+      .orderBy("stage")
+  }
+
   // ---------------------------------------------------------------- q82
   /** q82 — unpivot/melt (A9's inverse, the missing half of q41's
     * pivot): the per-priority status counts land as three columns via

@@ -190,6 +190,55 @@ class PipelineQueries5Spec extends SparkSpecBase {
     assert(whole.items == Seq(("b", 9L), ("c", 9L), ("e", 7L)))
   }
 
+  test("q85: offset-0 retention is 10000bp; cells never exceed cohort size") {
+    val rows = SparkEntry.queries("q85_retention_cohorts")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every user appears in their own cohort's offset-0 cell
+    rows.filter(_._2 == 0L).foreach { case (_, _, n, size, bp) =>
+      assert(n == size); assert(bp == 10000L)
+    }
+    rows.foreach { case (_, off, n, size, bp) =>
+      assert(off >= 0L && n <= size)
+      assert(bp == math.floor(10000.0 * n / size).toLong)
+    }
+    // cohort sizes partition the user population
+    val totalUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._4).sum == totalUsers)
+  }
+
+  test("q86: funnel stages shrink and match a driver-side replay") {
+    val rows = SparkEntry.queries("q86_funnel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val Seq(n1, n2, n3) = rows.map(_._3).toSeq
+    assert(n1 >= n2 && n2 >= n3)
+    // driver-side replay of the ordered funnel
+    // compare at MICROsecond precision, same as the query (getTime is
+    // ms-truncated and would miss sub-ms orderings)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), micros(r.getTimestamp(2))))
+      .groupBy(_._1)
+    val stages = ev.values.map { es =>
+      val s = es.filter(_._2 == "signup").map(_._3).minOption
+      val c = s.flatMap(t => es.filter(e => e._2 == "click" && e._3 > t)
+        .map(_._3).minOption)
+      val p = c.flatMap(t => es.filter(e => e._2 == "purchase" && e._3 > t)
+        .map(_._3).minOption)
+      (s.isDefined, c.isDefined, p.isDefined)
+    }
+    assert(n1 == stages.count(_._1))
+    assert(n2 == stages.count(_._2))
+    assert(n3 == stages.count(_._3))
+    assert(rows(1)._4 == math.floor(10000.0 * n2 / n1).toLong)
+    assert(rows(2)._4 == math.floor(10000.0 * n3 / n2).toLong)
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
