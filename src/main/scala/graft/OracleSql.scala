@@ -944,6 +944,39 @@ object OracleSql {
       |  ON cnt.priority = dims.priority AND cnt.status = st.status
       |ORDER BY 1, 2""".stripMargin
 
+  /** q87 — RANGE frame on epoch seconds; [sec−86400, sec] inclusive in
+    * both engines, count + max only (no float accumulation). */
+  val q87: String =
+    """SELECT user_id, event_id,
+      |  CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |    AS sec,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+      |  MAX(value) OVER w AS max_24h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+      |    AS BIGINT)
+      |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, sec, event_id""".stripMargin
+
+  /** q88 — string_agg with an explicit order, DuckDB's native
+    * spelling of the sort_array+array_join form. */
+  val q88: String =
+    """WITH cnt AS (
+      |  SELECT lang, t AS token, COUNT(*) AS n FROM (
+      |    SELECT lang,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents) z
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT lang, token,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+      |  FROM cnt
+      |)
+      |SELECT lang, string_agg(token, ',' ORDER BY rn) AS top_tokens
+      |FROM ranked WHERE rn <= 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q85 — weekly cohorts from the corpus's first day; DATE − DATE is
     * integer days in DuckDB, datediff in Spark. */
   val q85: String =

@@ -634,6 +634,56 @@ object RelationalQueries {
       .orderBy("stage")
   }
 
+  // ---------------------------------------------------------------- q87
+  /** q87 — RANGE-framed trailing window (the frame spec q07's
+    * rowsBetween doesn't exercise): per event, how many of the user's
+    * events fall in the trailing 24 HOURS — a frame defined on the
+    * ORDER VALUE, so rows tied on the same second share one frame and
+    * the result is independent of intra-tie order. Outputs are a count
+    * and a max (comparison-based — no float accumulation whose
+    * summation order could differ across engines' sliding-window
+    * implementations; Spark recomputes frames, DuckDB uses segment
+    * trees, so a double SUM here would be a last-ulp hash hazard).
+    *
+    * At 100 TB: one shuffle by user_id; per-user frame state is
+    * bounded by the 24 h horizon. */
+  def q87TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-86400, 0)
+    Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("max_24h", max(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("sec"),
+        col("n_24h"), col("max_24h"))
+      .orderBy("user_id", "sec", "event_id")
+  }
+
+  // ---------------------------------------------------------------- q88
+  /** q88 — ordered string aggregation (F4 × A11, string_agg/listagg):
+    * per lang, the top-3 tokens joined into one report string. Spark
+    * has no ordered collect_list guarantee, so determinism comes from
+    * collecting (rank, token) STRUCTS and sort_array-ing them before
+    * the join — the engine-portable spelling of
+    * string_agg(... ORDER BY). */
+  def q88TokenReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("lang")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("token")))),
+        x => x.getField("token")), ",").as("top_tokens"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q82
   /** q82 — unpivot/melt (A9's inverse, the missing half of q41's
     * pivot): the per-priority status counts land as three columns via

@@ -239,6 +239,35 @@ class PipelineQueries5Spec extends SparkSpecBase {
     assert(rows(2)._4 == math.floor(10000.0 * n3 / n2).toLong)
   }
 
+  test("q87: trailing-24h frame equals a brute-force recount per row") {
+    val rows = SparkEntry.queries("q87_trailing_window")(spark, sf).collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.size == raw.length)
+    val byUser = raw.groupBy(_._1)
+    raw.foreach { case (u, id, sec, _) =>
+      val frame = byUser(u).filter(e => e._3 >= sec - 86400 && e._3 <= sec)
+      val (gotU, gotSec, gotN, gotMax) = rows(id)
+      assert(gotU == u && gotSec == sec)
+      assert(gotN == frame.length)
+      assert(gotMax == frame.map(_._4).max)
+    }
+  }
+
+  test("q88: report string is q13's top-3 tokens comma-joined in rank order") {
+    val report = SparkEntry.queries("q88_token_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val q13 = SparkEntry.queries("q13_text_tokens")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = q13.filter(_._2 <= 3).groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString(",")).toMap
+    assert(report == expected)
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
