@@ -121,6 +121,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedup state is evicted once the watermark passes the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = Streaming.dedupStream(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_evict").outputMode("append").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"))
+      q.processAllAvailable()
+      // event time jumps 3 h → watermark (1 h horizon) passes 10:00,
+      // so user 1's dedup key is EVICTED from state
+      input.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      // same key again, inside the NEW watermark window: state for it
+      // is gone, so the row is emitted — bounded state, by design
+      input.addData((Timestamp.valueOf("2024-01-01 13:00:01"), 1L, "click"))
+      q.processAllAvailable()
+      val n = spark.table("dedup_evict").count()
+      assert(n == 3, s"expected the re-sent key to pass after eviction, got $n")
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
