@@ -994,6 +994,66 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
+  // ---------------------------------------------------------------- q89
+  /** q89 — BPE vocabulary induction (tokenizer training, the flagship
+    * preprocessing op of an LLM data pipeline): learn the first 10
+    * merges over the corpus, exactly the Sennrich et al. (ACL 2016)
+    * procedure. The distributed shape mirrors production BPE training:
+    * the CORPUS-sized work is one hash agg (distinct word → count);
+    * the merge loop then runs on that bounded word table — per
+    * iteration, one weighted adjacent-pair count with the argmax
+    * collected as a one-row bounded scalar (the q49-centroid
+    * convention, not a data collect), and one distributed map applying
+    * the merge left-to-right non-overlapping per word. Ties break
+    * lexicographically so the learned merges are deterministic. No
+    * oracle (10-round iterative argmax is not SQL-expressible);
+    * the spec recomputes all 10 merges sequentially on the driver. */
+  def q89BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = 10
+    def mergeWord(sym: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.toArray
+    }
+    // ONLY the corpus-sized agg is persisted; each round's merged view
+    // is a lazy map chain over it — at ≤ vocab-size rows, re-applying
+    // k merges is micro-work, and skipping per-round persist/count
+    // keeps each round to a single (tiny) argmax job.
+    val base = withToks(Tables.documents(spark, dir))
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray :+ "</w>", c) }
+      .persist()
+    base.count()
+    var applied = List.empty[(String, String)] // merges so far, in order
+    val learned = (1 to merges).map { rank =>
+      val ms = applied.reverse
+      val (a, b, weight) = base
+        .map { case (sym, c) =>
+          (ms.foldLeft(sym) { case (s, (x, y)) => mergeWord(s, x, y) }, c) }
+        .flatMap { case (sym, c) =>
+          (0 until sym.length - 1).map(i => ((sym(i), sym(i + 1)), c)) }
+        .groupByKey(_._1)
+        .mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (a, b, n) }
+        .orderBy(col("_3").desc, col("_1"), col("_2"))
+        .head() // bounded scalar: THE argmax pair of this round
+      applied = (a, b) :: applied
+      (rank.toLong, a, b, a + b, weight)
+    }
+    base.unpersist()
+    spark.createDataFrame(learned)
+      .toDF("merge_rank", "left", "right", "merged", "weight")
+      .orderBy("merge_rank")
+  }
+
   // ---------------------------------------------------------------- q83
   /** q83 — per-source distribution drift (the data-quality monitor a
     * pipeline runs on every ingest batch): a chi-square-style score of

@@ -268,6 +268,38 @@ class PipelineQueries5Spec extends SparkSpecBase {
     assert(report == expected)
   }
 
+  test("q89: learned BPE merges equal a sequential driver-side training run") {
+    val got = SparkEntry.queries("q89_bpe_vocab")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // plain-Scala BPE over the same word-count table
+    var words = docTokens.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
+    val expected = (1 to 10).map { rank =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, c) =>
+        sym.indices.dropRight(1).foreach { i =>
+          val k = (sym(i), sym(i + 1))
+          pairs(k) = pairs.getOrElse(k, 0L) + c
+        }
+      }
+      val ((a, b), w) = pairs.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      words = words.map { case (sym, c) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        (out.toVector, c)
+      }
+      (rank.toLong, a, b, a + b, w)
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
