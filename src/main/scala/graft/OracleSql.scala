@@ -944,6 +944,25 @@ object OracleSql {
       |  ON cnt.priority = dims.priority AND cnt.status = st.status
       |ORDER BY 1, 2""".stripMargin
 
+  /** q90 — the MERGE audit log rebuilt relationally: same
+    * deterministic change batch, FULL OUTER JOIN + coalesce. */
+  val q90: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS old_seg FROM customer
+      |), changes AS (
+      |  SELECT k, 'UPGRADED' AS new_seg FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT unnest(generate_series(mk + 1, mk + 50)) AS k,
+      |    'NEWCOMER' AS new_seg
+      |  FROM (SELECT MAX(k) AS mk FROM base) m
+      |)
+      |SELECT COALESCE(base.k, changes.k) AS c_custkey,
+      |  CASE WHEN base.k IS NULL THEN 'insert' ELSE 'update' END AS op,
+      |  COALESCE(old_seg, '') AS old_seg, new_seg
+      |FROM base FULL OUTER JOIN changes ON base.k = changes.k
+      |WHERE new_seg IS NOT NULL
+      |ORDER BY 1""".stripMargin
+
   /** q87 — RANGE frame on epoch seconds; [sec−86400, sec] inclusive in
     * both engines, count + max only (no float accumulation). */
   val q87: String =

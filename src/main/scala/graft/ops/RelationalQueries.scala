@@ -634,6 +634,37 @@ object RelationalQueries {
       .orderBy("stage")
   }
 
+  // ---------------------------------------------------------------- q90
+  /** q90 — CDC upsert (MERGE INTO semantics, spelled relationally):
+    * apply a change batch to the customer dimension — updates for
+    * existing keys, inserts for new ones — via FULL OUTER JOIN +
+    * coalesce, emitting the audit rows (op, old → new) a warehouse
+    * merge would log. The change batch is derived deterministically
+    * from the dimension itself (keys ≡ 0 mod 7 re-segmented, 50
+    * synthetic keys past the max), so the oracle rebuilds it exactly.
+    *
+    * At 100 TB this is the nightly dimension-merge shape: one shuffle
+    * (or broadcast, change batches being small) on the merge key; the
+    * untouched majority of the dimension streams through. */
+  def q90Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("old_seg"))
+    val maxKey = base.agg(max(col("k")).as("mk"))
+    val changes = base.filter(col("k") % 7 === 0)
+      .select(col("k"), lit("UPGRADED").as("new_seg"))
+      .unionByName(
+        maxKey.select(explode(sequence(col("mk") + 1, col("mk") + 50)).as("k"),
+          lit("NEWCOMER").as("new_seg")))
+    base.join(changes, Seq("k"), "full_outer")
+      .filter(col("new_seg").isNotNull) // audit only the touched rows
+      .select(col("k").as("c_custkey"),
+        when(col("old_seg").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"),
+        coalesce(col("old_seg"), lit("")).as("old_seg"),
+        col("new_seg"))
+      .orderBy("c_custkey")
+  }
+
   // ---------------------------------------------------------------- q87
   /** q87 — RANGE-framed trailing window (the frame spec q07's
     * rowsBetween doesn't exercise): per event, how many of the user's

@@ -300,6 +300,27 @@ class PipelineQueries5Spec extends SparkSpecBase {
     assert(got.toSeq == expected)
   }
 
+  test("q90: upsert audit covers exactly the mod-7 updates and 50 inserts") {
+    val rows = SparkEntry.queries("q90_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val base = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val maxKey = base.keys.max
+    val updates = rows.filter(_._2 == "update")
+    val inserts = rows.filter(_._2 == "insert")
+    assert(updates.length == base.keys.count(_ % 7 == 0))
+    assert(inserts.length == 50)
+    updates.foreach { case (k, _, old, neu) =>
+      assert(k % 7 == 0 && old == base(k) && neu == "UPGRADED")
+    }
+    assert(inserts.map(_._1).sorted.sameElements(
+      (maxKey + 1) to (maxKey + 50)))
+    inserts.foreach { case (_, _, old, neu) =>
+      assert(old == "" && neu == "NEWCOMER")
+    }
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
