@@ -121,6 +121,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("attribution join drops a click arriving after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streaming.attributionJoinStream(
+      imps.toDF().toDF("imp_ts", "imp_user", "imp_id"),
+      clicks.toDF().toDF("click_ts", "click_user", "click_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("attr_late").outputMode("append").start()
+    try {
+      imps.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 100L))
+      q.processAllAvailable()
+      // BOTH watermarks advance 3 h past the impression (30 min horizon)
+      imps.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9L, 999L))
+      clicks.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9L, 998L))
+      q.processAllAvailable()
+      // this click WOULD match impression 100, but it arrives beyond
+      // the watermark: the engine may already have evicted that state,
+      // and append-mode semantics permit dropping it — the test pins
+      // the bounded-state behavior the 100 TB deployment relies on
+      clicks.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 500L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_late").collect()
+      assert(!rows.exists(_.getLong(2) == 500L),
+        s"late click joined: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("dedup state is evicted once the watermark passes the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
