@@ -605,16 +605,22 @@ object RelationalQueries {
     * from three independent counts. Output: users reaching each stage
     * and the floored basis-point conversion from the previous stage.
     *
-    * At 100 TB every stage is a hash agg + broadcast-or-shuffle join
-    * keyed by user; the final grid is 3 rows. */
+    * At 100 TB: three type-filtered scans (each reads only its event
+    * type's bytes via the pushed predicate — together ≈ one full
+    * pass), and each per-user stage table is MATERIALIZED since it
+    * feeds both the next stage and the final count (unmaterialized,
+    * the s1→s2→s3 chain re-ran earlier stages once per consumer —
+    * six scans instead of three). Joins are user-keyed. */
   def q86Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      .localCheckpoint()
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
       .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      .localCheckpoint()
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min(col("ts")).as("t3"))
@@ -652,8 +658,11 @@ object RelationalQueries {
     * (or broadcast, change batches being small) on the merge key; the
     * untouched majority of the dimension streams through. */
   def q90Upsert(spark: SparkSession, dir: String): DataFrame = {
+    // materialized: feeds the change derivation, the max-key scalar
+    // AND the merge join — one dimension scan, not three
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey").as("k"), col("c_mktsegment").as("old_seg"))
+      .localCheckpoint()
     val maxKey = base.agg(max(col("k")).as("mk"))
     val changes = base.filter(col("k") % 7 === 0)
       .select(col("k"), lit("UPGRADED").as("new_seg"))

@@ -1067,15 +1067,18 @@ object TextOps {
     * becomes DECIMAL(38) arithmetic, same expression). No
     * transcendentals anywhere, so the score is engine-exact.
     *
-    * At 100 TB: one explode → (source, token) hash agg; the top-20
-    * table is a TakeOrdered (tiny, broadcast back); the marginal
-    * windows run over |sources|×20 rows. Nothing scales with corpus
-    * size after the first agg. */
+    * At 100 TB: one explode → (source, token) hash agg, MATERIALIZED
+    * (bounded: sources × vocab) so the top-20 ranking, the subset join
+    * and the grand total all branch from it rather than re-scanning
+    * the corpus; the top-20 table is a TakeOrdered (tiny, broadcast
+    * back); the marginal windows run over |sources|×20 rows. Nothing
+    * scales with corpus size after the first agg. */
   def q83SourceDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnt = Tables.documents(spark, dir)
       .select(col("source"), explode(toks).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val top = cnt.groupBy("t").agg(sum(col("c")).as("ct_all"))
       .orderBy(col("ct_all").desc, col("t")).limit(20)
       .select("t")
