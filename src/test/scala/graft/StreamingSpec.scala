@@ -175,6 +175,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("replay state survives a checkpoint stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = new java.io.File(
+      "target/stream_ckpt/replay_restart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val input = MemoryStream[Replay.MoveEvent]
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[Replay.ReplaySummary]
+    // the memory sink cannot recover from a checkpoint; foreachBatch
+    // can, and is also the production sink shape for update-mode state
+    def start() = Streaming.replayStream(input.toDS())
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Replay.ReplaySummary],
+         _: Long) =>
+          val rows = batch.collect()
+          results.synchronized { results ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    // batch 1: white queen placed at (0,0)
+    val q1 = start()
+    try {
+      input.addData(Replay.MoveEvent(1, 1, "White", "place", "Queen", 0, 0, 0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the SAME checkpoint: the game's keyed state must be
+    // recovered, so the second move continues turn alternation instead
+    // of starting a fresh game
+    val q2 = start()
+    try {
+      input.addData(Replay.MoveEvent(1, 2, "Black", "place", "Queen", 100, 1, 0))
+      q2.processAllAvailable()
+      val last = results.synchronized { results.maxBy(_.n_applied) }
+      assert(last.n_applied == 2L, s"state lost across restart: $last")
+      assert(last.queen_black_placed)
+    } finally q2.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
