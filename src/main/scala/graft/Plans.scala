@@ -38,6 +38,11 @@ object Plans {
       spark.stop()
       return
     }
+    if (args.headOption.contains("audit")) {
+      auditAll(spark, dir)
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args(0).split(",").toSeq
       else Seq("q01_pricing_summary", "q03_star_join")
     names.foreach { n =>
@@ -46,6 +51,28 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
+  }
+
+  /** One-line plan-hygiene summary per declared query: parquet scans,
+    * hash/broadcast Exchanges, codegen spans. A query whose fact table
+    * appears in several Scan nodes is re-reading its input once per
+    * consumer — the round-5 class of defect (fixed in q83/q85/q86/q90
+    * by materializing the bounded intermediate). Queries that
+    * materialize during construction (cached indexes, bounded scalars)
+    * count their POST-materialization plan, which is what repeats. */
+  private def auditAll(spark: SparkSession, dir: String): Unit = {
+    println(f"${"query"}%-26s scans  hashEx  bcastEx  codegen")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        def c(p: String) = p.r.findAllIn(plan).size
+        println(f"$name%-26s ${c("Scan parquet ")}%5d  ${
+          c("Exchange hashpartitioning")}%6d  ${
+          c("BroadcastExchange")}%7d  ${c("WholeStageCodegen")}%7d")
+      } catch { case e: Throwable =>
+        println(f"$name%-26s ERR ${e.getMessage.take(60)}")
+      }
+    }
   }
 
   private def partitionedDemo(spark: SparkSession, dir: String): Unit = {

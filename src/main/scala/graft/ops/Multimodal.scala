@@ -382,9 +382,13 @@ object Multimodal {
   def q80ImageDups(spark: SparkSession, dir: String): DataFrame = {
     val session = spark
     import session.implicits._
+    // materialized: four consumers (both band sides, both verify
+    // join-backs) would otherwise re-ENCODE and re-hash every image
+    // four times — and only (id, sig) rows are kept, never payloads
     val sigs = imageTable(spark, dir)
       .mapPartitions(_.map(r => (r.media_id, Codec.dHashPpm(r.payload))))
       .toDF("media_id", "dhash")
+      .localCheckpoint()
     val bands = sigs.select(col("media_id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (dhash >> (b * 16)) & 65535)")))

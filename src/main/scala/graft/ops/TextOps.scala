@@ -446,7 +446,8 @@ object TextOps {
   }
 
   def simhashGroups(docs: DataFrame): DataFrame = {
-    val sigs = simhashSigs(docs)
+    // materialized: the dup-sig agg and the join-back both consume it
+    val sigs = simhashSigs(docs).localCheckpoint()
     import org.apache.spark.sql.expressions.Window
     val dupSigs = sigs.groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"))
@@ -479,7 +480,9 @@ object TextOps {
     * ScalaTest equates the result with a driver-side all-pairs
     * recomputation. */
   def q73SimhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(Tables.documents(spark, dir))
+    // materialized: four consumers (both band sides, both verify
+    // join-backs) would otherwise re-hash the corpus four times
+    val sigs = simhashSigs(Tables.documents(spark, dir)).localCheckpoint()
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
@@ -780,8 +783,11 @@ object TextOps {
     * in both engines, so the ×10 integerization and the 2·MAD
     * comparison are exact. */
   def q66TokenOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // materialized: the median, MAD and outlier cut all consume it —
+    // unmaterialized, each branch re-scanned and re-tokenized the docs
     val d = withToks(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), size(col("t")).cast("long").as("n_tok"))
+      .localCheckpoint()
     val med = d.groupBy("lang")
       .agg(expr("percentile(n_tok, 0.5)").as("med"))
     val withMed = d.join(broadcast(med), "lang")
