@@ -35,4 +35,29 @@ class SchemaEvolutionSpec extends SparkSpecBase {
       .agg(count(lit(1)).as("rows"), sum(col("quality")).as("q"))
     assert(agg.collect().forall(r => r.getLong(1) > 0))
   }
+
+  test("PERMISSIVE csv ingest quarantines malformed rows, keeps the rest") {
+    val dir = new java.io.File("target/schema_evo/dirty").getAbsolutePath
+    // a landing-zone file where row 3 has a non-numeric id and row 4
+    // is truncated — exactly what a 100 TB ingest sees daily
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "batch.csv"),
+      "doc_id,lang,n_chars\n1,en,100\n2,de,200\nbroken,fr,300\n4,es\n5,zh,500\n")
+    val read = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema("doc_id long, lang string, n_chars long, _bad string")
+      .csv(dir)
+      .cache() // one pass; the corrupt-record column is parse-time state
+    val good = read.filter(col("_bad").isNull)
+    val bad = read.filter(col("_bad").isNotNull)
+    assert(good.count() == 3)
+    assert(good.select(sum(col("n_chars"))).head.getLong(0) == 800L)
+    // the quarantined rows carry the raw line for replay/debugging
+    val badLines = bad.select("_bad").collect().map(_.getString(0)).toSet
+    assert(badLines == Set("broken,fr,300", "4,es"))
+    read.unpersist()
+  }
 }
