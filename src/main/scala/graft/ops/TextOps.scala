@@ -524,18 +524,23 @@ object TextOps {
         expr("""CASE WHEN length(text) >= 3
                |  THEN transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))
                |  ELSE CAST(array() AS array<string>) END""".stripMargin))
-    val train = docs.filter(col("doc_id") % 5 === 0)
-      .select(col("lang").as("profile_lang"), explode(col("tg")).as("g"))
-      .groupBy("profile_lang", "g")
-      .agg(count(lit(1)).as("cnt"))
-    // pre-aggregate the doc-side trigram multiplicities BEFORE the
-    // profile join: score = Σ_g n_doc(g)·cnt(lang,g) — identical integer
-    // result, ~5× less join input (the oracle's per-occurrence SUM
-    // computes the same value)
-    val test = docs.filter(col("doc_id") % 5 =!= 0)
+    // ONE corpus explode feeds both sides: the per-(doc, trigram)
+    // multiplicity table is materialized and split train/test from
+    // there (round 4 exploded the corpus once per side — two full
+    // passes). Train profiles are sums of per-doc counts, the same
+    // occurrence totals. Doc-side multiplicities stay pre-aggregated
+    // before the profile join: score = Σ_g n_doc(g)·cnt(lang,g) —
+    // identical integer result, ~5× less join input (the oracle's
+    // per-occurrence SUM computes the same value).
+    val counts = docs
       .select(col("doc_id"), col("lang"), explode(col("tg")).as("g"))
       .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("n_g"))
+      .localCheckpoint()
+    val train = counts.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("lang").as("profile_lang"), col("g"))
+      .agg(sum(col("n_g")).as("cnt"))
+    val test = counts.filter(col("doc_id") % 5 =!= 0)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("profile_lang"))
     test.join(train, "g")
