@@ -944,6 +944,60 @@ object OracleSql {
       |  ON cnt.priority = dims.priority AND cnt.status = st.status
       |ORDER BY 1, 2""".stripMargin
 
+  /** q91 — the full MinHash/LSH/verify pipeline in portable SQL:
+    * permutation i of shingle s = first 15 hex chars of md5('i:' || s)
+    * as a 60-bit int — DuckDB parses '0x'-prefixed hex, Spark uses
+    * conv(hex, 16, 10); both yield the identical BIGINT. */
+  val q91: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), sigs AS (
+      |  SELECT doc_id,
+      |    MIN(CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS h0,
+      |    MIN(CAST(('0x' || substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS h1,
+      |    MIN(CAST(('0x' || substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS h2,
+      |    MIN(CAST(('0x' || substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS h3,
+      |    MIN(CAST(('0x' || substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS h4,
+      |    MIN(CAST(('0x' || substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS h5,
+      |    MIN(CAST(('0x' || substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS h6,
+      |    MIN(CAST(('0x' || substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS h7
+      |  FROM sh GROUP BY 1
+      |), bands AS (
+      |  SELECT doc_id, '0:' || md5(CAST(h0 AS VARCHAR) || ',' ||
+      |    CAST(h1 AS VARCHAR) || ',' || CAST(h2 AS VARCHAR) || ',' ||
+      |    CAST(h3 AS VARCHAR)) AS bk
+      |  FROM sigs
+      |  UNION ALL
+      |  SELECT doc_id, '1:' || md5(CAST(h4 AS VARCHAR) || ',' ||
+      |    CAST(h5 AS VARCHAR) || ',' || CAST(h6 AS VARCHAR) || ',' ||
+      |    CAST(h7 AS VARCHAR)) AS bk
+      |  FROM sigs
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+      |), nsh AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  CAST(FLOOR(10000 * n_inter / (na.n_sh + nb.n_sh - n_inter))
+      |    AS BIGINT) AS jac_bp
+      |FROM inter
+      |JOIN nsh na ON na.doc_id = doc_a
+      |JOIN nsh nb ON nb.doc_id = doc_b
+      |ORDER BY 1, 2""".stripMargin
+
   /** q90 — the MERGE audit log rebuilt relationally: same
     * deterministic change batch, FULL OUTER JOIN + coalesce. */
   val q90: String =

@@ -1005,6 +1005,57 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
+  // ---------------------------------------------------------------- q91
+  /** q91 — the COMPLETE MinHash → banded-LSH → exact-verify near-dup
+    * pipeline under the oracle hash. q26 is the engine-native variant
+    * (xxhash64 signatures — fast, rows-only by necessity); this one
+    * derives each of the 8 permutations from md5 ("perm i of shingle
+    * s" = the first 15 hex chars of md5('i:' || s) as a 60-bit int),
+    * which both Spark (conv(hex, 16, 10)) and DuckDB
+    * ('0x' || hex :: BIGINT) compute bit-identically — so signatures,
+    * band keys, candidates AND verified Jaccard all sit under the
+    * driver's value hash. Two bands × 4 rows; verification counts
+    * shared distinct shingles candidate-bounded, exactly q26's scale
+    * shape (signatures in one agg pass — 8 min() columns, no
+    * per-permutation explode; candidates from 16-byte band keys;
+    * arrays never shuffle). */
+  def q91MinhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleDocs(spark, dir)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until 8).map(i => min(expr(
+      s"CAST(conv(substr(md5(concat('$i:', s)), 1, 15), 16, 10) AS BIGINT)"))
+      .as(s"h$i"))
+    val sigs = inv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+        md5(concat_ws(",", col("h0"), col("h1"), col("h2"), col("h3")))
+          .as("b0"),
+        md5(concat_ws(",", col("h4"), col("h5"), col("h6"), col("h7")))
+          .as("b1"))
+      .select(col("doc_id"), explode(array(
+        concat(lit("0:"), col("b0")), concat(lit("1:"), col("b1"))))
+        .as("bk"))
+    val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val nSh = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inter = cand
+      .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")),
+        Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(nSh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        "doc_a")
+      .join(nSh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        "doc_b")
+      .withColumn("jac_bp", floor(lit(10000) * col("n_inter")
+        / (col("na") + col("nb") - col("n_inter"))).cast("bigint"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jac_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- q89
   /** q89 — BPE vocabulary induction (tokenizer training, the flagship
     * preprocessing op of an LLM data pipeline): learn the first 10

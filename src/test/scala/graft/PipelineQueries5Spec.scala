@@ -321,6 +321,31 @@ class PipelineQueries5Spec extends SparkSpecBase {
     }
   }
 
+  test("q91: identical shingle sets always pair; jaccard exact per pair") {
+    val rows = SparkEntry.queries("q91_minhash_portable")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val sets = docTokens.view.mapValues(t =>
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      .toMap.filter(_._2.nonEmpty)
+    // identical shingle sets agree on every permutation, hence every
+    // band — the banding can NEVER miss them
+    val ids = sets.keys.toSeq.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.length
+         if sets(ids(i)) == sets(ids(j))) {
+      assert(rows.contains((ids(i), ids(j))),
+        s"identical docs ${ids(i)}/${ids(j)} not paired")
+    }
+    // every emitted pair's intersection and floored jaccard are exact
+    rows.foreach { case ((a, b), (nInter, jacBp)) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toLong
+      assert(nInter == inter)
+      assert(jacBp ==
+        math.floor(10000.0 * inter / (sa.size + sb.size - inter)).toLong)
+    }
+  }
+
   test("q78: novelty matches a driver-side first-owner recomputation") {
     val rows = SparkEntry.queries("q78_ngram_novelty")(spark, sf).collect()
     val grams = docTokens.view.mapValues(t =>
