@@ -901,7 +901,7 @@ object OracleSql {
   val q81: String =
     """WITH ev AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
-      |  FROM events WHERE event_type = 'purchase'
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
       |), daily AS (
       |  SELECT user_id, day, value FROM (
       |    SELECT user_id, day, value,
@@ -1102,10 +1102,12 @@ object OracleSql {
       |  FROM n
       |  UNION ALL
       |  SELECT 2, 'click_after_signup', n2,
-      |    CAST(FLOOR(10000 * n2 / n1) AS BIGINT) FROM n
+      |    CAST(CASE WHEN n1 > 0 THEN FLOOR(10000 * n2 / n1) ELSE 0 END
+      |      AS BIGINT) FROM n
       |  UNION ALL
       |  SELECT 3, 'purchase_after_click', n3,
-      |    CAST(FLOOR(10000 * n3 / n2) AS BIGINT) FROM n
+      |    CAST(CASE WHEN n2 > 0 THEN FLOOR(10000 * n3 / n2) ELSE 0 END
+      |      AS BIGINT) FROM n
       |) t ORDER BY stage""".stripMargin
 
   /** q83 — integer chi-square-style drift per source over the corpus

@@ -537,7 +537,10 @@ object RelationalQueries {
   def q81GapFill(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase")
+      // NULL-valued purchases would diverge from the oracle (Spark would
+      // carry the NULL forward as "observed"; LAST_VALUE IGNORE NULLS
+      // skips it) — both engines drop them so the contracts are identical
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .withColumn("day", to_date(col("ts")))
       .withColumn("rn", row_number().over(Window
         .partitionBy("user_id", "day")
@@ -633,12 +636,19 @@ object RelationalQueries {
         struct(lit(1L).as("stage"), lit("signup").as("event_type"),
           col("n1").as("n_users"),
           lit(10000L).as("conv_bp")),
+        // empty previous stage → conv 0, guarded in BOTH engines (unguarded,
+        // Spark's x/0 is NULL while DuckDB errors — a divergence on any
+        // corpus slice with no signups/clicks)
         struct(lit(2L).as("stage"), lit("click_after_signup").as("event_type"),
           col("n2").as("n_users"),
-          floor(lit(10000) * col("n2") / col("n1")).cast("bigint").as("conv_bp")),
+          when(col("n1") > 0,
+            floor(lit(10000) * col("n2") / col("n1")).cast("bigint"))
+            .otherwise(lit(0L)).as("conv_bp")),
         struct(lit(3L).as("stage"), lit("purchase_after_click").as("event_type"),
           col("n3").as("n_users"),
-          floor(lit(10000) * col("n3") / col("n2")).cast("bigint").as("conv_bp"))
+          when(col("n2") > 0,
+            floor(lit(10000) * col("n3") / col("n2")).cast("bigint"))
+            .otherwise(lit(0L)).as("conv_bp"))
       )).as("r"))
       .select(col("r.stage"), col("r.event_type"), col("r.n_users"),
         col("r.conv_bp"))

@@ -449,12 +449,16 @@ object TextOps {
     // materialized: the dup-sig agg and the join-back both consume it
     val sigs = simhashSigs(docs).localCheckpoint()
     import org.apache.spark.sql.expressions.Window
+    // Group ids are ranked over the DISTINCT duplicate signatures (one
+    // row per group, bounded by group count) and joined back — ranking
+    // the joined-back doc rows instead would funnel every duplicate doc
+    // through one unpartitioned window task at corpus scale.
+    val w = Window.orderBy(col("simhash"))
     val dupSigs = sigs.groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
-    val w = Window.orderBy(col("simhash"))
-    sigs.join(dupSigs, "simhash")
       .withColumn("group_id", dense_rank().over(w).cast("bigint"))
+    sigs.join(dupSigs, "simhash")
       .select(col("group_id"), col("doc_id"), col("n_docs"))
       .orderBy("group_id", "doc_id")
   }
@@ -823,6 +827,10 @@ object TextOps {
   def q74DocChunks(spark: SparkSession, dir: String): DataFrame = {
     val (chunk, stride) = (32, 24)
     withToks(Tables.documents(spark, dir))
+      // 0-token docs yield no chunks: DuckDB's generate_series(0,-1,24)
+      // is empty while Spark's sequence(0,-1,24) THROWS — the guard keeps
+      // the engines agreeing (and the job alive) on empty texts
+      .filter(size(col("t")) >= 1)
       .withColumn("start",
         explode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
       .withColumn("ct", slice(col("t"), col("start") + 1, lit(chunk)))
@@ -1124,10 +1132,10 @@ object TextOps {
     * total ns, token total ct and grand total n, each cell contributes
     * floor((c·n − ns·ct)² / floor(ns·ct·n / 10000)) — the ×10000
     * basis-point scale is divided INTO the denominator before the
-    * floor, keeping every intermediate within int64 at the test SFs
-    * (documented headroom: diff² ≤ ~2e16; at larger corpora this
-    * becomes DECIMAL(38) arithmetic, same expression). No
-    * transcendentals anywhere, so the score is engine-exact.
+    * floor, computed in DECIMAL(38,0) (exact to 1e38, matching DuckDB's
+    * HUGEINT window-SUM promotion; overflow yields NULL and a visible
+    * hash break rather than an int64 wrap). No transcendentals
+    * anywhere, so the score is engine-exact.
     *
     * At 100 TB: one explode → (source, token) hash agg, MATERIALIZED
     * (bounded: sources × vocab) so the top-20 ranking, the subset join
@@ -1148,7 +1156,17 @@ object TextOps {
     val withN = sub.crossJoin(broadcast(sub.agg(sum(col("c")).as("n"))))
       .withColumn("ns", sum(col("c")).over(Window.partitionBy("source")))
       .withColumn("ct", sum(col("c")).over(Window.partitionBy("t")))
+    // DECIMAL(38,0) intermediates: DuckDB's window SUMs promote to
+    // HUGEINT, so the squared diff must not wrap int64 silently on the
+    // Spark side — decimal math is exact and raises the headroom from
+    // 9.2e18 to 1e38 (and overflows to NULL→visible hash break, not a
+    // silent wrap)
     withN
+      .select(col("source"),
+        col("c").cast("decimal(38,0)").as("c"),
+        col("n").cast("decimal(38,0)").as("n"),
+        col("ns").cast("decimal(38,0)").as("ns"),
+        col("ct").cast("decimal(38,0)").as("ct"))
       .groupBy("source")
       .agg(
         expr("CAST(SUM((c*n - ns*ct)*(c*n - ns*ct) " +

@@ -56,6 +56,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(groups.map(_.getLong(1)).toSet == Set(1L, 2L))
   }
 
+  test("q28: bounded-rank group ids equal a driver-side dense rank over dup sigs") {
+    // The group id must be the 1-based dense rank of the signature among
+    // DISTINCT duplicated signatures ordered ascending — recompute that
+    // contract driver-side from the raw signatures and equate.
+    val sigs = TextOps.simhashSigs(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupSigs = sigs.groupBy(_._2).filter(_._2.length > 1)
+    val rank = dupSigs.keys.toSeq.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val expected = dupSigs.toSeq.flatMap { case (sig, docs) =>
+      docs.map { case (id, _) => (rank(sig), id, docs.length.toLong) }
+    }.sorted
+    val got = SparkEntry.queries("q28_simhash_dups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("q29: confusion matrix covers only test docs and all langs appear") {
     val rows = SparkEntry.queries("q29_lang_trigram_id")(spark, sf).collect()
     assert(rows.nonEmpty)
