@@ -1110,6 +1110,24 @@ object OracleSql {
       |      AS BIGINT) FROM n
       |) t ORDER BY stage""".stripMargin
 
+  /** q96 — the stream-stream attribution join's batch twin: views ⋈
+    * clicks per user within 10 event-time minutes. CAST(ts AS TIMESTAMP)
+    * is the same ns→µs truncation Tables.events applies. */
+  val q96: String =
+    """WITH imps AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS imp_ts, user_id AS imp_user,
+      |    event_id AS imp_id
+      |  FROM events WHERE event_type = 'view'
+      |), clicks AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS click_ts, user_id AS click_user,
+      |    event_id AS click_id
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT imp_user AS user_id, imp_id, click_id, imp_ts, click_ts
+      |FROM imps JOIN clicks ON imp_user = click_user
+      |  AND click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 10 MINUTE
+      |ORDER BY user_id, imp_id, click_id""".stripMargin
+
   /** q83 — integer chi-square-style drift per source over the corpus
     * top-20 tokens; // is DuckDB's floor division = Spark's DIV. */
   val q83: String =

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{OracleSql, Tables}
+
+/** SQL-text front end — the "Spark SQL replaces HiveQL" north star at the
+  * user-facing layer (ref analogue: the reference exposes its whole query
+  * surface as text the user types, `ui-desktop/src/ui_app.cpp` command
+  * loop; a warehouse user's first action is typing SQL).
+  *
+  * The 10 warehouse tables are registered as session temp views named
+  * exactly like the oracle's DuckDB views, and each query here is a plain
+  * SQL STRING run through `spark.sql`. The strings are the oracle's own
+  * ANSI text, shared VERBATIM with the DuckDB side (the q84
+  * equivalence-proof pattern taken one step further): the driver's hash
+  * match therefore proves that the byte-identical SQL statement computes
+  * the byte-identical result on both engines — the strongest possible
+  * statement that the SQL surface is a drop-in front end.
+  *
+  * Scale posture: `spark.sql` text lands in the SAME Catalyst plan as the
+  * DataFrame twin — pushed filters, broadcast dims, partial aggs, AQE —
+  * so everything proved about the DSL plans holds unchanged here.
+  */
+object SqlSurface {
+
+  /** Register every warehouse table as a temp view. Reading through
+    * Tables keeps the cached/repartitioned form and the events ns→µs
+    * timestamp rebuild; re-registering is an idempotent catalog update
+    * (no data movement). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, dir)
+               else Tables.table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** q92 — q01's pricing summary as SQL text (scan → pushed filter →
+    * hash agg); shares OracleSql.q01 verbatim. */
+  def q92SqlPricing(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q01)
+
+  /** q93 — q03's 5-way star join as SQL text; Catalyst broadcasts the
+    * dims and pushes the date/segment filters exactly as the DSL twin
+    * does; shares OracleSql.q03 verbatim. */
+  def q93SqlStarJoin(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q03)
+
+  /** q94 — q06's ranking window as SQL text (ROW_NUMBER + filter =
+    * per-group top-k); shares OracleSql.q06 verbatim. */
+  def q94SqlWindowRank(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q06)
+
+  /** q95 — q02's top customers as SQL text (join + agg + ORDER BY/LIMIT
+    * → TakeOrderedAndProject); shares OracleSql.q02 verbatim. */
+  def q95SqlTopCustomers(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q02)
+}

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
 
 /** Structured Streaming surface (SURVEY §2.1 S6, §2.8 V11/V16): the
   * reference's per-frame event loop becomes micro-batch streams; its
@@ -85,6 +87,28 @@ object Streaming {
           "click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 10 MINUTES"))
       .select(col("imp_user").as("user_id"), col("imp_id"), col("click_id"),
         col("imp_ts"), col("click_ts"))
+
+  /** q96 — the attribution join DECLARED as a batch query so the
+    * streaming surface sits under the driver's DuckDB oracle: views ⋈
+    * clicks per user within a 10-minute event-time window, computed by
+    * the EXACT attributionJoinStream code (withWatermark is a no-op on
+    * batch Datasets — Catalyst's EliminateEventTimeWatermark — so the
+    * logical join is byte-identical to the deployed stream-stream
+    * plan). StreamingSpec feeds the same rows through MemoryStream and
+    * equates the collected stream output with this result, closing the
+    * batch = stream = oracle triangle. */
+  def q96StreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("ts").as("imp_ts"), col("user_id").as("imp_user"),
+        col("event_id").as("imp_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+        col("event_id").as("click_id"))
+    attributionJoinStream(imps, clicks)
+      .orderBy("user_id", "imp_id", "click_id")
+  }
 
   /** V11 streaming form: per-game turn-state machine as keyed state.
     * Each micro-batch folds that game's new moves (ordered by seq) into

@@ -215,6 +215,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("q96 batch twin equals the streaming attribution join on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the same sf rows, fed through MemoryStream: collected stream output
+    // must equal the declared (oracle-checked) batch result row-for-row
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .collect()
+    def side(t: String) = ev.filter(_.getString(3) == t)
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val imps = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = Streaming.attributionJoinStream(
+      imps.toDF().toDF("imp_ts", "imp_user", "imp_id"),
+      clicks.toDF().toDF("click_ts", "click_user", "click_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("attr_batch_eq").outputMode("append").start()
+    try {
+      // one addData per side: nothing is late relative to the initial
+      // watermark, so the inner join emits every true match
+      imps.addData(side("view").toIndexedSeq)
+      clicks.addData(side("click").toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_batch_eq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3), r.getTimestamp(4))).sortBy(t => (t._1, t._2, t._3))
+      val batch = SparkEntry.queries("q96_stream_attribution")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3), r.getTimestamp(4)))
+      assert(batch.nonEmpty, "no attribution matches at this SF")
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
