@@ -358,29 +358,34 @@ object BoardOps {
       .orderBy("game_id", "piece_id", "to_q", "to_r")
   }
 
-  /** Axial→pixel projection at hexSize 40 (engine.cpp:38-43), shared by
-    * q42 (round-trip) and q45 (hover): adds px/py columns. */
-  private def withPixel(df: DataFrame): DataFrame = {
-    val s = lit(40.0)
+  /** The reference's wheel-zoom clamp (ui_app.cpp:93-96:
+    * hexSize = max(10, min(120, hexSize + delta*5))): every projection
+    * here accepts a zoom but never leaves the supported range. */
+  private[graft] def clampHexSize(size: Double): Double =
+    math.max(10.0, math.min(120.0, size))
+
+  /** Axial→pixel projection at a caller-chosen zoom (engine.cpp:38-43
+    * at hexSize `size`, clamped per ui_app.cpp:93-96), shared by q42
+    * (round-trip) and q45 (hover): adds px/py columns. */
+  private[graft] def withPixel(df: DataFrame, size: Double): DataFrame = {
+    val s = lit(clampHexSize(size))
     val sq3 = lit(1.7320508075688772)
     df.withColumn("px", s * (sq3 * col("q") + sq3 / 2 * col("r")))
       .withColumn("py", s * lit(1.5) * col("r"))
   }
 
-  // ---------------------------------------------------------------- q42
-  /** q42 — pixel projection round-trip (P8/F2): axial→pixel at hexSize
-    * 40 (engine.cpp:38-43) and the cube-rounding inverse
-    * (ui_app.cpp:32-50), as pure column expressions (codegen'd, no
-    * UDF). Pixels emitted floor-scaled; the round-trip (rt_q, rt_r)
-    * must reproduce (q, r) — asserted in ScalaTest and visible to the
-    * oracle hash. */
-  def q42HexProjection(spark: SparkSession, dir: String): DataFrame = {
-    val s = lit(40.0)
+  /** The default zoom the declared queries pin (and their oracles
+    * rebuild): hexSize 40, the reference's startup value. */
+  private def withPixel(df: DataFrame): DataFrame = withPixel(df, 40.0)
+
+  /** Pixel→axial inverse at the same zoom: the cube-rounding
+    * unprojection (ui_app.cpp:32-50) as pure column expressions
+    * (codegen'd, no UDF). Adds rt_q/rt_r computed from px/py. */
+  private[graft] def withAxialRoundTrip(df: DataFrame,
+      size: Double): DataFrame = {
+    val s = lit(clampHexSize(size))
     val sq3 = lit(1.7320508075688772)
-    val p = cells(pieces(spark, dir))
-    val proj = withPixel(p)
-    val inv = proj
-      .withColumn("qf", col("px") / sq3 / s - col("py") / 3 / s)
+    df.withColumn("qf", col("px") / sq3 / s - col("py") / 3 / s)
       .withColumn("rf", lit(2.0) / 3 * (col("py") / s))
       .withColumn("xf", col("qf"))
       .withColumn("zf", col("rf"))
@@ -398,6 +403,18 @@ object BoardOps {
         when(col("xd") > col("yd") && col("xd") > col("zd"), col("rz"))
           .when(col("yd") > col("zd"), col("rz"))
           .otherwise(-col("rx") - col("ry")).cast("int"))
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** q42 — pixel projection round-trip (P8/F2): axial→pixel at hexSize
+    * 40 (engine.cpp:38-43) and the cube-rounding inverse
+    * (ui_app.cpp:32-50), as pure column expressions (codegen'd, no
+    * UDF). Pixels emitted floor-scaled; the round-trip (rt_q, rt_r)
+    * must reproduce (q, r) — asserted in ScalaTest and visible to the
+    * oracle hash. */
+  def q42HexProjection(spark: SparkSession, dir: String): DataFrame = {
+    val p = cells(pieces(spark, dir))
+    val inv = withAxialRoundTrip(withPixel(p), size = 40.0)
     inv.select(col("game_id"), col("q"), col("r"),
         floor(col("px") * 1000).cast("bigint").as("px_x1000"),
         floor(col("py") * 1000).cast("bigint").as("py_x1000"),

@@ -666,7 +666,14 @@ object RelationalQueries {
     *
     * At 100 TB this is the nightly dimension-merge shape: one shuffle
     * (or broadcast, change batches being small) on the merge key; the
-    * untouched majority of the dimension streams through. */
+    * untouched majority of the dimension streams through.
+    *
+    * The merge is a REAL write path (the reference's movePiece,
+    * engine.cpp:18-36, mutates in place): the full merged dimension —
+    * every row, with CDC metadata columns (op, old_seg), the
+    * Delta-style _change_type convention — is written to parquet and
+    * the audit output is derived from the RE-READ files, so the oracle
+    * hash proves what was persisted, not just what was computed. */
   def q90Upsert(spark: SparkSession, dir: String): DataFrame = {
     // materialized: feeds the change derivation, the max-key scalar
     // AND the merge join — one dimension scan, not three
@@ -679,13 +686,20 @@ object RelationalQueries {
       .unionByName(
         maxKey.select(explode(sequence(col("mk") + 1, col("mk") + 50)).as("k"),
           lit("NEWCOMER").as("new_seg")))
-    base.join(changes, Seq("k"), "full_outer")
-      .filter(col("new_seg").isNotNull) // audit only the touched rows
+    val merged = base.join(changes, Seq("k"), "full_outer")
       .select(col("k").as("c_custkey"),
+        coalesce(col("new_seg"), col("old_seg")).as("c_mktsegment"),
         when(col("old_seg").isNull, lit("insert"))
+          .when(col("new_seg").isNull, lit("noop"))
           .otherwise(lit("update")).as("op"),
-        coalesce(col("old_seg"), lit("")).as("old_seg"),
-        col("new_seg"))
+        coalesce(col("old_seg"), lit("")).as("old_seg"))
+    val out = new java.io.File("target/upsert_roundtrip",
+      "customer_" + math.abs(dir.hashCode).toString).getAbsolutePath
+    merged.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("op") =!= "noop") // audit only the touched rows
+      .select(col("c_custkey"), col("op"), col("old_seg"),
+        col("c_mktsegment").as("new_seg"))
       .orderBy("c_custkey")
   }
 

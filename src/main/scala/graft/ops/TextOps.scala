@@ -1078,50 +1078,103 @@ object TextOps {
     * lexicographically so the learned merges are deterministic. No
     * oracle (10-round iterative argmax is not SQL-expressible);
     * the spec recomputes all 10 merges sequentially on the driver. */
-  def q89BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+  def q89BpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocab(spark, dir, driverLoopMaxVocab = 100000)
+
+  /** The corpus-sized work — distinct word → count — is ONE distributed
+    * hash agg either way. The merge loop then runs on that bounded word
+    * table, and the implementation is chosen by its size, the same
+    * adaptive call a production tokenizer trainer makes:
+    *
+    *   - vocab ≤ driverLoopMaxVocab: collect the word-count table (a
+    *     bounded dimension build, the q49-centroid convention) and run
+    *     the 10 rounds driver-side — zero cluster jobs per round, so
+    *     the query is one agg + O(vocab·rounds) local work. Reference
+    *     BPE trainers (Sennrich ACL'16 learn_bpe, SentencePiece) are
+    *     exactly this shape: corpus pass distributed/streamed, merge
+    *     loop on the in-memory word table.
+    *   - larger vocabs (a 1e8+-row web-corpus word table that must NOT
+    *     land on the driver): the distributed loop — per round, one
+    *     pair-count agg with a TakeOrdered argmax, carrying the
+    *     PERSISTED merged table forward so each round applies only its
+    *     own merge, never re-folding prior rounds.
+    *
+    * Both paths share mergeWord and the (weight desc, left, right)
+    * tiebreak, so the learned merges are identical; the spec equates
+    * the two paths and pins both against a sequential reference run. */
+  private[graft] def bpeVocab(spark: SparkSession, dir: String,
+      driverLoopMaxVocab: Long): DataFrame = {
     import spark.implicits._
     val merges = 10
-    def mergeWord(sym: Array[String], a: String, b: String): Array[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < sym.length) {
-        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
-          out += a + b; i += 2
-        } else { out += sym(i); i += 1 }
-      }
-      out.toArray
-    }
-    // ONLY the corpus-sized agg is persisted; each round's merged view
-    // is a lazy map chain over it — at ≤ vocab-size rows, re-applying
-    // k merges is micro-work, and skipping per-round persist/count
-    // keeps each round to a single (tiny) argmax job.
     val base = withToks(Tables.documents(spark, dir))
       .select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
       .map { case (w, c) => (w.map(_.toString).toArray :+ "</w>", c) }
       .persist()
-    base.count()
-    var applied = List.empty[(String, String)] // merges so far, in order
-    val learned = (1 to merges).map { rank =>
-      val ms = applied.reverse
-      val (a, b, weight) = base
-        .map { case (sym, c) =>
-          (ms.foldLeft(sym) { case (s, (x, y)) => mergeWord(s, x, y) }, c) }
-        .flatMap { case (sym, c) =>
-          (0 until sym.length - 1).map(i => ((sym(i), sym(i + 1)), c)) }
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((a, b), n) => (a, b, n) }
-        .orderBy(col("_3").desc, col("_1"), col("_2"))
-        .head() // bounded scalar: THE argmax pair of this round
-      applied = (a, b) :: applied
-      (rank.toLong, a, b, a + b, weight)
-    }
+    val vocab = base.count()
+    val learned =
+      if (vocab <= driverLoopMaxVocab) {
+        var words = base.collect() // bounded: vocab rows, checked above
+        (1 to merges).map { rank =>
+          val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+          words.foreach { case (sym, c) =>
+            var i = 0
+            while (i < sym.length - 1) {
+              val k = (sym(i), sym(i + 1))
+              pairs(k) = pairs.getOrElse(k, 0L) + c
+              i += 1
+            }
+          }
+          val ((a, b), weight) =
+            pairs.minBy { case ((x, y), n) => (-n, x, y) }
+          words = words.map { case (sym, c) => (mergeWord(sym, a, b), c) }
+          (rank.toLong, a, b, a + b, weight)
+        }
+      } else {
+        var words = base // persisted; materialized lazily by its argmax scan
+        var parent = base // still cached: words' one-map lineage root
+        val out = (1 to merges).map { rank =>
+          // ONE job per round: the argmax scan both counts pairs and
+          // (first touch) materializes this round's merged table into
+          // the cache — the parent stays cached until then, so the
+          // recompute path is always one map off a cached table.
+          val top = words
+            .flatMap { case (sym, c) =>
+              (0 until sym.length - 1).map(i => (sym(i), sym(i + 1), c)) }
+            .toDF("l", "r", "c")
+            .groupBy("l", "r").agg(sum(col("c")).as("weight"))
+            .orderBy(col("weight").desc, col("l"), col("r"))
+            .head() // bounded scalar: THE argmax pair of this round
+          val (a, b, weight) =
+            (top.getString(0), top.getString(1), top.getLong(2))
+          if (!(parent eq words)) parent.unpersist()
+          parent = words
+          words = words.map { case (sym, c) => (mergeWord(sym, a, b), c) }
+            .persist()
+          (rank.toLong, a, b, a + b, weight)
+        }
+        parent.unpersist()
+        words.unpersist()
+        out
+      }
     base.unpersist()
     spark.createDataFrame(learned)
       .toDF("merge_rank", "left", "right", "merged", "weight")
       .orderBy("merge_rank")
+  }
+
+  /** Greedy left-to-right non-overlapping application of merge (a, b). */
+  private def mergeWord(sym: Array[String], a: String, b: String)
+    : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
   }
 
   // ---------------------------------------------------------------- q83

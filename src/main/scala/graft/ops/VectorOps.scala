@@ -408,36 +408,54 @@ object VectorOps {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
-    // Depth 2 with pointer jumping reaches distance 2^2·... ≈ 8 hops;
-    // the union-find finisher is exact at ANY depth, so depth trades
-    // per-round job overhead against contracted-remainder size. At
-    // 100 TB raise it (or recurse propagate+contract); at bench scale
-    // 2 rounds already contract the remainder to trivial size and the
-    // dominant cost is the fixed per-round job count.
-    for (_ <- 1 to 2) {
+    // One min-label propagation round with pointer jumping: each extra
+    // round roughly squares the reached distance, so the contracted
+    // remainder shrinks double-exponentially in rounds.
+    def propagate(lbls: DataFrame): DataFrame = {
       val nbr = edges
-        .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        .join(lbls.select(col("id").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
-      val stepped = labels.join(nbr, Seq("id"), "left")
+      val stepped = lbls.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl1"))
-      labels = stepped
-        .join(labels.select(col("id").as("lbl1"), col("lbl").as("jl")),
+      stepped
+        .join(lbls.select(col("id").as("lbl1"), col("lbl").as("jl")),
           Seq("lbl1"), "left")
         .select(col("id"),
           least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("lbl"))
         .localCheckpoint()
     }
     // contraction: the edges still crossing label boundaries
-    val contracted = edges
-      .join(labels.select(col("id").as("a"), col("lbl").as("la")), "a")
-      .join(labels.select(col("id").as("b"), col("lbl").as("lb")), "b")
+    def contract(lbls: DataFrame) = edges
+      .join(lbls.select(col("id").as("a"), col("lbl").as("la")), "a")
+      .join(lbls.select(col("id").as("b"), col("lbl").as("lb")), "b")
       .filter(col("la") =!= col("lb"))
       .select(col("la"), col("lb")).distinct()
       .as[(Long, Long)]
+    // The single-task union-find finisher is exact at ANY depth but
+    // must only ever see a BOUNDED remainder: keep propagating until
+    // the contracted edge set is under the finisher bound (2 rounds
+    // suffice at bench scale; pathological 100 TB chain graphs take
+    // more — each is one more shuffle round, and the guard below makes
+    // the bound a hard invariant instead of a hope).
+    val finisherMax = 100000L
+    val maxRounds = 16
+    var rounds = 2
+    labels = propagate(propagate(labels))
+    var remainder = contract(labels).localCheckpoint()
+    var n = remainder.count()
+    while (n > finisherMax && rounds < maxRounds) {
+      labels = propagate(labels)
+      remainder = contract(labels).localCheckpoint()
+      n = remainder.count()
+      rounds += 1
+    }
+    require(n <= finisherMax,
+      s"q55 contracted remainder still $n edges after $rounds rounds — " +
+        "raise maxRounds before the single-task finisher")
     // exact finisher: union-find over the contracted remainder (union
     // keeps the smaller root, so roots are min member ids)
-    val mapping = contracted.repartition(1).mapPartitions { it =>
+    val mapping = remainder.repartition(1).mapPartitions { it =>
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElseUpdate(x, x)

@@ -1,7 +1,43 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop}
+
+import graft.ops.BoardOps
+
 /** P8/F2 golden checks (test_engine.cpp:5-10) + round-trip identity. */
 class HexProjectionSpec extends SparkSpecBase {
+
+  test("round-trip holds at EVERY zoom in the reference's clamp range") {
+    import spark.implicits._
+    // one reusable coordinate grid; each sampled hexSize runs the full
+    // project→unproject column pipeline over it (ui_app.cpp:93-96 clamps
+    // zoom to [10, 120]; out-of-range inputs must clamp, not break)
+    val grid = (for (q <- -25 to 25; r <- -25 to 25) yield (q, r))
+      .toDF("q", "r").cache()
+    grid.count()
+    def mismatches(size: Double): Long =
+      BoardOps.withAxialRoundTrip(BoardOps.withPixel(grid, size), size)
+        .filter(col("rt_q") =!= col("q") || col("rt_r") =!= col("r"))
+        .count()
+    val gen = Gen.oneOf(
+      Gen.choose(10.0, 120.0),        // the legal zoom range
+      Gen.oneOf(5.0, 9.99, 121.0, 500.0)) // clamped back into it
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(15)
+    val res = org.scalacheck.Test.check(params,
+      Prop.forAll(gen) { s => mismatches(s) == 0L })
+    assert(res.passed, res.status.toString)
+    // the boundary zooms exactly
+    Seq(10.0, 40.0, 120.0).foreach(s => assert(mismatches(s) == 0L))
+    grid.unpersist()
+  }
+
+  test("out-of-range zoom clamps to the reference bounds") {
+    assert(BoardOps.clampHexSize(5.0) == 10.0)
+    assert(BoardOps.clampHexSize(500.0) == 120.0)
+    assert(BoardOps.clampHexSize(40.0) == 40.0)
+  }
 
   test("golden: delta-x between (0,0) and (1,0) at hexSize 40 is 69.282") {
     val rows = SparkEntry.queries("q42_hex_projection")(spark, sf).collect()

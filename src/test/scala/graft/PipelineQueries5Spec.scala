@@ -300,6 +300,17 @@ class PipelineQueries5Spec extends SparkSpecBase {
     assert(got.toSeq == expected)
   }
 
+  test("q89: distributed merge loop equals the driver-side fast path") {
+    // driverLoopMaxVocab = 0 forces the distributed per-round loop; the
+    // default path collects the bounded word table. Same merges, same
+    // weights — the adaptive switch must be invisible in the output.
+    val fast = SparkEntry.queries("q89_bpe_vocab")(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val dist = graft.ops.TextOps.bpeVocab(spark, sf, driverLoopMaxVocab = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(fast == dist)
+  }
+
   test("q90: upsert audit covers exactly the mod-7 updates and 50 inserts") {
     val rows = SparkEntry.queries("q90_upsert")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
@@ -319,6 +330,19 @@ class PipelineQueries5Spec extends SparkSpecBase {
     inserts.foreach { case (_, _, old, neu) =>
       assert(old == "" && neu == "NEWCOMER")
     }
+    // the write path is real: the persisted merged dimension holds the
+    // COMPLETE post-merge table (untouched rows as 'noop'), and the
+    // audit rows above were read back from those files
+    val out = new java.io.File("target/upsert_roundtrip",
+      "customer_" + math.abs(sf.hashCode).toString).getAbsolutePath
+    val persisted = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(persisted.length == base.size + 50)
+    persisted.filter(_._3 == "noop").foreach { case (k, seg, _) =>
+      assert(base(k) == seg, s"noop row $k changed segment")
+    }
+    assert(persisted.count(_._3 == "noop") ==
+      base.size - base.keys.count(_ % 7 == 0))
   }
 
   test("q91: identical shingle sets always pair; jaccard exact per pair") {
