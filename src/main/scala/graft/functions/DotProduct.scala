@@ -91,18 +91,33 @@ object GraftFunctions {
       DotProduct(children.head, children(1)): Expression
     })
 
-  /** Idempotently register `graft_dot` on a session (the
+  private[graft] val simhashRegistration = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_simhash64 takes exactly 1 argument")
+      SimHash64(children.head): Expression
+    })
+
+  /** Idempotently register the native expressions on a session (the
     * non-extensions path — library entry points call this on the
     * session they receive). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       registration._1, registration._2, registration._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashRegistration._1, simhashRegistration._2, simhashRegistration._3)
+  }
 
   /** `graft_dot(a, b)` as a Column. Resolves through the function
     * registry, so `register(spark)` (or the extensions hook) must have
     * run on the owning session. */
   def dotProduct(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
+
+  /** `graft_simhash64(tokens)` as a Column (same registry contract). */
+  def simHash64(tokens: Column): Column =
+    call_function("graft_simhash64", tokens)
 }
 
 /** SparkSessionExtensions hook: sessions built with
@@ -110,6 +125,8 @@ object GraftFunctions {
   * spark.sql.extensions=graft.functions.GraftExtensions) get
   * `graft_dot` in SQL without an explicit register() call. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.registration)
+    ext.injectFunction(GraftFunctions.simhashRegistration)
+  }
 }

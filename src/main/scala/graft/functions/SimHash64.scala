@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression for the 64-bit SimHash of a token set:
+  * bit i of the signature is set iff the sum over tokens of ±1 (the
+  * sign of bit i of splitmix64(fnv1a(token))) is positive — the
+  * Charikar (STOC'02) construction q28/q73/q80 share.
+  *
+  * Why an Expression rather than the previous typed `.map` closure:
+  * the closure deserialized every row out of Tungsten (Encoder
+  * round-trip) and was the one hot-path closure in the engine not
+  * justified by byte-level work. This expression evaluates in place on
+  * UTF8String bytes — no per-token String allocation, no row
+  * deserialization — and `doGenCode` keeps the enclosing projection
+  * inside whole-stage codegen via a static call. Signatures are
+  * BIT-IDENTICAL to the closure form (same FNV-1a over the same UTF-8
+  * bytes, same splitmix64 finalizer), asserted golden in ScalaTest. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashImpl.hashTokens(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.SimHashImpl.hashTokens($a)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+    : SimHash64 = copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** Plain object (static forwarders) so generated Java code can call it
+  * directly. Kept separate from the case class: a companion would put
+  * the forwarder next to Catalyst-reserved member names. */
+object SimHashImpl {
+  /** SimHash over the tokens of an ArrayData of UTF8Strings. Operates
+    * on the raw UTF-8 bytes — identical values to hashing
+    * `new String(bytes, UTF_8).getBytes("UTF-8")` since UTF8String IS
+    * the UTF-8 encoding. */
+  def hashTokens(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      // FNV-1a, allocation-free over the string's bytes
+      var h = 0xcbf29ce484222325L
+      val nb = s.numBytes()
+      var j = 0
+      while (j < nb) {
+        h ^= (s.getByte(j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      h = graft.ops.Hash64.splitmix64(h)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

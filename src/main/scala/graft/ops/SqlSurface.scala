@@ -60,4 +60,35 @@ object SqlSurface {
     * → TakeOrderedAndProject); shares OracleSql.q02 verbatim. */
   def q95SqlTopCustomers(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, OracleSql.q02)
+
+  /** q97 — the brute-force kNN scoring pass as SQL TEXT through the
+    * NATIVE registered expression: `graft_dot` resolves from the
+    * session function registry (GraftFunctions.register — the same
+    * registration the GraftExtensions SparkSessionExtensions hook
+    * injects), so a SQL-only user gets the codegen'd fused dot-product
+    * loop with no DSL and no UDF. The statement mirrors q15's oracle
+    * line for line with graft_dot in place of DuckDB's
+    * list_dot_product — both are strict sequential left-to-right
+    * double sums, so it shares q15's oracle and must hash-match it. */
+  def q97SqlKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    run(spark, dir,
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e
+        |), p AS (
+        |  SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5
+        |), s AS (
+        |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+        |    graft_dot(p.pv, n.v) / (p.pnrm * n.nrm) AS sim
+        |  FROM p JOIN n ON n.vec_id <> p.probe_id
+        |)
+        |SELECT probe_id, rank, neighbor_id FROM (
+        |  SELECT probe_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s) t
+        |WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin)
+  }
 }

@@ -421,28 +421,19 @@ object TextOps {
     * is positive. Docs with identical token sets get identical signatures,
     * so bag-of-words duplicates collide exactly. */
   /** The 64-bit SimHash signature per doc (shared by q28 groups and
-    * q73 near-pairs). Narrow typed map — per-row, no shuffle. */
+    * q73 near-pairs). Narrow per-row projection, no shuffle — and no
+    * typed closure: tokenize/dedup are built-ins and the hash is the
+    * native graft_simhash64 expression (graft.functions.SimHash64),
+    * so the whole projection evaluates in place on Tungsten rows with
+    * zero Encoder round-trips. Values are bit-identical to the
+    * previous closure form (same FNV-1a + splitmix64 over the same
+    * UTF-8 bytes; golden-pinned in TextOpsSpec). */
   def simhashSigs(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val tokens = text.split(" ").filter(_.nonEmpty).distinct
-        val counts = new Array[Int](64)
-        tokens.foreach { t =>
-          val h = Hash64.splitmix64(Hash64.stringHash(t))
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-            i += 1
-          }
-        }
-        var sig = 0L
-        var i = 0
-        while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
-        (id, sig)
-      }.toDF("doc_id", "simhash")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.functions.GraftFunctions.simHash64(
+        array_distinct(filter(split(col("text"), " "), x => x =!= "")))
+        .as("simhash"))
   }
 
   def simhashGroups(docs: DataFrame): DataFrame = {
@@ -852,21 +843,34 @@ object TextOps {
     * q69 by fixed k; this derives k from the data). √ and ceil are
     * correctly-rounded IEEE in both engines, so quotas agree exactly.
     *
-    * At 100 TB the per-lang row_number funnels each language through
-    * one task; the documented fix is the q57-style two-level exact-k
-    * (per-partition top-quota heaps, then merge) — at bench scale the
-    * single window keeps the plan to one shuffle. */
+    * Two-level exact-k (the q57 decomposition), because a single
+    * per-lang window would funnel each language through ONE task at
+    * corpus scale: level 1 ranks within (lang, source partition) —
+    * parallelism = the scan's — and keeps each bucket's local
+    * top-quota, a lossless superset of the global answer (any row in
+    * the true per-lang top-quota is in its own bucket's top-quota);
+    * level 2 ranks the ≤ partitions·quota survivors per lang. The
+    * result is identical for ANY partition assignment (the q58
+    * salt-invariance convention), so the nondeterministic
+    * spark_partition_id never reaches the output. */
   def q75MixtureSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val key = md5(col("doc_id").cast("string").cast("binary"))
-    val wAll = Window.partitionBy(col("lang"))
+    val quotas = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        least(col("n"), ceil(lit(8) * sqrt(col("n")))).cast("bigint")
+          .as("quota"))
+    val wLocal = Window.partitionBy(col("lang"), col("pid"))
+      .orderBy(col("key"), col("doc_id"))
     val wRank = Window.partitionBy(col("lang"))
       .orderBy(col("key"), col("doc_id"))
     Tables.documents(spark, dir)
       .withColumn("key", key)
-      .withColumn("quota",
-        least(count(lit(1)).over(wAll),
-          ceil(lit(8) * sqrt(count(lit(1)).over(wAll)))).cast("bigint"))
+      .withColumn("pid", spark_partition_id())
+      .join(broadcast(quotas), "lang")
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= col("quota"))
       .withColumn("rnk", row_number().over(wRank).cast("bigint"))
       .filter(col("rnk") <= col("quota"))
       .select(col("lang"), col("rnk"), col("doc_id"), col("quota"))

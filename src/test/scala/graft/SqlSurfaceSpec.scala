@@ -10,7 +10,8 @@ class SqlSurfaceSpec extends SparkSpecBase {
     ("q92_sql_pricing", "q01_pricing_summary"),
     ("q93_sql_star_join", "q03_star_join"),
     ("q94_sql_window_rank", "q06_window_rank"),
-    ("q95_sql_top_customers", "q02_top_customers"))
+    ("q95_sql_top_customers", "q02_top_customers"),
+    ("q97_sql_knn", "q15_knn_bruteforce"))
 
   twins.foreach { case (sqlName, dslName) =>
     test(s"$sqlName equals DSL twin $dslName row-for-row") {

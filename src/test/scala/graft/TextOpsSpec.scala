@@ -56,6 +56,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(groups.map(_.getLong(1)).toSet == Set(1L, 2L))
   }
 
+  test("graft_simhash64 equals the closure construction bit-for-bit") {
+    // reference implementation: the original typed-map closure, run
+    // driver-side over every corpus doc — the native expression must
+    // reproduce every signature exactly
+    val got = TextOps.simhashSigs(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { r =>
+      val tokens = r.getString(1).split(" ").filter(_.nonEmpty).distinct
+      val counts = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = Hash64.splitmix64(Hash64.stringHash(t))
+        (0 until 64).foreach { i =>
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        }
+      }
+      val sig = (0 until 64).foldLeft(0L) { (s, i) =>
+        if (counts(i) > 0) s | (1L << i) else s
+      }
+      assert(got(r.getLong(0)) == sig, s"doc ${r.getLong(0)} signature drift")
+    }
+  }
+
   test("q28: bounded-rank group ids equal a driver-side dense rank over dup sigs") {
     // The group id must be the 1-based dense rank of the signature among
     // DISTINCT duplicated signatures ordered ascending — recompute that
