@@ -243,9 +243,9 @@ object OracleSql {
       |SELECT doc_id, lang,
       |  CAST(len(toks) AS BIGINT) AS n_tokens,
       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-      |  CAST(FLOOR(10000 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS ttr_bp,
-      |  CAST(FLOOR(10000 * len(list_filter(toks, x -> x IN ('the','a','of','to','in','and'))) / len(toks)) AS BIGINT) AS stop_bp,
-      |  CAST(FLOOR(100 * list_sum(list_transform(toks, x -> len(x))) / len(toks)) AS BIGINT) AS avg_len_x100
+      |  CAST(CASE WHEN len(toks) > 0 THEN FLOOR(10000 * len(list_distinct(toks)) / len(toks)) ELSE 0 END AS BIGINT) AS ttr_bp,
+      |  CAST(CASE WHEN len(toks) > 0 THEN FLOOR(10000 * len(list_filter(toks, x -> x IN ('the','a','of','to','in','and'))) / len(toks)) ELSE 0 END AS BIGINT) AS stop_bp,
+      |  CAST(CASE WHEN len(toks) > 0 THEN FLOOR(100 * list_sum(list_transform(toks, x -> len(x))) / len(toks)) ELSE 0 END AS BIGINT) AS avg_len_x100
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
@@ -629,7 +629,8 @@ object OracleSql {
       |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
       |)
       |SELECT
-      |  CAST(LEAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)), 19) AS BIGINT)
+      |  CAST(CASE WHEN hi = lo THEN 0 ELSE
+      |    LEAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)), 19) END AS BIGINT)
       |    AS bin,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot

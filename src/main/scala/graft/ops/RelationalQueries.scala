@@ -508,9 +508,13 @@ object RelationalQueries {
     val mm = o.agg(min(col("o_totalprice")).as("lo"),
       max(col("o_totalprice")).as("hi"))
     o.crossJoin(broadcast(mm))
+      // hi == lo (all values identical) would make the width 0: Spark's
+      // x/0 yields NULL bins while DuckDB's FLOOR/CAST chain errors —
+      // both engines collapse the degenerate table into bin 0 instead
       .withColumn("bin",
-        least(floor((col("o_totalprice") - col("lo")) * lit(20)
-          / (col("hi") - col("lo"))), lit(19L)))
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(floor((col("o_totalprice") - col("lo")) * lit(20)
+            / (col("hi") - col("lo"))), lit(19L))))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(dec("o_totalprice")).cast("double").as("tot"))

@@ -561,12 +561,18 @@ object TextOps {
         size(filter(col("t"), t => t.isin(stoplist: _*))).cast("bigint"))
       .withColumn("sum_len",
         aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)))
-      .withColumn("ttr_bp",
+      // a 0-token doc would divide by zero: Spark yields NaN→0 on the
+      // bigint cast while DuckDB's CAST(NaN) errors — both engines
+      // score the empty doc 0 explicitly
+      .withColumn("ttr_bp", when(col("n_tokens") > 0,
         floor(lit(10000) * col("n_uniq") / col("n_tokens")).cast("bigint"))
-      .withColumn("stop_bp",
+        .otherwise(lit(0L)))
+      .withColumn("stop_bp", when(col("n_tokens") > 0,
         floor(lit(10000) * col("n_stop") / col("n_tokens")).cast("bigint"))
-      .withColumn("avg_len_x100",
+        .otherwise(lit(0L)))
+      .withColumn("avg_len_x100", when(col("n_tokens") > 0,
         floor(lit(100) * col("sum_len") / col("n_tokens")).cast("bigint"))
+        .otherwise(lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_uniq"),
         col("ttr_bp"), col("stop_bp"), col("avg_len_x100"))
       .orderBy("doc_id")
