@@ -250,6 +250,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session windows: streamed sf events equal the oracle-checked batch q46") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the sessionization triangle, like q96's: q46 (batch session_window)
+    // is under the DuckDB oracle; this feeds the SAME rows through the
+    // streaming sessionCounts and equates per-session event counts
+    val ev = Tables.events(spark, sf).select(col("ts"), col("user_id"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = Streaming.sessionCounts(
+      input.toDF().toDF("ts", "user_id"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_batch_eq").outputMode("complete").start()
+    try {
+      input.addData(ev.toIndexedSeq)
+      q.processAllAvailable()
+      def micros(t: Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+      val streamed = spark.table("sess_batch_eq").collect()
+        .map(r => (r.getLong(1), micros(r.getTimestamp(0)),
+          r.getLong(2))).sortBy(t => (t._1, t._2))
+      val batch = SparkEntry.queries("q46_session_windows")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(batch.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
