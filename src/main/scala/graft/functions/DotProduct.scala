@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, Encoders, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -101,12 +101,18 @@ object GraftFunctions {
 
   /** Idempotently register the native expressions on a session (the
     * non-extensions path — library entry points call this on the
-    * session they receive). */
+    * session they receive). Also registers the TopKPairs typed
+    * Aggregator as the SQL aggregate `graft_topk5(token, n)` — the
+    * third extension surface (Expression, UDAF, SessionExtensions)
+    * reachable from plain SQL text. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       registration._1, registration._2, registration._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhashRegistration._1, simhashRegistration._2, simhashRegistration._3)
+    spark.udf.register("graft_topk5",
+      org.apache.spark.sql.functions.udaf(new TopKPairs(5),
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
   }
 
   /** `graft_dot(a, b)` as a Column. Resolves through the function

@@ -91,4 +91,29 @@ object SqlSurface {
         |WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin)
   }
+
+  /** q98 — per-lang top-5 tokens as SQL TEXT through the REGISTERED
+    * k-bounded Aggregator (`graft_topk5`, graft.functions.TopKPairs
+    * via spark.udf.register(udaf(...))): at scale the aggregate ships
+    * ≤ partitions·k pairs per group across the shuffle where q13's
+    * window form ships every row. Deterministic (total order, assoc/
+    * comm merge), so it shares q13's oracle verbatim — the q84
+    * equivalence proof, now at the SQL layer. */
+  def q98SqlTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    run(spark, dir,
+      """WITH cnt AS (
+        |  SELECT lang, token, COUNT(*) AS n FROM (
+        |    SELECT lang, explode(filter(split(text, ' '), x -> x <> ''))
+        |      AS token
+        |    FROM documents) u
+        |  GROUP BY lang, token
+        |), top AS (
+        |  SELECT lang, graft_topk5(token, n) AS tk FROM cnt GROUP BY lang
+        |)
+        |SELECT lang, CAST(pos + 1 AS BIGINT) AS rn,
+        |  col._1 AS token, col._2 AS n
+        |FROM (SELECT lang, posexplode(tk.items) FROM top) x
+        |ORDER BY lang, rn""".stripMargin)
+  }
 }

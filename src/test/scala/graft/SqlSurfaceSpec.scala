@@ -11,7 +11,8 @@ class SqlSurfaceSpec extends SparkSpecBase {
     ("q93_sql_star_join", "q03_star_join"),
     ("q94_sql_window_rank", "q06_window_rank"),
     ("q95_sql_top_customers", "q02_top_customers"),
-    ("q97_sql_knn", "q15_knn_bruteforce"))
+    ("q97_sql_knn", "q15_knn_bruteforce"),
+    ("q98_sql_topk_agg", "q13_text_tokens"))
 
   twins.foreach { case (sqlName, dslName) =>
     test(s"$sqlName equals DSL twin $dslName row-for-row") {
