@@ -57,31 +57,37 @@ object Bench {
         else math.min(d1, d2)
       name -> dur
     }
-    // The harness that captures stdout keeps only a 2,000-char tail
-    // (~75 of which sbt's epilogue consumes), and the round-4 line of
-    // full-precision doubles overran it (2,028 chars), truncating the
-    // JSON. Two defenses: durations rounded to centiseconds (far below
-    // measurement noise), and the STDOUT line keys each query by its
-    // short id ("q27" for "q27_shingle_jaccard" — the contract's own
-    // example format), which keeps the line ~1 kB at any realistic
-    // query count. The on-disk copy keeps full names.
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    def mkLine(key: String => String): String = {
-      val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-    println(mkLine(_.takeWhile(_ != '_')))
+    println(mkLine(results, sfDir, _.takeWhile(_ != '_')))
     // a clean full-name copy on disk preserves the signal regardless
     // of how stdout is interleaved or truncated (BENCH_r02/r04 parsed
     // as null from stdout alone)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      mkLine(identity) + "\n")
+      mkLine(results, sfDir, identity) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  // The harness that captures stdout keeps only a ~2,000-char tail
+  // (~75 of which sbt's epilogue consumes), and the round-4 line of
+  // full-precision doubles overran it (2,028 chars), truncating the
+  // JSON. Two defenses: durations rounded to centiseconds (far below
+  // measurement noise), and the STDOUT line keys each query by its
+  // short id ("q27" for "q27_shingle_jaccard" — the contract's own
+  // example format), which keeps the line ~1 kB at any realistic
+  // query count. The on-disk copy keeps full names. BenchFormatSpec
+  // pins the short-id line under the cap for the CURRENT query
+  // registry, so a query added past the budget fails a test instead
+  // of silently truncating the round's bench signal.
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private[graft] def mkLine(results: Map[String, Double], sfDir: String,
+      key: String => String): String = {
+    val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures only a ~2,000-char stdout tail; the bench JSON
+  * line must stay under it for the CURRENT query registry (BENCH_r04
+  * was truncated and unparseable). No SparkSession needed. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val worstCase =
+    SparkEntry.queries.keys.map(_ -> 999.99).toMap
+
+  test("short-id stdout line stays under the capture tail with headroom") {
+    val line = Bench.mkLine(worstCase, "/root/testdata/sf0.1",
+      _.takeWhile(_ != '_'))
+    assert(line.length < 1900, s"bench line ${line.length} chars — " +
+      "the driver's ~2,000-char stdout tail would truncate it")
+  }
+
+  test("short ids are unique (collisions would merge JSON keys)") {
+    val ids = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    assert(ids.distinct.length == ids.length,
+      ids.groupBy(identity).filter(_._2.length > 1).keys.mkString(","))
+  }
+
+  test("the line is valid JSON shaped per the driver contract") {
+    val line = Bench.mkLine(Map("q01_x" -> 1.005, "q02_y" -> -1.0),
+      "/sf", _.takeWhile(_ != '_'))
+    // -1 (error marker) must be excluded from the total; 1.005 rounds up
+    assert(line ==
+      """{"metric":"total","value":1.01,"unit":"sec","queries":{"q01":1.01,"q02":-1.00},"sf":"/sf"}""")
+  }
+}
