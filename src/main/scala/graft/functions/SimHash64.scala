@@ -51,27 +51,31 @@ object SimHashImpl {
   /** SimHash over the tokens of an ArrayData of UTF8Strings. Operates
     * on the raw UTF-8 bytes — identical values to hashing
     * `new String(bytes, UTF_8).getBytes("UTF-8")` since UTF8String IS
-    * the UTF-8 encoding. */
+    * the UTF-8 encoding. NULL elements are skipped (the registered SQL
+    * function is public surface — a null element must not NPE the
+    * task; semantics match the engine's own pre-filtered callers). */
   def hashTokens(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      // FNV-1a, allocation-free over the string's bytes
-      var h = 0xcbf29ce484222325L
-      val nb = s.numBytes()
-      var j = 0
-      while (j < nb) {
-        h ^= (s.getByte(j) & 0xffL)
-        h *= 0x100000001b3L
-        j += 1
-      }
-      h = graft.ops.Hash64.splitmix64(h)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        // FNV-1a, allocation-free over the string's bytes
+        var h = 0xcbf29ce484222325L
+        val nb = s.numBytes()
+        var j = 0
+        while (j < nb) {
+          h ^= (s.getByte(j) & 0xffL)
+          h *= 0x100000001b3L
+          j += 1
+        }
+        h = graft.ops.Hash64.splitmix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

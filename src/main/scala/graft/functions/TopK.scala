@@ -3,6 +3,27 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+/** UTF-8 binary order for Strings — the collation Spark's UTF8_BINARY
+  * sorts and DuckDB's default collation use. JVM String.compareTo
+  * compares UTF-16 code units instead, which disagrees whenever a
+  * BMP char in [U+E000, U+FFFF] meets a supplementary-plane char —
+  * so any driver-side tiebreak that must match an engine ORDER BY
+  * goes through this ordering, never through compareTo. */
+object Utf8Order extends Ordering[String] {
+  override def compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+}
+
 /** Buffer/result of TopKPairs: the k best (token, n) pairs, ordered
   * (n desc, token asc). A concrete Product type so the buffer rides
   * the public Encoders.product derivation — no Kryo, no internal
@@ -29,8 +50,14 @@ case class TopKBuf(items: Seq[(String, Long)])
 class TopKPairs(k: Int)
   extends Aggregator[(String, Long), TopKBuf, TopKBuf] {
 
+  // token ties break in UTF-8 binary order: the aggregate must rank
+  // exactly like the window twin's ORDER BY n DESC, token (UTF8_BINARY)
+  // and the shared DuckDB oracle — not like JVM compareTo
+  private val ord: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), Long](-_._2).orElseBy(_._1)(Utf8Order)
+
   private def best(xs: Seq[(String, Long)]): TopKBuf =
-    TopKBuf(xs.sortBy { case (t, n) => (-n, t) }.take(k))
+    TopKBuf(xs.sorted(ord).take(k))
 
   override def zero: TopKBuf = TopKBuf(Seq.empty)
 

@@ -697,8 +697,12 @@ object RelationalQueries {
           .when(col("new_seg").isNull, lit("noop"))
           .otherwise(lit("update")).as("op"),
         coalesce(col("old_seg"), lit("")).as("old_seg"))
+    // scratch path keyed by md5(dir) — collision-free across source
+    // dirs, unlike String.hashCode
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = new java.io.File("target/upsert_roundtrip",
-      "customer_" + math.abs(dir.hashCode).toString).getAbsolutePath
+      s"customer_$key").getAbsolutePath
     merged.write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
       .filter(col("op") =!= "noop") // audit only the touched rows

@@ -1116,15 +1116,28 @@ object TextOps {
       driverLoopMaxVocab: Long): DataFrame = {
     import spark.implicits._
     val merges = 10
+    // words split into CODE POINTS (not UTF-16 units: a supplementary
+    // char must be one symbol, and lone surrogates would not survive
+    // the distributed path's UTF-8 round-trip)
     val base = withToks(Tables.documents(spark, dir))
       .select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString).toArray :+ "</w>", c) }
+      .map { case (w, c) =>
+        (w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))) :+ "</w>", c) }
       .persist()
     val vocab = base.count()
     val learned =
       if (vocab <= driverLoopMaxVocab) {
+        // the tiebreak MUST match the distributed path's
+        // orderBy(weight desc, l, r) under UTF8_BINARY — hence
+        // Utf8Order, never JVM compareTo (they disagree on
+        // supplementary-plane vs private-use BMP symbols)
+        val argmaxOrd: Ordering[((String, String), Long)] =
+          Ordering.by[((String, String), Long), Long](-_._2)
+            .orElseBy(_._1._1)(graft.functions.Utf8Order)
+            .orElseBy(_._1._2)(graft.functions.Utf8Order)
         var words = base.collect() // bounded: vocab rows, checked above
         (1 to merges).map { rank =>
           val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -1136,8 +1149,7 @@ object TextOps {
               i += 1
             }
           }
-          val ((a, b), weight) =
-            pairs.minBy { case ((x, y), n) => (-n, x, y) }
+          val ((a, b), weight) = pairs.min(argmaxOrd)
           words = words.map { case (sym, c) => (mergeWord(sym, a, b), c) }
           (rank.toLong, a, b, a + b, weight)
         }

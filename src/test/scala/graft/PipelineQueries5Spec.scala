@@ -275,7 +275,8 @@ class PipelineQueries5Spec extends SparkSpecBase {
     // plain-Scala BPE over the same word-count table
     var words = docTokens.values.flatten.toSeq
       .groupBy(identity).view.mapValues(_.size.toLong).toSeq
-      .map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
+      .map { case (w, c) => (w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector :+ "</w>", c) }
     val expected = (1 to 10).map { rank =>
       val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
       words.foreach { case (sym, c) =>
@@ -334,7 +335,7 @@ class PipelineQueries5Spec extends SparkSpecBase {
     // COMPLETE post-merge table (untouched rows as 'noop'), and the
     // audit rows above were read back from those files
     val out = new java.io.File("target/upsert_roundtrip",
-      "customer_" + math.abs(sf.hashCode).toString).getAbsolutePath
+      "customer_" + md5hex(sf)).getAbsolutePath
     val persisted = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(persisted.length == base.size + 50)

@@ -80,6 +80,32 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_simhash64 skips NULL elements instead of crashing") {
+    graft.functions.GraftFunctions.register(spark)
+    val withNull = spark.sql(
+      "SELECT graft_simhash64(array('a', CAST(NULL AS STRING), 'b'))")
+      .collect().head.getLong(0)
+    val without = spark.sql(
+      "SELECT graft_simhash64(array('a', 'b'))").collect().head.getLong(0)
+    assert(withNull == without)
+  }
+
+  test("TopKPairs ties break in UTF-8 binary order like the oracle's ORDER BY") {
+    // U+E000 (private-use BMP: UTF-16 unit 0xE000, UTF-8 EE 80 80) vs
+    // U+10000 (supplementary: UTF-16 leads 0xD800, UTF-8 F0 90 80 80):
+    // JVM compareTo says U+10000 < U+E000; UTF-8 bytes say the opposite.
+    val bmp = "\uE000"
+    val supp = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(supp) > 0, "JVM order premise")
+    assert(graft.functions.Utf8Order.compare(bmp, supp) < 0, "UTF-8 order")
+    val topk = new graft.functions.TopKPairs(2)
+    val r = topk.merge(
+      topk.reduce(topk.zero, (supp, 7L)),
+      topk.reduce(topk.zero, (bmp, 7L)))
+    assert(r.items == Seq((bmp, 7L), (supp, 7L)),
+      s"tie must rank UTF-8-first, got ${r.items}")
+  }
+
   test("q28: bounded-rank group ids equal a driver-side dense rank over dup sigs") {
     // The group id must be the 1-based dense rank of the signature among
     // DISTINCT duplicated signatures ordered ascending — recompute that
