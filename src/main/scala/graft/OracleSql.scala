@@ -430,6 +430,39 @@ object OracleSql {
        |FROM comp
        |ORDER BY 1, 2""".stripMargin
 
+  /** q99 — cluster-aware train/val/test split over q55's components:
+    * members follow md5(cluster_id)'s bucket (0-7/8/9), singletons
+    * bucket by their own id. Same recursive closure as q55; the hex→int
+    * bucket is the q91 portable-hash trick. */
+  val q99: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT keep_id, drop_id FROM (
+       |$q48
+       |  )
+       |), ed AS (
+       |  SELECT keep_id AS a, drop_id AS b FROM pairs
+       |  UNION ALL
+       |  SELECT drop_id AS a, keep_id AS b FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM ed
+       |  UNION
+       |  SELECT ed.a, rr.r FROM ed JOIN reach rr ON rr.id = ed.b
+       |), comp AS (
+       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), assign AS (
+       |  SELECT e.vec_id, COALESCE(comp.cluster_id, e.vec_id) AS cluster_id
+       |  FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+       |)
+       |SELECT vec_id, cluster_id,
+       |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT vec_id, cluster_id,
+       |    CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+       |      AS BIGINT) % 10 AS b
+       |  FROM assign) t
+       |ORDER BY vec_id""".stripMargin
+
   /** q56 — train/test decontamination: pairs sharing >= 3 rare
     * (df <= 64) distinct 3-token shingles across the md5-addressed
     * test/train split; severity = flagged fraction of the test doc's

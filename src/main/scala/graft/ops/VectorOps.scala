@@ -475,6 +475,39 @@ object VectorOps {
       .orderBy("cluster_id", "vec_id")
   }
 
+  // ---------------------------------------------------------------- q99
+  /** q99 — cluster-aware train/val/test split: the leakage-safe split
+    * every training pipeline needs. A plain per-row hash split leaks:
+    * two near-duplicate documents can land one in train and one in
+    * test, and the model is then evaluated on (a copy of) its training
+    * data. Splitting BY CLUSTER closes that: every member of a q55
+    * near-dup cluster follows the cluster id's bucket; singletons (not
+    * in any cluster) bucket by their own id — consistent with q55's
+    * min-member cluster-id convention. Buckets are content-addressed
+    * (md5 of the cluster id, q54/q91's portable hex→int trick) so the
+    * split is reproducible across engines and reruns: 0-7 train,
+    * 8 val, 9 test.
+    *
+    * At 100 TB: the cluster assignment table is bounded by duplicate
+    * count (broadcast-able), the corpus side streams through one left
+    * join + a per-row hash — no new shuffles beyond q55's own. */
+  def q99ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q55DupClusters(spark, dir)
+      .select(col("vec_id"), col("cluster_id"))
+    val bucket = conv(
+      substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("bigint") % 10
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumn("split",
+        when(bucket <= 7, lit("train"))
+          .when(bucket === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("vec_id"), col("cluster_id"), col("split"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- q49
   /** q49 — IVF approximate nearest neighbors (V13 scale path #2,
     * complementing q34's LSH): a coarse quantizer (16 centroids =

@@ -153,4 +153,26 @@ class VectorOpsSpec extends SparkSpecBase {
       .map(r => r.getLong(1) -> r.getLong(0)).toMap
     assert(got == expected)
   }
+
+  test("q99: every vector splits exactly once and clusters never straddle splits") {
+    val rows = SparkEntry.queries("q99_cluster_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total coverage, no duplicates
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the leakage-safety invariant: one split per cluster
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c straddles splits: ${members.map(_._3).distinct}")
+    }
+    // cluster ids agree with q55 for clustered vecs; singletons are
+    // their own cluster
+    val clustered = SparkEntry.queries("q55_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    rows.foreach { case (v, c, _) =>
+      assert(c == clustered.getOrElse(v, v))
+    }
+    // all three splits materialize at this SF
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
 }
