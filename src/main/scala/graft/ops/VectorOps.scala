@@ -488,9 +488,11 @@ object VectorOps {
     * split is reproducible across engines and reruns: 0-7 train,
     * 8 val, 9 test.
     *
-    * At 100 TB: the cluster assignment table is bounded by duplicate
-    * count (broadcast-able), the corpus side streams through one left
-    * join + a per-row hash — no new shuffles beyond q55's own. */
+    * At 100 TB: one vec_id-keyed left join (the cluster table is one
+    * row per CLUSTERED vector — at web-scale dup rates that is corpus-
+    * order, so the shuffle join is the honest plan; AQE downgrades it
+    * to broadcast when the dup set is actually small) plus a per-row
+    * hash. No new corpus scans beyond q55's own. */
   def q99ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
     val clusters = q55DupClusters(spark, dir)
       .select(col("vec_id"), col("cluster_id"))
