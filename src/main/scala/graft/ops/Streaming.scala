@@ -110,6 +110,39 @@ object Streaming {
       .orderBy("user_id", "imp_id", "click_id")
   }
 
+  /** Keyed EMA state: the running average and how many ticks fed it. */
+  case class EmaState(ema: Double, n: Long)
+
+  /** V12 streaming form: per-user EMA smoothing as keyed state via
+    * mapGroupsWithState (the one-output-per-group-per-batch sibling of
+    * replayStream's flatMapGroupsWithState) — each micro-batch folds
+    * the user's new ticks (ordered by event_id, the replay convention)
+    * into the persisted state and emits the updated summary. The fold
+    * is IDENTICAL to batch q25 (`a += (v − a) · 0.2`,
+    * ui_app.cpp:242-263), so feeding the same ticks in event_id order
+    * across any batch split reproduces q25's rows exactly —
+    * StreamingSpec asserts that equivalence on real data. */
+  def emaStream(ticks: Dataset[(Long, Long, Double)])
+    : Dataset[(Long, Long, Long)] = {
+    import ticks.sparkSession.implicits._
+    val rate = 0.2
+    ticks.groupByKey(_._1)
+      .mapGroupsWithState[EmaState, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Double)],
+         state: GroupState[EmaState]) =>
+          val prev = state.getOption.getOrElse(EmaState(0.0, 0L))
+          var ema = prev.ema
+          var n = prev.n
+          batch.toSeq.sortBy(_._2).foreach { case (_, _, v) =>
+            ema += (v - ema) * rate
+            n += 1
+          }
+          state.update(EmaState(ema, n))
+          (user, n, math.floor(ema * 10000).toLong)
+      }
+  }
+
   /** V11 streaming form: per-game turn-state machine as keyed state.
     * Each micro-batch folds that game's new moves (ordered by seq) into
     * the persisted GameReplay state and emits the updated summary.

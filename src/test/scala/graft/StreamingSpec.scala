@@ -298,6 +298,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamed EMA equals batch q25 with the corpus split across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // same ticks, event_id order preserved across a 2-batch split: the
+    // keyed state must fold to exactly q25's per-user values
+    val ticks = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val (first, second) = ticks.splitAt(ticks.length / 2)
+    val input = MemoryStream[(Long, Long, Double)]
+    val out = Streaming.emaStream(input.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("ema_state").outputMode("update").start()
+    try {
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      // update mode re-emits per batch: keep each user's LAST emission
+      // (max n_ticks)
+      val streamed = spark.table("ema_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSeq.sorted
+      val batch = SparkEntry.queries("q25_ema_smoothing")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch.sorted)
+    } finally q.stop()
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
