@@ -432,23 +432,14 @@ object OracleSql {
 
   /** q99 — cluster-aware train/val/test split over q55's components:
     * members follow md5(cluster_id)'s bucket (0-7/8/9), singletons
-    * bucket by their own id. Same recursive closure as q55; the hex→int
-    * bucket is the q91 portable-hash trick. */
+    * bucket by their own id. Composes over the q55 text itself (one
+    * source of truth for the closure); the hex→int bucket is the q91
+    * portable-hash trick. */
   val q99: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT keep_id, drop_id FROM (
-       |$q48
+    s"""WITH comp AS (
+       |  SELECT vec_id AS id, cluster_id FROM (
+       |$q55
        |  )
-       |), ed AS (
-       |  SELECT keep_id AS a, drop_id AS b FROM pairs
-       |  UNION ALL
-       |  SELECT drop_id AS a, keep_id AS b FROM pairs
-       |), reach(id, r) AS (
-       |  SELECT DISTINCT a, a FROM ed
-       |  UNION
-       |  SELECT ed.a, rr.r FROM ed JOIN reach rr ON rr.id = ed.b
-       |), comp AS (
-       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
        |), assign AS (
        |  SELECT e.vec_id, COALESCE(comp.cluster_id, e.vec_id) AS cluster_id
        |  FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id

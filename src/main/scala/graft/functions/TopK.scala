@@ -10,17 +10,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * so any driver-side tiebreak that must match an engine ORDER BY
   * goes through this ordering, never through compareTo. */
 object Utf8Order extends Ordering[String] {
+  // Allocation-free: walks UTF-16 chars and applies the standard
+  // code-point-order fixup at the first difference (Lucene's
+  // UTF8-as-UTF16 trick) — surrogates (U+D800-DFFF, encoding code
+  // points >= U+10000) must sort ABOVE every BMP char, so when both
+  // differing chars are >= 0xD800 the ranges swap: E000-FFFF -> -0x800,
+  // D800-DFFF -> +0x2000. Equivalent to comparing the UTF-8 encodings
+  // byte-for-byte, without encoding anything.
   override def compare(a: String, b: String): Int = {
-    val x = a.getBytes("UTF-8")
-    val y = b.getBytes("UTF-8")
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
+      var ca = a.charAt(i).toInt
+      var cb = b.charAt(i).toInt
+      if (ca != cb) {
+        if (ca >= 0xd800 && cb >= 0xd800) {
+          ca = if (ca >= 0xe000) ca - 0x800 else ca + 0x2000
+          cb = if (cb >= 0xe000) cb - 0x800 else cb + 0x2000
+        }
+        return ca - cb
+      }
       i += 1
     }
-    x.length - y.length
+    a.length - b.length
   }
 }
 

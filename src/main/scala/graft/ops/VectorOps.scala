@@ -401,9 +401,32 @@ object VectorOps {
     }
   }
 
-  def q55DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  // The (cluster_id, vec_id) assignment table is consumed by q55's
+  // report AND q99's split, and the propagate/contract/union-find
+  // pipeline below is EAGER (localCheckpoints + counts fire at
+  // construction) — so like the edge graph above it is built once per
+  // (session, dir), never once per consumer.
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  /** (cluster_id, vec_id) for every vector in a near-dup cluster,
+    * cluster id = min member id. */
+  private def clusterAssignments(spark: SparkSession, dir: String)
+    : DataFrame = {
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) buildClusterAssignments(spark, dir)
+    else {
+      clusterCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      clusterCache.getOrElseUpdate(
+        (System.identityHashCode(spark), dir),
+        (spark, buildClusterAssignments(spark, dir)))._2
+    }
+  }
+
+  private def buildClusterAssignments(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val edges = neardupEdges(spark, dir)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -467,10 +490,16 @@ object VectorOps {
       }
       parent.keys.toArray.iterator.map(k => (k, find(k)))
     }.toDF("lbl", "root")
-    val w = Window.partitionBy(col("cluster_id"))
     labels.join(mapping, Seq("lbl"), "left")
       .select(coalesce(col("root"), col("lbl")).as("cluster_id"),
         col("id").as("vec_id"))
+      .localCheckpoint()
+  }
+
+  def q55DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+    clusterAssignments(spark, dir)
       .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
       .orderBy("cluster_id", "vec_id")
   }
@@ -494,7 +523,7 @@ object VectorOps {
     * to broadcast when the dup set is actually small) plus a per-row
     * hash. No new corpus scans beyond q55's own. */
   def q99ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = q55DupClusters(spark, dir)
+    val clusters = clusterAssignments(spark, dir)
       .select(col("vec_id"), col("cluster_id"))
     val bucket = conv(
       substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4),

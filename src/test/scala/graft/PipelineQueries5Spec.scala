@@ -285,7 +285,13 @@ class PipelineQueries5Spec extends SparkSpecBase {
           pairs(k) = pairs.getOrElse(k, 0L) + c
         }
       }
-      val ((a, b), w) = pairs.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      // same UTF-8-binary tiebreak as BOTH production paths (JVM tuple
+      // order would diverge on supplementary-plane ties)
+      val refOrd: Ordering[((String, String), Long)] =
+        Ordering.by[((String, String), Long), Long](-_._2)
+          .orElseBy(_._1._1)(graft.functions.Utf8Order)
+          .orElseBy(_._1._2)(graft.functions.Utf8Order)
+      val ((a, b), w) = pairs.toSeq.min(refOrd)
       words = words.map { case (sym, c) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0

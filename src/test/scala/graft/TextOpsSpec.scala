@@ -106,6 +106,35 @@ class TextOpsSpec extends SparkSpecBase {
       s"tie must rank UTF-8-first, got ${r.items}")
   }
 
+  test("Utf8Order equals byte-wise comparison of the UTF-8 encodings") {
+    import org.scalacheck.{Gen, Prop}
+    def byteCompare(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    // valid code points only (lone surrogates don't UTF-8-encode):
+    // mix BMP, the private-use range, and supplementary planes to hit
+    // every branch of the surrogate fixup
+    val cp = Gen.oneOf(Gen.choose(32, 0xd7ff), Gen.choose(0xe000, 0xffff),
+      Gen.choose(0x10000, 0x10ffff))
+    val str = Gen.listOf(cp).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(2000)
+    val res = org.scalacheck.Test.check(params, Prop.forAll(str, str) {
+      (a, b) =>
+        Integer.signum(graft.functions.Utf8Order.compare(a, b)) ==
+          Integer.signum(byteCompare(a, b))
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("q28: bounded-rank group ids equal a driver-side dense rank over dup sigs") {
     // The group id must be the 1-based dense rank of the signature among
     // DISTINCT duplicated signatures ordered ascending — recompute that
