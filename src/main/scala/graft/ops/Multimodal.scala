@@ -369,46 +369,25 @@ object Multimodal {
   /** q80 — perceptual-hash image near-dup pairs: the image-side twin of
     * the text near-dup family (the mandate's multimodal dedup). dHash
     * every image from its container bytes, then find pairs at hamming
-    * ≤ 3 with q73's pigeonhole-lossless banding — the 64-bit hash
-    * splits into 4 disjoint 16-bit bands and a ≤3-bit-distant pair
-    * agrees exactly on ≥ 1 band, so the (band, key) equi-join yields a
-    * superset of every true pair; bit_count(xor) keeps truth only.
+    * ≤ 3 with the shared [[SimHashBanding]] kernel (Manku WWW'07
+    * 3-of-6 block combinations over distinct hashes, exact
+    * bit_count(xor) verify — see the kernel Scaladoc for the
+    * candidate-volume bound).
     *
     * At 100 TB: payloads never shuffle (hashing is partition-local
-    * decode); only (id, 64-bit sig) rows enter the band join, and
-    * 16-bit buckets shatter the corpus. No oracle (hash is
-    * engine-specific); MultimodalSpec equates the result with a
-    * driver-side all-pairs recomputation and checks the planted dups. */
+    * decode); only (id, 64-bit sig) rows enter the band join. No
+    * oracle (hash is engine-specific); MultimodalSpec equates the
+    * result with a driver-side all-pairs recomputation and checks the
+    * planted dups. */
   def q80ImageDups(spark: SparkSession, dir: String): DataFrame = {
     val session = spark
     import session.implicits._
-    // materialized: four consumers (both band sides, both verify
-    // join-backs) would otherwise re-ENCODE and re-hash every image
-    // four times — and only (id, sig) rows are kept, never payloads
+    // only (id, sig) rows leave the decode stage, never payloads
     val sigs = imageTable(spark, dir)
       .mapPartitions(_.map(r => (r.media_id, Codec.dHashPpm(r.payload))))
       .toDF("media_id", "dhash")
-      .localCheckpoint()
-    val bands = sigs.select(col("media_id"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> (dhash >> (b * 16)) & 65535)")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "key")
-    val cand = bands
-      .select(col("band"), col("key"), col("media_id").as("media_a"))
-      .join(bands.select(col("band"), col("key"), col("media_id").as("media_b")),
-        Seq("band", "key"))
-      .filter(col("media_a") < col("media_b"))
-      .select("media_a", "media_b")
-      .dropDuplicates("media_a", "media_b")
-    cand
-      .join(sigs.select(col("media_id").as("media_a"), col("dhash").as("ha")),
-        "media_a")
-      .join(sigs.select(col("media_id").as("media_b"), col("dhash").as("hb")),
-        "media_b")
-      .withColumn("dist", expr("bit_count(ha ^ hb)").cast("bigint"))
-      .filter(col("dist") <= 3)
-      .select(col("media_a"), col("media_b"), col("dist"))
+    SimHashBanding.nearPairs(sigs, "media_id", "dhash")
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("dist"))
       .orderBy("media_a", "media_b")
   }
 

@@ -439,16 +439,14 @@ object TextOps {
   def simhashGroups(docs: DataFrame): DataFrame = {
     // materialized: the dup-sig agg and the join-back both consume it
     val sigs = simhashSigs(docs).localCheckpoint()
-    import org.apache.spark.sql.expressions.Window
-    // Group ids are ranked over the DISTINCT duplicate signatures (one
-    // row per group, bounded by group count) and joined back — ranking
-    // the joined-back doc rows instead would funnel every duplicate doc
-    // through one unpartitioned window task at corpus scale.
-    val w = Window.orderBy(col("simhash"))
+    // Group id = min doc_id of the group (q55's min-label convention):
+    // a plain keyed aggregate, content-addressed and order-free. Dense
+    // ids are not semantically required, and ranking — even over the
+    // distinct dup signatures — funnels a corpus-order row count
+    // through ONE unpartitioned window task at web dup rates.
     val dupSigs = sigs.groupBy(col("simhash"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("group_id"))
       .filter(col("n_docs") > 1)
-      .withColumn("group_id", dense_rank().over(w).cast("bigint"))
     sigs.join(dupSigs, "simhash")
       .select(col("group_id"), col("doc_id"), col("n_docs"))
       .orderBy("group_id", "doc_id")
@@ -463,42 +461,18 @@ object TextOps {
   // ---------------------------------------------------------------- q73
   /** q73 — SimHash near-dup PAIRS at hamming distance ≤ 3 (q28 finds
     * exact-signature groups; this finds the near misses a changed word
-    * or two produces). Candidate generation is pigeonhole-LOSSLESS
-    * banding: the 64-bit signature splits into 4 disjoint 16-bit
-    * bands, and a pair within distance 3 has at most 3 differing bits,
-    * so it agrees EXACTLY on at least one band — the (band, value)
-    * equi-join therefore yields a superset of every true pair, and the
-    * exact popcount verify (bit_count(xor), codegen built-in) keeps
-    * truth only. At 100 TB candidate volume is bounded by band-bucket
-    * sizes (16-bit buckets shatter the corpus); only 64-bit sigs cross
-    * the shuffle, never token sets. No oracle (engine-specific hash);
-    * ScalaTest equates the result with a driver-side all-pairs
-    * recomputation. */
-  def q73SimhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
-    // materialized: four consumers (both band sides, both verify
-    // join-backs) would otherwise re-hash the corpus four times
-    val sigs = simhashSigs(Tables.documents(spark, dir)).localCheckpoint()
-    val bands = sigs.select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "key")
-    val cand = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band"), col("key"), col("doc_id").as("doc_b")),
-        Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
-        "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
-        "doc_b")
-      .withColumn("dist", expr("bit_count(sa ^ sb)").cast("bigint"))
-      .filter(col("dist") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+    * or two produces). Candidate generation + verify live in the
+    * shared [[SimHashBanding]] kernel: Manku WWW'07 3-of-6 block
+    * combinations over DISTINCT signatures (pigeonhole-lossless, ~2^32
+    * bucket keys bound candidate volume at web scale), exact
+    * `bit_count(xor)` verify, then expansion back to doc pairs. No
+    * oracle (engine-specific hash); ScalaTest equates the result with
+    * a driver-side all-pairs recomputation. */
+  def q73SimhashNearPairs(spark: SparkSession, dir: String): DataFrame =
+    SimHashBanding
+      .nearPairs(simhashSigs(Tables.documents(spark, dir)), "doc_id", "simhash")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
-  }
 
   // ---------------------------------------------------------------- q29
   /** q29 — n-gram language-ID heuristic: character-trigram profiles are

@@ -135,21 +135,29 @@ class TextOpsSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
-  test("q28: bounded-rank group ids equal a driver-side dense rank over dup sigs") {
-    // The group id must be the 1-based dense rank of the signature among
-    // DISTINCT duplicated signatures ordered ascending — recompute that
+  test("q28: group ids equal a driver-side min-doc-id per duplicated signature") {
+    // The group id is the min doc_id of the group (q55's min-label
+    // convention — content-addressed, no ranking) — recompute that
     // contract driver-side from the raw signatures and equate.
     val sigs = TextOps.simhashSigs(Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val dupSigs = sigs.groupBy(_._2).filter(_._2.length > 1)
-    val rank = dupSigs.keys.toSeq.sorted.zipWithIndex
-      .map { case (s, i) => s -> (i + 1L) }.toMap
-    val expected = dupSigs.toSeq.flatMap { case (sig, docs) =>
-      docs.map { case (id, _) => (rank(sig), id, docs.length.toLong) }
+    val expected = dupSigs.toSeq.flatMap { case (_, docs) =>
+      val gid = docs.map(_._1).min
+      docs.map { case (id, _) => (gid, id, docs.length.toLong) }
     }.sorted
     val got = SparkEntry.queries("q28_simhash_dups")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
+  }
+
+  test("q28: plan contains no Window nodes at all") {
+    val plan = SparkEntry.queries("q28_simhash_dups")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"unexpected Window nodes: $windows")
   }
 
   test("q29: confusion matrix covers only test docs and all langs appear") {
