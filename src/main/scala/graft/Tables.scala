@@ -30,13 +30,11 @@ object Tables {
     "customer", "part", "orders", "lineitem", "events",
     "documents", "embeddings")
 
-  // Keyed by session identity too: a cached DataFrame is unusable after
-  // its owning session stops (tests create/stop several sessions). The
-  // session reference is kept alongside the frame so entries of stopped
-  // sessions are evicted on the next access — the map never accumulates
-  // dead sessions' frames.
+  // Keyed by session (via SessionCache): a cached DataFrame is unusable
+  // after its owning session stops (tests create/stop several sessions),
+  // and a hit is honored only for the identical session object.
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), (SparkSession, DataFrame)]
+    .empty[(Int, String), (SparkSession, DataFrame)]
 
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -44,17 +42,14 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val caching = spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) raw(spark, sfDir, name)
-    else {
-      cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
-        val df0 = raw(spark, sfDir, name)
-        val df =
-          if (factNames(name))
-            df0.repartition(spark.sparkContext.defaultParallelism)
-          else df0
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-        (spark, df)
-      })._2
+    else SessionCache.getOrBuild(cache, spark, s"$sfDir/$name") {
+      val df0 = raw(spark, sfDir, name)
+      val df =
+        if (factNames(name))
+          df0.repartition(spark.sparkContext.defaultParallelism)
+        else df0
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
     }
   }
 

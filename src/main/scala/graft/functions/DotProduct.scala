@@ -104,15 +104,21 @@ object GraftFunctions {
     * session they receive). Also registers the TopKPairs typed
     * Aggregator as the SQL aggregate `graft_topk5(token, n)` — the
     * third extension surface (Expression, UDAF, SessionExtensions)
-    * reachable from plain SQL text. */
+    * reachable from plain SQL text. Entry points call this per query,
+    * so a session that already has the functions is left untouched —
+    * re-registering the UDAF would log a 'replaced a previously
+    * registered function' WARN on every call. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      registration._1, registration._2, registration._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      simhashRegistration._1, simhashRegistration._2, simhashRegistration._3)
-    spark.udf.register("graft_topk5",
-      org.apache.spark.sql.functions.udaf(new TopKPairs(5),
-        Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(registration._1))
+      reg.registerFunction(registration._1, registration._2, registration._3)
+    if (!reg.functionExists(simhashRegistration._1))
+      reg.registerFunction(simhashRegistration._1,
+        simhashRegistration._2, simhashRegistration._3)
+    if (!reg.functionExists(FunctionIdentifier("graft_topk5")))
+      spark.udf.register("graft_topk5",
+        org.apache.spark.sql.functions.udaf(new TopKPairs(5),
+          Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
   }
 
   /** `graft_dot(a, b)` as a Column. Resolves through the function

@@ -127,11 +127,7 @@ object BoardOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else {
-      piecesCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      piecesCache.getOrElseUpdate(
-        (System.identityHashCode(spark), dir), (spark, build))._2
-    }
+    else graft.SessionCache.getOrBuild(piecesCache, spark, dir)(build)
   }
 
   /** Occupied cells with stack size (A1). */

@@ -28,6 +28,10 @@ object RelationalQueries {
     * lossless representation and decimal aggregation is exact. */
   private def dec(c: String): Column = col(c).cast(DecimalType(12, 2))
 
+  /** Per-JVM scratch-path token: isolates q90's write→re-read roundtrip
+    * from any concurrent JVM running against the same source dir. */
+  private lazy val jvmToken = java.util.UUID.randomUUID().toString.take(8)
+
   /** q01 — TPC-H Q1-shaped pricing summary: scan → filter (pushed) →
     * partial+final hash agg → order. Ref analogue: per-group counting in
     * rules.cpp:12-15 scaled to fact-table aggregation [north-star A7]. */
@@ -698,11 +702,18 @@ object RelationalQueries {
           .otherwise(lit("update")).as("op"),
         coalesce(col("old_seg"), lit("")).as("old_seg"))
     // scratch path keyed by md5(dir) — collision-free across source
-    // dirs, unlike String.hashCode
+    // dirs, unlike String.hashCode. Rooted under spark.graft.scratchDir
+    // (default: the JVM tmpdir), never the working directory, and
+    // suffixed with a per-JVM token + the session identity so two
+    // concurrent runs over the same source dir (bench and tests in
+    // parallel) never race writer-vs-reader on one directory.
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = new java.io.File("target/upsert_roundtrip",
-      s"customer_$key").getAbsolutePath
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val out = new java.io.File(
+      new java.io.File(root, s"graft_scratch_$jvmToken"),
+      s"customer_${key}_${System.identityHashCode(spark)}").getAbsolutePath
     merged.write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
       .filter(col("op") =!= "noop") // audit only the touched rows

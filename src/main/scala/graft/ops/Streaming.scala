@@ -110,8 +110,10 @@ object Streaming {
       .orderBy("user_id", "imp_id", "click_id")
   }
 
-  /** Keyed EMA state: the running average and how many ticks fed it. */
-  case class EmaState(ema: Double, n: Long)
+  /** Keyed EMA state: the running average, how many ticks fed it, the
+    * highest event_id folded so far (the in-order frontier), and how
+    * many out-of-order ticks were rejected at that frontier. */
+  case class EmaState(ema: Double, n: Long, maxId: Long, late: Long)
 
   /** V12 streaming form: per-user EMA smoothing as keyed state via
     * mapGroupsWithState (the one-output-per-group-per-batch sibling of
@@ -121,7 +123,14 @@ object Streaming {
     * is IDENTICAL to batch q25 (`a += (v − a) · 0.2`,
     * ui_app.cpp:242-263), so feeding the same ticks in event_id order
     * across any batch split reproduces q25's rows exactly —
-    * StreamingSpec asserts that equivalence on real data. */
+    * StreamingSpec asserts that equivalence on real data.
+    *
+    * The batch=stream contract only holds for in-order delivery, so it
+    * is ENFORCED, not assumed: the state tracks the max folded
+    * event_id, and a tick arriving at or below that frontier (a
+    * cross-batch replay or out-of-order straggler) is dropped and
+    * counted in `EmaState.late` instead of silently folding in arrival
+    * order and diverging from q25. */
   def emaStream(ticks: Dataset[(Long, Long, Double)])
     : Dataset[(Long, Long, Long)] = {
     import ticks.sparkSession.implicits._
@@ -131,14 +140,20 @@ object Streaming {
         GroupStateTimeout.NoTimeout()) {
         (user: Long, batch: Iterator[(Long, Long, Double)],
          state: GroupState[EmaState]) =>
-          val prev = state.getOption.getOrElse(EmaState(0.0, 0L))
+          val prev = state.getOption.getOrElse(EmaState(0.0, 0L, Long.MinValue, 0L))
           var ema = prev.ema
           var n = prev.n
-          batch.toSeq.sortBy(_._2).foreach { case (_, _, v) =>
-            ema += (v - ema) * rate
-            n += 1
+          var maxId = prev.maxId
+          var late = prev.late
+          batch.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            if (id <= maxId) late += 1
+            else {
+              ema += (v - ema) * rate
+              n += 1
+              maxId = id
+            }
           }
-          state.update(EmaState(ema, n))
+          state.update(EmaState(ema, n, maxId, late))
           (user, n, math.floor(ema * 10000).toLong)
       }
   }

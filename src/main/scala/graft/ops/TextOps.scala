@@ -60,11 +60,7 @@ object TextOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else {
-      shingleCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      shingleCache.getOrElseUpdate(
-        (System.identityHashCode(spark), dir), (spark, build))._2
-    }
+    else graft.SessionCache.getOrBuild(shingleCache, spark, dir)(build)
   }
 
   // ---------------------------------------------------------------- q13
@@ -277,7 +273,7 @@ object TextOps {
   // eagerly re-materialized (two localCheckpoints) on every call,
   // which made each invocation pay the full index build.
   private val contamCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame, DataFrame)]
+    .empty[(Int, String), (SparkSession, (DataFrame, DataFrame))]
 
   private def contamIndex(spark: SparkSession, dir: String, dfCap: Int)
       : (DataFrame, DataFrame) = {
@@ -301,13 +297,7 @@ object TextOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else {
-      contamCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      val e = contamCache.getOrElseUpdate(
-        (System.identityHashCode(spark), dir),
-        { val (d, r) = build; (spark, d, r) })
-      (e._2, e._3)
-    }
+    else graft.SessionCache.getOrBuild(contamCache, spark, dir)(build)
   }
 
   def q56Decontamination(spark: SparkSession, dir: String): DataFrame = {
@@ -667,11 +657,7 @@ object TextOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else {
-      trigramCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      trigramCache.getOrElseUpdate(
-        (System.identityHashCode(spark), dir), (spark, build))._2
-    }
+    else graft.SessionCache.getOrBuild(trigramCache, spark, dir)(build)
   }
 
   /** q72 — index-accelerated substring search for a fixed phrase:

@@ -239,13 +239,8 @@ object VectorOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else {
-      lshCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      lshCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
-        val df = build.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (spark, df)
-      })._2
+    else graft.SessionCache.getOrBuild(lshCache, spark, dir) {
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
   }
 
@@ -394,11 +389,7 @@ object VectorOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else {
-      edgeCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      edgeCache.getOrElseUpdate(
-        (System.identityHashCode(spark), dir), (spark, build))._2
-    }
+    else graft.SessionCache.getOrBuild(edgeCache, spark, dir)(build)
   }
 
   // The (cluster_id, vec_id) assignment table is consumed by q55's
@@ -416,12 +407,8 @@ object VectorOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) buildClusterAssignments(spark, dir)
-    else {
-      clusterCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      clusterCache.getOrElseUpdate(
-        (System.identityHashCode(spark), dir),
-        (spark, buildClusterAssignments(spark, dir)))._2
-    }
+    else graft.SessionCache.getOrBuild(clusterCache, spark, dir)(
+      buildClusterAssignments(spark, dir))
   }
 
   private def buildClusterAssignments(spark: SparkSession,
@@ -580,15 +567,14 @@ object VectorOps {
     .empty[(Int, String), (SparkSession, Array[(Int, Array[Double])])]
 
   private def refinedCentroids(spark: SparkSession, dir: String)
-      : Array[(Int, Array[Double])] = {
-    centroidCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-    centroidCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      : Array[(Int, Array[Double])] =
+    graft.SessionCache.getOrBuild(centroidCache, spark, dir) {
       import spark.implicits._
       val unit = unitVecs(normed(spark, dir))
       val seeds = unit.filter(col("vec_id") < ivfCentroids)
         .select(col("vec_id").cast("int").as("cid"), col("u").as("cu"))
       // one Lloyd iteration: element-wise mean per assigned list
-      val refined = assignLists(unit, seeds)
+      assignLists(unit, seeds)
         .join(unit, "vec_id")
         .as[(Long, Int, Array[Double])]
         .groupByKey(_._2)
@@ -605,9 +591,7 @@ object VectorOps {
         }
         .collect()
         .sortBy(_._1)
-      (spark, refined)
-    })._2
-  }
+    }
 
   def q49IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

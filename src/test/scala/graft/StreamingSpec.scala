@@ -329,6 +329,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamed EMA drops cross-batch out-of-order ticks at the frontier") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch 1 folds ids 1..3; batch 2 replays id 2 (late straggler)
+    // and delivers id 4 — the fold must equal the in-order ids 1,2,3,4
+    // with the straggler REJECTED, not folded in arrival order.
+    val rate = 0.2
+    val inOrder = Seq((7L, 1L, 10.0), (7L, 2L, 20.0), (7L, 3L, 30.0),
+      (7L, 4L, 40.0))
+    val expectedEma = inOrder.foldLeft(0.0)((a, t) => a + (t._3 - a) * rate)
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = Streaming.emaStream(input.toDS()).writeStream.format("memory")
+      .queryName("ema_ooo").outputMode("update").start()
+    try {
+      input.addData(inOrder.take(3))
+      q.processAllAvailable()
+      input.addData(Seq((7L, 2L, 999.0), (7L, 4L, 40.0)))
+      q.processAllAvailable()
+      val last = spark.table("ema_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .maxBy(_._2)
+      assert(last == ((7L, 4L, math.floor(expectedEma * 10000).toLong)))
+    } finally q.stop()
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
