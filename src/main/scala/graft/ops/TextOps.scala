@@ -472,17 +472,20 @@ object TextOps {
     * count), argmax with lexicographic tiebreak. Output is the
     * lang × predicted-lang confusion matrix. Integer scores keep the
     * argmax engine-portable. */
-  def q29LangTrigramId(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  // The per-(doc, trigram) multiplicity table is q29's index-like
+  // intermediate: derived once from the corpus, probed on every run.
+  // Kept per (session, dir) under spark.graft.cacheTables like the
+  // shingle/trigram/LSH indexes (uncached callers still get one
+  // localCheckpoint per call so the explode never recomputes inside
+  // the query's train/test branches).
+  private val langTrigramCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
+
+  private def langTrigramCounts(spark: SparkSession, dir: String): DataFrame = {
     // guard: texts shorter than 3 chars have NO trigrams. Spark's
     // sequence(1, 0) yields [1, 0] (descending step −1) while DuckDB's
     // generate_series(1, 0) is empty — without the CASE the two engines
     // would diverge on any such doc.
-    val docs = Tables.documents(spark, dir)
-      .withColumn("tg",
-        expr("""CASE WHEN length(text) >= 3
-               |  THEN transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))
-               |  ELSE CAST(array() AS array<string>) END""".stripMargin))
     // ONE corpus explode feeds both sides: the per-(doc, trigram)
     // multiplicity table is materialized and split train/test from
     // there (round 4 exploded the corpus once per side — two full
@@ -491,14 +494,30 @@ object TextOps {
     // before the profile join: score = Σ_g n_doc(g)·cnt(lang,g) —
     // identical integer result, ~5× less join input (the oracle's
     // per-occurrence SUM computes the same value).
-    val counts = docs
+    def build: DataFrame = Tables.documents(spark, dir)
+      .withColumn("tg",
+        expr("""CASE WHEN length(text) >= 3
+               |  THEN transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))
+               |  ELSE CAST(array() AS array<string>) END""".stripMargin))
       .select(col("doc_id"), col("lang"), explode(col("tg")).as("g"))
       .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("n_g"))
       .localCheckpoint()
-    val train = counts.filter(col("doc_id") % 5 === 0)
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else graft.SessionCache.getOrBuild(langTrigramCache, spark, dir)(build)
+  }
+
+  def q29LangTrigramId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = langTrigramCounts(spark, dir)
+    // The train profile is BOUNDED (langs × observed trigram space) and
+    // probed by every corpus row — broadcast it explicitly so the
+    // score join never shuffles the corpus side, at 100 TB included.
+    val train = broadcast(counts.filter(col("doc_id") % 5 === 0)
       .groupBy(col("lang").as("profile_lang"), col("g"))
-      .agg(sum(col("n_g")).as("cnt"))
+      .agg(sum(col("n_g")).as("cnt")))
     val test = counts.filter(col("doc_id") % 5 =!= 0)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("profile_lang"))
