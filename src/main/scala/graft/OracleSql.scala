@@ -1180,4 +1180,16 @@ object OracleSql {
       |  CAST(MAX(ABS(c*n - ns*ct) // GREATEST(ns*n // 10000, 1)) AS BIGINT)
       |    AS max_token_bp
       |FROM tots GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q100 — the oracle recomputes the warehouse table's audit aggregate
+    * from the SOURCE parquet (q68/q76's roundtrip contract lifted to
+    * the catalog layer): the engine's CTAS slice + INSERT INTO slice
+    * partition the same join, so aggregating the re-read table must
+    * hash-match this direct aggregate. DECIMAL sum = order-exact. */
+  val q100: String =
+    """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
 }

@@ -116,4 +116,55 @@ object SqlSurface {
         |FROM (SELECT lang, posexplode(tk.items) FROM top) x
         |ORDER BY lang, rn""".stripMargin)
   }
+
+  /** Per-JVM warehouse token (q90's scratch convention): isolates the
+    * q100 warehouse dir from concurrent JVMs on the same machine. */
+  private lazy val whToken = java.util.UUID.randomUUID().toString.take(8)
+
+  /** q100 — the warehouse DDL story: SQL-text `CREATE DATABASE` /
+    * `CREATE TABLE ... AS SELECT` / `INSERT INTO` through `spark.sql`
+    * into a persistent session warehouse, then the audit aggregate
+    * computed from the table RE-READ through `spark.catalog` — a
+    * HiveQL user's second action after SELECT (ref analogue: the
+    * reference's persistent write paths, engine/src/engine.cpp:8-36).
+    *
+    * The CTAS takes orders before 1996; INSERT INTO appends the rest;
+    * together they repartition the full join, so the DuckDB oracle
+    * recomputes the audit from the SOURCE parquet (the q68/q76
+    * roundtrip contract lifted to the catalog layer) — the hash match
+    * proves what was PERSISTED and re-read, not just computed.
+    *
+    * Scale posture: both DDL statements are ordinary INSERT plans
+    * (broadcast customer dim, pushed date filter, distributed parquet
+    * write); the catalog work itself is metadata-only. The warehouse
+    * location is rooted in spark.graft.scratchDir (default tmpdir),
+    * per-JVM + per-session tokens keep concurrent runs isolated. */
+  def q100Ctas(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val loc = new java.io.File(root, s"graft_warehouse_$whToken")
+      .getAbsolutePath.replace("'", "''")
+    val tbl = s"graft_wh.seg_sales_${dirKey}_${System.identityHashCode(spark)}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl USING PARQUET AS
+         |SELECT c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_orderdate < TIMESTAMP '1996-01-01'""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'""".stripMargin)
+    spark.sql(
+      s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+         |FROM $tbl
+         |GROUP BY c_mktsegment, o_orderpriority
+         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+  }
 }

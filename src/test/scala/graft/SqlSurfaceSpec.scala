@@ -31,4 +31,30 @@ class SqlSurfaceSpec extends SparkSpecBase {
       assert(spark.sql(s"SELECT * FROM $n LIMIT 1").collect().length == 1)
     }
   }
+
+  test("q100: CTAS+INSERT audit equals the direct source aggregate, idempotently") {
+    import org.apache.spark.sql.functions._
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double").as("total_price"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    // run twice: DROP TABLE IF EXISTS must make re-runs (bench
+    // min-of-2) reproduce the identical persisted table
+    val first = SparkEntry.queries("q100_ctas")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val second = SparkEntry.queries("q100_ctas")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(first == direct && second == direct)
+    // and the table is a real catalog object with persisted files
+    val tbl = spark.catalog.listTables("graft_wh").collect()
+      .map(_.name).find(_.startsWith("seg_sales_"))
+    assert(tbl.nonEmpty, "warehouse table missing from catalog")
+    assert(spark.table(s"graft_wh.${tbl.get}").count() ==
+      Tables.orders(spark, sf).count())
+  }
 }
