@@ -1181,6 +1181,26 @@ object OracleSql {
       |    AS max_token_bp
       |FROM tots GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q101 — sliding windows rebuilt from epoch arithmetic: an event at
+    * ts belongs to the 4 six-hour-aligned day windows starting at
+    * slide_floor(ts) − k·6h for k in 0..3 (epoch-aligned, matching
+    * Spark's window() default startTime). epoch() is DOUBLE in DuckDB —
+    * floor-then-CAST keeps the second grid exact. */
+  val q101: String =
+    """SELECT CAST(to_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) - k) * 21600) AS TIMESTAMP) AS win_start,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) ks(k)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q102 — watermarked streaming dedup's deterministic contract is its
+    * key set (survivor payloads are arrival-order-dependent in any
+    * engine), so the oracle is the DISTINCT key set. */
+  val q102: String =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** q100 — the oracle recomputes the warehouse table's audit aggregate
     * from the SOURCE parquet (q68/q76's roundtrip contract lifted to
     * the catalog layer): the engine's CTAS slice + INSERT INTO slice

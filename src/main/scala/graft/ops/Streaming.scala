@@ -64,11 +64,17 @@ object Streaming {
     * by the watermark (dropDuplicatesWithinWatermark evicts keys older
     * than the horizon, so state never grows unboundedly — the property
     * that makes streaming dedup deployable over an unbounded 100 TB/day
-    * feed; plain dropDuplicates on a stream would accumulate forever). */
-  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(keyCols)
+    * feed; plain dropDuplicates on a stream would accumulate forever).
+    * On a BATCH frame the same entry point degrades to dropDuplicates
+    * (Spark rejects dropDuplicatesWithinWatermark outside streaming;
+    * with the whole input in one "batch" the horizon spans everything,
+    * so the key-set contract is identical) — q102 declares that batch
+    * form under the oracle and StreamingSpec equates the two. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val marked = events.withWatermark("ts", "1 hour")
+    if (events.isStreaming) marked.dropDuplicatesWithinWatermark(keyCols)
+    else marked.dropDuplicates(keyCols)
+  }
 
   /** Stream-STREAM interval join (V16 × J10): impressions ⋈ clicks on
     * user within an event-time window — the attribution-join deployment
@@ -109,6 +115,33 @@ object Streaming {
     attributionJoinStream(imps, clicks)
       .orderBy("user_id", "imp_id", "click_id")
   }
+
+  /** q101 — slidingEventCounts DECLARED as a batch query (the q96
+    * pattern): each event lands in 24h/6h = 4 overlapping epoch-aligned
+    * windows; the EXACT streaming code runs on the batch frame
+    * (withWatermark is a no-op in batch), so the oracle's hash covers
+    * the deployed sliding-window plan. The DuckDB oracle rebuilds the
+    * window assignment from epoch arithmetic. */
+  def q101SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    slidingEventCounts(
+      Tables.events(spark, dir).select(col("ts"), col("event_type")))
+      .orderBy("win_start", "event_type")
+
+  /** q102 — dedupStream DECLARED as a batch query: the EXACT
+    * watermarked-dedup code (dropDuplicatesWithinWatermark ≡
+    * dropDuplicates on a batch frame) runs over events keyed by
+    * (user_id, event_type). Only the KEY columns are emitted — the
+    * non-key columns of the survivor are arrival-order-dependent in
+    * both the stream and the batch form, so the deterministic (and
+    * therefore oracle-checkable) contract of the operator is exactly
+    * its key set. Oracle: SELECT DISTINCT. */
+  def q102StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupStream(
+      Tables.events(spark, dir).select(col("ts"), col("user_id"),
+        col("event_type")),
+      Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
 
   /** Keyed EMA state: the running average, how many ticks fed it, the
     * highest event_id folded so far (the in-order frontier), and how

@@ -250,6 +250,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q101 batch twin equals the streamed sliding-window counts on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the q96 triangle for sliding windows: q101 (oracle-checked batch)
+    // runs slidingEventCounts' exact code; this feeds the SAME rows
+    // through it as a stream and equates the collected windows
+    val ev = Tables.events(spark, sf).select(col("ts"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.slidingEventCounts(
+      input.toDF().toDF("ts", "event_type"))
+    val q = counts.writeStream.format("memory")
+      .queryName("slide_batch_eq").outputMode("complete").start()
+    try {
+      input.addData(ev.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("slide_batch_eq").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1.getTime, t._2))
+      val batch = SparkEntry.queries("q101_sliding_windows")(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(batch.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("q102 batch twin equals the streamed watermarked dedup on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = Streaming.dedupStream(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      Seq("user_id", "event_type"))
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup_batch_eq").outputMode("append").start()
+    try {
+      input.addData(ev.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_batch_eq").collect()
+        .map(r => (r.getLong(1), r.getString(2))).sorted
+      val batch = SparkEntry.queries("q102_stream_dedup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(batch.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("session windows: streamed sf events equal the oracle-checked batch q46") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
