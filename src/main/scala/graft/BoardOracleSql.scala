@@ -330,7 +330,14 @@ object BoardOracleSql {
   private val probeValues: String = ops.BoardOps.hoverProbes
     .map { case (id, ox, oy) => s"($id,$ox,$oy)" }.mkString(",")
 
-  val q44: String = board +
+  /** q44/q51/q53 bodies are exposed separately: they are plain ANSI
+    * over the `pieces`/`cells` relations, so SqlSurface runs the SAME
+    * Scala string values verbatim through spark.sql against the
+    * Spark-derived board views (q104–q106) — the q92 shared-text proof
+    * extended to the board surface. The DuckDB oracle prepends the
+    * `board` CTE prefix; Spark prepends a one-row dummy CTE and reads
+    * the registered views instead. */
+  val q44Body: String =
     s"""
        |, seed(bug, seed) AS (VALUES $seedValues)
        |, colors(color) AS (VALUES ('White'), ('Black'))
@@ -351,6 +358,8 @@ object BoardOracleSql {
        |    AS placements_made
        |FROM rem
        |ORDER BY game_id, color, bug""".stripMargin
+
+  val q44: String = board + q44Body
 
   val q45: String = board +
     s"""
@@ -384,7 +393,11 @@ object BoardOracleSql {
        |FROM pts p LEFT JOIN hits h USING (game_id, probe_id)
        |ORDER BY game_id, probe_id""".stripMargin
 
-  val q51: String = board +
+  /** `(cell_key - r_low) / 4294967296` is EXACT in both engines'
+    * double division (the numerator is q·2^32, |q·2^32| < 2^53 for any
+    * board coordinate) and replaces DuckDB-only `//` so the body is
+    * dialect-portable. */
+  val q51Body: String =
     """
       |, keyed AS (
       |  SELECT game_id, q, r,
@@ -397,15 +410,17 @@ object BoardOracleSql {
       |    ((cell_key % 4294967296) + 4294967296) % 4294967296 AS r_low
       |  FROM keyed)
       |SELECT game_id, q, r, cell_key,
-      |  CAST((cell_key - r_low) // 4294967296 AS INT) AS rt_q,
+      |  CAST((cell_key - r_low) / 4294967296 AS INT) AS rt_q,
       |  CAST(CASE WHEN r_low >= 2147483648 THEN r_low - 4294967296
       |            ELSE r_low END AS INT) AS rt_r
       |FROM dec
       |ORDER BY game_id, q, r""".stripMargin
 
+  val q51: String = board + q51Body
+
   /** q53 — viewport culling: unproject the four window corners with the
     * q42 inverse + cube rounding, pad ±3, keep cells inside the box. */
-  val q53: String = board +
+  val q53Body: String =
     """
       |, corners(wx, wy) AS (VALUES
       |  (CAST(-640 AS DOUBLE), CAST(-360 AS DOUBLE)),
@@ -437,6 +452,8 @@ object BoardOracleSql {
       |WHERE c.q BETWEEN b.min_q AND b.max_q
       |  AND c.r BETWEEN b.min_r AND b.max_r
       |ORDER BY game_id, q, r""".stripMargin
+
+  val q53: String = board + q53Body
 
   val q23: String = board +
     """

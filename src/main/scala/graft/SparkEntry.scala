@@ -115,7 +115,11 @@ object SparkEntry {
     "q99_cluster_split" -> (VectorOps.q99ClusterSplit _),
     "q100_ctas" -> (SqlSurface.q100Ctas _),
     "q101_sliding_windows" -> (Streaming.q101SlidingWindows _),
-    "q102_stream_dedup" -> (Streaming.q102StreamDedup _)
+    "q102_stream_dedup" -> (Streaming.q102StreamDedup _),
+    "q103_sql_stack_tops" -> (SqlSurface.q103SqlStackTops _),
+    "q104_sql_reserves" -> (SqlSurface.q104SqlReserves _),
+    "q105_sql_ring_key" -> (SqlSurface.q105SqlRingKey _),
+    "q106_sql_viewport" -> (SqlSurface.q106SqlViewport _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,7 +234,15 @@ object SparkEntry {
     // code verbatim on batch frames (the q96 pattern) — two more
     // streaming operators under the driver's correctness gate
     "q101_sliding_windows" -> OracleSql.q101,
-    "q102_stream_dedup" -> OracleSql.q102
+    "q102_stream_dedup" -> OracleSql.q102,
+    // q103-q106: the SQL-text surface over the BOARD — q104/q105/q106
+    // run their oracle's body string VERBATIM over the Spark-derived
+    // board views (q92's shared-text proof); q103 mirrors q23's ordered
+    // string aggregate in ANSI WITHIN GROUP spelling
+    "q103_sql_stack_tops" -> BoardOracleSql.q23,
+    "q104_sql_reserves" -> BoardOracleSql.q44,
+    "q105_sql_ring_key" -> BoardOracleSql.q51,
+    "q106_sql_viewport" -> BoardOracleSql.q53
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -117,6 +117,59 @@ object SqlSurface {
         |ORDER BY lang, rn""".stripMargin)
   }
 
+  /** Register the Spark-derived board relations as the temp views the
+    * BoardOracleSql bodies read: the oracle derives `pieces`/`cells`
+    * from its CTE prefix, the SQL surface reads the SAME relations
+    * from BoardOps — so running a body string verbatim on both engines
+    * compares the full board derivation, not just the final SELECT. */
+  private def registerBoardViews(spark: SparkSession, dir: String): Unit = {
+    val p = BoardOps.piecesMaterialized(spark, dir)
+    p.createOrReplaceTempView("pieces")
+    BoardOps.cells(p).createOrReplaceTempView("cells")
+  }
+
+  /** The shared BoardOracleSql bodies are WITH-clause CONTINUATIONS
+    * (", cte AS (...) ... SELECT"); a one-row dummy CTE turns a body
+    * into a complete statement without touching its bytes. */
+  private def runBoardBody(spark: SparkSession, dir: String,
+      body: String): DataFrame = {
+    registerBoardViews(spark, dir)
+    spark.sql("WITH graft_base AS (SELECT 1 AS one)" + body)
+  }
+
+  /** q104 — q44's reserve-count oracle body run VERBATIM through
+    * spark.sql over the registered board views; shares
+    * BoardOracleSql.q44Body byte-for-byte with the DuckDB side. */
+  def q104SqlReserves(spark: SparkSession, dir: String): DataFrame =
+    runBoardBody(spark, dir, graft.BoardOracleSql.q44Body)
+
+  /** q105 — q51's 64-bit ring-key pack/unpack body (BoardOracleSql
+    * .q51Body) verbatim: the `/ 4294967296` division is exact double
+    * arithmetic in both engines (numerator = q·2^32 < 2^53). */
+  def q105SqlRingKey(spark: SparkSession, dir: String): DataFrame =
+    runBoardBody(spark, dir, graft.BoardOracleSql.q51Body)
+
+  /** q106 — q53's viewport-culling body (corner unprojection + cube
+    * rounding + bbox, BoardOracleSql.q53Body) verbatim. */
+  def q106SqlViewport(spark: SparkSession, dir: String): DataFrame =
+    runBoardBody(spark, dir, graft.BoardOracleSql.q53Body)
+
+  /** q103 — q23's stack report as SQL text. NOT byte-shared: DuckDB
+    * spells the ordered string aggregate `string_agg(x, ',' ORDER BY
+    * h)` / `arg_max` where ANSI/Spark spells it `string_agg(x, ',')
+    * WITHIN GROUP (ORDER BY h)` / `max_by` — same semantics, mirrored
+    * line for line, proven by sharing q23's oracle row. */
+  def q103SqlStackTops(spark: SparkSession, dir: String): DataFrame = {
+    registerBoardViews(spark, dir)
+    spark.sql(
+      """SELECT game_id, q, r, COUNT(*) AS stack_size,
+        |  max_by(piece_id, height) AS top_piece_id,
+        |  string_agg(CAST(piece_id AS STRING), ',')
+        |    WITHIN GROUP (ORDER BY height) AS stack_ids
+        |FROM pieces GROUP BY game_id, q, r
+        |ORDER BY game_id, q, r""".stripMargin)
+  }
+
   /** Per-JVM warehouse token (q90's scratch convention): isolates the
     * q100 warehouse dir from concurrent JVMs on the same machine. */
   private lazy val whToken = java.util.UUID.randomUUID().toString.take(8)

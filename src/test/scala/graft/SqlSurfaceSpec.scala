@@ -12,7 +12,11 @@ class SqlSurfaceSpec extends SparkSpecBase {
     ("q94_sql_window_rank", "q06_window_rank"),
     ("q95_sql_top_customers", "q02_top_customers"),
     ("q97_sql_knn", "q15_knn_bruteforce"),
-    ("q98_sql_topk_agg", "q13_text_tokens"))
+    ("q98_sql_topk_agg", "q13_text_tokens"),
+    ("q103_sql_stack_tops", "q23_stack_tops"),
+    ("q104_sql_reserves", "q44_reserves"),
+    ("q105_sql_ring_key", "q51_ring_key"),
+    ("q106_sql_viewport", "q53_viewport"))
 
   twins.foreach { case (sqlName, dslName) =>
     test(s"$sqlName equals DSL twin $dslName row-for-row") {
