@@ -135,6 +135,34 @@ class TextOpsSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("Utf8Order sorts exactly like the engine's ORDER BY (UTF8_BINARY collation)") {
+    // The byte-compare property above proves Utf8Order == UTF-8 byte
+    // order; this proves it against the ENGINE itself: a driver-side
+    // sort with Utf8Order must reproduce Spark's ORDER BY output
+    // order, string for string — the contract every driver-side
+    // tiebreak (TopKPairs, the BPE argmax) relies on. Mix BMP
+    // [U+E000,U+FFFF] and supplementary-plane code points: the ranges
+    // where JVM compareTo and UTF8_BINARY disagree.
+    import org.scalacheck.{Gen, Prop}
+    val s = spark
+    import s.implicits._
+    val cp = Gen.oneOf(Gen.choose(32, 0xd7ff), Gen.choose(0xe000, 0xffff),
+      Gen.choose(0x10000, 0x10ffff))
+    val str = Gen.resize(8,
+      Gen.listOf(cp).map(_.flatMap(Character.toChars(_).toSeq).mkString))
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(25)
+    val res = org.scalacheck.Test.check(params,
+      Prop.forAll(Gen.listOfN(40, str)) { strs =>
+        val distinct = strs.distinct
+        val engine = distinct.toDF("s").orderBy("s")
+          .collect().map(_.getString(0)).toSeq
+        val driver = distinct.sorted(graft.functions.Utf8Order)
+        engine == driver
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("q28: group ids equal a driver-side min-doc-id per duplicated signature") {
     // The group id is the min doc_id of the group (q55's min-label
     // convention — content-addressed, no ranking) — recompute that
