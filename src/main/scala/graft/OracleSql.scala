@@ -1201,6 +1201,23 @@ object OracleSql {
       |FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q107 — tumbling day windows: Spark's window(ts, '1 day').start is
+    * the epoch-aligned day boundary = date_trunc('day') in UTC. */
+  val q107: String =
+    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q108 — stream-static enrichment: left join onto the unique
+    * customer key; COALESCE mirrors the engine's NULL contract. */
+  val q108: String =
+    """SELECT event_id, user_id, event_type,
+      |  COALESCE(c_mktsegment, 'NONE') AS segment
+      |FROM events LEFT JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
   /** q100 — the oracle recomputes the warehouse table's audit aggregate
     * from the SOURCE parquet (q68/q76's roundtrip contract lifted to
     * the catalog layer): the engine's CTAS slice + INSERT INTO slice

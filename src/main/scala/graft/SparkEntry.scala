@@ -119,7 +119,9 @@ object SparkEntry {
     "q103_sql_stack_tops" -> (SqlSurface.q103SqlStackTops _),
     "q104_sql_reserves" -> (SqlSurface.q104SqlReserves _),
     "q105_sql_ring_key" -> (SqlSurface.q105SqlRingKey _),
-    "q106_sql_viewport" -> (SqlSurface.q106SqlViewport _)
+    "q106_sql_viewport" -> (SqlSurface.q106SqlViewport _),
+    "q107_tumbling_windows" -> (Streaming.q107TumblingWindows _),
+    "q108_stream_enrich" -> (Streaming.q108StreamEnrich _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,7 +244,11 @@ object SparkEntry {
     "q103_sql_stack_tops" -> BoardOracleSql.q23,
     "q104_sql_reserves" -> BoardOracleSql.q44,
     "q105_sql_ring_key" -> BoardOracleSql.q51,
-    "q106_sql_viewport" -> BoardOracleSql.q53
+    "q106_sql_viewport" -> BoardOracleSql.q53,
+    // q107/q108 complete the streaming surface's oracle coverage
+    // (tumbling windows, stream-static enrichment — the q96 pattern)
+    "q107_tumbling_windows" -> OracleSql.q107,
+    "q108_stream_enrich" -> OracleSql.q108
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -143,6 +143,33 @@ object Streaming {
       .select(col("user_id"), col("event_type"))
       .orderBy("user_id", "event_type")
 
+  /** q107 — windowedEventCounts (tumbling day windows) DECLARED as a
+    * batch query: the last streaming aggregation shape still outside
+    * the oracle. The oracle rebuilds the epoch-aligned day window with
+    * date_trunc. */
+  def q107TumblingWindows(spark: SparkSession, dir: String): DataFrame =
+    windowedEventCounts(
+      Tables.events(spark, dir).select(col("ts"), col("event_type")))
+      .orderBy("day", "event_type")
+
+  /** q108 — enrichedStream (stream-static broadcast join) DECLARED as
+    * a batch query: events enriched with the customer dimension on
+    * user_id (the clickstream-enrichment deployment shape; the
+    * broadcast hint is identical in both forms). Left join keeps
+    * unmatched events with NULL segment — the oracle mirrors with
+    * COALESCE for hash-stable output. */
+  def q108StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    enrichedStream(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment")),
+      "user_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("segment"), lit("NONE")).as("segment"))
+      .orderBy("event_id")
+
   /** Keyed EMA state: the running average, how many ticks fed it, the
     * highest event_id folded so far (the in-order frontier), and how
     * many out-of-order ticks were rejected at that frontier. */

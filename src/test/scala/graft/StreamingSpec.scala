@@ -276,6 +276,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q107 batch twin equals the streamed tumbling-window counts on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).select(col("ts"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"))
+    val q = counts.writeStream.format("memory")
+      .queryName("tumble_batch_eq").outputMode("complete").start()
+    try {
+      input.addData(ev.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("tumble_batch_eq").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1.getTime, t._2))
+      val batch = SparkEntry.queries("q107_tumbling_windows")(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(batch.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("q102 batch twin equals the streamed watermarked dedup on real data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
