@@ -189,7 +189,13 @@ object SqlSurface {
     *
     * Scale posture: both DDL statements are ordinary INSERT plans
     * (broadcast customer dim, pushed date filter, distributed parquet
-    * write); the catalog work itself is metadata-only. The warehouse
+    * write); the catalog work itself is metadata-only. The table is
+    * hive-PARTITIONED BY the segment — the layout decision a 100 TB
+    * warehouse makes at write time so every downstream segment filter
+    * prunes directories instead of scanning (SqlSurfaceSpec proves the
+    * pruning on the executed catalog read). INSERT uses BY NAME: v1
+    * tables physically reorder partition columns last, so positional
+    * binding would silently mis-map the string columns. The warehouse
     * location is rooted in spark.graft.scratchDir (default tmpdir),
     * per-JVM + per-session tokens keep concurrent runs isolated. */
   def q100Ctas(spark: SparkSession, dir: String): DataFrame = {
@@ -204,12 +210,12 @@ object SqlSurface {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(
-      s"""CREATE TABLE $tbl USING PARQUET AS
+      s"""CREATE TABLE $tbl USING PARQUET PARTITIONED BY (c_mktsegment) AS
          |SELECT c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE o_orderdate < TIMESTAMP '1996-01-01'""".stripMargin)
     spark.sql(
-      s"""INSERT INTO $tbl
+      s"""INSERT INTO $tbl BY NAME
          |SELECT c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'""".stripMargin)

@@ -61,4 +61,26 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.table(s"graft_wh.${tbl.get}").count() ==
       Tables.orders(spark, sf).count())
   }
+
+  test("q100: a segment filter on the catalog table prunes partitions in the executed scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    SparkEntry.queries("q100_ctas")(spark, sf).collect()
+    val tbl = spark.catalog.listTables("graft_wh").collect()
+      .map(_.name).find(_.startsWith("seg_sales_")).get
+    // executed-scan numFiles is the post-pruning truth (inputFiles
+    // reflects the pre-pruning FileIndex and proves nothing)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    val full = scannedFiles(spark.table(s"graft_wh.$tbl"))
+    val pruned = scannedFiles(spark.table(s"graft_wh.$tbl")
+      .filter(col("c_mktsegment") === "BUILDING"))
+    assert(pruned > 0, "filtered segment scanned no files")
+    assert(pruned < full,
+      s"segment filter did not prune: $pruned of $full files scanned")
+  }
 }
