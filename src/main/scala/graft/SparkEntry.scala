@@ -121,7 +121,12 @@ object SparkEntry {
     "q105_sql_ring_key" -> (SqlSurface.q105SqlRingKey _),
     "q106_sql_viewport" -> (SqlSurface.q106SqlViewport _),
     "q107_tumbling_windows" -> (Streaming.q107TumblingWindows _),
-    "q108_stream_enrich" -> (Streaming.q108StreamEnrich _)
+    "q108_stream_enrich" -> (Streaming.q108StreamEnrich _),
+    "q109_sql_rollup" -> (SqlSurface.q109SqlRollup _),
+    "q110_sql_cube" -> (SqlSurface.q110SqlCube _),
+    "q111_sql_grouping_sets" -> (SqlSurface.q111SqlGroupingSets _),
+    "q112_sql_set_ops" -> (SqlSurface.q112SqlSetOps _),
+    "q113_sql_outer_join" -> (SqlSurface.q113SqlOuterJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -248,7 +253,14 @@ object SparkEntry {
     // q107/q108 complete the streaming surface's oracle coverage
     // (tumbling windows, stream-static enrichment — the q96 pattern)
     "q107_tumbling_windows" -> OracleSql.q107,
-    "q108_stream_enrich" -> OracleSql.q108
+    "q108_stream_enrich" -> OracleSql.q108,
+    // q109-q113: GROUP BY extensions, set algebra and outer joins
+    // through the verbatim-shared SQL text front end
+    "q109_sql_rollup" -> OracleSql.q05,
+    "q110_sql_cube" -> OracleSql.q38,
+    "q111_sql_grouping_sets" -> OracleSql.q70,
+    "q112_sql_set_ops" -> OracleSql.q12,
+    "q113_sql_outer_join" -> OracleSql.q40
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -117,6 +117,29 @@ object SqlSurface {
         |ORDER BY lang, rn""".stripMargin)
   }
 
+  /** q109 — q05's ROLLUP as verbatim shared SQL text (GROUP BY
+    * extension surface through the text front end). */
+  def q109SqlRollup(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q05)
+
+  /** q110 — q38's CUBE + GROUPING() flags as verbatim shared text. */
+  def q110SqlCube(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q38)
+
+  /** q111 — q70's GROUPING SETS as verbatim shared text. */
+  def q111SqlGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q70)
+
+  /** q112 — q12's INTERSECT/EXCEPT set algebra as verbatim shared
+    * text. */
+  def q112SqlSetOps(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q12)
+
+  /** q113 — q40's left outer join over an aggregated subquery as
+    * verbatim shared text. */
+  def q113SqlOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, OracleSql.q40)
+
   /** Register the Spark-derived board relations as the temp views the
     * BoardOracleSql bodies read: the oracle derives `pieces`/`cells`
     * from its CTE prefix, the SQL surface reads the SAME relations

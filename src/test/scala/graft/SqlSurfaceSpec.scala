@@ -16,7 +16,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
     ("q103_sql_stack_tops", "q23_stack_tops"),
     ("q104_sql_reserves", "q44_reserves"),
     ("q105_sql_ring_key", "q51_ring_key"),
-    ("q106_sql_viewport", "q53_viewport"))
+    ("q106_sql_viewport", "q53_viewport"),
+    ("q109_sql_rollup", "q05_rollup_cube"),
+    ("q110_sql_cube", "q38_cube"),
+    ("q111_sql_grouping_sets", "q70_grouping_sets"),
+    ("q112_sql_set_ops", "q12_set_ops"),
+    ("q113_sql_outer_join", "q40_outer_join"))
 
   twins.foreach { case (sqlName, dslName) =>
     test(s"$sqlName equals DSL twin $dslName row-for-row") {
