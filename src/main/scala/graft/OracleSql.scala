@@ -1218,6 +1218,15 @@ object OracleSql {
       |FROM events LEFT JOIN customer ON user_id = c_custkey
       |ORDER BY event_id""".stripMargin
 
+  /** q114 — the bucketed-table audit recomputed from source (q100's
+    * contract: the hash proves what the bucketed CTAS persisted). */
+  val q114: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** q100 — the oracle recomputes the warehouse table's audit aggregate
     * from the SOURCE parquet (q68/q76's roundtrip contract lifted to
     * the catalog layer): the engine's CTAS slice + INSERT INTO slice

@@ -126,7 +126,8 @@ object SparkEntry {
     "q110_sql_cube" -> (SqlSurface.q110SqlCube _),
     "q111_sql_grouping_sets" -> (SqlSurface.q111SqlGroupingSets _),
     "q112_sql_set_ops" -> (SqlSurface.q112SqlSetOps _),
-    "q113_sql_outer_join" -> (SqlSurface.q113SqlOuterJoin _)
+    "q113_sql_outer_join" -> (SqlSurface.q113SqlOuterJoin _),
+    "q114_ctas_bucketed" -> (SqlSurface.q114CtasBucketed _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,7 +261,10 @@ object SparkEntry {
     "q110_sql_cube" -> OracleSql.q38,
     "q111_sql_grouping_sets" -> OracleSql.q70,
     "q112_sql_set_ops" -> OracleSql.q12,
-    "q113_sql_outer_join" -> OracleSql.q40
+    "q113_sql_outer_join" -> OracleSql.q40,
+    // q114 bucketed CTAS: oracle recomputes the audit from source
+    // parquet — the hash proves what the bucketed table persisted
+    "q114_ctas_bucketed" -> OracleSql.q114
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -140,6 +140,40 @@ object SqlSurface {
   def q113SqlOuterJoin(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, OracleSql.q40)
 
+  /** q114 — the OTHER write-time layout decision: a warehouse table
+    * bucketed on its join/agg key. SQL-text `CREATE TABLE ... CLUSTERED
+    * BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS AS SELECT`,
+    * then the audit aggregate GROUPs BY the bucket key on the catalog
+    * re-read — Spark plans that aggregation with ZERO exchange (the
+    * bucketing IS the hash partitioning; SqlSurfaceSpec pins the
+    * shuffle-free plan). q100 shows partitioning kills the scan; this
+    * shows bucketing kills the shuffle — at 100 TB both are decided
+    * once at write time and every downstream key operation rides them.
+    * Oracle recomputes from source parquet (the q100 contract). */
+  def q114CtasBucketed(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val loc = new java.io.File(root, s"graft_warehouse_$whToken")
+      .getAbsolutePath.replace("'", "''")
+    val tbl = s"graft_wh.cust_orders_${dirKey}_${System.identityHashCode(spark)}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl USING PARQUET
+         |CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS AS
+         |SELECT o_custkey, o_orderstatus, o_totalprice
+         |FROM orders""".stripMargin)
+    spark.sql(
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+         |FROM $tbl
+         |GROUP BY o_custkey
+         |ORDER BY o_custkey""".stripMargin)
+  }
+
   /** Register the Spark-derived board relations as the temp views the
     * BoardOracleSql bodies read: the oracle derives `pieces`/`cells`
     * from its CTE prefix, the SQL surface reads the SAME relations

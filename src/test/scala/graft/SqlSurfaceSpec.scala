@@ -67,6 +67,24 @@ class SqlSurfaceSpec extends SparkSpecBase {
       Tables.orders(spark, sf).count())
   }
 
+  test("q114: the bucketed table's key aggregation plans with zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q114_ctas_bucketed")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the GROUP BY o_custkey must ride the bucketing: no shuffle
+    // anywhere below the final ORDER BY's range exchange
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case s: ShuffleExchangeExec => s.outputPartitioning.toString
+        case a: AdaptiveSparkPlanExec => return shuffles(a.executedPlan)
+      }
+    val sh = shuffles(df.queryExecution.executedPlan)
+    assert(sh.forall(_.contains("rangepartitioning")),
+      s"aggregation shuffled despite bucketing: $sh")
+  }
+
   test("q100: a segment filter on the catalog table prunes partitions in the executed scan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
