@@ -78,7 +78,16 @@ object SimHashBanding {
     * 64-bit signatures of `rows` (columns `idCol`, `sigCol`).
     * Same-signature pairs come from a sig-keyed self-join (dist 0);
     * cross-signature pairs expand the verified distinct-sig candidate
-    * pairs back through two keyed id joins. */
+    * pairs back through two keyed id joins.
+    *
+    * Scale contract: the KERNEL's work is near-linear in distinct
+    * signatures, but the all-pairs OUTPUT itself is quadratic in each
+    * duplicate group's size (a signature with m copies owns m·(m−1)/2
+    * answer rows — that is the query's contract, not a kernel cost).
+    * At web scale, consumers that only need group structure use the
+    * group form (q28: one row per doc) or keep-one dedup (q47), and
+    * clustering consumes edges per candidate pair, never the expanded
+    * dist-0 closure. */
   def nearPairs(rows: DataFrame, idCol: String, sigCol: String): DataFrame = {
     // materialized: five consumers (distinct, both same-sig sides,
     // both cross-sig expansions) would re-run the signature lineage

@@ -181,26 +181,48 @@ object TextOps {
     * contains them). Nothing quadratic touches a hot key, and no
     * full shingle array ever crosses a shuffle. Integer output
     * (counts + rank), oracle-safe. */
+  // The df-capped inverted index (rare postings) and the per-doc meta
+  // table are q27's probe-many index artifacts: materialized once so
+  // the explode never re-runs per consumer (inv feeds three branches),
+  // and kept per (session, dir) under spark.graft.cacheTables like the
+  // shingle index itself.
+  private val jaccardCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, (DataFrame, DataFrame))]
+
+  private def jaccardIndex(spark: SparkSession, dir: String, dfCap: Int)
+      : (DataFrame, DataFrame) = {
+    def build: (DataFrame, DataFrame) = {
+      val docs = shingleDocs(spark, dir)
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .localCheckpoint()
+      val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      val rare = inv.join(dfTab.filter(col("df") <= dfCap), "s")
+        .select("doc_id", "s")
+        .localCheckpoint()
+      // per-doc meta: shingle-set size + the doc's (small)
+      // common-shingle set
+      val commonSets = inv.join(dfTab.filter(col("df") > dfCap), "s")
+        .groupBy("doc_id").agg(collect_list(col("s")).as("cs"))
+      val meta = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+        .join(commonSets, Seq("doc_id"), "left")
+        .localCheckpoint()
+      (rare, meta)
+    }
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else graft.SessionCache.getOrBuild(jaccardCache, spark, dir)(build)
+  }
+
   def q27ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfCap = 64
-    // the shared shingle index — feeds the inverted index and the
-    // per-doc meta table; recomputing the string transforms 3×
-    // dominates otherwise
-    val docs = shingleDocs(spark, dir)
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val rare = inv.join(dfTab.filter(col("df") <= dfCap), "s")
-      .select("doc_id", "s")
+    val (rare, meta) = jaccardIndex(spark, dir, dfCap)
     val nRare = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_rare"))
-    // per-doc meta: shingle-set size + the doc's (small) common-shingle set
-    val commonSets = inv.join(dfTab.filter(col("df") > dfCap), "s")
-      .groupBy("doc_id").agg(collect_list(col("s")).as("cs"))
-    val meta = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-      .join(commonSets, Seq("doc_id"), "left")
     // Distributed top-k (TakeOrderedAndProject) FIRST, then rank the 50
     // survivors — a global row_number() window would funnel every
     // candidate pair through a single task.
