@@ -158,7 +158,7 @@ object SqlSurface {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val loc = new java.io.File(root, s"graft_warehouse_$whToken")
       .getAbsolutePath.replace("'", "''")
-    val tbl = s"graft_wh.cust_orders_${dirKey}_${System.identityHashCode(spark)}"
+    val tbl = s"graft_wh.cust_orders_${dirKey}_${Integer.toHexString(System.identityHashCode(spark))}"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(
@@ -263,7 +263,7 @@ object SqlSurface {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val loc = new java.io.File(root, s"graft_warehouse_$whToken")
       .getAbsolutePath.replace("'", "''")
-    val tbl = s"graft_wh.seg_sales_${dirKey}_${System.identityHashCode(spark)}"
+    val tbl = s"graft_wh.seg_sales_${dirKey}_${Integer.toHexString(System.identityHashCode(spark))}"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(
