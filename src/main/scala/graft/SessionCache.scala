@@ -4,27 +4,31 @@ import org.apache.spark.sql.SparkSession
 import scala.collection.concurrent.TrieMap
 
 /** Shared per-(session, key) build-once cache used by every index-like
-  * intermediate (cached tables, shingle/trigram/LSH/IVF indexes, the
-  * board universe, cluster assignments).
+  * intermediate (cached tables, shingle/trigram/jaccard/contam indexes,
+  * LSH/IVF structures, the board universe, cluster assignments).
   *
-  * Keys use `System.identityHashCode(spark)`, which can collide across
-  * two live sessions — so every value carries its owning session and a
-  * cache hit is honored only when the stored session IS the caller's
-  * (`eq`); on a collision the entry is rebuilt for the caller rather
-  * than leaking another session's frame. (`sessionUUID` would be the
-  * natural key but is `private[sql]`.) Entries of stopped sessions are
+  * Sessions are identified by a UUID assigned on first access through
+  * an identity-keyed WeakHashMap (SparkSession does not override
+  * equals, so WeakHashMap keys compare by identity): collision-free
+  * across live sessions — unlike raw `System.identityHashCode`, which
+  * can collide and then either leak one session's frames to another or
+  * thrash rebuild-and-overwrite — and weak keys let closed sessions be
+  * collected. (`SparkSession.sessionUUID` would be the natural token
+  * but is `private[sql]`.) Entries of stopped sessions are additionally
   * evicted on each access, so the map never accumulates dead frames. */
 private[graft] object SessionCache {
-  def getOrBuild[V](cache: TrieMap[(Int, String), (SparkSession, V)],
+  private val tokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  /** The session's stable unique token (also used by the warehouse DDL
+    * queries for session-scoped table names). */
+  private[graft] def sessionToken(spark: SparkSession): String =
+    tokens.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString.replace("-", "").take(16))
+
+  def getOrBuild[V](cache: TrieMap[(String, String), (SparkSession, V)],
       spark: SparkSession, key: String)(build: => V): V = {
     cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-    val k = (System.identityHashCode(spark), key)
-    val v = cache.getOrElseUpdate(k, (spark, build))
-    if (v._1 eq spark) v._2
-    else {
-      val fresh = (spark, build)
-      cache.put(k, fresh)
-      fresh._2
-    }
+    cache.getOrElseUpdate((sessionToken(spark), key), (spark, build))._2
   }
 }

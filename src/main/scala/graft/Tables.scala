@@ -34,7 +34,7 @@ object Tables {
   // after its owning session stops (tests create/stop several sessions),
   // and a hit is honored only for the identical session object.
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -119,7 +119,7 @@ object BoardOps {
     * (session, dir) under spark.graft.cacheTables like the text/vector
     * indexes; uncached callers still get a per-call localCheckpoint. */
   private val piecesCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   private[ops] def piecesMaterialized(spark: SparkSession, dir: String)
       : DataFrame = {

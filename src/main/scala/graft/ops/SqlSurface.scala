@@ -140,6 +140,43 @@ object SqlSurface {
   def q113SqlOuterJoin(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, OracleSql.q40)
 
+  /** Shared warehouse preamble for the DDL queries (q100/q114): one
+    * scratch-rooted location per JVM (cleaned up by a shutdown hook so
+    * repeated runs never accumulate in tmpdir), a session-scoped table
+    * name (dir key + SessionCache token — unique per live session), and
+    * the CREATE DATABASE / DROP TABLE boilerplate issued once per call.
+    * Keeping this single-sited guarantees q100 and q114 resolve the
+    * SAME database location (a second CREATE DATABASE IF NOT EXISTS
+    * with a different LOCATION would silently keep the first's). */
+  private def warehouseTable(spark: SparkSession, dir: String,
+      prefix: String): String = {
+    registerViews(spark, dir)
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dirFile = new java.io.File(root, s"graft_warehouse_$whToken")
+    cleanupOnExit(dirFile)
+    val loc = dirFile.getAbsolutePath.replace("'", "''")
+    val tbl = s"graft_wh.${prefix}_${dirKey}_" +
+      graft.SessionCache.sessionToken(spark)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    tbl
+  }
+
+  private val hookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def cleanupOnExit(dir: java.io.File): Unit =
+    if (hookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val children = f.listFiles()
+          if (children != null) children.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }))
+
   /** q114 — the OTHER write-time layout decision: a warehouse table
     * bucketed on its join/agg key. SQL-text `CREATE TABLE ... CLUSTERED
     * BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS AS SELECT`,
@@ -151,16 +188,7 @@ object SqlSurface {
     * once at write time and every downstream key operation rides them.
     * Oracle recomputes from source parquet (the q100 contract). */
   def q114CtasBucketed(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val loc = new java.io.File(root, s"graft_warehouse_$whToken")
-      .getAbsolutePath.replace("'", "''")
-    val tbl = s"graft_wh.cust_orders_${dirKey}_${Integer.toHexString(System.identityHashCode(spark))}"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tbl = warehouseTable(spark, dir, "cust_orders")
     spark.sql(
       s"""CREATE TABLE $tbl USING PARQUET
          |CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS AS
@@ -256,16 +284,7 @@ object SqlSurface {
     * location is rooted in spark.graft.scratchDir (default tmpdir),
     * per-JVM + per-session tokens keep concurrent runs isolated. */
   def q100Ctas(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val loc = new java.io.File(root, s"graft_warehouse_$whToken")
-      .getAbsolutePath.replace("'", "''")
-    val tbl = s"graft_wh.seg_sales_${dirKey}_${Integer.toHexString(System.identityHashCode(spark))}"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '$loc'")
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tbl = warehouseTable(spark, dir, "seg_sales")
     spark.sql(
       s"""CREATE TABLE $tbl USING PARQUET PARTITIONED BY (c_mktsegment) AS
          |SELECT c_mktsegment, o_orderpriority, o_orderdate, o_totalprice

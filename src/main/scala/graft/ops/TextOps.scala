@@ -49,7 +49,7 @@ object TextOps {
     * per-call localCheckpoint so the string transforms never recompute
     * inside one query's multi-branch plan. */
   private val shingleCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   private def shingleDocs(spark: SparkSession, dir: String): DataFrame = {
     def build: DataFrame = withToks(Tables.documents(spark, dir))
@@ -187,7 +187,7 @@ object TextOps {
   // and kept per (session, dir) under spark.graft.cacheTables like the
   // shingle index itself.
   private val jaccardCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, (DataFrame, DataFrame))]
+    .empty[(String, String), (SparkSession, (DataFrame, DataFrame))]
 
   private def jaccardIndex(spark: SparkSession, dir: String, dfCap: Int)
       : (DataFrame, DataFrame) = {
@@ -212,7 +212,10 @@ object TextOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else graft.SessionCache.getOrBuild(jaccardCache, spark, dir)(build)
+    // dfCap is part of the key: a caller with a different cap must not
+    // receive an index built with another cap's rare/common split
+    else graft.SessionCache.getOrBuild(jaccardCache, spark,
+      s"$dir#$dfCap")(build)
   }
 
   def q27ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -295,7 +298,7 @@ object TextOps {
   // eagerly re-materialized (two localCheckpoints) on every call,
   // which made each invocation pay the full index build.
   private val contamCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, (DataFrame, DataFrame))]
+    .empty[(String, String), (SparkSession, (DataFrame, DataFrame))]
 
   private def contamIndex(spark: SparkSession, dir: String, dfCap: Int)
       : (DataFrame, DataFrame) = {
@@ -319,7 +322,9 @@ object TextOps {
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
-    else graft.SessionCache.getOrBuild(contamCache, spark, dir)(build)
+    // dfCap in the key (same contract as jaccardIndex)
+    else graft.SessionCache.getOrBuild(contamCache, spark,
+      s"$dir#$dfCap")(build)
   }
 
   def q56Decontamination(spark: SparkSession, dir: String): DataFrame = {
@@ -501,7 +506,7 @@ object TextOps {
   // localCheckpoint per call so the explode never recomputes inside
   // the query's train/test branches).
   private val langTrigramCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   private def langTrigramCounts(spark: SparkSession, dir: String): DataFrame = {
     // guard: texts shorter than 3 chars have NO trigrams. Spark's
@@ -686,7 +691,7 @@ object TextOps {
     * the artifact you persist partitioned by trigram, and a query
     * reads |pattern| posting lists instead of the corpus. */
   private val trigramCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   private def trigramIndex(spark: SparkSession, dir: String): DataFrame = {
     def build: DataFrame = Tables.documents(spark, dir)

@@ -224,7 +224,7 @@ object VectorOps {
     * layout, exactly like Tables' cached fact tables: an index is
     * built once and probed many times, not recomputed per query. */
   private val lshCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   def lshTables(spark: SparkSession, dir: String): DataFrame = {
     def build: DataFrame = normed(spark, dir)
@@ -377,7 +377,7 @@ object VectorOps {
   // so under spark.graft.cacheTables it is kept per (session, dir)
   // like the LSH tables and the shingle index.
   private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   private def neardupEdges(spark: SparkSession, dir: String): DataFrame = {
     def build: DataFrame = {
@@ -398,7 +398,7 @@ object VectorOps {
   // construction) — so like the edge graph above it is built once per
   // (session, dir), never once per consumer.
   private val clusterCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, DataFrame)]
+    .empty[(String, String), (SparkSession, DataFrame)]
 
   /** (cluster_id, vec_id) for every vector in a near-dup cluster,
     * cluster id = min member id. */
@@ -564,7 +564,7 @@ object VectorOps {
   // state; with the cache the query itself is a single assignment pass
   // over the corpus. Stopped sessions are evicted like Tables' cache.
   private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, Array[(Int, Array[Double])])]
+    .empty[(String, String), (SparkSession, Array[(Int, Array[Double])])]
 
   private def refinedCentroids(spark: SparkSession, dir: String)
       : Array[(Int, Array[Double])] =

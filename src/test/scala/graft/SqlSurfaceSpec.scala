@@ -61,11 +61,18 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(first == direct && second == direct)
     // and the table is a real catalog object with persisted files
     val tbl = spark.catalog.listTables("graft_wh").collect()
-      .map(_.name).find(_.startsWith("seg_sales_"))
+      .map(_.name).find(_.startsWith(s"seg_sales_$sfDirKey"))
     assert(tbl.nonEmpty, "warehouse table missing from catalog")
     assert(spark.table(s"graft_wh.${tbl.get}").count() ==
       Tables.orders(spark, sf).count())
   }
+
+  // the table-name dir key for this spec's SF — the q100/q114 tests must
+  // select THEIR dir's table even if the shared session ever creates
+  // warehouse tables for another data dir
+  private def sfDirKey: String = java.security.MessageDigest
+    .getInstance("MD5").digest(sf.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString.take(12)
 
   test("q114: the bucketed table's key aggregation plans with zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -90,7 +97,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.FileSourceScanExec
     SparkEntry.queries("q100_ctas")(spark, sf).collect()
     val tbl = spark.catalog.listTables("graft_wh").collect()
-      .map(_.name).find(_.startsWith("seg_sales_")).get
+      .map(_.name).find(_.startsWith(s"seg_sales_$sfDirKey")).get
     // executed-scan numFiles is the post-pruning truth (inputFiles
     // reflects the pre-pruning FileIndex and proves nothing)
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {

@@ -266,13 +266,16 @@ class StreamingSpec extends SparkSpecBase {
     try {
       input.addData(ev.toIndexedSeq)
       q.processAllAvailable()
+      // both sides sorted with the SAME driver-side key (engine ORDER BY
+      // vs JVM string order differ for supplementary-plane strings)
       val streamed = spark.table("slide_batch_eq").collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
-        .sortBy(t => (t._1.getTime, t._2))
+        .toSeq.sortBy(t => (t._1.getTime, t._2))
       val batch = SparkEntry.queries("q101_sliding_windows")(spark, sf)
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSeq.sortBy(t => (t._1.getTime, t._2))
       assert(batch.nonEmpty)
-      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed == batch)
     } finally q.stop()
   }
 
@@ -291,11 +294,12 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       val streamed = spark.table("tumble_batch_eq").collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
-        .sortBy(t => (t._1.getTime, t._2))
+        .toSeq.sortBy(t => (t._1.getTime, t._2))
       val batch = SparkEntry.queries("q107_tumbling_windows")(spark, sf)
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSeq.sortBy(t => (t._1.getTime, t._2))
       assert(batch.nonEmpty)
-      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed == batch)
     } finally q.stop()
   }
 
@@ -314,12 +318,15 @@ class StreamingSpec extends SparkSpecBase {
     try {
       input.addData(ev.toIndexedSeq)
       q.processAllAvailable()
+      // sort BOTH sides driver-side with the same ordering: the engine's
+      // ORDER BY is UTF8_BINARY, which disagrees with JVM .sorted for
+      // supplementary-plane strings (the Utf8Order lesson)
       val streamed = spark.table("dedup_batch_eq").collect()
-        .map(r => (r.getLong(1), r.getString(2))).sorted
+        .map(r => (r.getLong(1), r.getString(2))).toSeq.sorted
       val batch = SparkEntry.queries("q102_stream_dedup")(spark, sf)
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
       assert(batch.nonEmpty)
-      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed == batch)
     } finally q.stop()
   }
 
