@@ -67,6 +67,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
       Tables.orders(spark, sf).count())
   }
 
+  test("q100: ALTER TABLE ADD COLUMNS evolves the catalog schema in place") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q100_ctas")(spark, sf).collect()
+    val tbl = spark.catalog.listTables("graft_wh").collect()
+      .map(_.name).find(_.startsWith(s"seg_sales_$sfDirKey")).get
+    // the remaining warehouse DDL verb: evolve the schema through the
+    // catalog; existing rows surface NULL for the new column
+    spark.sql(s"ALTER TABLE graft_wh.$tbl ADD COLUMNS (note STRING)")
+    val evolved = spark.table(s"graft_wh.$tbl")
+    assert(evolved.columns.contains("note"))
+    assert(evolved.filter(col("note").isNotNull).count() == 0)
+    // and the audit aggregate still computes over the evolved table
+    assert(evolved.count() == Tables.orders(spark, sf).count())
+  }
+
   // the table-name dir key for this spec's SF — the q100/q114 tests must
   // select THEIR dir's table even if the shared session ever creates
   // warehouse tables for another data dir
