@@ -88,6 +88,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // errors is load-bearing: a crashed query is EXCLUDED from the
+    // total (−1 marker), so without this count a crash would read as
+    // a faster bench. errors > 0 means the total is not comparable.
+    val errors = results.values.count(_ < 0)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
   }
 }

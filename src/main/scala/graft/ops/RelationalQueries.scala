@@ -713,7 +713,8 @@ object RelationalQueries {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val out = new java.io.File(
       new java.io.File(root, s"graft_scratch_$jvmToken"),
-      s"customer_${key}_${System.identityHashCode(spark)}").getAbsolutePath
+      s"customer_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
     merged.write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
       .filter(col("op") =!= "noop") // audit only the touched rows

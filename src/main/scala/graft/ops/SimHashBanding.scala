@@ -89,6 +89,13 @@ object SimHashBanding {
     * clustering consumes edges per candidate pair, never the expanded
     * dist-0 closure. */
   def nearPairs(rows: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    // Contract: ids must be integral — the keyed joins run on the id
+    // cast to long, and a silent cast of e.g. string doc keys would
+    // NULL the ids and drop those rows without any error.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = rows.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"nearPairs requires an integral id column; '$idCol' is $idType")
     // materialized: five consumers (distinct, both same-sig sides,
     // both cross-sig expansions) would re-run the signature lineage
     val sigs = rows

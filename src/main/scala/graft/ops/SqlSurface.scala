@@ -165,8 +165,15 @@ object SqlSurface {
     tbl
   }
 
+  // All scratch warehouse dirs ever requested this JVM: the single
+  // shutdown hook sweeps the SET, so a later session pointing
+  // spark.graft.scratchDir somewhere else still gets its dir cleaned
+  // (a hook that captured only the first dir would leak the rest).
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
   private val hookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def cleanupOnExit(dir: java.io.File): Unit =
+  private def cleanupOnExit(dir: java.io.File): Unit = {
+    cleanupDirs.add(dir): Unit
     if (hookArmed.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -174,8 +181,9 @@ object SqlSurface {
           if (children != null) children.foreach(rm)
           f.delete(): Unit
         }
-        rm(dir)
+        cleanupDirs.forEach(d => rm(d))
       }))
+  }
 
   /** q114 — the OTHER write-time layout decision: a warehouse table
     * bucketed on its join/agg key. SQL-text `CREATE TABLE ... CLUSTERED
@@ -189,9 +197,16 @@ object SqlSurface {
     * Oracle recomputes from source parquet (the q100 contract). */
   def q114CtasBucketed(spark: SparkSession, dir: String): DataFrame = {
     val tbl = warehouseTable(spark, dir, "cust_orders")
+    // Bucket count is the scaling lever: at 100 TB you'd size it so
+    // each bucket's key range fits an executor (thousands, not 8).
+    // spark.graft.buckets states that knob explicitly; 8 is the
+    // demonstration default at test SF.
+    val buckets = spark.conf.getOption("spark.graft.buckets")
+      .map(_.toInt).getOrElse(8)
     spark.sql(
       s"""CREATE TABLE $tbl USING PARQUET
-         |CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS AS
+         |CLUSTERED BY (o_custkey) SORTED BY (o_custkey)
+         |INTO $buckets BUCKETS AS
          |SELECT o_custkey, o_orderstatus, o_totalprice
          |FROM orders""".stripMargin)
     spark.sql(

@@ -26,8 +26,9 @@ class BenchFormatSpec extends AnyFunSuite {
   test("the line is valid JSON shaped per the driver contract") {
     val line = Bench.mkLine(Map("q01_x" -> 1.005, "q02_y" -> -1.0),
       "/sf", _.takeWhile(_ != '_'))
-    // -1 (error marker) must be excluded from the total; 1.005 rounds up
+    // -1 (error marker) must be excluded from the total but COUNTED in
+    // errors (a crash must never read as a faster bench); 1.005 rounds up
     assert(line ==
-      """{"metric":"total","value":1.01,"unit":"sec","queries":{"q01":1.01,"q02":-1.00},"sf":"/sf"}""")
+      """{"metric":"total","value":1.01,"unit":"sec","errors":1,"queries":{"q01":1.01,"q02":-1.00},"sf":"/sf"}""")
   }
 }

@@ -4,7 +4,8 @@ import graft.ops.SqlSurface
 
 /** The spark.sql TEXT surface must compute exactly what its DataFrame
   * twin computes: same schema (names + order), same rows. */
-class SqlSurfaceSpec extends SparkSpecBase {
+class SqlSurfaceSpec extends SparkSpecBase
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private val twins = Seq(
     ("q92_sql_pricing", "q01_pricing_summary"),
@@ -91,18 +92,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
 
   test("q114: the bucketed table's key aggregation plans with zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("q114_ctas_bucketed")(spark, sf)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    // the GROUP BY o_custkey must ride the bucketing: no shuffle
-    // anywhere below the final ORDER BY's range exchange
-    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      p.collect {
-        case s: ShuffleExchangeExec => s.outputPartitioning.toString
-        case a: AdaptiveSparkPlanExec => return shuffles(a.executedPlan)
-      }
-    val sh = shuffles(df.queryExecution.executedPlan)
+    // The GROUP BY o_custkey must ride the bucketing: no hash shuffle
+    // anywhere, only the final ORDER BY's range exchange. Under AQE,
+    // materialized shuffles hide inside ShuffleQueryStageExec (a leaf),
+    // so this MUST use AdaptiveSparkPlanHelper.collect — plain
+    // SparkPlan.collect never sees them and the assertion goes vacuous.
+    val sh = collect(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s.outputPartitioning.toString
+    }
+    // non-vacuity: the ORDER BY's range exchange must be FOUND
+    assert(sh.nonEmpty, "traversal found no exchange at all — the " +
+      "ORDER BY range shuffle must be visible, or this pin is vacuous")
     assert(sh.forall(_.contains("rangepartitioning")),
       s"aggregation shuffled despite bucketing: $sh")
   }
