@@ -30,7 +30,7 @@ object BoardOracleSql {
        |    GREATEST(CAST(FLOOR((SELECT COUNT(*) FROM orders) / 1500) AS INT), 1) - 1)) AS copy
        |), pieces AS (
        |  SELECT base_game + 9 * copy AS game_id, piece_id, bug, color,
-       |         q0 + (copy % 37) * 16 AS q, r0 + (copy // 37) * 16 AS r, height
+       |         q0 + (copy % 37) * 16 AS q, r0 + divide(copy, 37) * 16 AS r, height
        |  FROM fixture CROSS JOIN copies
        |), dirs(di, dq, dr, lq, lr, rq, rr) AS (
        |  VALUES $dirValues

@@ -153,7 +153,7 @@ object OracleSql {
 
   val q15: String =
     """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
       |), p AS (
@@ -175,7 +175,7 @@ object OracleSql {
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents
       |), sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  SELECT DISTINCT doc_id, list_extract(t, i) || ' ' || list_extract(t, i+1) || ' ' || list_extract(t, i+2) AS s
       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
       |        FROM toks WHERE len(t) >= 3) x
       |), sizes AS (
@@ -213,8 +213,8 @@ object OracleSql {
     """WITH tg AS (
       |  SELECT doc_id, lang, substr(text, i, 3) AS g
       |  FROM (SELECT doc_id, lang, text,
-      |          unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i
-      |        FROM documents) x
+      |          unnest(generate_series(1, length(text) - 2)) AS i
+      |        FROM documents WHERE length(text) >= 3) x
       |), train AS (
       |  SELECT lang AS profile_lang, g, COUNT(*) AS cnt
       |  FROM tg WHERE doc_id % 5 = 0
@@ -264,7 +264,7 @@ object OracleSql {
 
   val q33: String =
     """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
       |), s AS (
@@ -392,7 +392,7 @@ object OracleSql {
     * (basis points) — same dot-product evaluation order as q15/q33. */
   val q48: String =
     """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
       |), s AS (
@@ -463,7 +463,7 @@ object OracleSql {
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents
       |), sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  SELECT DISTINCT doc_id, list_extract(t, i) || ' ' || list_extract(t, i+1) || ' ' || list_extract(t, i+2) AS s
       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
       |        FROM toks WHERE len(t) >= 3) x
       |), sizes AS (
@@ -474,7 +474,7 @@ object OracleSql {
       |  SELECT sh.doc_id, sh.s FROM sh JOIN sdf USING (s) WHERE sdf.df <= 64
       |), split AS (
       |  SELECT doc_id,
-      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' AS is_test
+      |    substr(md5(CAST(doc_id AS STRING)), 1, 2) < '10' AS is_test
       |  FROM documents
       |), overlap AS (
       |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
@@ -499,7 +499,7 @@ object OracleSql {
     """WITH d AS (
       |  SELECT doc_id,
       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
-      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |    md5(CAST(doc_id AS STRING)) AS ord
       |  FROM documents
       |), c AS (
       |  SELECT doc_id, n_tok,
@@ -561,9 +561,9 @@ object OracleSql {
     """WITH rates(lang, thr) AS (VALUES
       |  ('en','80'),('de','40'),('fr','40'),('es','20'),('zh','20'))
       |SELECT d.lang, d.doc_id,
-      |  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS bucket
+      |  substr(md5(CAST(d.doc_id AS STRING)), 1, 2) AS bucket
       |FROM documents d JOIN rates r ON r.lang = d.lang
-      |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < r.thr
+      |WHERE substr(md5(CAST(d.doc_id AS STRING)), 1, 2) < r.thr
       |ORDER BY d.lang, d.doc_id""".stripMargin
 
   val q47: String =
@@ -622,7 +622,7 @@ object OracleSql {
     * (Spark's getItem(1) is the same 2nd token, 0-indexed). */
   val q62: String =
     """WITH names AS (
-      |  SELECT p_name AS name, string_split(p_name, ' ')[2] AS noun,
+      |  SELECT p_name AS name, list_extract(string_split(p_name, ' '), 2) AS noun,
       |    COUNT(*) AS n_parts
       |  FROM part GROUP BY 1, 2
       |)
@@ -637,7 +637,7 @@ object OracleSql {
     | convention), immune to double-summation order. */
   val q63: String =
     """WITH parsed AS (
-      |  SELECT CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS cid,
+      |  SELECT CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) AS cid,
       |    c_mktsegment
       |  FROM customer
       |)
@@ -668,10 +668,10 @@ object OracleSql {
       |  FROM documents
       |), bg AS (
       |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
-      |      i -> [t[i], t[i+1]])) AS pair
+      |      i -> list_value(list_extract(t, i), list_extract(t, i+1)))) AS pair
       |  FROM toks WHERE len(t) >= 2
       |), bc AS (
-      |  SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS c2 FROM bg GROUP BY 1,2
+      |  SELECT list_extract(pair, 1) AS w1, list_extract(pair, 2) AS w2, COUNT(*) AS c2 FROM bg GROUP BY 1,2
       |), uc AS (
       |  SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1
       |)
@@ -712,7 +712,7 @@ object OracleSql {
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |      i -> list_extract(t, i) || ' ' || list_extract(t, i+1) || ' ' || list_extract(t, i+2))) AS s
       |  FROM toks WHERE len(t) >= 3
       |), c AS (
       |  SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2
@@ -747,7 +747,7 @@ object OracleSql {
     * IEEE product, so the dequantized cosines are bit-comparable. */
   val q71: String =
     """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
       |), qz AS (
       |  SELECT vec_id,
       |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale, v
@@ -794,7 +794,7 @@ object OracleSql {
     """SELECT lang, rnk, doc_id FROM (
       |  SELECT lang, doc_id,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
-      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+      |      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rnk
       |  FROM documents) t
       |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
 
@@ -808,9 +808,9 @@ object OracleSql {
       |  FROM documents
       |), st AS (
       |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
-      |  FROM toks
+      |  FROM toks WHERE len(t) >= 1
       |)
-      |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+      |SELECT doc_id, CAST(divide(s, 24) AS BIGINT) AS chunk_id,
       |  CAST(len(list_slice(t, s + 1, s + 32)) AS BIGINT) AS n_tok,
       |  array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk
       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
@@ -822,7 +822,7 @@ object OracleSql {
     """SELECT lang, rnk, doc_id, quota FROM (
       |  SELECT lang, doc_id,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
-      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+      |      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rnk,
       |    CAST(LEAST(COUNT(*) OVER (PARTITION BY lang),
       |      CAST(CEIL(8 * SQRT(COUNT(*) OVER (PARTITION BY lang))) AS BIGINT))
       |      AS BIGINT) AS quota
@@ -843,10 +843,10 @@ object OracleSql {
     * subset); 'g' makes DuckDB's regexp_replace global like Spark's. */
   val q77: String =
     """WITH aug AS (
-      |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS STRING)
       |    || '@mail.example or call '
-      |    || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
-      |    || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS aug
+      |    || CAST(doc_id % 900 + 100 AS STRING) || '-'
+      |    || lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0') AS aug
       |  FROM documents
       |), cl AS (
       |  SELECT doc_id, aug,
@@ -874,7 +874,7 @@ object OracleSql {
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |      i -> list_extract(t, i) || ' ' || list_extract(t, i+1) || ' ' || list_extract(t, i+2) || ' ' || list_extract(t, i+3))) AS g
       |  FROM toks WHERE len(t) >= 4
       |), gr AS (
       |  SELECT DISTINCT doc_id, g FROM sh
@@ -909,7 +909,7 @@ object OracleSql {
       |), ranked AS (
       |  SELECT lang, doc_id, n_tok,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
-      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+      |      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rnk,
       |    CAST(LEAST(COUNT(*) OVER (PARTITION BY lang),
       |      CAST(CEIL(4 * SQRT(COUNT(*) OVER (PARTITION BY lang)))
       |        AS BIGINT)) AS BIGINT) AS quota
@@ -980,7 +980,7 @@ object OracleSql {
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |      generate_series(1, len(t) - 2),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |      i -> list_extract(t, i) || ' ' || list_extract(t, i+1) || ' ' || list_extract(t, i+2)))) AS s
       |  FROM toks WHERE len(t) >= 3
       |), sigs AS (
       |  SELECT doc_id,
@@ -1083,7 +1083,9 @@ object OracleSql {
       |), d0 AS (SELECT MIN(day) AS d0 FROM ev),
       |weeks AS (
       |  SELECT DISTINCT user_id,
-      |    CAST((day - (SELECT d0 FROM d0)) // 7 AS BIGINT) AS week
+      |    CAST(divide(CAST(floor(epoch(CAST(day AS TIMESTAMP)) / 86400) AS BIGINT)
+      |      - (SELECT CAST(floor(epoch(CAST(d0 AS TIMESTAMP)) / 86400) AS BIGINT)
+      |         FROM d0), 7) AS BIGINT) AS week
       |  FROM ev
       |), cohort AS (
       |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1
@@ -1175,10 +1177,10 @@ object OracleSql {
       |  FROM sub
       |)
       |SELECT source,
-      |  CAST(SUM((c*n - ns*ct)*(c*n - ns*ct)
-      |    // GREATEST(ns*ct*n // 10000, 1)) AS BIGINT) AS drift,
-      |  CAST(MAX(ABS(c*n - ns*ct) // GREATEST(ns*n // 10000, 1)) AS BIGINT)
-      |    AS max_token_bp
+      |  CAST(SUM(divide((c*n - ns*ct)*(c*n - ns*ct),
+      |    GREATEST(divide(ns*ct*n, 10000), 1))) AS BIGINT) AS drift,
+      |  CAST(MAX(divide(ABS(c*n - ns*ct), GREATEST(divide(ns*n, 10000), 1)))
+      |    AS BIGINT) AS max_token_bp
       |FROM tots GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q101 — sliding windows rebuilt from epoch arithmetic: an event at
@@ -1187,7 +1189,7 @@ object OracleSql {
     * Spark's window() default startTime). epoch() is DOUBLE in DuckDB —
     * floor-then-CAST keeps the second grid exact. */
   val q101: String =
-    """SELECT CAST(to_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) - k) * 21600) AS TIMESTAMP) AS win_start,
+    """SELECT epoch_ms((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) - k) * 21600000) AS win_start,
       |  event_type, COUNT(*) AS n_events
       |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) ks(k)
       |GROUP BY 1, 2

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy, Percentile}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB-dialect compatibility pack: the reference oracle corpus
+  * (`OracleSql` / `BoardOracleSql`) is written in the portable
+  * DuckDB/ANSI subset, and this registry teaches the SAME bytes to
+  * resolve on `spark.sql`. Every entry is a thin FunctionRegistry
+  * builder that constructs a BUILT-IN Catalyst expression (or one of
+  * graft's native codegen'd expressions) — no UDFs, no interpretation
+  * tax: `unnest(xs)` plans exactly like `explode(xs)`,
+  * `list_filter(xs, f)` exactly like `filter(xs, f)`, so whole-stage
+  * codegen and all optimizer rules apply unchanged.
+  *
+  * Registered by `SqlSurface.registerViews`, i.e. wherever the SQL-text
+  * surface is in play; DataFrame/Dataset entry points never need it.
+  * `OracleSweepSpec` proves the corpus property: every non-excepted
+  * oracle statement runs verbatim through `spark.sql` and matches its
+  * DataFrame twin row-for-row.
+  *
+  * Two BUILTIN names are re-bound, both strictly widening DuckDB-isms
+  * (Spark-dialect calls keep their exact builtin behavior):
+  *  - `regexp_replace(s, p, r, 'g')`: DuckDB needs the 'g' flag for
+  *    global replace; Spark is global by default and reads arg 4 as a
+  *    POSITION. The builder drops a literal-'g' arg 4 and forwards any
+  *    other arity/shape to the builtin expression.
+  *  - `regexp_extract_all(s, p)`: DuckDB's 2-arg default extracts the
+  *    FULL match (group 0); Spark's defaults to group 1 (an error for
+  *    group-free patterns). The builder makes the 2-arg form group 0;
+  *    explicit-index calls are untouched.
+  */
+object DuckDbCompat {
+
+  /** DuckDB `len` is polymorphic (VARCHAR chars | list length) and
+    * returns BIGINT; Spark splits this into `length`/`size`. One tiny
+    * native expression dispatches on the input type at plan time, so
+    * codegen stays branch-free per column. */
+  case class PolyLen(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType | ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"len requires STRING or ARRAY input, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(v: Any): Any = child.dataType match {
+      case StringType => v.asInstanceOf[UTF8String].numChars().toLong
+      case _: ArrayType => v.asInstanceOf[ArrayData].numElements().toLong
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      child.dataType match {
+        case StringType => defineCodeGen(ctx, ev, c => s"(long) $c.numChars()")
+        case _: ArrayType => defineCodeGen(ctx, ev, c => s"(long) $c.numElements()")
+      }
+    override protected def withNewChildInternal(c: Expression): PolyLen = copy(c)
+  }
+
+  private def lambda2(f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    LambdaFunction(f(a, x), Seq(a, x))
+  }
+  private def lambda1(f: Expression => Expression): LambdaFunction = {
+    val a = UnresolvedNamedLambdaVariable(Seq("acc"))
+    LambdaFunction(f(a), Seq(a))
+  }
+
+  private def asDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  /** name -> builder over the already-parsed argument expressions. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // generators / series
+    "unnest" -> { case Seq(a) => Explode(a) },
+    "generate_series" -> {
+      case Seq(a, b) => Sequence(a, b, None)
+      case Seq(a, b, s) => Sequence(a, b, Some(s))
+    },
+    // list functions (DuckDB names over Spark's array expressions)
+    "list_filter" -> { case Seq(a, f: LambdaFunction) => ArrayFilter(a, f) },
+    "list_transform" -> { case Seq(a, f: LambdaFunction) => ArrayTransform(a, f) },
+    "list_distinct" -> { case Seq(a) => ArrayDistinct(a) },
+    "list_sort" -> { case Seq(a) => SortArray(a, Literal(true)) },
+    "list_max" -> { case Seq(a) => ArrayMax(a) },
+    "list_value" -> { xs => CreateArray(xs) },
+    // DuckDB list_sum of an integral list is exact (HUGEINT); the
+    // corpus only sums integral lists, folded here in BIGINT
+    "list_sum" -> { case Seq(a) =>
+      ArrayAggregate(a, Literal(0L),
+        lambda2((acc, x) => Add(acc, Cast(x, LongType))), lambda1(identity))
+    },
+    // 1-based, inclusive-end slice -> Spark's (start, length) slice
+    "list_slice" -> { case Seq(a, b, e) =>
+      Slice(a, Cast(b, IntegerType),
+        Cast(Add(Subtract(e, b), Literal(1)), IntegerType))
+    },
+    // 1-based element access in both dialects; Spark wants an INT ordinal
+    "list_extract" -> { case Seq(a, i) => ElementAt(a, Cast(i, IntegerType)) },
+    "array_to_string" -> { case Seq(a, sep) => ArrayJoin(a, sep, None) },
+    "list_dot_product" -> { case Seq(a, b) =>
+      DotProduct(asDoubleArray(a), asDoubleArray(b))
+    },
+    // strings: DuckDB string_split splits on a LITERAL separator;
+    // Spark's split takes a Java regex, so the separator is \Q..\E-quoted
+    "string_split" -> { case Seq(s, sep) =>
+      StringSplit(s, Concat(Seq(Literal("\\Q"), sep, Literal("\\E"))), Literal(-1))
+    },
+    "len" -> { case Seq(a) => PolyLen(a) },
+    // time: epoch() is DOUBLE seconds, epoch_us() BIGINT micros,
+    // epoch_ms(BIGINT) the millis->TIMESTAMP constructor
+    "epoch" -> { case Seq(t) =>
+      Divide(Cast(UnixMicros(Cast(t, TimestampType)), DoubleType), Literal(1e6))
+    },
+    "epoch_us" -> { case Seq(t) => UnixMicros(Cast(t, TimestampType)) },
+    "epoch_ms" -> { case Seq(ms) => MillisToTimestamp(ms) },
+    "json_extract_string" -> { case Seq(j, p) => GetJsonObject(j, p) },
+    // integer division: DuckDB divide(a, b) truncates like Spark's div
+    "divide" -> { case Seq(a, b) => IntegralDivide(a, b) },
+    // aggregates
+    "arg_min" -> { case Seq(v, o) => MinBy(v, o) },
+    "arg_max" -> { case Seq(v, o) => MaxBy(v, o) },
+    "quantile_cont" -> { case Seq(c, p) => new Percentile(c, p) },
+    // widened builtins (see object scaladoc)
+    "regexp_replace" -> {
+      case Seq(s, p, r) => RegExpReplace(s, p, r)
+      case Seq(s, p, r, Literal(g: UTF8String, StringType)) if g.toString == "g" =>
+        RegExpReplace(s, p, r)
+      case Seq(s, p, r, pos) => RegExpReplace(s, p, r, pos)
+    },
+    "regexp_extract_all" -> {
+      case Seq(s, p) => RegExpExtractAll(s, p, Literal(0))
+      case Seq(s, p, i) => RegExpExtractAll(s, p, i)
+    }
+  )
+
+  /** Marker name: its presence means this session is already set up. */
+  private val marker = FunctionIdentifier("graft_duckdb_compat")
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(marker)) {
+      builders.foreach { case (name, b) =>
+        reg.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(getClass.getCanonicalName, name), b)
+      }
+      reg.registerFunction(marker,
+        new ExpressionInfo(getClass.getCanonicalName, marker.funcName),
+        _ => Literal(true))
+    }
+    // DuckDB treats "..." as identifiers (ANSI); Spark's default reads
+    // them as string literals, which would silently select the literal
+    // instead of the column (q85's "offset"). Session-scoped, like the
+    // function pack. The recursion limit covers the board fixture's
+    // copies series at sf0.1 (101 levels) with headroom.
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "512")
+  }
+}

@@ -28,12 +28,14 @@ object SqlSurface {
     * Tables keeps the cached/repartitioned form and the events ns→µs
     * timestamp rebuild; re-registering is an idempotent catalog update
     * (no data movement). */
-  def registerViews(spark: SparkSession, dir: String): Unit =
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    graft.functions.DuckDbCompat.register(spark)
     Tables.names.foreach { n =>
       val df = if (n == "events") Tables.events(spark, dir)
                else Tables.table(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+  }
 
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     registerViews(spark, dir)

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Corpus-wide SQL-dialect sweep: EVERY oracle ANSI string in
+  * `SparkEntry.oracleSql` (the exact bytes DuckDB executes for the
+  * driver's correctness gate) is run verbatim through `spark.sql` over
+  * the registered table views and must equal its DSL twin row-for-row.
+  *
+  * This turns "Spark SQL replaces the reference's query text surface"
+  * from ~20 sampled proofs (q92–q114) into a corpus property: any
+  * oracle statement a user of the reference runs today executes
+  * unchanged on this engine, except the explicitly listed dialect
+  * gaps below — each a DuckDB-ism with no byte-identical Spark
+  * spelling, whose SEMANTICS are still proven by the driver's DuckDB
+  * hash-match against the DSL twin.
+  */
+class OracleSweepSpec extends SparkSpecBase {
+
+  /** Genuine dialect gaps — oracle text that CANNOT run on spark.sql
+    * byte-identically. Every entry names the DuckDB-only construct; the
+    * query's correctness is still oracle-hash-proven by the driver
+    * (DuckDB runs this text, Spark runs the DSL, hashes match). */
+  private val dialectGaps: Map[String, String] = {
+    // Spark 4.1 recursive CTEs accept UNION ALL only
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); the oracle computes
+    // fixed-point reachability / transitive closure, whose termination
+    // NEEDS UNION-distinct (UNION ALL re-expands cycles forever).
+    val recursiveUnion = "recursive fixed point needs UNION-distinct; " +
+      "Spark recursive CTEs are UNION ALL-only"
+    // DuckDB writes last_value(x IGNORE NULLS) INSIDE the call parens;
+    // Spark/ANSI only accepts IGNORE NULLS outside. No shared spelling.
+    val ignoreNulls = "IGNORE NULLS goes inside the call in DuckDB, " +
+      "outside in Spark"
+    // DuckDB orders string_agg with an in-args ORDER BY
+    // (string_agg(x, ',' ORDER BY y)); Spark only has WITHIN GROUP,
+    // which DuckDB's string_agg does not accept. q103 is the declared
+    // mirrored twin of exactly this gap.
+    val orderedAgg = "DuckDB in-args ORDER BY for string_agg vs " +
+      "Spark WITHIN GROUP - no shared spelling"
+    Map(
+      "q18_queen_moves" -> recursiveUnion,
+      "q18b_beetle_moves" -> recursiveUnion,
+      "q19_grasshopper_moves" -> recursiveUnion,
+      "q20_spider_moves" -> recursiveUnion,
+      "q21_ant_reachability" -> recursiveUnion,
+      "q22_hive_connected" -> recursiveUnion,
+      "q52_legal_moves" -> recursiveUnion,
+      "q55_dup_clusters" -> recursiveUnion,
+      "q99_cluster_split" -> (recursiveUnion + " (composes q55's closure)"),
+      "q91_minhash_portable" -> ("DuckDB parses '0x'-prefixed hex string " +
+        "casts to BIGINT; the Spark spelling is conv(hex, 16, 10)"),
+      "q36_asof_join" -> ignoreNulls,
+      "q81_gap_fill" -> ignoreNulls,
+      "q23_stack_tops" -> orderedAgg,
+      "q103_sql_stack_tops" -> orderedAgg,
+      "q88_token_report" -> orderedAgg
+    )
+  }
+
+  /** The driver's compare sorts columns by name before hashing; the
+    * sweep aligns the same way, then demands exact value equality (both
+    * sides already hash-equal DuckDB, so any drift here is a real
+    * dialect/determinism gap, not float noise). */
+  private def aligned(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().toSeq.map(r => r.toSeq.map(norm))
+  }
+
+  private def norm(v: Any): Any = v match {
+    case null => null
+    case d: java.math.BigDecimal => d.stripTrailingZeros
+    case s: scala.collection.Seq[_] => s.toSeq.map(norm)
+    case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => (norm(k), norm(x)) }
+        .sortBy(_._1.toString)
+    case other => other
+  }
+
+  private val sweep = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+
+  test("sweep covers the whole oracle corpus (no silently skipped names)") {
+    val unknown = dialectGaps.keySet -- SparkEntry.oracleSql.keySet
+    assert(unknown.isEmpty, s"exception list names unknown queries: $unknown")
+    info(s"${sweep.size - dialectGaps.size} swept, " +
+      s"${dialectGaps.size} excepted of ${sweep.size} oracle statements")
+  }
+
+  sweep.foreach { case (name, sql) =>
+    dialectGaps.get(name) match {
+      case Some(reason) =>
+        ignore(s"$name oracle text verbatim on spark.sql [dialect gap: $reason]") {}
+      case None =>
+        test(s"$name oracle text runs verbatim on spark.sql and equals its DSL twin") {
+          ops.SqlSurface.registerViews(spark, sf)
+          val dsl = SparkEntry.queries(name)(spark, sf)
+          val viaSql = spark.sql(sql)
+          assert(viaSql.columns.sorted.toSeq == dsl.columns.sorted.toSeq,
+            s"column sets differ: sql=${viaSql.columns.mkString(",")} " +
+              s"dsl=${dsl.columns.mkString(",")}")
+          val (s1, s2) = (aligned(viaSql), aligned(dsl))
+          assert(s1.size == s2.size, s"row counts differ: sql=${s1.size} dsl=${s2.size}")
+          s1.zip(s2).zipWithIndex.foreach { case ((a, b), i) =>
+            assert(a == b, s"row $i differs:\n  sql=$a\n  dsl=$b")
+          }
+        }
+    }
+  }
+}
