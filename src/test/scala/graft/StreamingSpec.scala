@@ -434,6 +434,102 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q101 sliding-window state survives a checkpoint stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = new java.io.File(
+      "target/stream_ckpt/sliding_restart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val input = MemoryStream[(Timestamp, String)]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, Long)]
+    // append mode through foreachBatch: a window row is emitted exactly
+    // once, when the recovered watermark finalizes it — so a dropped or
+    // double-counted pre-restart event is visible in the final count
+    def start() = Streaming.slidingEventCounts(
+        input.toDF().toDF("ts", "event_type"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        results.synchronized { results ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // batch 1: two clicks in the same 6h slot, then STOP mid-window
+    val q1 = start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 02:00:00"), "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the SAME checkpoint: one more click in the slot,
+    // then advance event time 3 days so the 1h watermark passes every
+    // window containing Jan 1 and append finalizes them
+    val q2 = start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "click"))
+      q2.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-04 00:00:00"), "view"))
+      q2.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-04 12:00:00"), "view"))
+      q2.processAllAvailable()
+      val clicks = results.synchronized {
+        results.filter(_._2 == "click").toList }
+      // each of the 3 clicks lands in the 4 sliding day-windows
+      // covering (00:00, 03:00]; all three must be in EVERY window —
+      // batch-1 state recovered (no loss), emitted once (no dupes)
+      assert(clicks.nonEmpty, "no finalized click windows emitted")
+      assert(clicks.map(_._1).distinct.size == clicks.size,
+        s"window emitted twice after restart: $clicks")
+      assert(clicks.forall(_._3 == 3L),
+        s"pre-restart events lost from recovered window state: $clicks")
+      assert(clicks.size == 4, s"expected 4 overlapping windows: $clicks")
+    } finally q2.stop()
+  }
+
+  test("q102 dedup state survives a checkpoint stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = new java.io.File(
+      "target/stream_ckpt/dedup_restart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def start() = Streaming.dedupStream(
+        input.toDF().toDF("ts", "user_id", "event_type"),
+        Seq("user_id", "event_type"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(1), r.getString(2)))
+        results.synchronized { results ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // batch 1: one key passes, then STOP
+    val q1 = start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the SAME key inside the watermark horizon must still be
+    // suppressed (state recovered — no dupe), a new key must pass (no
+    // loss of the stream itself)
+    val q2 = start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "click"),
+        (Timestamp.valueOf("2024-01-01 10:00:02"), 2L, "view"))
+      q2.processAllAvailable()
+      val r = results.synchronized { results.toList }
+      assert(r.count(_ == ((1L, "click"))) == 1,
+        s"recovered dedup state failed to suppress the replayed key: $r")
+      assert(r.contains((2L, "view")), s"new key lost after restart: $r")
+      assert(r.size == 2, s"unexpected rows: $r")
+    } finally q2.stop()
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
