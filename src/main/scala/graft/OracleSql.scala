@@ -1075,8 +1075,9 @@ object OracleSql {
       |FROM ranked WHERE rn <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q85 — weekly cohorts from the corpus's first day; DATE − DATE is
-    * integer days in DuckDB, datediff in Spark. */
+  /** q85 — weekly cohorts from the corpus's first day. Date-minus-date
+    * has no shared spelling (DuckDB: integer days; Spark: INTERVAL), so
+    * the week index is exact epoch-day arithmetic in both engines. */
   val q85: String =
     """WITH ev AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
@@ -1156,7 +1157,9 @@ object OracleSql {
       |ORDER BY user_id, imp_id, click_id""".stripMargin
 
   /** q83 — integer chi-square-style drift per source over the corpus
-    * top-20 tokens; // is DuckDB's floor division = Spark's DIV. */
+    * top-20 tokens; divide() is exact integer division in both engines
+    * (DuckDbCompat binds it to Spark's IntegralDivide) — FLOOR(a/b)
+    * would round through double and lose exactness past 2^53. */
   val q83: String =
     """WITH tok AS (
       |  SELECT source,
