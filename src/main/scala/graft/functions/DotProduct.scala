@@ -140,5 +140,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.registration)
     ext.injectFunction(GraftFunctions.simhashRegistration)
+    // the DuckDB-dialect pack rides the same hook, so an
+    // extensions-built session runs the oracle corpus verbatim too
+    // (the two compat session confs — ANSI double-quoted identifiers,
+    // recursion limit — are still DuckDbCompat.register's job, as
+    // extensions cannot set confs)
+    DuckDbCompat.registrations.foreach(ext.injectFunction)
   }
 }

@@ -140,15 +140,26 @@ object DuckDbCompat {
     }
   )
 
+  /** The pack as (identifier, info, builder) rows — the shape both
+    * `FunctionRegistry.registerFunction` and
+    * `SparkSessionExtensions.injectFunction` consume (GraftExtensions
+    * injects these so extensions-built sessions speak the dialect
+    * without an explicit register() call). */
+  private[graft] def registrations
+    : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, b) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getCanonicalName, name), b)
+    }
+
   /** Marker name: its presence means this session is already set up. */
   private val marker = FunctionIdentifier("graft_duckdb_compat")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(marker)) {
-      builders.foreach { case (name, b) =>
-        reg.registerFunction(FunctionIdentifier(name),
-          new ExpressionInfo(getClass.getCanonicalName, name), b)
+      registrations.foreach { case (id, info, b) =>
+        reg.registerFunction(id, info, b)
       }
       reg.registerFunction(marker,
         new ExpressionInfo(getClass.getCanonicalName, marker.funcName),

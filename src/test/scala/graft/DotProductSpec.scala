@@ -70,16 +70,42 @@ class DotProductSpec extends SparkSpecBase {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .collect().head.getDouble(0)
     assert(r == 11.0)
-    // a fresh session built with the extensions class gets it too
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    // note: getOrCreate may reuse the base session; verify the function
-    // resolves either way
-    val r2 = s2.sql("SELECT graft_dot(array(1.0D), array(5.0D))")
-      .collect().head.getDouble(0)
-    assert(r2 == 5.0)
+    // a FRESH session built with the extensions class (clearing the
+    // active/default session so getOrCreate cannot just return the
+    // base session — that reuse made an earlier form of this test
+    // vacuous). The new session shares the JVM's SparkContext; it is
+    // deliberately not stopped (that would stop the shared context).
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions is the programmatic twin of the
+      // spark.sql.extensions STATIC conf (which only applies when the
+      // SparkContext itself is launched with it — not available to a
+      // test that reuses the JVM-shared context)
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2 ne spark, "builder reused the base session; injection unproven")
+      val r2 = s2.sql("SELECT graft_dot(array(1.0D), array(5.0D))")
+        .collect().head.getDouble(0)
+      assert(r2 == 5.0)
+      // the DuckDB-dialect pack rides the same hook: list functions,
+      // generators and the graft-native dot product resolve without
+      // any register() call on this session
+      val r3 = s2.sql(
+        "SELECT list_extract(list_value(10L, 20L), 2), len('abc'), " +
+          "list_dot_product(list_value(1.0D, 2.0D), list_value(3.0D, 4.0D))")
+        .collect().head
+      assert(r3.getLong(0) == 20L && r3.getLong(1) == 3L && r3.getDouble(2) == 11.0)
+      val r4 = s2.sql("SELECT unnest(generate_series(1, 3))")
+        .collect().map(_.getInt(0)).toSeq
+      assert(r4 == Seq(1, 2, 3))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
   }
 }
