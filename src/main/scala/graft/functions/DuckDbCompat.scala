@@ -75,13 +75,30 @@ object DuckDbCompat {
   private def asDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  /** A typed EMPTY array matching `a`'s element type, without
+    * evaluating anything beyond `a` itself. */
+  private def emptyLike(a: Expression): Expression =
+    Slice(CreateArray(Seq(a)), Literal(1), Literal(0))
+
   /** name -> builder over the already-parsed argument expressions. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    // generators / series
+    // generators / series. DuckDB's generate_series returns the EMPTY
+    // list when the stop lies behind the start for the step's sign;
+    // Spark's sequence silently DESCENDS (2-arg) or throws (wrong-sign
+    // step), so the builder pins DuckDB semantics once instead of
+    // leaning on per-query WHERE guards. emptyLike builds a typed empty
+    // array without evaluating the sequence. The step-sign test uses
+    // step > step*0 so it types for both numeric and interval steps.
     "unnest" -> { case Seq(a) => Explode(a) },
     "generate_series" -> {
-      case Seq(a, b) => Sequence(a, b, None)
-      case Seq(a, b, s) => Sequence(a, b, Some(s))
+      case Seq(a, b) =>
+        If(LessThan(b, a), emptyLike(a), Sequence(a, b, None))
+      case Seq(a, b, s) =>
+        val zero = Multiply(s, Literal(0))
+        val empty = Or(
+          And(GreaterThan(s, zero), LessThan(b, a)),
+          And(LessThan(s, zero), GreaterThan(b, a)))
+        If(empty, emptyLike(a), Sequence(a, b, Some(s)))
     },
     // list functions (DuckDB names over Spark's array expressions)
     "list_filter" -> { case Seq(a, f: LambdaFunction) => ArrayFilter(a, f) },
@@ -91,10 +108,16 @@ object DuckDbCompat {
     "list_max" -> { case Seq(a) => ArrayMax(a) },
     "list_value" -> { xs => CreateArray(xs) },
     // DuckDB list_sum of an integral list is exact (HUGEINT); the
-    // corpus only sums integral lists, folded here in BIGINT
+    // corpus only sums integral lists, folded here in BIGINT.
+    // NULL semantics match DuckDB exactly: NULL elements are skipped,
+    // and a list with no non-NULL elements (empty included) sums to
+    // NULL, not 0 — stripping NULLs first makes both properties fall
+    // out of one Size guard.
     "list_sum" -> { case Seq(a) =>
-      ArrayAggregate(a, Literal(0L),
+      val stripped = ArrayFilter(a, lambda1(x => IsNotNull(x)))
+      val folded = ArrayAggregate(stripped, Literal(0L),
         lambda2((acc, x) => Add(acc, Cast(x, LongType))), lambda1(identity))
+      If(EqualTo(Size(stripped), Literal(0)), Literal(null, LongType), folded)
     },
     // 1-based, inclusive-end slice -> Spark's (start, length) slice
     "list_slice" -> { case Seq(a, b, e) =>
@@ -130,8 +153,16 @@ object DuckDbCompat {
     // widened builtins (see object scaladoc)
     "regexp_replace" -> {
       case Seq(s, p, r) => RegExpReplace(s, p, r)
-      case Seq(s, p, r, Literal(g: UTF8String, StringType)) if g.toString == "g" =>
-        RegExpReplace(s, p, r)
+      // DuckDB options string: only 'g' maps onto Spark semantics
+      // (Spark replaces globally by default). Any OTHER options value
+      // ('i', 'gi', 's'...) must fail at analysis — forwarding it as
+      // Spark's integer POSITION argument would cast to NULL and
+      // silently NULL the whole column.
+      case Seq(s, p, r, Literal(g: UTF8String, StringType)) =>
+        if (g.toString == "g") RegExpReplace(s, p, r)
+        else throw new IllegalArgumentException(
+          s"regexp_replace options '$g' has no Spark equivalent " +
+            "(only 'g' is supported by the DuckDB compat pack)")
       case Seq(s, p, r, pos) => RegExpReplace(s, p, r, pos)
     },
     "regexp_extract_all" -> {
