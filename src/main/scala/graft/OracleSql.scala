@@ -284,12 +284,17 @@ object OracleSql {
       |  SELECT user_id, event_id, event_type,
       |    CAST(ts AS TIMESTAMP) AS ts
       |  FROM events
+      |), g AS (
+      |  SELECT user_id, event_id, event_type,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM e
       |), w AS (
       |  SELECT user_id, event_id, event_type,
-      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
-      |  FROM e
+      |    MAX(CASE WHEN event_type = 'click' THEN event_id END)
+      |      OVER (PARTITION BY user_id, grp) AS click_id
+      |  FROM g
       |)
       |SELECT user_id, event_id AS purchase_id,
       |  COALESCE(click_id, -1) AS prior_click_id
@@ -922,7 +927,11 @@ object OracleSql {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q81 — densify each user's purchase span day-by-day and forward
-    * fill; the fill copies doubles (no float arithmetic). */
+    * fill; the fill copies doubles (no float arithmetic). The fill is
+    * the count-partition spelling of LAST_VALUE ... IGNORE NULLS
+    * (which has no dialect-shared syntax): the running count of
+    * non-null observations groups each observation with the gap rows
+    * after it, and MAX over that group copies the one value forward. */
   val q81: String =
     """WITH ev AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
@@ -936,19 +945,28 @@ object OracleSql {
       |  WHERE rn = 1
       |), span AS (
       |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
-      |), dense AS (
+      |), dense0 AS (
       |  SELECT user_id,
-      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_raw
       |  FROM span
+      |), dense AS (
+      |  SELECT user_id, CAST(day_raw AS DATE) AS day FROM dense0
+      |), joined AS (
+      |  SELECT dense.user_id, dense.day, daily.value
+      |  FROM dense LEFT JOIN daily
+      |    ON dense.user_id = daily.user_id AND dense.day = daily.day
+      |), grouped AS (
+      |  SELECT user_id, day, value,
+      |    COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM joined
       |)
-      |SELECT dense.user_id, dense.day,
-      |  LAST_VALUE(daily.value IGNORE NULLS) OVER (PARTITION BY dense.user_id
-      |    ORDER BY dense.day
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
-      |  CAST(CASE WHEN daily.value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |SELECT user_id, day,
+      |  MAX(value) OVER (PARTITION BY user_id, grp) AS filled,
+      |  CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
       |    AS observed
-      |FROM dense LEFT JOIN daily
-      |  ON dense.user_id = daily.user_id AND dense.day = daily.day
+      |FROM grouped
       |ORDER BY 1, 2""".stripMargin
 
   /** q82 — the melted pivot including zero cells, rebuilt relationally
@@ -1057,8 +1075,11 @@ object OracleSql {
       |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, sec, event_id""".stripMargin
 
-  /** q88 — string_agg with an explicit order, DuckDB's native
-    * spelling of the sort_array+array_join form. */
+  /** q88 — top-3 tokens per lang as one ordered CSV string. Ordered
+    * string aggregation has no dialect-shared spelling (DuckDB:
+    * in-args ORDER BY; Spark: WITHIN GROUP), but with rn bounded at 3
+    * the ordered concat is three conditional MAXes under concat_ws,
+    * which skips NULL slots identically in both engines. */
   val q88: String =
     """WITH cnt AS (
       |  SELECT lang, t AS token, COUNT(*) AS n FROM (
@@ -1071,7 +1092,10 @@ object OracleSql {
       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
       |  FROM cnt
       |)
-      |SELECT lang, string_agg(token, ',' ORDER BY rn) AS top_tokens
+      |SELECT lang, concat_ws(',',
+      |    MAX(CASE WHEN rn = 1 THEN token END),
+      |    MAX(CASE WHEN rn = 2 THEN token END),
+      |    MAX(CASE WHEN rn = 3 THEN token END)) AS top_tokens
       |FROM ranked WHERE rn <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

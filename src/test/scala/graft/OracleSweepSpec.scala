@@ -29,14 +29,13 @@ class OracleSweepSpec extends SparkSpecBase {
     // NEEDS UNION-distinct (UNION ALL re-expands cycles forever).
     val recursiveUnion = "recursive fixed point needs UNION-distinct; " +
       "Spark recursive CTEs are UNION ALL-only"
-    // DuckDB writes last_value(x IGNORE NULLS) INSIDE the call parens;
-    // Spark/ANSI only accepts IGNORE NULLS outside. No shared spelling.
-    val ignoreNulls = "IGNORE NULLS goes inside the call in DuckDB, " +
-      "outside in Spark"
     // DuckDB orders string_agg with an in-args ORDER BY
     // (string_agg(x, ',' ORDER BY y)); Spark only has WITHIN GROUP,
     // which DuckDB's string_agg does not accept. q103 is the declared
-    // mirrored twin of exactly this gap.
+    // mirrored twin of exactly this gap. (q88 escapes it because its
+    // rank is bounded at 3 — fixed-k conditional MAXes under concat_ws
+    // — but q23's stacks are depth-unbounded, so the ordered aggregate
+    // is irreducible there.)
     val orderedAgg = "DuckDB in-args ORDER BY for string_agg vs " +
       "Spark WITHIN GROUP - no shared spelling"
     Map(
@@ -51,11 +50,8 @@ class OracleSweepSpec extends SparkSpecBase {
       "q99_cluster_split" -> (recursiveUnion + " (composes q55's closure)"),
       "q91_minhash_portable" -> ("DuckDB parses '0x'-prefixed hex string " +
         "casts to BIGINT; the Spark spelling is conv(hex, 16, 10)"),
-      "q36_asof_join" -> ignoreNulls,
-      "q81_gap_fill" -> ignoreNulls,
       "q23_stack_tops" -> orderedAgg,
-      "q103_sql_stack_tops" -> orderedAgg,
-      "q88_token_report" -> orderedAgg
+      "q103_sql_stack_tops" -> orderedAgg
     )
   }
 
