@@ -987,12 +987,26 @@ object OracleSql {
       |  ON cnt.priority = dims.priority AND cnt.status = st.status
       |ORDER BY 1, 2""".stripMargin
 
+  /** Portable hex→BIGINT: neither engine shares the other's direct
+    * spelling (DuckDB: CAST('0x'||h AS BIGINT); Spark: conv(h,16,10) —
+    * and conv does not exist in DuckDB), but `position(c IN
+    * '0123456789abcdef') - 1` is the nibble value in BOTH, so the
+    * 15-hex-char (60-bit) value is an exact base-16 polynomial of 15
+    * position() terms. Pure integer arithmetic — bit-identical on both
+    * engines, no doubles anywhere. */
+  private def hex15(h: String): String =
+    (1 to 15).map { k =>
+      val w = 1L << (4 * (15 - k)) // 16^(15-k), exact
+      // CAST keeps every term in BIGINT: small weights would otherwise
+      // be INT32 literals and the nibble product overflows 32 bits
+      s"(position(substr($h, $k, 1) IN '0123456789abcdef') - 1) * CAST($w AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
   /** q91 — the full MinHash/LSH/verify pipeline in portable SQL:
     * permutation i of shingle s = first 15 hex chars of md5('i:' || s)
-    * as a 60-bit int — DuckDB parses '0x'-prefixed hex, Spark uses
-    * conv(hex, 16, 10); both yield the identical BIGINT. */
+    * as a 60-bit int via the hex15 polynomial. */
   val q91: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents
       |), sh AS (
@@ -1000,26 +1014,37 @@ object OracleSql {
       |      generate_series(1, len(t) - 2),
       |      i -> list_extract(t, i) || ' ' || list_extract(t, i+1) || ' ' || list_extract(t, i+2)))) AS s
       |  FROM toks WHERE len(t) >= 3
+      |), hx AS (
+      |  SELECT doc_id,
+      |    substr(md5('0:' || s), 1, 15) AS x0,
+      |    substr(md5('1:' || s), 1, 15) AS x1,
+      |    substr(md5('2:' || s), 1, 15) AS x2,
+      |    substr(md5('3:' || s), 1, 15) AS x3,
+      |    substr(md5('4:' || s), 1, 15) AS x4,
+      |    substr(md5('5:' || s), 1, 15) AS x5,
+      |    substr(md5('6:' || s), 1, 15) AS x6,
+      |    substr(md5('7:' || s), 1, 15) AS x7
+      |  FROM sh
       |), sigs AS (
       |  SELECT doc_id,
-      |    MIN(CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS h0,
-      |    MIN(CAST(('0x' || substr(md5('1:' || s), 1, 15)) AS BIGINT)) AS h1,
-      |    MIN(CAST(('0x' || substr(md5('2:' || s), 1, 15)) AS BIGINT)) AS h2,
-      |    MIN(CAST(('0x' || substr(md5('3:' || s), 1, 15)) AS BIGINT)) AS h3,
-      |    MIN(CAST(('0x' || substr(md5('4:' || s), 1, 15)) AS BIGINT)) AS h4,
-      |    MIN(CAST(('0x' || substr(md5('5:' || s), 1, 15)) AS BIGINT)) AS h5,
-      |    MIN(CAST(('0x' || substr(md5('6:' || s), 1, 15)) AS BIGINT)) AS h6,
-      |    MIN(CAST(('0x' || substr(md5('7:' || s), 1, 15)) AS BIGINT)) AS h7
-      |  FROM sh GROUP BY 1
+      |    MIN(${hex15("x0")}) AS h0,
+      |    MIN(${hex15("x1")}) AS h1,
+      |    MIN(${hex15("x2")}) AS h2,
+      |    MIN(${hex15("x3")}) AS h3,
+      |    MIN(${hex15("x4")}) AS h4,
+      |    MIN(${hex15("x5")}) AS h5,
+      |    MIN(${hex15("x6")}) AS h6,
+      |    MIN(${hex15("x7")}) AS h7
+      |  FROM hx GROUP BY 1
       |), bands AS (
-      |  SELECT doc_id, '0:' || md5(CAST(h0 AS VARCHAR) || ',' ||
-      |    CAST(h1 AS VARCHAR) || ',' || CAST(h2 AS VARCHAR) || ',' ||
-      |    CAST(h3 AS VARCHAR)) AS bk
+      |  SELECT doc_id, '0:' || md5(CAST(h0 AS STRING) || ',' ||
+      |    CAST(h1 AS STRING) || ',' || CAST(h2 AS STRING) || ',' ||
+      |    CAST(h3 AS STRING)) AS bk
       |  FROM sigs
       |  UNION ALL
-      |  SELECT doc_id, '1:' || md5(CAST(h4 AS VARCHAR) || ',' ||
-      |    CAST(h5 AS VARCHAR) || ',' || CAST(h6 AS VARCHAR) || ',' ||
-      |    CAST(h7 AS VARCHAR)) AS bk
+      |  SELECT doc_id, '1:' || md5(CAST(h4 AS STRING) || ',' ||
+      |    CAST(h5 AS STRING) || ',' || CAST(h6 AS STRING) || ',' ||
+      |    CAST(h7 AS STRING)) AS bk
       |  FROM sigs
       |), cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -48,8 +48,6 @@ class OracleSweepSpec extends SparkSpecBase {
       "q52_legal_moves" -> recursiveUnion,
       "q55_dup_clusters" -> recursiveUnion,
       "q99_cluster_split" -> (recursiveUnion + " (composes q55's closure)"),
-      "q91_minhash_portable" -> ("DuckDB parses '0x'-prefixed hex string " +
-        "casts to BIGINT; the Spark spelling is conv(hex, 16, 10)"),
       "q23_stack_tops" -> orderedAgg,
       "q103_sql_stack_tops" -> orderedAgg
     )
