@@ -454,7 +454,7 @@ object OracleSql {
        |       ELSE 'test' END AS split
        |FROM (
        |  SELECT vec_id, cluster_id,
-       |    CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+       |    CAST('0x' || substring(md5(CAST(cluster_id AS STRING)), 1, 4)
        |      AS BIGINT) % 10 AS b
        |  FROM assign) t
        |ORDER BY vec_id""".stripMargin

@@ -82,10 +82,27 @@ class OracleSweepSpec extends SparkSpecBase {
       s"${dialectGaps.size} excepted of ${sweep.size} oracle statements")
   }
 
+  /** What Spark actually says for each gap category — asserted, so the
+    * exception list is SELF-VERIFYING: if a Spark upgrade closes a gap
+    * (e.g. adds UNION-distinct recursion), the excepted statement stops
+    * failing and this test demands it be promoted into the sweep. */
+  private def expectedError(reason: String): String =
+    if (reason.contains("UNION ALL-only")) "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"
+    else "PARSE_SYNTAX_ERROR" // in-args ORDER BY inside string_agg(...)
+
   sweep.foreach { case (name, sql) =>
     dialectGaps.get(name) match {
       case Some(reason) =>
-        ignore(s"$name oracle text verbatim on spark.sql [dialect gap: $reason]") {}
+        test(s"$name is a REAL dialect gap [$reason]") {
+          ops.SqlSurface.registerViews(spark, sf)
+          val e = intercept[Exception](spark.sql(sql).collect())
+          val expected = expectedError(reason)
+          assert(e.getMessage.contains(expected),
+            s"excepted statement failed differently than documented " +
+              s"(expected $expected): ${e.getMessage.take(200)}\n" +
+              "If it no longer fails at all, Spark closed this gap - " +
+              "promote the query into the sweep.")
+        }
       case None =>
         test(s"$name oracle text runs verbatim on spark.sql and equals its DSL twin") {
           ops.SqlSurface.registerViews(spark, sf)
