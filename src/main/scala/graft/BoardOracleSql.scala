@@ -455,11 +455,26 @@ object BoardOracleSql {
 
   val q53: String = board + q53Body
 
-  val q23: String = board +
+  /** q23 body: ordered stack roster without ordered string_agg (whose
+    * ORDER BY spelling is not dialect-shared). Stack height is
+    * RULES-BOUNDED: only the 4 beetles can climb (rules.cpp:136-168,
+    * two per color), so height ∈ [0, 4] always — the ordered concat is
+    * five fixed height slots under concat_ws, which skips empty slots
+    * identically in both engines. Exposed as a body so q103 runs the
+    * SAME bytes over the Spark-derived board views (the q104-q106
+    * shared-text proof, now covering the stack roster too). */
+  val q23Body: String =
     """
       |SELECT game_id, q, r, COUNT(*) AS stack_size,
       |  arg_max(piece_id, height) AS top_piece_id,
-      |  string_agg(CAST(piece_id AS VARCHAR), ',' ORDER BY height) AS stack_ids
+      |  concat_ws(',',
+      |    MAX(CASE WHEN height = 0 THEN CAST(piece_id AS STRING) END),
+      |    MAX(CASE WHEN height = 1 THEN CAST(piece_id AS STRING) END),
+      |    MAX(CASE WHEN height = 2 THEN CAST(piece_id AS STRING) END),
+      |    MAX(CASE WHEN height = 3 THEN CAST(piece_id AS STRING) END),
+      |    MAX(CASE WHEN height = 4 THEN CAST(piece_id AS STRING) END)) AS stack_ids
       |FROM pieces GROUP BY game_id, q, r
       |ORDER BY game_id, q, r""".stripMargin
+
+  val q23: String = board + q23Body
 }

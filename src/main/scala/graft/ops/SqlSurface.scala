@@ -256,21 +256,13 @@ object SqlSurface {
   def q106SqlViewport(spark: SparkSession, dir: String): DataFrame =
     runBoardBody(spark, dir, graft.BoardOracleSql.q53Body)
 
-  /** q103 — q23's stack report as SQL text. NOT byte-shared: DuckDB
-    * spells the ordered string aggregate `string_agg(x, ',' ORDER BY
-    * h)` / `arg_max` where ANSI/Spark spells it `string_agg(x, ',')
-    * WITHIN GROUP (ORDER BY h)` / `max_by` — same semantics, mirrored
-    * line for line, proven by sharing q23's oracle row. */
-  def q103SqlStackTops(spark: SparkSession, dir: String): DataFrame = {
-    registerBoardViews(spark, dir)
-    spark.sql(
-      """SELECT game_id, q, r, COUNT(*) AS stack_size,
-        |  max_by(piece_id, height) AS top_piece_id,
-        |  string_agg(CAST(piece_id AS STRING), ',')
-        |    WITHIN GROUP (ORDER BY height) AS stack_ids
-        |FROM pieces GROUP BY game_id, q, r
-        |ORDER BY game_id, q, r""".stripMargin)
-  }
+  /** q103 — q23's stack report as SQL text, byte-shared with the
+    * DuckDB oracle since round 8: the rules-bounded fixed-slot
+    * spelling (see BoardOracleSql.q23Body) removed the last
+    * non-recursive dialect gap, so this runs the oracle's body
+    * VERBATIM over the Spark-derived board views like q104–q106. */
+  def q103SqlStackTops(spark: SparkSession, dir: String): DataFrame =
+    runBoardBody(spark, dir, graft.BoardOracleSql.q23Body)
 
   /** Per-JVM warehouse token (q90's scratch convention): isolates the
     * q100 warehouse dir from concurrent JVMs on the same machine. */

@@ -29,15 +29,9 @@ class OracleSweepSpec extends SparkSpecBase {
     // NEEDS UNION-distinct (UNION ALL re-expands cycles forever).
     val recursiveUnion = "recursive fixed point needs UNION-distinct; " +
       "Spark recursive CTEs are UNION ALL-only"
-    // DuckDB orders string_agg with an in-args ORDER BY
-    // (string_agg(x, ',' ORDER BY y)); Spark only has WITHIN GROUP,
-    // which DuckDB's string_agg does not accept. q103 is the declared
-    // mirrored twin of exactly this gap. (q88 escapes it because its
-    // rank is bounded at 3 — fixed-k conditional MAXes under concat_ws
-    // — but q23's stacks are depth-unbounded, so the ordered aggregate
-    // is irreducible there.)
-    val orderedAgg = "DuckDB in-args ORDER BY for string_agg vs " +
-      "Spark WITHIN GROUP - no shared spelling"
+    // Every remaining exception is this ONE gap: ordered string_agg
+    // (q23/q88/q103), IGNORE NULLS (q36/q81) and hex casts (q91) were
+    // all eliminated by portable re-spellings in round 8.
     Map(
       "q18_queen_moves" -> recursiveUnion,
       "q18b_beetle_moves" -> recursiveUnion,
@@ -47,9 +41,7 @@ class OracleSweepSpec extends SparkSpecBase {
       "q22_hive_connected" -> recursiveUnion,
       "q52_legal_moves" -> recursiveUnion,
       "q55_dup_clusters" -> recursiveUnion,
-      "q99_cluster_split" -> (recursiveUnion + " (composes q55's closure)"),
-      "q23_stack_tops" -> orderedAgg,
-      "q103_sql_stack_tops" -> orderedAgg
+      "q99_cluster_split" -> (recursiveUnion + " (composes q55's closure)")
     )
   }
 
@@ -87,8 +79,7 @@ class OracleSweepSpec extends SparkSpecBase {
     * (e.g. adds UNION-distinct recursion), the excepted statement stops
     * failing and this test demands it be promoted into the sweep. */
   private def expectedError(reason: String): String =
-    if (reason.contains("UNION ALL-only")) "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"
-    else "PARSE_SYNTAX_ERROR" // in-args ORDER BY inside string_agg(...)
+    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" // the only remaining gap class
 
   sweep.foreach { case (name, sql) =>
     dialectGaps.get(name) match {
