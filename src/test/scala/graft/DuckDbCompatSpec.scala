@@ -7,10 +7,11 @@ import graft.functions.DuckDbCompat
   * silently drift from the engine the corpus is hash-checked against. */
 class DuckDbCompatSpec extends SparkSpecBase {
 
-  private def one(sql: String) = {
+  private def run(sql: String) = {
     DuckDbCompat.register(spark)
-    spark.sql(sql).collect().head
+    spark.sql(sql)
   }
+  private def one(sql: String) = run(sql).collect().head
 
   test("generate_series is empty when stop lies behind the start (DuckDB), not descending (Spark sequence)") {
     assert(one("SELECT generate_series(1, 0)").getSeq[Int](0).isEmpty)
@@ -30,9 +31,8 @@ class DuckDbCompatSpec extends SparkSpecBase {
 
   test("regexp_replace accepts DuckDB's 'g' flag and REJECTS unsupported options") {
     assert(one("SELECT regexp_replace('aaa', 'a', 'b', 'g')").getString(0) == "bbb")
-    DuckDbCompat.register(spark)
     val e = intercept[Exception] {
-      spark.sql("SELECT regexp_replace('aaa', 'a', 'b', 'gi')").collect()
+      run("SELECT regexp_replace('aaa', 'a', 'b', 'gi')").collect()
     }
     assert(e.getMessage.contains("no Spark equivalent"),
       s"unsupported options must fail fast, got: ${e.getMessage.take(100)}")

@@ -74,12 +74,11 @@ class OracleSweepSpec extends SparkSpecBase {
       s"${dialectGaps.size} excepted of ${sweep.size} oracle statements")
   }
 
-  /** What Spark actually says for each gap category — asserted, so the
-    * exception list is SELF-VERIFYING: if a Spark upgrade closes a gap
-    * (e.g. adds UNION-distinct recursion), the excepted statement stops
-    * failing and this test demands it be promoted into the sweep. */
-  private def expectedError(reason: String): String =
-    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" // the only remaining gap class
+  /** What Spark actually says for the one remaining gap class —
+    * asserted, so the exception list is SELF-VERIFYING: if a Spark
+    * upgrade adds UNION-distinct recursion, the excepted statement
+    * stops failing and the test demands it be promoted into the sweep. */
+  private val expectedGapError = "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"
 
   sweep.foreach { case (name, sql) =>
     dialectGaps.get(name) match {
@@ -87,10 +86,9 @@ class OracleSweepSpec extends SparkSpecBase {
         test(s"$name is a REAL dialect gap [$reason]") {
           ops.SqlSurface.registerViews(spark, sf)
           val e = intercept[Exception](spark.sql(sql).collect())
-          val expected = expectedError(reason)
-          assert(e.getMessage.contains(expected),
+          assert(e.getMessage.contains(expectedGapError),
             s"excepted statement failed differently than documented " +
-              s"(expected $expected): ${e.getMessage.take(200)}\n" +
+              s"(expected $expectedGapError): ${e.getMessage.take(200)}\n" +
               "If it no longer fails at all, Spark closed this gap - " +
               "promote the query into the sweep.")
         }
