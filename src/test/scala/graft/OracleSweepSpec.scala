@@ -94,16 +94,28 @@ class OracleSweepSpec extends SparkSpecBase {
         }
       case None =>
         test(s"$name oracle text runs verbatim on spark.sql and equals its DSL twin") {
-          ops.SqlSurface.registerViews(spark, sf)
-          val dsl = SparkEntry.queries(name)(spark, sf)
-          val viaSql = spark.sql(sql)
-          assert(viaSql.columns.sorted.toSeq == dsl.columns.sorted.toSeq,
-            s"column sets differ: sql=${viaSql.columns.mkString(",")} " +
-              s"dsl=${dsl.columns.mkString(",")}")
-          val (s1, s2) = (aligned(viaSql), aligned(dsl))
-          assert(s1.size == s2.size, s"row counts differ: sql=${s1.size} dsl=${s2.size}")
-          s1.zip(s2).zipWithIndex.foreach { case ((a, b), i) =>
-            assert(a == b, s"row $i differs:\n  sql=$a\n  dsl=$b")
+          // empty-vs-empty equality proves nothing, so a query whose
+          // sf0.001 answer is zero rows re-runs at sf0.01 where the
+          // row set is real — every sweep comparison compares VALUES
+          def compareAt(dir: String): Int = {
+            ops.SqlSurface.registerViews(spark, dir)
+            val dsl = SparkEntry.queries(name)(spark, dir)
+            val viaSql = spark.sql(sql)
+            assert(viaSql.columns.sorted.toSeq == dsl.columns.sorted.toSeq,
+              s"column sets differ: sql=${viaSql.columns.mkString(",")} " +
+                s"dsl=${dsl.columns.mkString(",")}")
+            val (s1, s2) = (aligned(viaSql), aligned(dsl))
+            assert(s1.size == s2.size,
+              s"row counts differ at $dir: sql=${s1.size} dsl=${s2.size}")
+            s1.zip(s2).zipWithIndex.foreach { case ((a, b), i) =>
+              assert(a == b, s"row $i differs at $dir:\n  sql=$a\n  dsl=$b")
+            }
+            s1.size
+          }
+          if (compareAt(sf) == 0) {
+            info("0 rows at sf0.001 - re-proving at sf0.01")
+            assert(compareAt("/root/testdata/sf0.01") > 0,
+              "still 0 rows at sf0.01 - the equality never compared a value")
           }
         }
     }
