@@ -530,6 +530,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("parquet sink: a replayed batch overwrites its own partition (exactly-once), and the stream resumes across restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_eo").toString
+    val out = s"$root/events"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[(Long, String)]
+    def start() = Streaming.parquetSinkStream(
+      input.toDF().toDF("event_id", "event_type"), out, ckpt)
+    val q1 = start()
+    try {
+      input.addData((1L, "click"), (2L, "view"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterB1 = spark.read.parquet(out).count()
+    assert(afterB1 == 2, s"batch 1 rows: $afterB1")
+    // the at-least-once window: the SAME batch id delivered again
+    // (restart between write and checkpoint commit) must rewrite its
+    // partition, not append - total row count unchanged
+    Streaming.writeBatchIdempotent(
+      Seq((1L, "click"), (2L, "view")).toDF("event_id", "event_type"), out, 0L)
+    assert(spark.read.parquet(out).count() == 2,
+      "replayed batch appended duplicates instead of overwriting")
+    // restart from the checkpoint: new data lands in a NEW batch dir
+    val q2 = start()
+    try {
+      input.addData((3L, "purchase"))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 3)
+      // batch_id is a real hive partition column: readers prune on it
+      assert(rows.select("batch_id").distinct().count() == 2)
+      assert(rows.select("event_id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L, 3L))
+    } finally q2.stop()
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
