@@ -104,7 +104,9 @@ object DuckDbCompat {
     "list_filter" -> { case Seq(a, f: LambdaFunction) => ArrayFilter(a, f) },
     "list_transform" -> { case Seq(a, f: LambdaFunction) => ArrayTransform(a, f) },
     "list_distinct" -> { case Seq(a) => ArrayDistinct(a) },
-    "list_sort" -> { case Seq(a) => SortArray(a, Literal(true)) },
+    // ArraySort's default comparator is ASC NULLS LAST — DuckDB's
+    // list_sort default (SortArray would put NULLs FIRST)
+    "list_sort" -> { case Seq(a) => new ArraySort(a) },
     "list_max" -> { case Seq(a) => ArrayMax(a) },
     "list_value" -> { xs => CreateArray(xs) },
     // DuckDB list_sum of an integral list is exact (HUGEINT); the

@@ -43,6 +43,11 @@ class DuckDbCompatSpec extends SparkSpecBase {
       .getSeq[String](0) == Seq("a1", "b2"))
   }
 
+  test("list_sort orders ASC with NULLS LAST (DuckDB default)") {
+    assert(one("SELECT list_sort(array('b', CAST(NULL AS STRING), 'a'))")
+      .getSeq[String](0) == Seq("a", "b", null))
+  }
+
   test("len is polymorphic over strings (chars) and lists, returning BIGINT") {
     val r = one("SELECT len('héllo'), len(array('a', 'b'))")
     assert(r.getLong(0) == 5L && r.getLong(1) == 2L)
