@@ -103,6 +103,9 @@ object DuckDbCompat {
     // list functions (DuckDB names over Spark's array expressions)
     "list_filter" -> { case Seq(a, f: LambdaFunction) => ArrayFilter(a, f) },
     "list_transform" -> { case Seq(a, f: LambdaFunction) => ArrayTransform(a, f) },
+    // DuckDB's list_distinct element ORDER is unspecified (hash
+    // order); Spark's array_distinct keeps first occurrence. Callers
+    // needing a deterministic order must list_sort (the corpus does)
     "list_distinct" -> { case Seq(a) => ArrayDistinct(a) },
     // ArraySort's default comparator is ASC NULLS LAST — DuckDB's
     // list_sort default (SortArray would put NULLs FIRST)
@@ -126,8 +129,15 @@ object DuckDbCompat {
       Slice(a, Cast(b, IntegerType),
         Cast(Add(Subtract(e, b), Literal(1)), IntegerType))
     },
-    // 1-based element access in both dialects; Spark wants an INT ordinal
-    "list_extract" -> { case Seq(a, i) => ElementAt(a, Cast(i, IntegerType)) },
+    // 1-based element access in both dialects (negative = from the
+    // end in both); Spark wants an INT ordinal. DuckDB yields NULL for
+    // index 0 and out-of-bounds, so the ordinal-0 branch and
+    // failOnError=false pin that (ANSI ElementAt would throw on both).
+    "list_extract" -> { case Seq(a, i) =>
+      val ord = Cast(i, IntegerType)
+      If(EqualTo(ord, Literal(0)), Literal(null, NullType),
+        new ElementAt(a, ord, None, false))
+    },
     "array_to_string" -> { case Seq(a, sep) => ArrayJoin(a, sep, None) },
     "list_dot_product" -> { case Seq(a, b) =>
       DotProduct(asDoubleArray(a), asDoubleArray(b))
@@ -146,8 +156,12 @@ object DuckDbCompat {
     "epoch_us" -> { case Seq(t) => UnixMicros(Cast(t, TimestampType)) },
     "epoch_ms" -> { case Seq(ms) => MillisToTimestamp(ms) },
     "json_extract_string" -> { case Seq(j, p) => GetJsonObject(j, p) },
-    // integer division: DuckDB divide(a, b) truncates like Spark's div
-    "divide" -> { case Seq(a, b) => IntegralDivide(a, b) },
+    // integer division: DuckDB divide(a, b) truncates like Spark's
+    // div, and yields NULL on a zero divisor (ANSI IntegralDivide
+    // would throw) — the guard short-circuits per row
+    "divide" -> { case Seq(a, b) =>
+      If(EqualTo(b, Literal(0)), Literal(null, NullType), IntegralDivide(a, b))
+    },
     // aggregates
     "arg_min" -> { case Seq(v, o) => MinBy(v, o) },
     "arg_max" -> { case Seq(v, o) => MaxBy(v, o) },

@@ -59,6 +59,16 @@ class DuckDbCompatSpec extends SparkSpecBase {
     assert(r.getSeq[String](0) == Seq("b", "c") && r.getString(1) == "y")
   }
 
+  test("list_extract: NULL at index 0 and out-of-bounds, from-the-end for negatives (DuckDB)") {
+    val r = one("SELECT list_extract(array('x','y'), 5), " +
+      "list_extract(array('x','y'), 0), list_extract(array('x','y'), -1)")
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getString(2) == "y")
+  }
+
+  test("divide: NULL on zero divisor (DuckDB), not an ANSI error") {
+    assert(one("SELECT divide(1, 0)").isNullAt(0))
+  }
+
   test("divide is exact integer division past 2^53 (no double rounding)") {
     // 2^60 / 3: FLOOR(a/b) through double would be off by rounding
     val r = one("SELECT divide(1152921504606846976, 3)")
