@@ -243,10 +243,10 @@ object SparkEntry {
     // streaming operators under the driver's correctness gate
     "q101_sliding_windows" -> OracleSql.q101,
     "q102_stream_dedup" -> OracleSql.q102,
-    // q103-q106: the SQL-text surface over the BOARD — q104/q105/q106
-    // run their oracle's body string VERBATIM over the Spark-derived
-    // board views (q92's shared-text proof); q103 mirrors q23's ordered
-    // string aggregate in ANSI WITHIN GROUP spelling
+    // q103-q106: the SQL-text surface over the BOARD — all four run
+    // their oracle's body string VERBATIM over the Spark-derived board
+    // views (q92's shared-text proof; q23's roster is spelled with
+    // rules-bounded height slots, so q103 needs no mirrored form)
     "q103_sql_stack_tops" -> BoardOracleSql.q23,
     "q104_sql_reserves" -> BoardOracleSql.q44,
     "q105_sql_ring_key" -> BoardOracleSql.q51,

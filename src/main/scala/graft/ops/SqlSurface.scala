@@ -225,6 +225,9 @@ object SqlSurface {
     * from BoardOps — so running a body string verbatim on both engines
     * compares the full board derivation, not just the final SELECT. */
   private def registerBoardViews(spark: SparkSession, dir: String): Unit = {
+    // the board bodies speak the oracle dialect too (q23Body's arg_max),
+    // so this path must not depend on registerViews having run first
+    graft.functions.DuckDbCompat.register(spark)
     val p = BoardOps.piecesMaterialized(spark, dir)
     p.createOrReplaceTempView("pieces")
     BoardOps.cells(p).createOrReplaceTempView("cells")

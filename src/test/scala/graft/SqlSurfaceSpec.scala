@@ -35,6 +35,14 @@ class SqlSurfaceSpec extends SparkSpecBase
     }
   }
 
+  test("q103 resolves in a FRESH session (the board path registers the dialect pack itself)") {
+    // newSession has a builtin-only function registry: q103's arg_max
+    // only resolves if registerBoardViews registers DuckDbCompat on
+    // its own, not by riding an earlier registerViews call
+    val s2 = spark.newSession()
+    assert(SparkEntry.queries("q103_sql_stack_tops")(s2, sf).collect().nonEmpty)
+  }
+
   test("registerViews exposes all 10 tables to SQL text") {
     SqlSurface.registerViews(spark, sf)
     Tables.names.foreach { n =>
