@@ -46,7 +46,19 @@ object BoardOracleSql {
     * (game_id, piece_id, to_q, to_r) carrying bug/from/kind: occupancy
     * delta (−1 from, +1 to, keep > 0), then recursive reachability from
     * the minimum occupied cell; connected iff the BFS covers every
-    * occupied cell (rules.cpp:61-133). */
+    * occupied cell (rules.cpp:61-133).
+    *
+    * The BFS is spelled as a DEPTH-CAPPED UNION ALL recursion (per-step
+    * DISTINCT, outer dedup in `reach`) rather than a UNION-distinct
+    * fixpoint, so the identical text runs on BOTH DuckDB and spark.sql
+    * (Spark 4.1 recursive CTEs are UNION ALL-only,
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). The cap is sound, not a
+    * heuristic: the fixture's largest game (g9, BoardOps.fixtureRows)
+    * has 15 pieces, so any post-move board occupies ≤ 16 cells and the
+    * BFS diameter is ≤ 15 edges — step < 16 reaches every connected
+    * cell. Per-step DISTINCT bounds each iteration at |occ_after| rows
+    * per candidate (the working table is one step's frontier), so the
+    * unrolling never re-expands exponentially. */
   private val connectivity: String =
     """, cand AS (
       |  SELECT DISTINCT game_id, piece_id, bug, from_q, from_r, to_q, to_r, kind FROM cand0
@@ -64,14 +76,18 @@ object BoardOracleSql {
       |  SELECT game_id, piece_id, to_q, to_r, q, r FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY game_id, piece_id, to_q, to_r ORDER BY q, r) AS rn
       |    FROM occ_after) x WHERE rn = 1
-      |), reach AS (
-      |  SELECT game_id, piece_id, to_q, to_r, q, r FROM seed
-      |  UNION
-      |  SELECT o.game_id, o.piece_id, o.to_q, o.to_r, o.q, o.r
-      |  FROM reach rr JOIN dirs d ON TRUE
+      |), reach0 AS (
+      |  SELECT game_id, piece_id, to_q, to_r, q, r, 0 AS step FROM seed
+      |  UNION ALL
+      |  SELECT DISTINCT o.game_id, o.piece_id, o.to_q, o.to_r, o.q, o.r,
+      |         rr.step + 1 AS step
+      |  FROM reach0 rr JOIN dirs d ON TRUE
       |  JOIN occ_after o ON o.game_id = rr.game_id AND o.piece_id = rr.piece_id
       |    AND o.to_q = rr.to_q AND o.to_r = rr.to_r
       |    AND o.q = rr.q + d.dq AND o.r = rr.r + d.dr
+      |  WHERE rr.step < 16
+      |), reach AS (
+      |  SELECT DISTINCT game_id, piece_id, to_q, to_r, q, r FROM reach0
       |), total AS (
       |  SELECT game_id, piece_id, to_q, to_r, COUNT(*) AS n_occ
       |  FROM occ_after GROUP BY game_id, piece_id, to_q, to_r

@@ -67,15 +67,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as a nanos BIGINT via the
-    * legacy flag and rebuild a microsecond timestamp by integer division —
-    * the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
-    * so oracle comparisons stay exact. */
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL) — or plain
+    * TIMESTAMP(MICROS), depending on the generator version. Adapt to the
+    * file's actual schema: nanos are read as BIGINT via the legacy flag
+    * and truncated to micros (the same truncation DuckDB applies casting
+    * TIMESTAMP_NS → TIMESTAMP), micros are taken as-is; either way the
+    * column is normalized to session-TZ TIMESTAMP (sessions pin UTC, so
+    * the NTZ cast is value-identity and oracle comparisons stay exact). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or date): value-identity under UTC session
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -682,6 +682,25 @@ object RelationalQueries {
     * Delta-style _change_type convention — is written to parquet and
     * the audit output is derived from the RE-READ files, so the oracle
     * hash proves what was persisted, not just what was computed. */
+  /** q90's persisted-merge location — the single source of truth the
+    * query writes to and the roundtrip test reads from. Keyed by
+    * md5(dir) (collision-free across source dirs, unlike
+    * String.hashCode), rooted under spark.graft.scratchDir (default:
+    * the JVM tmpdir, never the working directory), and suffixed with a
+    * per-JVM token + the session identity so two concurrent runs over
+    * the same source dir (bench and tests in parallel) never race
+    * writer-vs-reader on one directory. */
+  private[graft] def q90ScratchPath(spark: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    new java.io.File(
+      new java.io.File(root, s"graft_scratch_$jvmToken"),
+      s"customer_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+  }
+
   def q90Upsert(spark: SparkSession, dir: String): DataFrame = {
     // materialized: feeds the change derivation, the max-key scalar
     // AND the merge join — one dimension scan, not three
@@ -701,20 +720,7 @@ object RelationalQueries {
           .when(col("new_seg").isNull, lit("noop"))
           .otherwise(lit("update")).as("op"),
         coalesce(col("old_seg"), lit("")).as("old_seg"))
-    // scratch path keyed by md5(dir) — collision-free across source
-    // dirs, unlike String.hashCode. Rooted under spark.graft.scratchDir
-    // (default: the JVM tmpdir), never the working directory, and
-    // suffixed with a per-JVM token + the session identity so two
-    // concurrent runs over the same source dir (bench and tests in
-    // parallel) never race writer-vs-reader on one directory.
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val out = new java.io.File(
-      new java.io.File(root, s"graft_scratch_$jvmToken"),
-      s"customer_${key}_${graft.SessionCache.sessionToken(spark)}")
-      .getAbsolutePath
+    val out = q90ScratchPath(spark, dir)
     merged.write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
       .filter(col("op") =!= "noop") // audit only the touched rows

@@ -265,4 +265,104 @@ object Streaming {
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append").start()
+
+  // ------------------------------------------------------- compaction
+  // parquetSinkStream lands one batch_id=N directory per micro-batch;
+  // at a 1-minute trigger that is ~526k directories/year — correct but
+  // unreadable at warehouse scale. compactSink is the periodic batch
+  // pass that folds consumed batch dirs into date-partitioned epoch
+  // directories; readSink is the union view over both zones.
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def subdirs(spark: SparkSession, path: String, prefix: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val f = fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.stripPrefix(prefix).toLong -> s.getPath)
+  }
+
+  /** Highest durably-committed compaction epoch (−1 if none): an epoch
+    * directory counts only once its `_SUCCESS` marker exists, so a
+    * compaction that died mid-write is invisible to readers and gets
+    * overwritten by the retry. */
+  private def maxEpoch(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val committed = subdirs(spark, path, "epoch=").collect {
+      case (id, p) if f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) => id
+    }
+    if (committed.isEmpty) -1L else committed.max
+  }
+
+  /** Fold every live `batch_id=N` directory into ONE date-partitioned
+    * epoch directory `epoch=<maxN>/day=YYYY-MM-DD/` and retire the
+    * consumed batch dirs. Idempotent against a crash at any point:
+    *
+    *  - died mid-write → no `_SUCCESS`, epoch invisible; the retry
+    *    recomputes the same epoch id from the same live batches and
+    *    mode=overwrite rewrites it;
+    *  - died after the write, before the deletes → the epoch IS
+    *    committed, so the next run's first step retires every batch dir
+    *    with id ≤ maxEpoch (they are durably represented already) and
+    *    readSink never double-counts them (it ignores ids ≤ maxEpoch).
+    *
+    * Successive compactions compose: epoch E holds exactly the batches
+    * in (previous epoch, E], so the epoch zone is a disjoint union.
+    * The rewrite shuffles once on `day` (AQE coalesces to one sized
+    * task per day) — at 100 TB this is the file-sizing pass that turns
+    * minute-grain micro-batch files into day-grain scan-friendly ones,
+    * and readers prune on `day=` like any hive partition. Returns the
+    * new max epoch (unchanged if there was nothing to compact). */
+  def compactSink(spark: SparkSession, path: String,
+      tsCol: String = "ts"): Long = {
+    val f = fs(spark, path)
+    val before = maxEpoch(spark, path)
+    // step 1: finish any interrupted previous run — consumed batch dirs
+    // and uncommitted epoch attempts are both garbage now
+    subdirs(spark, path, "batch_id=").foreach { case (id, p) =>
+      if (id <= before) f.delete(p, true)
+    }
+    subdirs(spark, path, "epoch=").foreach { case (_, p) =>
+      if (!f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        f.delete(p, true)
+    }
+    val live = subdirs(spark, path, "batch_id=").filter(_._1 > before)
+    if (live.isEmpty) return before
+    val epoch = live.map(_._1).max
+    spark.read.parquet(live.map(_._2.toString): _*)
+      .withColumn("day", to_date(col(tsCol)))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day")
+      .parquet(s"$path/epoch=$epoch")
+    // the epoch is durable (its _SUCCESS exists) — retire the sources
+    live.foreach { case (_, p) => f.delete(p, true) }
+    epoch
+  }
+
+  /** Exactly-once union view over the sink: all committed epoch zones
+    * plus the live batch dirs NEWER than the last epoch (older ones are
+    * either retired or awaiting retirement — their rows already live in
+    * an epoch). This is what "read the table root" means once
+    * compaction runs; columns are the ingested schema (the `day`
+    * bookkeeping partition is dropped). */
+  def readSink(spark: SparkSession, path: String): DataFrame = {
+    val f = fs(spark, path)
+    val cut = maxEpoch(spark, path)
+    val epochDirs = subdirs(spark, path, "epoch=").collect {
+      case (_, p) if f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) =>
+        p.toString
+    }
+    val liveDirs = subdirs(spark, path, "batch_id=")
+      .filter(_._1 > cut).map(_._2.toString)
+    val parts =
+      epochDirs.map(d => spark.read.parquet(d).drop("day")) ++
+        liveDirs.map(spark.read.parquet)
+    require(parts.nonEmpty, s"empty sink at $path")
+    parts.reduce(_.unionByName(_))
+  }
 }

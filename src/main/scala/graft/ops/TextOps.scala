@@ -411,20 +411,23 @@ object TextOps {
     * document frequency — no second explode, no token-level distinct
     * shuffle, no self-join) → per-doc top-k window. Everything
     * partitions by (doc,term), term, then doc_id; N is a one-row
-    * dimension (driver scalar). At 100 TB the term window's partition
-    * is df-sized (Zipf: ≪ corpus) and the per-doc window is
-    * embarrassingly parallel. */
+    * broadcast dimension computed INSIDE the plan (the q65/q83
+    * pattern) — no separate driver-side count() action, so the corpus
+    * is scanned once per run, not once extra just to learn N. At
+    * 100 TB the term window's partition is df-sized (Zipf: ≪ corpus)
+    * and the per-doc window is embarrassingly parallel. */
   def q59TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // bounded scalar: corpus cardinality
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     val tok = withToks(docs).select(col("doc_id"), explode(col("t")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_bp").desc, col("term"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
       .withColumn("score_bp",
-        floor(lit(10000L) * col("tf") * lit(n) / col("df")))
+        floor(lit(10000L) * col("tf") * col("n_docs") / col("df")))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"),

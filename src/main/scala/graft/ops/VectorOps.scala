@@ -566,7 +566,7 @@ object VectorOps {
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (SparkSession, Array[(Int, Array[Double])])]
 
-  private def refinedCentroids(spark: SparkSession, dir: String)
+  private[graft] def refinedCentroids(spark: SparkSession, dir: String)
       : Array[(Int, Array[Double])] =
     graft.SessionCache.getOrBuild(centroidCache, spark, dir) {
       import spark.implicits._

@@ -339,9 +339,14 @@ class PipelineQueries5Spec extends SparkSpecBase {
     }
     // the write path is real: the persisted merged dimension holds the
     // COMPLETE post-merge table (untouched rows as 'noop'), and the
-    // audit rows above were read back from those files
-    val out = new java.io.File("target/upsert_roundtrip",
-      "customer_" + md5hex(sf)).getAbsolutePath
+    // audit rows above were read back from those files. Read the REAL
+    // scratch location the query writes (exposed by RelationalQueries —
+    // no duplicated path math, no stale-directory hazard), and pin that
+    // the pre-round-8 location is gone so this test can never silently
+    // validate stale files again.
+    assert(!new java.io.File("target/upsert_roundtrip").exists(),
+      "stale pre-scratchDir q90 output present — delete target/")
+    val out = ops.RelationalQueries.q90ScratchPath(spark, sf)
     val persisted = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(persisted.length == base.size + 50)

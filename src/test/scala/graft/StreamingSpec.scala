@@ -567,6 +567,60 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("sink compaction: ingest -> compact -> read roundtrip, idempotent against mid-crash leftovers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_compact").toString
+    val out = s"$root/events"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    def start() = Streaming.parquetSinkStream(
+      input.toDF().toDF("ts", "event_id", "event_type"), out, ckpt)
+    def batchDirs = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
+    def sinkIds = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val q1 = start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"))
+      q1.processAllAvailable()
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "view"),
+        (Timestamp.valueOf("2024-01-02 09:00:00"), 3L, "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(batchDirs.size == 2, s"expected 2 micro-batch dirs: $batchDirs")
+    // compact: the two batch dirs fold into one date-partitioned epoch
+    val e1 = Streaming.compactSink(spark, out)
+    assert(batchDirs.isEmpty, "consumed batch dirs were not retired")
+    val days = Option(new java.io.File(s"$out/epoch=$e1").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(days.toSeq == Seq("day=2024-01-01", "day=2024-01-02"),
+      s"epoch is not date-partitioned: ${days.toSeq}")
+    assert(sinkIds == Seq(1L, 2L, 3L))
+    // crash-window idempotency: a consumed batch dir resurfacing after
+    // the epoch committed (died between write and delete) must be
+    // retired by the next run, never double-counted by readers
+    Streaming.writeBatchIdempotent(
+      Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(sinkIds == Seq(1L, 2L, 3L),
+      "readSink double-counted a batch already folded into an epoch")
+    assert(Streaming.compactSink(spark, out) == e1,
+      "no-new-data compaction minted a new epoch")
+    assert(batchDirs.isEmpty, "leftover consumed batch dir not cleaned")
+    // the stream resumes; a second compaction composes disjointly
+    val q2 = start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-03 08:00:00"), 4L, "purchase"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sinkIds == Seq(1L, 2L, 3L, 4L)) // pre-compaction union view
+    val e2 = Streaming.compactSink(spark, out)
+    assert(e2 > e1 && batchDirs.isEmpty)
+    assert(sinkIds == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

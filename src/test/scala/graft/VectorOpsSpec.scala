@@ -175,4 +175,27 @@ class VectorOpsSpec extends SparkSpecBase {
     // all three splits materialize at this SF
     assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
+
+  test("q49 steady state: second invocation does no centroid rebuild") {
+    // first full run warms the per-(session, dir) quantizer cache
+    SparkEntry.queries("q49_ivf_ann")(spark, sf).collect()
+    val first = ops.VectorOps.refinedCentroids(spark, sf)
+    // job-count proof: a rebuild ends in collect(), which MUST launch
+    // Spark jobs; a cache hit launches none
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val second = ops.VectorOps.refinedCentroids(spark, sf)
+      // same cached instance — the TrieMap hit, nothing was recomputed
+      assert(second eq first, "second call rebuilt the quantizer")
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs.get() == 0,
+        s"cache hit launched ${jobs.get()} Spark job(s) — rebuild leaked")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
