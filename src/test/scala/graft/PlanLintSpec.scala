@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
-import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
-import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalTableScanExec, RDDScanExec, TakeOrderedAndProjectExec}
 
 /** Plan-hygiene gate over the ENTIRE query registry: every declared
   * query's EXECUTED plan (AQE-finalized, traversed through query
@@ -38,10 +40,35 @@ class PlanLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
     "q27_shingle_jaccard" -> "global top-50 rank over the candidate-pair set"
   )
 
-  private def lint(name: String): Seq[String] = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.collect() // finalize AQE so stages hold the real operators
-    val plan = df.queryExecution.executedPlan
+  /** A plan subtree that provably CANNOT grow with the corpus: a small
+    * literal relation, a one-row relation, a limit/top-k, or a scalar
+    * (no-grouping) aggregate. The legitimate broadcast sides in this
+    * registry are all one of these shapes. */
+  private def boundedSubtree(p: SparkPlan): Boolean = collect(p) {
+    case l: LocalTableScanExec if l.rows.sizeIs <= 100 => true
+    case r: RDDScanExec if r.name == "OneRowRelation" => true
+    case _: GlobalLimitExec => true
+    case _: CollectLimitExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    // a reused exchange is a LEAF wrapping the original exchange node —
+    // recurse into it or the bound it carries is invisible
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      if boundedSubtree(r.child) => true
+  }.nonEmpty
+
+  /** Rows the BNLJ's broadcast side actually shipped (min over the
+    * subtree's broadcast exchanges; None if no metric materialized —
+    * treated as unbounded by the caller, never silently excused). */
+  private def broadcastBuildRows(j: SparkPlan): Option[Long] =
+    collect(j) {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+        e.metrics.get("numOutputRows").map(_.value)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r.child.metrics.get("numOutputRows").map(_.value)
+    }.flatten.reduceOption(_ min _)
+
+  private def lintPlan(name: String, plan: SparkPlan): Seq[String] = {
     def tinyLocal(p: SparkPlan): Boolean = collect(p) {
       case l: LocalTableScanExec if l.rows.sizeIs <= 10 => true
       case r: RDDScanExec if r.name == "OneRowRelation" => true
@@ -55,6 +82,18 @@ class PlanLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
     val smjTinyDim = collect(plan) {
       case j: SortMergeJoinExec if j.children.exists(tinyLocal) => j
     }
+    // a nested-loop join is only sane when one side is bounded: an
+    // unbounded×unbounded BNLJ is quadratic no matter which side ships.
+    // "Bounded" is static shape where visible (literal/limit/scalar-agg)
+    // or, for build sides the planner obscures (a filter-to-constant on
+    // a fact scan, a checkpointed fixture relation), the EXECUTED
+    // broadcast row count: a build side that ships >1000 rows with no
+    // shape-level bound is the flagged hazard.
+    val bnljUnbounded = collect(plan) {
+      case j: BroadcastNestedLoopJoinExec
+        if !j.children.exists(boundedSubtree) &&
+          broadcastBuildRows(j).forall(_ > 1000) => j
+    }
     Seq(
       if (globalWindows.nonEmpty && !boundedGlobalWindow.contains(name))
         Some(s"${globalWindows.size} unpartitioned Window(s)") else None,
@@ -62,19 +101,108 @@ class PlanLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
         Some(s"${cartesians.size} CartesianProduct(s)") else None,
       if (smjTinyDim.nonEmpty)
         Some(s"${smjTinyDim.size} SortMergeJoin(s) against a <=10-row literal dim")
+      else None,
+      if (bnljUnbounded.nonEmpty)
+        Some(s"${bnljUnbounded.size} BroadcastNestedLoopJoin(s) with no bounded side: " +
+          bnljUnbounded.map(j => s"rows=${broadcastBuildRows(j)} " +
+            s"children=${j.children.map(_.nodeName).mkString("/")}").mkString("; "))
       else None
     ).flatten
   }
+
+  private def finalizedPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE so stages hold the real operators
+    df.queryExecution.executedPlan
+  }
+
+  private def shuffleCount(plan: SparkPlan): Int =
+    collect(plan) { case s: ShuffleExchangeLike => s }.size
+
+  private def lint(name: String): Seq[String] =
+    lintPlan(name, finalizedPlan(name))
 
   test("allowlist names only registered queries") {
     val unknown = boundedGlobalWindow.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"allowlist references unknown queries: $unknown")
   }
 
+  /** Shuffle-exchange budget per query, recorded once from a green run
+    * (`exchange_budgets.txt` in test resources, `name count` lines).
+    * A query whose AQE-finalized plan shuffles MORE than its recorded
+    * budget fails — the count is the plan's scale signature, and a new
+    * exchange is exactly what an unpushed filter / lost bucketing /
+    * broken broadcast regression looks like. Queries beating their
+    * budget are reported so the record can be tightened. */
+  private val exchangeBudgets: Map[String, Int] = {
+    val in = getClass.getResourceAsStream("/exchange_budgets.txt")
+    assert(in != null, "missing test resource exchange_budgets.txt")
+    val src = scala.io.Source.fromInputStream(in)
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val Array(n, c) = l.split(" "); n -> c.toInt
+    }.toMap
+    finally src.close()
+  }
+
+  test("exchange budget covers the whole registry") {
+    val missing = SparkEntry.queries.keySet -- exchangeBudgets.keySet
+    assert(missing.isEmpty,
+      s"queries without a recorded exchange budget: ${missing.toSeq.sorted}" +
+        " - run PlanLintSpec locally and append the reported counts")
+  }
+
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-    test(s"$name executed plan is lint-clean") {
-      val violations = lint(name)
+    test(s"$name executed plan is lint-clean and within its exchange budget") {
+      val plan = finalizedPlan(name)
+      val violations = lintPlan(name, plan)
       assert(violations.isEmpty, violations.mkString("; "))
+      val shuffles = shuffleCount(plan)
+      exchangeBudgets.get(name).foreach { budget =>
+        assert(shuffles <= budget,
+          s"$name shuffles $shuffles times, recorded budget is $budget - " +
+            "a new exchange appeared (unpushed filter / lost broadcast?)")
+        if (shuffles < budget)
+          info(s"$name now shuffles $shuffles < budget $budget - tighten the record")
+      }
+      info(s"exchange-count $name $shuffles")
     }
+  }
+
+  // ------------------------------------------------------------ canary
+  // The gate must actually catch the regressions it claims to: inject
+  // each anti-pattern deliberately and demand a violation.
+
+  test("canary: injected extra shuffle exceeds a recorded budget") {
+    import org.apache.spark.sql.functions._
+    val good = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+    good.collect()
+    val budget = shuffleCount(good.queryExecution.executedPlan)
+    // the regression: a gratuitous repartition before the agg — the
+    // shape an unpushed filter or lost co-partitioning produces
+    val bad = Tables.lineitem(spark, sf).repartition(col("l_partkey"))
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+    bad.collect()
+    val regressed = shuffleCount(bad.queryExecution.executedPlan)
+    assert(regressed > budget,
+      s"canary broken: injected shuffle not visible ($regressed <= $budget)")
+  }
+
+  test("canary: unbounded-both-sides nested-loop join is flagged") {
+    // lineitem×lineitem: both sides scale with the corpus and the
+    // build side ships thousands of rows even at sf0.001. Reduced by a
+    // count, NOT a limit — LimitPushDown would push a limit into both
+    // cross-join sides and legitimately bound them.
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+    val bad = li.crossJoin(
+      org.apache.spark.sql.functions.broadcast(
+        Tables.lineitem(spark, sf).select(
+          org.apache.spark.sql.functions.col("l_orderkey").as("other_key"))))
+      .groupBy().count()
+    bad.collect()
+    val plan = bad.queryExecution.executedPlan
+    val flagged = lintPlan("canary_bnlj", plan)
+    assert(flagged.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"canary broken: unbounded BNLJ not flagged (plan: ${plan.nodeName})")
   }
 }
