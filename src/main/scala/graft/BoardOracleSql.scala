@@ -267,6 +267,14 @@ object BoardOracleSql {
        |  FROM s3)""".stripMargin +
     connectivity + "\n" + moveSelect
 
+  /** q21 stays a UNION-distinct fixpoint: unlike `connectivity`'s BFS,
+    * its step predicate (corridor + adjacency) is correlated-EXISTS
+    * heavy, and Spark decorrelates those into aggregates OVER the
+    * recursive reference — rejected by recursive CTEs regardless of
+    * UNION flavor (INVALID_RECURSIVE_REFERENCE.PLACE, verified round
+    * 10). The depth IS fixture-bounded, but no portable spelling exists
+    * without rewriting the predicates as manual joins; the DuckDB hash
+    * match still proves the text's semantics against the DSL twin. */
   val q21: String = board +
     s"""
        |, movers AS (SELECT * FROM tops WHERE bug = 'Ant')

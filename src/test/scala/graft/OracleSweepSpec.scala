@@ -29,16 +29,21 @@ class OracleSweepSpec extends SparkSpecBase {
     // NEEDS UNION-distinct (UNION ALL re-expands cycles forever).
     val recursiveUnion = "recursive fixed point needs UNION-distinct; " +
       "Spark recursive CTEs are UNION ALL-only"
-    // Every remaining exception is this ONE gap, and only for TRUE
-    // fixpoints whose iteration count is data-dependent: the ant's
-    // slide-reachability BFS (q21, and q52 which embeds q21's text)
-    // and the dup-cluster label-propagation closures (q55/q99). The
-    // board-connectivity BFS (q18/q18b/q19/q20/q22) left this list in
-    // round 10: its depth is fixture-bounded (≤ 16 cells per game), so
-    // BoardOracleSql.connectivity re-spells it as a depth-capped
-    // UNION ALL recursion that runs verbatim on both engines.
-    // (Ordered string_agg (q23/q88/q103), IGNORE NULLS (q36/q81) and
-    // hex casts (q91) were eliminated by round-8 re-spellings.)
+    // Every remaining exception is this ONE gap: the dup-cluster
+    // label-propagation closures (q55/q99) are TRUE data-dependent
+    // fixpoints (cluster diameter grows with the corpus — no depth cap
+    // is sound), and the ant's slide-reachability BFS (q21, plus q52
+    // which embeds its text) is fixture-bounded but its correlated-
+    // EXISTS step predicate decorrelates into aggregates over the
+    // recursive reference, which Spark rejects regardless of UNION
+    // flavor (INVALID_RECURSIVE_REFERENCE.PLACE — verified round 10).
+    // The connectivity BFS (q18/q18b/q19/q20/q22) left this list in
+    // round 10: its depth is fixture-bounded (≤ 16 cells per game) and
+    // its recursion is plain-join, so BoardOracleSql.connectivity
+    // re-spells it as a depth-capped UNION ALL recursion that runs
+    // verbatim on both engines. (Ordered string_agg (q23/q88/q103),
+    // IGNORE NULLS (q36/q81) and hex casts (q91) were eliminated by
+    // round-8 re-spellings.)
     Map(
       "q21_ant_reachability" -> recursiveUnion,
       "q52_legal_moves" -> (recursiveUnion + " (embeds q21's text)"),
