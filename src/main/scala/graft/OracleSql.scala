@@ -1292,4 +1292,17 @@ object OracleSql {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment, o_orderpriority
       |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
+  /** q115 — the streaming-sink compaction audit: the engine slices
+    * events into micro-batch directories, compacts mid-stream and
+    * reads the epoch+live union (Streaming.q115StreamCompaction); the
+    * oracle counts the SAME events per day straight from the source,
+    * so hash equality proves the sink round-trip is exactly-once —
+    * nothing lost to compaction, nothing double-counted across the
+    * epoch and live zones. */
+  val q115: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day""".stripMargin
 }

@@ -127,7 +127,8 @@ object SparkEntry {
     "q111_sql_grouping_sets" -> (SqlSurface.q111SqlGroupingSets _),
     "q112_sql_set_ops" -> (SqlSurface.q112SqlSetOps _),
     "q113_sql_outer_join" -> (SqlSurface.q113SqlOuterJoin _),
-    "q114_ctas_bucketed" -> (SqlSurface.q114CtasBucketed _)
+    "q114_ctas_bucketed" -> (SqlSurface.q114CtasBucketed _),
+    "q115_stream_compaction" -> (Streaming.q115StreamCompaction _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,7 +265,12 @@ object SparkEntry {
     "q113_sql_outer_join" -> OracleSql.q40,
     // q114 bucketed CTAS: oracle recomputes the audit from source
     // parquet — the hash proves what the bucketed table persisted
-    "q114_ctas_bucketed" -> OracleSql.q114
+    "q114_ctas_bucketed" -> OracleSql.q114,
+    // q115 streaming-sink compaction: the Spark side ingests three
+    // micro-batches, compacts mid-stream and reads the union view; the
+    // oracle is a plain day-count over events — hash equality proves
+    // the ingest → compact → read path is exactly-once
+    "q115_stream_compaction" -> OracleSql.q115
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -344,6 +344,38 @@ object Streaming {
     epoch
   }
 
+  /** q115 — the ingestion path END TO END under the oracle hash: three
+    * event slices land as micro-batch `batch_id=` directories (the
+    * parquetSinkStream write shape), compaction folds the first two
+    * into a date-partitioned epoch zone MID-STREAM, a third batch lands
+    * after, and the result is read through the exactly-once union view
+    * and reduced to per-day counts. The oracle is a plain day-count
+    * over `events` — hash equality proves the ingest → compact → read
+    * path loses nothing and duplicates nothing, with BOTH zones (epoch
+    * and live) populated at read time. The sink lives in session
+    * scratch (q90's convention: md5(dir) key + session token, rooted at
+    * spark.graft.scratchDir or the JVM tmpdir) and is rebuilt from a
+    * clean slate per invocation, so reruns are deterministic. */
+  def q115StreamCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
+      s"events_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val ev = Tables.events(spark, dir)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0), sink, 0L)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1), sink, 1L)
+    compactSink(spark, sink)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 2), sink, 2L)
+    readSink(spark, sink)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("day")
+  }
+
   /** Exactly-once union view over the sink: all committed epoch zones
     * plus the live batch dirs NEWER than the last epoch (older ones are
     * either retired or awaiting retirement — their rows already live in
