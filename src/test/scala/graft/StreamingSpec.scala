@@ -616,7 +616,16 @@ class StreamingSpec extends SparkSpecBase {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(sinkIds == Seq(1L, 2L, 3L, 4L)) // pre-compaction union view
+    // died-mid-write case: an UNCOMMITTED epoch attempt (no _SUCCESS)
+    // must be invisible to readers and swept by the next compaction
+    val partial = new java.io.File(s"$out/epoch=99")
+    java.nio.file.Files.createDirectories(partial.toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(partial, "part-junk.parquet").toPath, "not parquet")
+    assert(sinkIds == Seq(1L, 2L, 3L, 4L),
+      "readSink consumed an uncommitted epoch attempt")
     val e2 = Streaming.compactSink(spark, out)
+    assert(!partial.exists(), "uncommitted epoch attempt not swept")
     assert(e2 > e1 && batchDirs.isEmpty)
     assert(sinkIds == Seq(1L, 2L, 3L, 4L))
   }
