@@ -297,14 +297,22 @@ object SqlSurface {
     * per-JVM + per-session tokens keep concurrent runs isolated. */
   def q100Ctas(spark: SparkSession, dir: String): DataFrame = {
     val tbl = warehouseTable(spark, dir, "seg_sales")
+    // REPARTITION on the partition column before each write: without it
+    // every shuffle task writes its own file into every partition dir
+    // (32 tasks × 5 segments ≈ 160 small files per statement), and the
+    // audit re-read pays the listing. With it, AQE coalesces to one
+    // sized writer per segment — at 100 TB this IS the file-sizing
+    // decision for a partitioned warehouse table.
     spark.sql(
       s"""CREATE TABLE $tbl USING PARQUET PARTITIONED BY (c_mktsegment) AS
-         |SELECT c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
+         |SELECT /*+ REPARTITION(c_mktsegment) */
+         |  c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE o_orderdate < TIMESTAMP '1996-01-01'""".stripMargin)
     spark.sql(
       s"""INSERT INTO $tbl BY NAME
-         |SELECT c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
+         |SELECT /*+ REPARTITION(c_mktsegment) */
+         |  c_mktsegment, o_orderpriority, o_orderdate, o_totalprice
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'""".stripMargin)
     spark.sql(
