@@ -118,7 +118,12 @@ object Tables {
     * its own scale bug. */
   def writePartitionedTable(df: DataFrame, path: String,
       keys: Seq[String]): Unit =
-    df.write.mode("overwrite")
+    // repartition on the partition keys first: one AQE-sized writer per
+    // key value instead of every upstream task writing a sliver into
+    // every directory — the q100 file-sizing rule for any partitioned
+    // table write
+    df.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
       .partitionBy(keys: _*)
       .parquet(path)
 }

@@ -248,7 +248,9 @@ object VectorOps {
     * layout whose directory pruning is what "the probe touches one
     * bucket" means operationally. */
   def writeLshLayout(spark: SparkSession, dir: String, out: String): Unit =
-    lshTables(spark, dir).write.mode("overwrite")
+    lshTables(spark, dir)
+      .repartition(col("band"), col("bucket")) // one sized writer per dir
+      .write.mode("overwrite")
       .partitionBy("band", "bucket").parquet(out)
 
   /** Bucket-pruned read of one (band, bucket) partition. */
