@@ -256,12 +256,24 @@ object Streaming {
     * shape for continuously ingesting an event feed into the
     * warehouse. Restart-safe via the checkpoint (StreamingSpec kills
     * and resumes it; the replayed-batch property is asserted directly
-    * on writeBatchIdempotent). */
+    * on writeBatchIdempotent).
+    *
+    * `compactEvery = K` (opt-in, 0 = off) runs [[compactSink]] inline
+    * after every K-th micro-batch, so the sink self-maintains instead
+    * of needing an external cron. This is SAFE against the replay
+    * window by construction: the batch just written is always the max
+    * live id, and non-quiesced compaction never consumes the max live
+    * id (see compactSink) — a restart that replays it finds its dir
+    * untouched and overwrites in place. */
   def parquetSinkStream(events: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0, tsCol: String = "ts")
+      : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         writeBatchIdempotent(batch, path, id)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          compactSink(batch.sparkSession, path, tsCol)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append").start()
@@ -270,8 +282,29 @@ object Streaming {
   // parquetSinkStream lands one batch_id=N directory per micro-batch;
   // at a 1-minute trigger that is ~526k directories/year — correct but
   // unreadable at warehouse scale. compactSink is the periodic batch
-  // pass that folds consumed batch dirs into date-partitioned epoch
-  // directories; readSink is the union view over both zones.
+  // pass that folds consumed batch dirs into ONE date-partitioned epoch
+  // directory (re-compacting the previous epoch forward, so epochs do
+  // NOT accumulate); readSink is the union view over the single epoch
+  // zone plus the not-yet-compacted live batches.
+
+  /** Epoch commit marker, written by compactSink itself AFTER every
+    * day directory (freshly written AND moved-in) is in place. We do
+    * not reuse Spark's `_SUCCESS` as the commit signal: the job commit
+    * fires before the move phase (so it would commit a half-merged
+    * epoch), and object-store committers commonly run with
+    * mapreduce.fileoutputcommitter.marksuccessfuljobs=false, which
+    * would make epochs invisible forever while their sources were
+    * already retired. An explicit marker has neither failure mode. */
+  private val EpochCommit = "_EPOCH_COMMIT"
+
+  /** Roll-forward manifest for the merge's move phase: lists the day
+    * directories the new epoch still owes from the previous one.
+    * Ordering is plan → commit → moves → plan delete → source delete,
+    * so (a) an UNCOMMITTED attempt never holds moved-in days and can
+    * always be discarded without loss, and (b) a COMMITTED epoch whose
+    * plan still exists is complete BY REFERENCE: readers resolve each
+    * planned day to whichever side of its atomic rename it is on. */
+  private val MergePlan = "_MERGE_PLAN"
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -287,72 +320,187 @@ object Streaming {
       .map(s => s.getPath.getName.stripPrefix(prefix).toLong -> s.getPath)
   }
 
+  private def touch(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = f.create(p, true).close()
+
   /** Highest durably-committed compaction epoch (−1 if none): an epoch
-    * directory counts only once its `_SUCCESS` marker exists, so a
-    * compaction that died mid-write is invisible to readers and gets
-    * overwritten by the retry. */
+    * directory counts only once its [[EpochCommit]] marker exists, so
+    * a compaction that died mid-write or mid-merge is invisible to
+    * readers until recovery completes or discards it. */
   private def maxEpoch(spark: SparkSession, path: String): Long = {
     val f = fs(spark, path)
     val committed = subdirs(spark, path, "epoch=").collect {
-      case (id, p) if f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) => id
+      case (id, p) if f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)) => id
     }
     if (committed.isEmpty) -1L else committed.max
   }
 
-  /** Fold every live `batch_id=N` directory into ONE date-partitioned
-    * epoch directory `epoch=<maxN>/day=YYYY-MM-DD/` and retire the
-    * consumed batch dirs. Idempotent against a crash at any point:
+  /** Write the merge plan atomically: content to a temp name, then
+    * rename. A torn plan must be impossible — recovery trusts the plan
+    * to list EVERY day directory owed to the new epoch, and a partial
+    * list would commit an epoch missing the unlisted days. */
+  private def writePlan(f: org.apache.hadoop.fs.FileSystem,
+      epochDir: org.apache.hadoop.fs.Path, from: Long,
+      days: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(epochDir, s".$MergePlan.tmp")
+    val out = f.create(tmp, true)
+    try out.write((s"from=$from" +: days).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    f.rename(tmp, new org.apache.hadoop.fs.Path(epochDir, MergePlan))
+  }
+
+  private def readPlan(f: org.apache.hadoop.fs.FileSystem,
+      plan: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
+    val in = f.open(plan)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    (lines.head.stripPrefix("from=").toLong, lines.tail.filter(_.nonEmpty))
+  }
+
+  /** Complete a committed epoch's move phase from its durable plan:
+    * every listed day directory not yet present in the new epoch is
+    * renamed in from the source epoch (rename is atomic, so each day is
+    * on exactly one of the two sides at any instant), then the plan is
+    * dropped — from that point the epoch is complete in place.
+    * Idempotent: a crash mid-move is finished by the same procedure. */
+  private def finishMoves(f: org.apache.hadoop.fs.FileSystem, path: String,
+      epochDir: org.apache.hadoop.fs.Path): Unit = {
+    val plan = new org.apache.hadoop.fs.Path(epochDir, MergePlan)
+    val (from, days) = readPlan(f, plan)
+    days.foreach { day =>
+      val dest = new org.apache.hadoop.fs.Path(epochDir, day)
+      if (!f.exists(dest))
+        f.rename(new org.apache.hadoop.fs.Path(s"$path/epoch=$from", day), dest)
+    }
+    f.delete(plan, false)
+  }
+
+  /** Fold the live `batch_id=N` directories AND the previous epoch into
+    * ONE date-partitioned epoch directory `epoch=<maxN>/day=YYYY-MM-DD/`
+    * and retire the sources, so the steady state is a SINGLE epoch zone
+    * no matter how many compactions have run (round-10 shape minted one
+    * immortal epoch per run — an 8.8k-way union plan after a year of
+    * hourly compaction).
     *
-    *  - died mid-write → no `_SUCCESS`, epoch invisible; the retry
-    *    recomputes the same epoch id from the same live batches and
-    *    mode=overwrite rewrites it;
-    *  - died after the write, before the deletes → the epoch IS
-    *    committed, so the next run's first step retires every batch dir
-    *    with id ≤ maxEpoch (they are durably represented already) and
-    *    readSink never double-counts them (it ignores ids ≤ maxEpoch).
+    * Scale posture: re-compaction does NOT rewrite history. Only days
+    * that actually received new rows are read+rewritten merged; every
+    * other day directory of the previous epoch is MOVED into the new
+    * epoch by a filesystem rename — O(1) per day, no data I/O — so the
+    * cost of a compaction is O(new data + touched days), not O(table).
+    * The rewrite shuffles once on `day` (one sized writer per day via
+    * repartition); readers prune on `day=` like any hive partition.
     *
-    * Successive compactions compose: epoch E holds exactly the batches
-    * in (previous epoch, E], so the epoch zone is a disjoint union.
-    * The rewrite shuffles once on `day` (AQE coalesces to one sized
-    * task per day) — at 100 TB this is the file-sizing pass that turns
-    * minute-grain micro-batch files into day-grain scan-friendly ones,
-    * and readers prune on `day=` like any hive partition. Returns the
-    * new max epoch (unchanged if there was nothing to compact). */
+    * Input gating (the at-least-once window): a batch directory is
+    * consumed only if its `_SUCCESS` marker exists — a dir the stream
+    * died inside is left for the restart's replay to overwrite, never
+    * folded half-written into an epoch. Additionally, unless
+    * `quiesced = true`, the max live batch id is NEVER consumed even
+    * when committed: it is the one batch a restart can legitimately
+    * replay (checkpoint commit pending), and a replay's mode=overwrite
+    * delete-then-rewrite must not race the compactor's read. Pass
+    * `quiesced = true` only when the writing stream is known stopped.
+    * With one writer and one compactor (the supported deployment;
+    * concurrent compactors are NOT supported) every crash point is
+    * recovered by the next run, and READERS stay consistent throughout:
+    *
+    *  - died before the commit marker → an uncommitted attempt never
+    *    holds moved-in days (moves fire strictly after commit), so it
+    *    is discarded wholesale; sources untouched, retry recomputes;
+    *  - died after commit, mid-move → the epoch is complete BY
+    *    REFERENCE: its merge plan lists the days still owed, and both
+    *    recovery and readSink resolve each one to whichever side of
+    *    its atomic rename it is on;
+    *  - died after the moves, before the deletes → sources are durably
+    *    represented; recovery retires every batch dir ≤ maxEpoch and
+    *    every older epoch, and readSink (which reads only the max
+    *    committed epoch) never double-counts them.
+    *
+    * Schema drift is additive: batches are read with mergeSchema and
+    * merged across the epoch boundary with unionByName(allowMissing),
+    * so a column added mid-stream survives compaction (old rows carry
+    * NULL). Returns the new max epoch (unchanged if nothing to do). */
   def compactSink(spark: SparkSession, path: String,
-      tsCol: String = "ts"): Long = {
+      tsCol: String = "ts", quiesced: Boolean = false): Long = {
     val f = fs(spark, path)
+    // recovery step 1: settle every epoch attempt — finish the move
+    // phase of committed epochs still carrying a plan (BEFORE step 2
+    // can retire their source epoch), discard uncommitted attempts
+    // (which by construction hold no moved-in days)
+    subdirs(spark, path, "epoch=").sortBy(_._1).foreach { case (_, p) =>
+      if (!f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)))
+        f.delete(p, true)
+      else if (f.exists(new org.apache.hadoop.fs.Path(p, MergePlan)))
+        finishMoves(f, path, p)
+    }
     val before = maxEpoch(spark, path)
-    // step 1: finish any interrupted previous run — consumed batch dirs
-    // and uncommitted epoch attempts are both garbage now
+    // recovery step 2: older committed epochs are fully represented in
+    // the max one (re-compaction folds history forward) — retire them,
+    // and retire batch dirs already folded into an epoch
+    subdirs(spark, path, "epoch=").foreach { case (id, p) =>
+      if (id < before) f.delete(p, true)
+    }
     subdirs(spark, path, "batch_id=").foreach { case (id, p) =>
       if (id <= before) f.delete(p, true)
     }
-    subdirs(spark, path, "epoch=").foreach { case (_, p) =>
-      if (!f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        f.delete(p, true)
+    // input selection: committed batches only, max live id held back
+    // unless the writer is quiesced (see scaladoc)
+    val candidates = subdirs(spark, path, "batch_id=")
+    val committed = candidates.filter { case (_, p) =>
+      f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     }
-    val live = subdirs(spark, path, "batch_id=").filter(_._1 > before)
+    val maxLiveId = candidates.map(_._1).maxOption
+    val live =
+      if (quiesced) committed
+      else committed.filterNot { case (id, _) => maxLiveId.contains(id) }
     if (live.isEmpty) return before
     val epoch = live.map(_._1).max
-    spark.read.parquet(live.map(_._2.toString): _*)
+    val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
+    val fresh = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(_._2.toString): _*)
       .withColumn("day", to_date(col(tsCol)))
-      .repartition(col("day"))
-      .write.mode("overwrite").partitionBy("day")
-      .parquet(s"$path/epoch=$epoch")
-    // the epoch is durable (its _SUCCESS exists) — retire the sources
+    // the day list is driver-side but bounded by the CALENDAR (days
+    // touched since the last compaction), not by the data volume
+    val freshDays = fresh.select("day").distinct().collect()
+      .map(r => s"day=${r.get(0)}").toSet
+    val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
+      if (before < 0) Seq.empty
+      else f.listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"))
+        .toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(s => s.getPath.getName -> s.getPath)
+    val (overlap, toMove) = prevDays.partition(d => freshDays.contains(d._1))
+    val merged =
+      if (overlap.isEmpty) fresh
+      else fresh.unionByName(
+        spark.read.option("basePath", s"$path/epoch=$before")
+          .option("mergeSchema", "true")
+          .parquet(overlap.map(_._2.toString): _*),
+        allowMissingColumns = true)
+    merged.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    // fresh+merged days are durable — record the owed moves, COMMIT
+    // (readers switch to this epoch, resolving owed days via the
+    // plan), then perform the moves and retire the sources
+    if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    touch(f, new org.apache.hadoop.fs.Path(epochDir, EpochCommit))
+    if (toMove.nonEmpty) finishMoves(f, path, epochDir)
+    if (before >= 0)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"), true)
     live.foreach { case (_, p) => f.delete(p, true) }
     epoch
   }
 
   /** q115 — the ingestion path END TO END under the oracle hash: three
     * event slices land as micro-batch `batch_id=` directories (the
-    * parquetSinkStream write shape), compaction folds the first two
-    * into a date-partitioned epoch zone MID-STREAM, a third batch lands
-    * after, and the result is read through the exactly-once union view
-    * and reduced to per-day counts. The oracle is a plain day-count
-    * over `events` — hash equality proves the ingest → compact → read
-    * path loses nothing and duplicates nothing, with BOTH zones (epoch
-    * and live) populated at read time. The sink lives in session
+    * parquetSinkStream write shape), compaction runs MID-STREAM — in
+    * its deployment (non-quiesced) form, so it folds batch 0 into a
+    * date-partitioned epoch zone while holding back batch 1, the
+    * replayable max live id — a third batch lands after, and the
+    * result is read through the exactly-once union view and reduced to
+    * per-day counts. The oracle is a plain day-count over `events` —
+    * hash equality proves the ingest → compact → read path loses
+    * nothing and duplicates nothing, with BOTH zones (epoch and live)
+    * AND the held-back batch populated at read time. The sink lives in session
     * scratch (q90's convention: md5(dir) key + session token, rooted at
     * spark.graft.scratchDir or the JVM tmpdir) and is rebuilt from a
     * clean slate per invocation, so reruns are deterministic. */
@@ -376,25 +524,46 @@ object Streaming {
       .orderBy("day")
   }
 
-  /** Exactly-once union view over the sink: all committed epoch zones
-    * plus the live batch dirs NEWER than the last epoch (older ones are
-    * either retired or awaiting retirement — their rows already live in
-    * an epoch). This is what "read the table root" means once
-    * compaction runs; columns are the ingested schema (the `day`
-    * bookkeeping partition is dropped). */
+  /** Exactly-once union view over the sink: the single max committed
+    * epoch zone (older epochs are subsumed by re-compaction and only
+    * await retirement — reading them would double-count) plus the
+    * COMMITTED live batch dirs newer than it (a dir without `_SUCCESS`
+    * is a write in flight; its rows arrive via the stream's replay).
+    * The plan has a BOUNDED number of leaves — 1 + (batches since the
+    * last compaction) — regardless of how long the sink has lived.
+    * Columns are the union of the ingested schemas (additive drift:
+    * rows predating a column carry NULL); the `day` bookkeeping
+    * partition is dropped. */
   def readSink(spark: SparkSession, path: String): DataFrame = {
     val f = fs(spark, path)
     val cut = maxEpoch(spark, path)
-    val epochDirs = subdirs(spark, path, "epoch=").collect {
-      case (_, p) if f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) =>
-        p.toString
-    }
+    val epochParts: Seq[DataFrame] =
+      if (cut < 0) Seq.empty
+      else {
+        val eDir = s"$path/epoch=$cut"
+        val plan = new org.apache.hadoop.fs.Path(eDir, MergePlan)
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(eDir).drop("day")
+        if (!f.exists(plan)) Seq(base)
+        else {
+          // the epoch committed but its move phase is incomplete: each
+          // planned day lives on exactly one side of its atomic rename
+          // — resolve the ones not yet moved in from the source epoch
+          val (from, days) = readPlan(f, plan)
+          val pending = days.filterNot(d =>
+            f.exists(new org.apache.hadoop.fs.Path(eDir, d)))
+          base +: pending.map(d =>
+            spark.read.option("mergeSchema", "true")
+              .parquet(s"$path/epoch=$from/$d"))
+        }
+      }
     val liveDirs = subdirs(spark, path, "batch_id=")
-      .filter(_._1 > cut).map(_._2.toString)
-    val parts =
-      epochDirs.map(d => spark.read.parquet(d).drop("day")) ++
-        liveDirs.map(spark.read.parquet)
+      .filter { case (id, p) =>
+        id > cut && f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      .sortBy(_._1).map(_._2.toString)
+    val parts = epochParts ++ liveDirs.map(d => spark.read.parquet(d))
     require(parts.nonEmpty, s"empty sink at $path")
-    parts.reduce(_.unionByName(_))
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

@@ -590,8 +590,9 @@ class StreamingSpec extends SparkSpecBase {
       q1.processAllAvailable()
     } finally q1.stop()
     assert(batchDirs.size == 2, s"expected 2 micro-batch dirs: $batchDirs")
-    // compact: the two batch dirs fold into one date-partitioned epoch
-    val e1 = Streaming.compactSink(spark, out)
+    // compact: the stream is stopped, so quiesced=true may consume the
+    // max live batch too — both dirs fold into one date-partitioned epoch
+    val e1 = Streaming.compactSink(spark, out, quiesced = true)
     assert(batchDirs.isEmpty, "consumed batch dirs were not retired")
     val days = Option(new java.io.File(s"$out/epoch=$e1").listFiles())
       .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("day=")).sorted
@@ -616,18 +617,225 @@ class StreamingSpec extends SparkSpecBase {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(sinkIds == Seq(1L, 2L, 3L, 4L)) // pre-compaction union view
-    // died-mid-write case: an UNCOMMITTED epoch attempt (no _SUCCESS)
-    // must be invisible to readers and swept by the next compaction
+    // died-mid-write case: an UNCOMMITTED epoch attempt (no commit
+    // marker, no merge plan) must be invisible to readers and swept by
+    // the next compaction
     val partial = new java.io.File(s"$out/epoch=99")
     java.nio.file.Files.createDirectories(partial.toPath)
     java.nio.file.Files.writeString(
       new java.io.File(partial, "part-junk.parquet").toPath, "not parquet")
     assert(sinkIds == Seq(1L, 2L, 3L, 4L),
       "readSink consumed an uncommitted epoch attempt")
-    val e2 = Streaming.compactSink(spark, out)
+    val e2 = Streaming.compactSink(spark, out, quiesced = true)
     assert(!partial.exists(), "uncommitted epoch attempt not swept")
     assert(e2 > e1 && batchDirs.isEmpty)
     assert(sinkIds == Seq(1L, 2L, 3L, 4L))
+    // re-compaction: the previous epoch folded into the new one, so
+    // exactly ONE epoch zone remains — the steady state is bounded
+    val epochs = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("epoch=")).toSeq
+    assert(epochs == Seq(s"epoch=$e2"),
+      s"older epoch zones not retired by re-compaction: $epochs")
+  }
+
+  private def tsv(s: String) = Timestamp.valueOf(s)
+
+  private def listNames(dir: String, prefix: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(prefix)).sorted.toSeq
+
+  test("re-compaction keeps ONE epoch zone and MOVES untouched days instead of rewriting them") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_recompact").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    val day1Files = listNames(s"$out/epoch=0/day=2024-01-01", "part-")
+    assert(day1Files.nonEmpty)
+    // second compaction touches only day 2: day 1 must be MOVED (the
+    // rename keeps its exact part-file names — a rewrite would mint
+    // fresh UUID names), the O(1)-per-day path that keeps compaction
+    // cost O(new data), not O(table), at 100 TB
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    assert(listNames(out, "epoch=") == Seq("epoch=1"))
+    assert(listNames(s"$out/epoch=1/day=2024-01-01", "part-") == day1Files,
+      "untouched day was rewritten, not moved")
+    // third compaction overlaps day 2 and adds day 3: day 1 still
+    // rides its original files, day 2 is merged, readers lose nothing
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 11:00:00"), 3L, "view"),
+        (tsv("2024-01-03 09:00:00"), 4L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 2L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 2L)
+    assert(listNames(out, "epoch=") == Seq("epoch=2"))
+    assert(listNames(s"$out/epoch=2/day=2024-01-01", "part-") == day1Files,
+      "twice-moved day lost its original files")
+    assert(listNames(s"$out/epoch=2", "day=") ==
+      Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("compaction never consumes an in-flight or replayable batch dir") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_inflight").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 11:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    // batch 2 died mid-write: a data file landed but no _SUCCESS —
+    // folding it into an epoch would make the restart's full replay of
+    // batch 2 invisible (id <= maxEpoch): silent permanent data loss
+    val b2 = new java.io.File(s"$out/batch_id=2")
+    java.nio.file.Files.createDirectories(b2.toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(b2, "part-partial.parquet").toPath, "torn write")
+    assert(Streaming.compactSink(spark, out) == 1L)
+    assert(b2.exists(),
+      "in-flight batch dir consumed - it belongs to the stream's replay")
+    assert(ids == Seq(1L, 2L), "reader consumed an uncommitted batch dir")
+    // the restarted stream replays batch 2 in full (mode=overwrite)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 09:00:00"), 3L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 2L)
+    assert(ids == Seq(1L, 2L, 3L))
+    // even fully committed, the MAX live id is replayable (checkpoint
+    // commit may be pending) - a non-quiesced pass must hold it back
+    assert(Streaming.compactSink(spark, out) == 1L,
+      "non-quiesced compaction consumed the replayable max live batch")
+    assert(b2.exists())
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 2L)
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("died mid-move: a committed epoch with an outstanding merge plan reads complete and is recovered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    val root = java.nio.file.Files.createTempDirectory("sink_midmove").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    // hand-build the exact crash state of the NEXT compaction: batch 2
+    // landed, its fresh day is durably written under epoch=2, the merge
+    // plan and commit marker are down, ONE of the two owed days has
+    // been renamed in - and then the compactor died
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 09:00:00"), 3L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 2L)
+    spark.read.parquet(s"$out/batch_id=2")
+      .withColumn("day", to_date(col("ts")))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$out/epoch=2")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=2/_MERGE_PLAN").toPath,
+      "from=1\nday=2024-01-01\nday=2024-01-02")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=2/_EPOCH_COMMIT").toPath, "")
+    assert(new java.io.File(s"$out/epoch=1/day=2024-01-01")
+      .renameTo(new java.io.File(s"$out/epoch=2/day=2024-01-01")))
+    // a reader BETWEEN the crash and recovery resolves the still-owed
+    // day through the plan: every row visible exactly once
+    assert(ids == Seq(1L, 2L, 3L),
+      "mid-move reader lost or duplicated a planned day")
+    // recovery completes the moves, drops the plan, retires the sources
+    assert(Streaming.compactSink(spark, out) == 2L)
+    assert(listNames(out, "epoch=") == Seq("epoch=2"))
+    assert(!new java.io.File(s"$out/epoch=2/_MERGE_PLAN").exists(),
+      "completed merge plan not dropped")
+    assert(listNames(s"$out/epoch=2", "day=") ==
+      Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+    assert(listNames(out, "batch_id=").isEmpty)
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("schema drift: a column added mid-stream survives compaction and the union view") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_drift").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L))
+        .toDF("ts", "event_id"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // the drifted batch adds a `source` column
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "mobile"))
+        .toDF("ts", "event_id", "source"), out, 1L)
+    def bySource = Streaming.readSink(spark, out)
+      .select("event_id", "source").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    // live zone: the union view already carries the new column, NULL
+    // for rows that predate it
+    assert(bySource == Seq((1L, None), (2L, Some("mobile"))))
+    // the column must SURVIVE the compaction boundary (round-10 shape
+    // read without mergeSchema and would silently drop it here)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    assert(bySource == Seq((1L, None), (2L, Some("mobile"))),
+      "added column dropped at the compaction boundary")
+    // a later batch still on the OLD schema also unions fine
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 10:00:00"), 3L))
+        .toDF("ts", "event_id"), out, 2L)
+    assert(bySource ==
+      Seq((1L, None), (2L, Some("mobile")), (3L, None)))
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 2L)
+    assert(bySource ==
+      Seq((1L, None), (2L, Some("mobile")), (3L, None)))
+  }
+
+  test("auto-compaction inside the sink stream interleaves safely with checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_autocompact").toString
+    val out = s"$root/events"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    def start() = Streaming.parquetSinkStream(
+      input.toDF().toDF("ts", "event_id", "event_type"), out, ckpt,
+      compactEvery = 2)
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val q1 = start()
+    try {
+      input.addData((tsv("2024-01-01 10:00:00"), 1L, "click"))
+      q1.processAllAvailable()
+      input.addData((tsv("2024-01-01 11:00:00"), 2L, "view"))
+      q1.processAllAvailable() // batch 1 triggers compaction (holds back itself)
+    } finally q1.stop()
+    assert(listNames(out, "epoch=") == Seq("epoch=0"),
+      "auto-compaction did not run after the K-th batch")
+    assert(listNames(out, "batch_id=") == Seq("batch_id=1"),
+      "auto-compaction consumed the just-written (replayable) batch")
+    assert(ids == Seq(1L, 2L))
+    // restart from the checkpoint: batch ids continue, the next K-th
+    // batch compacts again, nothing is lost or double-counted
+    val q2 = start()
+    try {
+      input.addData((tsv("2024-01-02 09:00:00"), 3L, "click"))
+      q2.processAllAvailable()
+      input.addData((tsv("2024-01-02 10:00:00"), 4L, "view"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(listNames(out, "epoch=") == Seq("epoch=2"),
+      "restarted stream's auto-compaction did not fold forward")
+    assert(ids == Seq(1L, 2L, 3L, 4L))
   }
 
   test("replay stream maintains per-game state across micro-batches") {
