@@ -42,31 +42,71 @@ class PlanLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
 
   /** A plan subtree that provably CANNOT grow with the corpus: a small
     * literal relation, a one-row relation, a limit/top-k, or a scalar
-    * (no-grouping) aggregate. The legitimate broadcast sides in this
-    * registry are all one of these shapes. */
-  private def boundedSubtree(p: SparkPlan): Boolean = collect(p) {
-    case l: LocalTableScanExec if l.rows.sizeIs <= 100 => true
-    case r: RDDScanExec if r.name == "OneRowRelation" => true
-    case _: GlobalLimitExec => true
-    case _: CollectLimitExec => true
-    case _: TakeOrderedAndProjectExec => true
-    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    * (no-grouping) aggregate — reached ONLY through operators that
+    * cannot grow their input. The round-10 form collect()ed matches at
+    * ANY depth, so a corpus-sized branch that merely CONTAINED a
+    * bounded node somewhere (a scalar-subquery agg, a reused limit deep
+    * under a join) was classified bounded — a false-negative hole that
+    * would let a genuinely quadratic BNLJ through the gate. Now the
+    * recursion walks from the subtree ROOT and terminates as unbounded
+    * at the first node that can grow or combine inputs (join, generate,
+    * union, scan), instead of skipping over it. */
+  private def boundedSubtree(p: SparkPlan): Boolean = p match {
+    case l: LocalTableScanExec => l.rows.sizeIs <= 100
+    case r: RDDScanExec => r.name == "OneRowRelation"
+    case _: GlobalLimitExec | _: CollectLimitExec |
+         _: TakeOrderedAndProjectExec => true
+    // an aggregate never has more rows than groups: scalar agg is one
+    // row; a grouped agg is bounded iff its input is
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || boundedSubtree(a.child)
     // a reused exchange is a LEAF wrapping the original exchange node —
     // recurse into it or the bound it carries is invisible
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-      if boundedSubtree(r.child) => true
-  }.nonEmpty
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      boundedSubtree(r.child)
+    // AQE wraps finalized stages as leaves holding the real subtree
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      boundedSubtree(q.plan)
+    // transparent row-preserving/reducing unary pass-throughs
+    case _: org.apache.spark.sql.execution.ProjectExec |
+         _: org.apache.spark.sql.execution.FilterExec |
+         _: org.apache.spark.sql.execution.SortExec |
+         _: org.apache.spark.sql.execution.CoalesceExec |
+         _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+         _: org.apache.spark.sql.execution.InputAdapter |
+         _: org.apache.spark.sql.execution.exchange.Exchange |
+         _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+      p.children.sizeIs == 1 && boundedSubtree(p.children.head)
+    case _ => false
+  }
 
-  /** Rows the BNLJ's broadcast side actually shipped (min over the
-    * subtree's broadcast exchanges; None if no metric materialized —
-    * treated as unbounded by the caller, never silently excused). */
+  /** Rows the broadcast exchange FEEDING the join actually shipped:
+    * walk each child's spine through transparent wrappers to the
+    * topmost broadcast exchange only. The round-10 form collect()ed
+    * every broadcast exchange in the subtree and took the min, so a
+    * tiny broadcast nested DEEP inside a corpus-sized build side (a
+    * scalar-agg dim joined three operators down) masked the big
+    * exchange at the top — the same collect()-anywhere hole as
+    * boundedSubtree's. None if no exchange/metric is on the spine —
+    * treated as unbounded by the caller, never silently excused. */
+  private def topBroadcastRows(p: SparkPlan): Option[Long] = p match {
+    case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+      e.metrics.get("numOutputRows").map(_.value)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      topBroadcastRows(r.child)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      topBroadcastRows(q.plan)
+    case _: org.apache.spark.sql.execution.ProjectExec |
+         _: org.apache.spark.sql.execution.FilterExec |
+         _: org.apache.spark.sql.execution.SortExec |
+         _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+         _: org.apache.spark.sql.execution.InputAdapter =>
+      if (p.children.sizeIs == 1) topBroadcastRows(p.children.head) else None
+    case _ => None
+  }
+
   private def broadcastBuildRows(j: SparkPlan): Option[Long] =
-    collect(j) {
-      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
-        e.metrics.get("numOutputRows").map(_.value)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        r.child.metrics.get("numOutputRows").map(_.value)
-    }.flatten.reduceOption(_ min _)
+    j.children.flatMap(topBroadcastRows).reduceOption(_ min _)
 
   private def lintPlan(name: String, plan: SparkPlan): Seq[String] = {
     def tinyLocal(p: SparkPlan): Boolean = collect(p) {
@@ -186,6 +226,25 @@ class PlanLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
     val regressed = shuffleCount(bad.queryExecution.executedPlan)
     assert(regressed > budget,
       s"canary broken: injected shuffle not visible ($regressed <= $budget)")
+  }
+
+  test("canary: a corpus-sized build side merely CONTAINING a bounded node is still flagged") {
+    import org.apache.spark.sql.functions._
+    // the round-10 hole: the build side is corpus-sized (lineitem x a
+    // one-row scalar agg) but CONTAINS a bounded node deep inside — the
+    // collect()-anywhere classifier called it bounded and let the
+    // quadratic BNLJ through; the root-walk classifier must not
+    val oneRow = Tables.lineitem(spark, sf).groupBy().count()
+    val big = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+      .crossJoin(broadcast(oneRow))
+      .select(col("l_orderkey").as("other_key"))
+    val bad = Tables.lineitem(spark, sf).select("l_orderkey")
+      .crossJoin(broadcast(big)).groupBy().count()
+    bad.collect()
+    val flagged = lintPlan("canary_bnlj_contains", bad.queryExecution.executedPlan)
+    assert(flagged.exists(_.contains("BroadcastNestedLoopJoin")),
+      "canary broken: corpus-sized build side with an embedded bounded " +
+        s"node not flagged ($flagged)")
   }
 
   test("canary: unbounded-both-sides nested-loop join is flagged") {
