@@ -40,6 +40,16 @@ object Bench {
     // first-touch costs inside the timed run and over-reported the
     // total ~2.5×. Taking the min (not the second run) also shields a
     // measurement from a transient host-CPU spike landing on one rep.
+    // Fixed-work CPU probes bracketing the query loop: this host is
+    // BURSTABLE and throttles over long sessions (round 10: identical
+    // code benched 47.8 s at 20:00 and 55.7 s at 21:00), so a raw
+    // cross-round total comparison conflates plan drift with host
+    // state. calib_before/calib_after time the SAME deterministic
+    // single-threaded workload on this run's host, letting a reader
+    // normalize totals across rounds (and see intra-run throttle as
+    // before/after divergence) instead of re-deriving the story from
+    // git archaeology.
+    val calibBefore = calibrate()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // duration computed INSIDE the try: a throwing query reports −1,
       // never its time-to-failure disguised as a normal duration
@@ -57,16 +67,42 @@ object Bench {
         else math.min(d1, d2)
       name -> dur
     }
-    println(mkLine(results, sfDir, _.takeWhile(_ != '_')))
+    val calibAfter = calibrate()
+    val calib = Some((calibBefore, calibAfter))
+    println(mkLine(results, sfDir, _.takeWhile(_ != '_'), calib))
     // a clean full-name copy on disk preserves the signal regardless
     // of how stdout is interleaved or truncated (BENCH_r02/r04 parsed
     // as null from stdout alone)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      mkLine(results, sfDir, identity) + "\n")
+      mkLine(results, sfDir, identity, calib) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** Deterministic single-threaded CPU probe: fill 4M longs with an
+    * LCG and sort, ×3, after one smaller untimed pass so BOTH probes
+    * (not just the second) run JIT-compiled code. ~0.5 s on this host
+    * at full clock; the value scales directly with the host's current
+    * effective CPU speed and with nothing else. */
+  private[graft] def calibrate(): Double = {
+    def pass(n: Int, seed: Long): Unit = {
+      val a = new Array[Long](n)
+      var x = seed
+      var i = 0
+      while (i < n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        a(i) = x
+        i += 1
+      }
+      java.util.Arrays.sort(a)
+    }
+    pass(500000, 1L) // JIT warmup, untimed
+    val t0 = System.nanoTime()
+    var rep = 0
+    while (rep < 3) { pass(4000000, 0x9E3779B97F4A7C15L + rep); rep += 1 }
+    (System.nanoTime() - t0) / 1e9
   }
 
   // The harness that captures stdout keeps only a ~2,000-char tail
@@ -84,7 +120,8 @@ object Bench {
     .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
   private[graft] def mkLine(results: Map[String, Double], sfDir: String,
-      key: String => String): String = {
+      key: String => String,
+      calib: Option[(Double, Double)] = None): String = {
     val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -92,6 +129,9 @@ object Bench {
     // total (−1 marker), so without this count a crash would read as
     // a faster bench. errors > 0 means the total is not comparable.
     val errors = results.values.count(_ < 0)
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    val cal = calib.map { case (b, a) =>
+      s""","calib_before":${fmt(b)},"calib_after":${fmt(a)}"""
+    }.getOrElse("")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors$cal,"queries":$qs,"sf":"$sfDir"}"""
   }
 }

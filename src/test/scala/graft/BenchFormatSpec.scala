@@ -12,7 +12,7 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("short-id stdout line stays under the capture tail with headroom") {
     val line = Bench.mkLine(worstCase, "/root/testdata/sf0.1",
-      _.takeWhile(_ != '_'))
+      _.takeWhile(_ != '_'), Some((999.99, 999.99)))
     assert(line.length < 1900, s"bench line ${line.length} chars — " +
       "the driver's ~2,000-char stdout tail would truncate it")
   }
@@ -30,5 +30,17 @@ class BenchFormatSpec extends AnyFunSuite {
     // errors (a crash must never read as a faster bench); 1.005 rounds up
     assert(line ==
       """{"metric":"total","value":1.01,"unit":"sec","errors":1,"queries":{"q01":1.01,"q02":-1.00},"sf":"/sf"}""")
+    // the calibration probes ride as two extra top-level fields
+    val withCal = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'), Some((0.5, 0.625)))
+    assert(withCal ==
+      """{"metric":"total","value":1.00,"unit":"sec","errors":0,"calib_before":0.50,"calib_after":0.63,"queries":{"q01":1.00},"sf":"/sf"}""")
+  }
+
+  test("the calibration probe is fixed work, repeatable on a steady host") {
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0.01 && b > 0.01, s"probe too small to measure: $a / $b")
+    assert(a < 30.0 && b < 30.0, s"probe too slow: $a / $b")
   }
 }

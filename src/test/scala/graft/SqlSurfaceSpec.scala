@@ -138,5 +138,17 @@ class SqlSurfaceSpec extends SparkSpecBase
     assert(pruned > 0, "filtered segment scanned no files")
     assert(pruned < full,
       s"segment filter did not prune: $pruned of $full files scanned")
+    // the EXACT bound: a one-segment read touches precisely the files
+    // of its own partition directory, nothing from any other segment
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some("graft_wh")))
+      .location
+    val segDir = new java.io.File(
+      new java.io.File(loc), "c_mktsegment=BUILDING")
+    val segFiles = Option(segDir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    assert(segFiles > 0, s"no parquet files under $segDir - pin is vacuous")
+    assert(pruned == segFiles,
+      s"one-segment read scanned $pruned files, directory holds $segFiles")
   }
 }

@@ -77,6 +77,23 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") &&
       plan.matches("(?s).*PartitionFilters[^\\]]*band[^\\]]*1[^\\]]*\\].*"),
       s"partition filters missing from scan:\n$plan")
+    // the EXACT bound, from executed metrics: the one-bucket read
+    // touches precisely the files of its own directory — not "fewer
+    // than all" but its directory and nothing else (numFiles is the
+    // post-pruning truth; inputFiles reflects the pre-pruning index)
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val dirFiles = Option(
+      new java.io.File(s"$out/band=1/bucket=5").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(dirFiles > 0, "bucket directory is empty - pin is vacuous")
+    assert(scanned == dirFiles,
+      s"one-bucket read scanned $scanned files, directory holds $dirFiles")
+    // one sized writer per (band,bucket) dir - the round-10 layout rule
+    assert(dirFiles == 1, s"expected one sized file per bucket dir, got $dirFiles")
     // and its contents equal the in-memory filter of the same bucket
     val mem = ops.VectorOps.lshTables(spark, sf)
       .filter(col("band") === 1 && col("bucket") === 5)
