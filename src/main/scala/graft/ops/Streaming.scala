@@ -532,18 +532,26 @@ object Streaming {
     * The plan has a BOUNDED number of leaves — 1 + (batches since the
     * last compaction) — regardless of how long the sink has lived.
     * Columns are the union of the ingested schemas (additive drift:
-    * rows predating a column carry NULL); the `day` bookkeeping
-    * partition is dropped. */
-  def readSink(spark: SparkSession, path: String): DataFrame = {
+    * rows predating a column carry NULL) PLUS `day`: on the epoch zone
+    * it is the real hive partition column, so a `day` predicate prunes
+    * the scan to that day's directory — the read-path payoff of the
+    * date-partitioned layout; on live batches (and the rare mid-move
+    * pending days) it is computed/constant so the same predicate stays
+    * cheap and the view is uniform. */
+  def readSink(spark: SparkSession, path: String,
+      tsCol: String = "ts"): DataFrame = {
     val f = fs(spark, path)
     val cut = maxEpoch(spark, path)
+    def withDay(df: DataFrame): DataFrame =
+      if (df.columns.contains(tsCol))
+        df.withColumn("day", to_date(col(tsCol)))
+      else df.withColumn("day", lit(null).cast("date"))
     val epochParts: Seq[DataFrame] =
       if (cut < 0) Seq.empty
       else {
         val eDir = s"$path/epoch=$cut"
         val plan = new org.apache.hadoop.fs.Path(eDir, MergePlan)
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(eDir).drop("day")
+        val base = spark.read.option("mergeSchema", "true").parquet(eDir)
         if (!f.exists(plan)) Seq(base)
         else {
           // the epoch committed but its move phase is incomplete: each
@@ -554,7 +562,9 @@ object Streaming {
             f.exists(new org.apache.hadoop.fs.Path(eDir, d)))
           base +: pending.map(d =>
             spark.read.option("mergeSchema", "true")
-              .parquet(s"$path/epoch=$from/$d"))
+              .parquet(s"$path/epoch=$from/$d")
+              .withColumn("day",
+                lit(java.sql.Date.valueOf(d.stripPrefix("day=")))))
         }
       }
     val liveDirs = subdirs(spark, path, "batch_id=")
@@ -562,7 +572,7 @@ object Streaming {
         id > cut && f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
       }
       .sortBy(_._1).map(_._2.toString)
-    val parts = epochParts ++ liveDirs.map(d => spark.read.parquet(d))
+    val parts = epochParts ++ liveDirs.map(d => withDay(spark.read.parquet(d)))
     require(parts.nonEmpty, s"empty sink at $path")
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Replay, Streaming}
 
 /** Structured Streaming specs via MemoryStream: windowed counts with
-  * watermarks and the keyed-state replay machine (V11/V16). */
-class StreamingSpec extends SparkSpecBase {
+  * watermarks and the keyed-state replay machine (V11/V16).
+  * AdaptiveSparkPlanHelper: executed scans hide inside AQE query-stage
+  * leaves, so metric assertions must traverse with its collect. */
+class StreamingSpec extends SparkSpecBase
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("windowed event counts aggregate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
@@ -680,6 +683,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(listNames(s"$out/epoch=2", "day=") ==
       Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
     assert(ids == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("readSink's day column prunes the epoch scan to one directory's files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("sink_dayprune").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+        (tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 09:00:00"), 3L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    // day is the REAL hive partition column of the epoch zone, so the
+    // predicate reaches the scan as a partition filter: the read
+    // touches exactly the one day directory (one sized file), not the
+    // whole table — the read-path payoff of the date-partitioned layout
+    val filtered = Streaming.readSink(spark, out)
+      .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-02")))
+      .select("event_id")
+    // metrics live on the EXECUTED plan of the exact frame collected
+    // (even .as[Long] would mint a fresh QueryExecution and leave the
+    // inspected plan's metrics at zero)
+    val rows = filtered.collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(2L))
+    val scanned = collect(filtered.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val dirFiles = Option(
+      new java.io.File(s"$out/epoch=1/day=2024-01-02").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(dirFiles == 1, s"expected one sized file per day dir, got $dirFiles")
+    assert(scanned == dirFiles,
+      s"day filter scanned $scanned files - partition pruning lost " +
+        "(predicate not reaching the epoch scan as a partition filter)")
   }
 
   test("compaction never consumes an in-flight or replayable batch dir") {
