@@ -346,7 +346,13 @@ object Streaming {
     val out = f.create(tmp, true)
     try out.write((s"from=$from" +: days).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    f.rename(tmp, new org.apache.hadoop.fs.Path(epochDir, MergePlan))
+    // Hadoop rename reports failure as `false`, not an exception — and
+    // a silently missing plan would let the commit marker land with the
+    // owed-day list gone (recovery would then retire the source epoch
+    // and lose those days). Fail HERE, before the commit, where the
+    // uncommitted attempt is still safely discardable.
+    require(f.rename(tmp, new org.apache.hadoop.fs.Path(epochDir, MergePlan)),
+      s"could not install merge plan under $epochDir")
   }
 
   private def readPlan(f: org.apache.hadoop.fs.FileSystem,
@@ -370,8 +376,15 @@ object Streaming {
     val (from, days) = readPlan(f, plan)
     days.foreach { day =>
       val dest = new org.apache.hadoop.fs.Path(epochDir, day)
-      if (!f.exists(dest))
+      if (!f.exists(dest)) {
         f.rename(new org.apache.hadoop.fs.Path(s"$path/epoch=$from", day), dest)
+        // rename reports failure as `false`; dropping the plan anyway
+        // would mark an epoch complete while a planned day sits in
+        // neither location — fail loudly instead, leaving the plan in
+        // place so readers keep resolving and recovery keeps retrying
+        require(f.exists(dest),
+          s"owed day $day found in neither epoch=$from nor $epochDir")
+      }
     }
     f.delete(plan, false)
   }

@@ -807,6 +807,41 @@ class StreamingSpec extends SparkSpecBase
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("a planned day missing from BOTH epochs fails loudly instead of committing the loss") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    val root = java.nio.file.Files.createTempDirectory("sink_corrupt").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // a committed epoch whose plan lists a day that was hand-deleted
+    // (or lost to an external actor) from both locations: completing
+    // the merge would silently commit the loss - recovery must refuse,
+    // leaving the plan in place for inspection
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    spark.read.parquet(s"$out/batch_id=1")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$out/epoch=1")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=1/_MERGE_PLAN").toPath,
+      "from=0\nday=2024-01-09") // listed in neither epoch
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=1/_EPOCH_COMMIT").toPath, "")
+    // the rename either throws (local FS: FileNotFoundException) or
+    // returns false and trips the require (HDFS semantics) - both are
+    // LOUD; the disqualifying outcome would be a clean return
+    val e = intercept[Exception](Streaming.compactSink(spark, out))
+    assert(e.isInstanceOf[java.io.FileNotFoundException] ||
+      e.getMessage.contains("owed day day=2024-01-09"),
+      s"wrong failure: ${e.getClass.getName}: ${e.getMessage}")
+    assert(new java.io.File(s"$out/epoch=1/_MERGE_PLAN").exists(),
+      "plan dropped despite the unresolvable owed day")
+  }
+
   test("schema drift: a column added mid-stream survives compaction and the union view") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_drift").toString
