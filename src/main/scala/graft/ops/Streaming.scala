@@ -248,9 +248,23 @@ object Streaming {
     * and `batch_id=` is a plain hive partition column, so readers
     * prune on it like any other. This is the continuous-ingestion
     * write path of the warehouse story (q100/q114 decide layout at
-    * write time; this is the same decision under a stream). */
-  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
-    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    * write time; this is the same decision under a stream).
+    *
+    * The batch's durability signal is an explicit [[BatchCommit]]
+    * marker written here AFTER the parquet job, not Spark's `_SUCCESS`:
+    * object-store committers commonly run with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, under
+    * which every batch would be permanently invisible to readers and
+    * never compacted — the same failure mode [[EpochCommit]] exists to
+    * avoid for epochs. mode=overwrite deletes the whole dir (marker
+    * included) before rewriting, so a replay atomically un-commits and
+    * re-commits its own directory. */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val dir = s"$path/batch_id=$batchId"
+    batch.write.mode("overwrite").parquet(dir)
+    touch(fs(batch.sparkSession, path),
+      new org.apache.hadoop.fs.Path(dir, BatchCommit))
+  }
 
   /** Streaming parquet sink over writeBatchIdempotent: the deployment
     * shape for continuously ingesting an event feed into the
@@ -306,6 +320,33 @@ object Streaming {
     * planned day to whichever side of its atomic rename it is on. */
   private val MergePlan = "_MERGE_PLAN"
 
+  /** Per-batch durability marker written by [[writeBatchIdempotent]]
+    * itself (see its scaladoc for why `_SUCCESS` is not trusted). A
+    * `batch_id=` directory without it is a write in flight — invisible
+    * to [[readSink]] and never consumed by [[compactSink]]. */
+  private val BatchCommit = "_BATCH_COMMIT"
+
+  /** Hive's directory name for a null partition value: rows whose
+    * `tsCol` is null land here. Handled explicitly throughout the
+    * merge/move/read protocol — a string-formatted "day=null" key would
+    * silently diverge from this name and lose the previous epoch's
+    * null-day rows on re-compaction (they would be classified as an
+    * untouched day to MOVE, find the destination already written by the
+    * fresh null rows, and be dropped with the retired source epoch). */
+  private val NullDayDir = "day=__HIVE_DEFAULT_PARTITION__"
+
+  /** Best-effort mutual-exclusion marker for the sink's MUTATING
+    * maintenance ops (compact / retire / vacuum). Concurrent compactors
+    * were previously excluded only by documentation, but the blast
+    * radius of violating that rule is silent loss: a second compactor's
+    * recovery step deletes the first's in-progress (uncommitted) epoch
+    * attempt mid-write. The lock converts that operational footgun into
+    * a loud error. Create-exclusive; deleted on completion (success or
+    * failure — a thrown maintenance op has stopped mutating); a crashed
+    * holder's lock is stolen once older than
+    * `spark.graft.compact.lockStaleMs` (default 1 h). */
+  private val CompactLock = "_COMPACT_LOCK"
+
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -322,6 +363,47 @@ object Streaming {
 
   private def touch(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = f.create(p, true).close()
+
+  /** Run `body` holding the sink's [[CompactLock]]. Acquisition is
+    * create-exclusive (`create(overwrite = false)` fails if the marker
+    * exists); a fresh lock means another maintenance op is live and the
+    * call FAILS LOUDLY instead of racing it; a lock older than the
+    * staleness threshold belongs to a crashed holder and is stolen.
+    * Released on every exit — an exception from `body` means the op has
+    * stopped mutating, and crash recovery is the next run's job. */
+  private def withCompactorLock[T](spark: SparkSession, path: String)
+      (body: => T): T = {
+    val f = fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    f.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(root, CompactLock)
+    val staleMs = spark.conf.getOption("spark.graft.compact.lockStaleMs")
+      .map(_.toLong).getOrElse(60L * 60 * 1000)
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(lock, false)
+        try out.write(s"${java.util.UUID.randomUUID()}\n".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age =
+        try System.currentTimeMillis() -
+          f.getFileStatus(lock).getModificationTime
+        catch { // released between the failed create and the stat: stale
+          case _: java.io.FileNotFoundException => Long.MaxValue
+        }
+      if (age < staleMs)
+        throw new IllegalStateException(
+          s"another compactor holds $lock (age ${age} ms < stale " +
+            s"threshold $staleMs ms) - concurrent sink maintenance is " +
+            "not supported; wait for it, or delete the lock if its " +
+            "holder is known dead")
+      f.delete(lock, false)
+      require(tryAcquire(), s"could not steal stale compactor lock $lock")
+    }
+    try body finally f.delete(lock, false)
+  }
 
   /** Highest durably-committed compaction epoch (−1 if none): an epoch
     * directory counts only once its [[EpochCommit]] marker exists, so
@@ -404,17 +486,29 @@ object Streaming {
     * The rewrite shuffles once on `day` (one sized writer per day via
     * repartition); readers prune on `day=` like any hive partition.
     *
+    * The rewrite shuffles once, range-partitioned on (day, tsCol) into
+    * a SIZE-AWARE number of writer partitions (input bytes /
+    * `spark.graft.compact.targetFileBytes`, default 128 MiB, floored at
+    * the day count): a hot day writes through k parallel sized writers
+    * instead of funneling through one task (the round-11 shape hashed
+    * on the low-cardinality `day` alone — one writer per day, which at
+    * a 100 TB/day feed funnels terabytes through a single task), while
+    * a quiet day still gets one sized file and `day=` pruning stays
+    * exact (hive layout unchanged). The range sample pass reads the
+    * input twice; that is metadata-cheap next to the shuffle+write and
+    * is what buys balanced writers without a per-day file-count plan.
+    *
     * Input gating (the at-least-once window): a batch directory is
-    * consumed only if its `_SUCCESS` marker exists — a dir the stream
-    * died inside is left for the restart's replay to overwrite, never
-    * folded half-written into an epoch. Additionally, unless
+    * consumed only if its [[BatchCommit]] marker exists — a dir the
+    * stream died inside is left for the restart's replay to overwrite,
+    * never folded half-written into an epoch. Additionally, unless
     * `quiesced = true`, the max live batch id is NEVER consumed even
     * when committed: it is the one batch a restart can legitimately
     * replay (checkpoint commit pending), and a replay's mode=overwrite
     * delete-then-rewrite must not race the compactor's read. Pass
     * `quiesced = true` only when the writing stream is known stopped.
-    * With one writer and one compactor (the supported deployment;
-    * concurrent compactors are NOT supported) every crash point is
+    * With one writer and one compactor — now ENFORCED by
+    * [[CompactLock]], not just documented — every crash point is
     * recovered by the next run, and READERS stay consistent throughout:
     *
     *  - died before the commit marker → an uncommitted attempt never
@@ -432,9 +526,28 @@ object Streaming {
     * Schema drift is additive: batches are read with mergeSchema and
     * merged across the epoch boundary with unionByName(allowMissing),
     * so a column added mid-stream survives compaction (old rows carry
-    * NULL). Returns the new max epoch (unchanged if nothing to do). */
+    * NULL). Rows with a NULL `tsCol` are first-class: they compact into
+    * hive's null-partition directory and MERGE across epochs like any
+    * other day (see [[NullDayDir]]).
+    *
+    * Reader overlap: a [[readSink]] frame is lazy — it pins the epoch
+    * and batch directories that exist at CONSTRUCTION. A compaction
+    * that commits and retires those sources between construction and
+    * the scan makes the read fail (FileNotFoundException), so reads
+    * must not overlap a compaction: collect before compacting, or
+    * schedule a grace period between the two. The consistency
+    * guarantees above are for readers that do not straddle a
+    * compaction's source retirement.
+    *
+    * Returns the new max epoch (unchanged if nothing to do). */
   def compactSink(spark: SparkSession, path: String,
-      tsCol: String = "ts", quiesced: Boolean = false): Long = {
+      tsCol: String = "ts", quiesced: Boolean = false): Long =
+    withCompactorLock(spark, path) {
+      compactLocked(spark, path, tsCol, quiesced)
+    }
+
+  private def compactLocked(spark: SparkSession, path: String,
+      tsCol: String, quiesced: Boolean): Long = {
     val f = fs(spark, path)
     // recovery step 1: settle every epoch attempt — finish the move
     // phase of committed epochs still carrying a plan (BEFORE step 2
@@ -460,28 +573,43 @@ object Streaming {
     // unless the writer is quiesced (see scaladoc)
     val candidates = subdirs(spark, path, "batch_id=")
     val committed = candidates.filter { case (_, p) =>
-      f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
     }
     val maxLiveId = candidates.map(_._1).maxOption
     val live =
       if (quiesced) committed
       else committed.filterNot { case (id, _) => maxLiveId.contains(id) }
     if (live.isEmpty) return before
+    // a committed batch dir can hold zero data files (an empty
+    // micro-batch); reading an all-empty set would fail schema
+    // inference, and WRITING an epoch from zero rows would leave a
+    // dataless epoch dir that breaks readSink the same way — so
+    // rowless inputs are retired without minting an epoch
+    def retireLive(): Long = { live.foreach { case (_, p) => f.delete(p, true) }; before }
+    val withData = live.filter { case (_, p) =>
+      f.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+    }
+    if (withData.isEmpty) return retireLive()
     val epoch = live.map(_._1).max
     val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
     val fresh = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(_._2.toString): _*)
+      .parquet(withData.map(_._2.toString): _*)
       .withColumn("day", to_date(col(tsCol)))
     // the day list is driver-side but bounded by the CALENDAR (days
-    // touched since the last compaction), not by the data volume
+    // touched since the last compaction), not by the data volume.
+    // Null days normalize to hive's directory name, NOT "day=null" —
+    // the round-11 string key missed the previous epoch's null-day dir
+    // in the overlap set and lost its rows on re-compaction
     val freshDays = fresh.select("day").distinct().collect()
-      .map(r => s"day=${r.get(0)}").toSet
+      .map(r => Option(r.get(0)).map(d => s"day=$d").getOrElse(NullDayDir))
+      .toSet
+    if (freshDays.isEmpty) return retireLive()
     val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
       if (before < 0) Seq.empty
       else f.listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"))
         .toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
         .map(s => s.getPath.getName -> s.getPath)
-    val (overlap, toMove) = prevDays.partition(d => freshDays.contains(d._1))
+    val overlap = prevDays.filter(d => freshDays.contains(d._1))
     val merged =
       if (overlap.isEmpty) fresh
       else fresh.unionByName(
@@ -489,8 +617,26 @@ object Streaming {
           .option("mergeSchema", "true")
           .parquet(overlap.map(_._2.toString): _*),
         allowMissingColumns = true)
-    merged.repartition(col("day"))
+    // size-aware writer count: enough range partitions that each writes
+    // ~targetFileBytes, floored at the day count so quiet days keep one
+    // writer each — a hot day spans multiple (day, tsCol) ranges and
+    // writes through that many parallel sized files (see scaladoc)
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val inputBytes = (withData.map(_._2) ++ overlap.map(_._2))
+      .map(p => f.getContentSummary(p).getLength).sum
+    val k = math.min(32768L, math.max(freshDays.size.toLong,
+      (inputBytes + targetBytes - 1) / targetBytes)).toInt
+    merged.repartitionByRange(k, col("day"), col(tsCol))
       .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    // the owed-day plan derives from the day dirs the write ACTUALLY
+    // produced, not from the collected day strings — any naming drift
+    // between the two would misclassify a written day as owed
+    val writtenDays = f.listStatus(epochDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath.getName).toSet
+    val toMove = prevDays.filterNot(d => writtenDays.contains(d._1))
     // fresh+merged days are durable — record the owed moves, COMMIT
     // (readers switch to this epoch, resolving owed days via the
     // plan), then perform the moves and retire the sources
@@ -540,17 +686,34 @@ object Streaming {
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the
-    * COMMITTED live batch dirs newer than it (a dir without `_SUCCESS`
-    * is a write in flight; its rows arrive via the stream's replay).
-    * The plan has a BOUNDED number of leaves — 1 + (batches since the
-    * last compaction) — regardless of how long the sink has lived.
-    * Columns are the union of the ingested schemas (additive drift:
-    * rows predating a column carry NULL) PLUS `day`: on the epoch zone
-    * it is the real hive partition column, so a `day` predicate prunes
-    * the scan to that day's directory — the read-path payoff of the
-    * date-partitioned layout; on live batches (and the rare mid-move
-    * pending days) it is computed/constant so the same predicate stays
-    * cheap and the view is uniform. */
+    * COMMITTED live batch dirs newer than it (a dir without its
+    * [[BatchCommit]] marker is a write in flight; its rows arrive via
+    * the stream's replay). The plan has a BOUNDED number of leaves —
+    * 1 + (batches since the last compaction) — regardless of how long
+    * the sink has lived. Columns are the union of the ingested schemas
+    * (additive drift: rows predating a column carry NULL) PLUS `day`:
+    * on the epoch zone it is the real hive partition column, so a
+    * `day` predicate prunes the scan to that day's directory — the
+    * read-path payoff of the date-partitioned layout; on live batches
+    * it is computed so the same predicate stays cheap and the view is
+    * uniform.
+    *
+    * A committed epoch still carrying its merge plan is ROLLED FORWARD
+    * at construction: the reader completes the owed renames itself
+    * (finishMoves is idempotent, and each rename is atomic, so this
+    * cannot race a recovering compactor into loss) and then reads ONE
+    * complete epoch directory. That makes the constructed frame stable
+    * across a concurrent `finishMoves`: the moves are already done, so
+    * the compactor's pass is a no-op — without this, a frame pinned to
+    * the pre-move file paths would hit FileNotFoundException when the
+    * rename landed mid-read. If the roll-forward cannot run (read-only
+    * filesystem), the reader falls back to resolving each pending day
+    * on whichever side of its rename it sits — correct, but only for
+    * reads that complete before the move does.
+    *
+    * The frame is otherwise a SNAPSHOT of the directories present at
+    * construction: a compaction that retires them mid-read fails the
+    * scan (see [[compactSink]]'s reader-overlap note). */
   def readSink(spark: SparkSession, path: String,
       tsCol: String = "ts"): DataFrame = {
     val f = fs(spark, path)
@@ -564,12 +727,16 @@ object Streaming {
       else {
         val eDir = s"$path/epoch=$cut"
         val plan = new org.apache.hadoop.fs.Path(eDir, MergePlan)
+        if (f.exists(plan))
+          try finishMoves(f, path,
+            new org.apache.hadoop.fs.Path(eDir)) // reader roll-forward
+          catch { case _: Exception => () }      // fall back below
         val base = spark.read.option("mergeSchema", "true").parquet(eDir)
         if (!f.exists(plan)) Seq(base)
         else {
-          // the epoch committed but its move phase is incomplete: each
-          // planned day lives on exactly one side of its atomic rename
-          // — resolve the ones not yet moved in from the source epoch
+          // roll-forward unavailable: each planned day lives on exactly
+          // one side of its atomic rename — resolve the ones not yet
+          // moved in from the source epoch
           val (from, days) = readPlan(f, plan)
           val pending = days.filterNot(d =>
             f.exists(new org.apache.hadoop.fs.Path(eDir, d)))
@@ -577,16 +744,113 @@ object Streaming {
             spark.read.option("mergeSchema", "true")
               .parquet(s"$path/epoch=$from/$d")
               .withColumn("day",
-                lit(java.sql.Date.valueOf(d.stripPrefix("day=")))))
+                if (d == NullDayDir) lit(null).cast("date")
+                else lit(java.sql.Date.valueOf(d.stripPrefix("day=")))))
         }
       }
     val liveDirs = subdirs(spark, path, "batch_id=")
       .filter { case (id, p) =>
-        id > cut && f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+        id > cut && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
       }
       .sortBy(_._1).map(_._2.toString)
     val parts = epochParts ++ liveDirs.map(d => withDay(spark.read.parquet(d)))
     require(parts.nonEmpty, s"empty sink at $path")
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Warehouse retention: drop the committed epoch's `day=` directories
+    * STRICTLY OLDER than `olderThan` (cost + GDPR-style deletes — the
+    * lifecycle op any real 100 TB feed needs within weeks: the sink
+    * could previously ingest and compact forever but never forget).
+    * O(1) per retired day (a directory delete), no data I/O, `day=`
+    * pruning untouched for the survivors. Returns the retired dir
+    * names, oldest first.
+    *
+    * Safety rails, both LOUD:
+    *  - retention is point-in-time over the COMPACTED zone, so
+    *    consumable live batch dirs are refused — their rows would
+    *    resurrect retired days at the next compaction. Run a quiesced
+    *    [[compactSink]] first.
+    *  - a merge plan still owing a day in the retirement range is
+    *    refused: the owed day may already sit in the epoch (moves are
+    *    idempotent), and deleting it would let a later finishMoves
+    *    resurrect it from the not-yet-retired source epoch. Settle the
+    *    plan (any compaction or read rolls it forward) and retry.
+    *
+    * Null-day rows ([[NullDayDir]]) carry no date to age on and are
+    * never retired by this op. Holds [[CompactLock]]. */
+  def retireDays(spark: SparkSession, path: String,
+      olderThan: java.sql.Date): Seq[String] =
+    withCompactorLock(spark, path) {
+      val f = fs(spark, path)
+      val cut = maxEpoch(spark, path)
+      if (cut < 0) Seq.empty
+      else {
+        val eDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$cut")
+        def expired(name: String): Boolean =
+          name != NullDayDir &&
+            java.sql.Date.valueOf(name.stripPrefix("day=")).before(olderThan)
+        val liveCommitted = subdirs(spark, path, "batch_id=")
+          .filter { case (id, p) =>
+            id > cut && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+          }
+        require(liveCommitted.isEmpty,
+          s"retention over $path requires a quiesced compaction first: " +
+            s"${liveCommitted.size} consumable live batch dir(s) would " +
+            "resurrect retired days at the next compaction")
+        val plan = new org.apache.hadoop.fs.Path(eDir, MergePlan)
+        if (f.exists(plan)) {
+          val (_, owed) = readPlan(f, plan)
+          val blocked = owed.filter(expired)
+          require(blocked.isEmpty,
+            s"merge plan under $eDir still owes ${blocked.mkString(", ")} " +
+              "- settle the plan (compact or read the sink) before retiring")
+        }
+        val victims = f.listStatus(eDir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+          .map(_.getPath.getName).filter(expired).sorted
+        victims.foreach { d =>
+          require(f.delete(new org.apache.hadoop.fs.Path(eDir, d), true),
+            s"could not delete $eDir/$d")
+        }
+        victims
+      }
+    }
+
+  /** Orphan sweep: remove the sink's uncommitted leftovers — epoch
+    * attempts without [[EpochCommit]] (a compactor died mid-write;
+    * also swept by the next compaction, but a vacuum should not need
+    * one), `.tmp` files at the root and under the committed epoch
+    * (torn plan installs), and — ONLY with `quiesced = true` —
+    * `batch_id=` dirs without [[BatchCommit]]: an uncommitted batch is
+    * invisible to readers and will be rewritten by the stream's replay,
+    * but deleting it under a LIVE writer would race the in-flight
+    * write, so the flag asserts the stream is stopped. Committed data
+    * is never touched. Returns the removed names. Holds
+    * [[CompactLock]]. */
+  def vacuumSink(spark: SparkSession, path: String,
+      quiesced: Boolean = false): Seq[String] =
+    withCompactorLock(spark, path) {
+      val f = fs(spark, path)
+      val cut = maxEpoch(spark, path)
+      val uncommittedEpochs = subdirs(spark, path, "epoch=").collect {
+        case (_, p) if !f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)) => p
+      }
+      val staleBatches =
+        if (!quiesced) Seq.empty
+        else subdirs(spark, path, "batch_id=").collect {
+          case (_, p) if !f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit)) => p
+        }
+      def tmpsUnder(dir: org.apache.hadoop.fs.Path) =
+        if (!f.exists(dir)) Seq.empty
+        else f.listStatus(dir).toSeq
+          .filter(s => s.getPath.getName.endsWith(".tmp"))
+          .map(_.getPath)
+      val tmps = tmpsUnder(new org.apache.hadoop.fs.Path(path)) ++
+        (if (cut < 0) Seq.empty
+         else tmpsUnder(new org.apache.hadoop.fs.Path(s"$path/epoch=$cut")))
+      val victims = uncommittedEpochs ++ staleBatches ++ tmps
+      victims.foreach(p => f.delete(p, true))
+      victims.map(_.getName)
+    }
 }

@@ -714,10 +714,14 @@ class StreamingSpec extends SparkSpecBase
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.metrics("numFiles").value
     }.sum
+    // the pin is EXACT pruning (scanned == the day dir's file count),
+    // not one-file-per-day: the round-12 size-aware writer may give a
+    // hot day several sized files, and pruning must still read exactly
+    // that directory's set — no more, no fewer
     val dirFiles = Option(
       new java.io.File(s"$out/epoch=1/day=2024-01-02").listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
-    assert(dirFiles == 1, s"expected one sized file per day dir, got $dirFiles")
+    assert(dirFiles >= 1, s"expected sized file(s) in the day dir, got $dirFiles")
     assert(scanned == dirFiles,
       s"day filter scanned $scanned files - partition pruning lost " +
         "(predicate not reaching the epoch scan as a partition filter)")
@@ -735,7 +739,7 @@ class StreamingSpec extends SparkSpecBase
     Streaming.writeBatchIdempotent(
       Seq((tsv("2024-01-01 11:00:00"), 2L, "view"))
         .toDF("ts", "event_id", "event_type"), out, 1L)
-    // batch 2 died mid-write: a data file landed but no _SUCCESS —
+    // batch 2 died mid-write: a data file landed but no _BATCH_COMMIT —
     // folding it into an epoch would make the restart's full replay of
     // batch 2 invisible (id <= maxEpoch): silent permanent data loss
     val b2 = new java.io.File(s"$out/batch_id=2")
@@ -792,8 +796,9 @@ class StreamingSpec extends SparkSpecBase
       new java.io.File(s"$out/epoch=2/_EPOCH_COMMIT").toPath, "")
     assert(new java.io.File(s"$out/epoch=1/day=2024-01-01")
       .renameTo(new java.io.File(s"$out/epoch=2/day=2024-01-01")))
-    // a reader BETWEEN the crash and recovery resolves the still-owed
-    // day through the plan: every row visible exactly once
+    // a reader BETWEEN the crash and recovery ROLLS the move phase
+    // forward itself (finishMoves is idempotent), so it reads one
+    // complete epoch: every row visible exactly once
     assert(ids == Seq(1L, 2L, 3L),
       "mid-move reader lost or duplicated a planned day")
     // recovery completes the moves, drops the plan, retires the sources
@@ -912,6 +917,290 @@ class StreamingSpec extends SparkSpecBase
     assert(listNames(out, "epoch=") == Seq("epoch=2"),
       "restarted stream's auto-compaction did not fold forward")
     assert(ids == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("a hot day compacts through multiple sized writers and day pruning stays exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_hotday").toString
+    val out = s"$root/events"
+    // shrink the per-file target so this test's ~hundreds-of-KB hot day
+    // demands several writers (production default is 128 MiB)
+    spark.conf.set("spark.graft.compact.targetFileBytes", "8192")
+    try {
+      val day0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val hot = (1 to 4000).map(i => (new Timestamp(day0 + i * 1000L),
+        i.toLong, f"evt_${i}_${i * 2654435761L}%016x"))
+      val cold = Seq((tsv("2024-01-02 10:00:00"), 9999L, "quiet"))
+      Streaming.writeBatchIdempotent(
+        (hot ++ cold).toDF("ts", "event_id", "event_type"), out, 0L)
+      assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+      // the round-11 shape hashed on `day` alone: every hot-day row
+      // through ONE writer task -> one file. Size-aware range
+      // partitioning must spread the hot day over several sized files
+      val hotFiles = listNames(s"$out/epoch=0/day=2024-01-01", "part-")
+      assert(hotFiles.size > 1,
+        s"hot day funneled through a single writer: ${hotFiles.size} file(s)")
+      // and the quiet day keeps a small file set of its own directory
+      val coldFiles = listNames(s"$out/epoch=0/day=2024-01-02", "part-")
+      assert(coldFiles.nonEmpty)
+      // day= pruning stays EXACT: the filtered read scans precisely the
+      // hot day dir's files - no more (pruning lost), no fewer
+      val filtered = Streaming.readSink(spark, out)
+        .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-01")))
+        .select("event_id")
+      val rows = filtered.collect()
+      assert(rows.length == 4000)
+      val scanned = collect(filtered.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+      assert(scanned == hotFiles.size,
+        s"day filter scanned $scanned files, hot day dir holds ${hotFiles.size}")
+      assert(Streaming.readSink(spark, out).count() == 4001)
+    } finally spark.conf.unset("spark.graft.compact.targetFileBytes")
+  }
+
+  test("a second compactor is refused while the lock is fresh, steals it once stale, and always releases") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_lock").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    // a live holder's lock: the second compactor must fail LOUDLY -
+    // its recovery step would delete the holder's in-progress
+    // (uncommitted) epoch attempt mid-write
+    val lock = new java.io.File(out, "_COMPACT_LOCK")
+    java.nio.file.Files.writeString(lock.toPath, "held-by-a-live-compactor")
+    val e = intercept[IllegalStateException](
+      Streaming.compactSink(spark, out, quiesced = true))
+    assert(e.getMessage.contains("another compactor"), e.getMessage)
+    assert(lock.exists(),
+      "a refused compactor released a lock it does not hold")
+    // a CRASHED holder's lock (older than the staleness threshold) is
+    // stolen and compaction proceeds - crash recovery is not blocked
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    assert(!lock.exists(), "lock not released after completion")
+    // a maintenance op that THROWS releases too (it stopped mutating)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    intercept[IllegalArgumentException](
+      Streaming.retireDays(spark, out, java.sql.Date.valueOf("2099-01-01")))
+    assert(!lock.exists(), "lock leaked by a refused maintenance op")
+  }
+
+  test("retention: retireDays drops exactly the expired day dirs and refuses unsafe states") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_retire").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))
+      .zipWithIndex.foreach { case ((d, id), i) =>
+        Streaming.writeBatchIdempotent(
+          Seq((tsv(s"$d 10:00:00"), id, "click"))
+            .toDF("ts", "event_id", "event_type"), out, i.toLong)
+      }
+    val epoch = Streaming.compactSink(spark, out, quiesced = true)
+    assert(epoch == 2L)
+    // retention over a sink with consumable live batches is refused:
+    // their rows would resurrect retired days at the next compaction
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 11:00:00"), 9L, "late"))
+        .toDF("ts", "event_id", "event_type"), out, 3L)
+    val eLive = intercept[IllegalArgumentException](
+      Streaming.retireDays(spark, out, java.sql.Date.valueOf("2024-01-02")))
+    assert(eLive.getMessage.contains("quiesced compaction"), eLive.getMessage)
+    // (the refused late batch is withdrawn for the rest of the test)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$out/batch_id=3"))
+    // drop days strictly older than the cutoff: exactly day 1
+    val retired = Streaming.retireDays(
+      spark, out, java.sql.Date.valueOf("2024-01-02"))
+    assert(retired == Seq("day=2024-01-01"))
+    assert(listNames(s"$out/epoch=$epoch", "day=") ==
+      Seq("day=2024-01-02", "day=2024-01-03"))
+    assert(ids == Seq(2L, 3L), "retention touched a surviving day")
+    // the survivors' per-day counts match a fresh aggregation (the
+    // q115-style oracle shape over what remains)
+    val counts = Streaming.readSink(spark, out)
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sorted.toSeq
+    assert(counts == Seq(("2024-01-02", 1L), ("2024-01-03", 1L)))
+    // idempotent: nothing left in range
+    assert(Streaming.retireDays(
+      spark, out, java.sql.Date.valueOf("2024-01-02")).isEmpty)
+    // a merge plan still owing a day in the retirement range refuses
+    // loudly: the owed day could be resurrected from the source epoch
+    // by a later finishMoves after its dir was deleted
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=$epoch/_MERGE_PLAN").toPath,
+      "from=0\nday=2024-01-02")
+    val ePlan = intercept[IllegalArgumentException](
+      Streaming.retireDays(spark, out, java.sql.Date.valueOf("2024-01-03")))
+    assert(ePlan.getMessage.contains("day=2024-01-02"), ePlan.getMessage)
+    assert(new java.io.File(s"$out/epoch=$epoch/_MERGE_PLAN").exists(),
+      "refused retirement must leave the plan in place")
+    assert(listNames(s"$out/epoch=$epoch", "day=") ==
+      Seq("day=2024-01-02", "day=2024-01-03"),
+      "refused retirement deleted a day dir")
+  }
+
+  test("vacuum sweeps uncommitted leftovers and never touches committed data") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_vacuum").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    val epoch = Streaming.compactSink(spark, out, quiesced = true)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    // orphans: an uncommitted epoch attempt, tmp files at the root and
+    // under the committed epoch, and an uncommitted batch dir
+    java.nio.file.Files.createDirectories(
+      new java.io.File(s"$out/epoch=7").toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/junk.tmp").toPath, "leftover")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=$epoch/._MERGE_PLAN.tmp").toPath, "torn")
+    java.nio.file.Files.createDirectories(
+      new java.io.File(s"$out/batch_id=9").toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/batch_id=9/part-torn.parquet").toPath, "torn")
+    // non-quiesced: batch dirs belong to the (possibly live) writer
+    val removed = Streaming.vacuumSink(spark, out)
+    assert(removed.toSet == Set("epoch=7", "junk.tmp", "._MERGE_PLAN.tmp"),
+      s"got $removed")
+    assert(new java.io.File(s"$out/batch_id=9").exists(),
+      "non-quiesced vacuum deleted a batch dir under the live writer")
+    // quiesced: the uncommitted batch is invisible to readers and will
+    // never be committed by a stopped stream - swept
+    val removed2 = Streaming.vacuumSink(spark, out, quiesced = true)
+    assert(removed2 == Seq("batch_id=9"), s"got $removed2")
+    assert(ids == Seq(1L, 2L), "vacuum touched committed data")
+    assert(listNames(out, "batch_id=") == Seq("batch_id=1"),
+      "vacuum swept a committed batch dir")
+  }
+
+  test("a reader constructed before the move phase completes survives a concurrent finishMoves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    val root = java.nio.file.Files.createTempDirectory("sink_toctou").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // the next compaction's crash state: fresh day durably under
+    // epoch=1, plan + commit down, the owed day NOT yet moved in
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    spark.read.parquet(s"$out/batch_id=1")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$out/epoch=1")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=1/_MERGE_PLAN").toPath,
+      "from=0\nday=2024-01-01")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=1/_EPOCH_COMMIT").toPath, "")
+    // the reader is CONSTRUCTED while the move is outstanding; the
+    // compactor's recovery (finishMoves + source retirement) then runs
+    // BEFORE the reader collects. Round-11's reader pinned the owed
+    // day's pre-move file paths here and lost them to the rename;
+    // construction-time roll-forward reads one complete epoch instead
+    val df = Streaming.readSink(spark, out).select("event_id")
+    assert(Streaming.compactSink(spark, out) == 1L)
+    assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "reader constructed before finishMoves lost rows to the rename")
+  }
+
+  test("null-timestamp rows survive re-compaction into hive's null partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_nullday").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Streaming.writeBatchIdempotent(
+      Seq((null.asInstanceOf[Timestamp], 1L, "x"),
+        (tsv("2024-01-01 10:00:00"), 2L, "y"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    assert(listNames(s"$out/epoch=0", "day=").contains(
+      "day=__HIVE_DEFAULT_PARTITION__"))
+    assert(ids == Seq(1L, 2L))
+    // the round-11 freshDays key was the string "day=null": the
+    // previous epoch's null-day dir missed the overlap set, was
+    // classified as an untouched day to MOVE, found its destination
+    // already written by the fresh null rows, and its rows vanished
+    // with the retired source epoch - this re-compaction pins the fix
+    Streaming.writeBatchIdempotent(
+      Seq((null.asInstanceOf[Timestamp], 3L, "z"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    assert(ids == Seq(1L, 2L, 3L),
+      "null-day rows lost across the epoch merge")
+    val nullDayIds = Streaming.readSink(spark, out)
+      .filter(col("day").isNull)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(nullDayIds == Seq(1L, 3L))
+  }
+
+  test("batch visibility survives mapreduce.fileoutputcommitter.marksuccessfuljobs=false") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_nosuccess").toString
+    val out = s"$root/events"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try {
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+          .toDF("ts", "event_id", "event_type"), out, 0L)
+      // the premise: the object-store-committer config writes no
+      // _SUCCESS - gating on it would make this batch invisible
+      // forever (never read, never compacted: silent loss)
+      assert(!new java.io.File(s"$out/batch_id=0/_SUCCESS").exists(),
+        "premise broken: committer wrote _SUCCESS anyway")
+      assert(new java.io.File(s"$out/batch_id=0/_BATCH_COMMIT").exists(),
+        "writeBatchIdempotent did not write its own commit marker")
+      assert(Streaming.readSink(spark, out)
+        .select("event_id").as[Long].collect().toSeq == Seq(1L))
+      assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+      assert(Streaming.readSink(spark, out)
+        .select("event_id").as[Long].collect().toSeq == Seq(1L))
+    } finally
+      hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
+  test("compacting only empty batches retires them without minting an unreadable epoch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_emptyb").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // an empty micro-batch (a quiet trigger) commits a rowless dir; an
+    // epoch minted from it would hold no data files and break every
+    // subsequent readSink with failed schema inference
+    Streaming.writeBatchIdempotent(
+      Seq.empty[(Timestamp, Long, String)]
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L,
+      "rowless compaction minted an epoch")
+    assert(listNames(out, "batch_id=").isEmpty,
+      "consumed empty batch dir not retired")
+    assert(listNames(out, "epoch=") == Seq("epoch=0"))
+    assert(ids == Seq(1L), "sink unreadable after an empty-only compaction")
   }
 
   test("replay stream maintains per-game state across micro-batches") {
