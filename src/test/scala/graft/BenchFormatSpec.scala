@@ -40,7 +40,14 @@ class BenchFormatSpec extends AnyFunSuite {
   test("the calibration probe is fixed work, repeatable on a steady host") {
     val a = Bench.calibrate()
     val b = Bench.calibrate()
-    assert(a > 0.01 && b > 0.01, s"probe too small to measure: $a / $b")
-    assert(a < 30.0 && b < 30.0, s"probe too slow: $a / $b")
+    // the probe reads ~1.2 s on this host at steady clock; the sane
+    // band catches probe rot (a code change that shrinks or bloats the
+    // fixed work would silently invalidate every cross-round
+    // normalization) while tolerating host throttle up to ~4x
+    assert(a > 0.5 && b > 0.5,
+      s"probe under the sane band (0.5-5 s) - fixed work shrank? $a / $b")
+    assert(a < 5.0 && b < 5.0,
+      s"probe over the sane band (0.5-5 s) - fixed work grew, or the " +
+        s"host is >4x throttled: $a / $b")
   }
 }
