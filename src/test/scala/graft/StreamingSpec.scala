@@ -992,6 +992,34 @@ class StreamingSpec extends SparkSpecBase
     assert(!lock.exists(), "lock leaked by a refused maintenance op")
   }
 
+  test("the lock shields an in-progress epoch attempt from a second compactor's recovery") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_lockshield").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    // the motivating loss scenario: compactor A is mid-write — its
+    // epoch attempt exists WITHOUT a commit marker, and its lock is
+    // fresh. Compactor B's recovery step 1 would classify the attempt
+    // as a dead crash leftover and delete it under A's feet; the lock
+    // must stop B BEFORE recovery runs
+    val attempt = new java.io.File(s"$out/epoch=5")
+    java.nio.file.Files.createDirectories(attempt.toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(attempt, "part-inprogress.parquet").toPath, "writing")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/_COMPACT_LOCK").toPath, "compactor-A")
+    intercept[IllegalStateException](Streaming.compactSink(spark, out))
+    assert(attempt.exists() &&
+      new java.io.File(attempt, "part-inprogress.parquet").exists(),
+      "a refused compactor still ran recovery and deleted the live " +
+        "holder's in-progress epoch attempt")
+    // vacuum is equally bound by the lock: same refusal, same shield
+    intercept[IllegalStateException](Streaming.vacuumSink(spark, out))
+    assert(attempt.exists(), "a refused vacuum deleted the attempt")
+  }
+
   test("retention: retireDays drops exactly the expired day dirs and refuses unsafe states") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_retire").toString

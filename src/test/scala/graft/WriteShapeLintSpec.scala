@@ -29,12 +29,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * them, so a detector regression cannot make the gate vacuous. */
 class WriteShapeLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
 
-  /** Registry queries whose evaluation performs warehouse writes. */
-  private val writeQueries = Seq(
-    "q115_stream_compaction", // sink ingest + epoch compaction
-    "q100_ctas",              // partitioned CTAS + INSERT (allowlisted)
-    "q114_ctas_bucketed",     // bucketed table (no partition dirs)
-    "q90_upsert")             // plain parquet CDC target
+  // The sweep runs the ENTIRE registry under the listener (not a
+  // curated write-query list): a future query that adds a partitioned
+  // write is covered automatically, with no list to forget to extend.
+  // As of round 12 the partitioned writers are q115 (sink compaction,
+  // the fixed range shape), q100 (CTAS + INSERT, allowlisted), and the
+  // LSH layout (allowlisted); q114 buckets without partition dirs and
+  // q90 writes unpartitioned — both out of scope by construction.
 
   /** Deliberate single-writer-per-partition-value layouts. */
   private def allowlisted(target: String): Option[String] =
@@ -123,7 +124,8 @@ class WriteShapeLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
 
   test("no registry write shuffles solely on its partition columns, and the allowlist is live") {
     val hazards = capturingWrites {
-      writeQueries.foreach(q => SparkEntry.queries(q)(spark, sf).collect())
+      SparkEntry.queries.keys.toSeq.sorted
+        .foreach(q => SparkEntry.queries(q)(spark, sf).collect())
       val lshOut = java.nio.file.Files
         .createTempDirectory("lsh_layout_lint").toString + "/lsh_layout"
       graft.ops.VectorOps.writeLshLayout(spark, sf, lshOut)
