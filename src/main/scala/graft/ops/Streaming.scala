@@ -489,14 +489,15 @@ object Streaming {
     * The rewrite shuffles once, range-partitioned on (day, tsCol) into
     * a SIZE-AWARE number of writer partitions (input bytes /
     * `spark.graft.compact.targetFileBytes`, default 128 MiB, floored at
-    * the day count): a hot day writes through k parallel sized writers
-    * instead of funneling through one task (the round-11 shape hashed
-    * on the low-cardinality `day` alone — one writer per day, which at
-    * a 100 TB/day feed funnels terabytes through a single task), while
-    * a quiet day still gets one sized file and `day=` pruning stays
-    * exact (hive layout unchanged). The range sample pass reads the
-    * input twice; that is metadata-cheap next to the shuffle+write and
-    * is what buys balanced writers without a per-day file-count plan.
+    * the day count capped at 1024): a hot day writes through k parallel
+    * sized writers instead of funneling through one task (the round-11
+    * shape hashed on the low-cardinality `day` alone — one writer per
+    * day, which at a 100 TB/day feed funnels terabytes through a single
+    * task), a quiet day keeps one parallel writer and one sized file,
+    * and `day=` pruning stays exact (hive layout unchanged). The range
+    * sample pass reads the input twice; that is metadata-cheap next to
+    * the shuffle+write and is what buys balanced writers without a
+    * per-day file-count plan.
     *
     * Input gating (the at-least-once window): a batch directory is
     * consumed only if its [[BatchCommit]] marker exists — a dir the
@@ -595,6 +596,11 @@ object Streaming {
     val fresh = spark.read.option("mergeSchema", "true")
       .parquet(withData.map(_._2.toString): _*)
       .withColumn("day", to_date(col(tsCol)))
+    val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
+      if (before < 0) Seq.empty
+      else f.listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"))
+        .toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(s => s.getPath.getName -> s.getPath)
     // the day list is driver-side but bounded by the CALENDAR (days
     // touched since the last compaction), not by the data volume.
     // Null days normalize to hive's directory name, NOT "day=null" —
@@ -604,11 +610,6 @@ object Streaming {
       .map(r => Option(r.get(0)).map(d => s"day=$d").getOrElse(NullDayDir))
       .toSet
     if (freshDays.isEmpty) return retireLive()
-    val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
-      if (before < 0) Seq.empty
-      else f.listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"))
-        .toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
-        .map(s => s.getPath.getName -> s.getPath)
     val overlap = prevDays.filter(d => freshDays.contains(d._1))
     val merged =
       if (overlap.isEmpty) fresh
@@ -618,15 +619,19 @@ object Streaming {
           .parquet(overlap.map(_._2.toString): _*),
         allowMissingColumns = true)
     // size-aware writer count: enough range partitions that each writes
-    // ~targetFileBytes, floored at the day count so quiet days keep one
-    // writer each — a hot day spans multiple (day, tsCol) ranges and
-    // writes through that many parallel sized files (see scaladoc)
+    // ~targetFileBytes, floored at the (capped) day count so quiet days
+    // keep one PARALLEL writer each — a measured local[32] comparison
+    // showed a single coalesced writer serializing its per-day parquet
+    // file creations, so the floor buys cross-day write parallelism
+    // while a hot day still spans multiple (day, tsCol) ranges and
+    // writes through that many sized files (see scaladoc)
     val targetBytes = spark.conf
       .getOption("spark.graft.compact.targetFileBytes")
       .map(_.toLong).getOrElse(128L << 20)
     val inputBytes = (withData.map(_._2) ++ overlap.map(_._2))
       .map(p => f.getContentSummary(p).getLength).sum
-    val k = math.min(32768L, math.max(freshDays.size.toLong,
+    val k = math.min(32768L, math.max(
+      math.min(freshDays.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
     merged.repartitionByRange(k, col("day"), col(tsCol))
       .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
@@ -731,22 +736,14 @@ object Streaming {
           try finishMoves(f, path,
             new org.apache.hadoop.fs.Path(eDir)) // reader roll-forward
           catch { case _: Exception => () }      // fall back below
-        val base = spark.read.option("mergeSchema", "true").parquet(eDir)
-        if (!f.exists(plan)) Seq(base)
-        else {
-          // roll-forward unavailable: each planned day lives on exactly
-          // one side of its atomic rename — resolve the ones not yet
-          // moved in from the source epoch
-          val (from, days) = readPlan(f, plan)
-          val pending = days.filterNot(d =>
-            f.exists(new org.apache.hadoop.fs.Path(eDir, d)))
-          base +: pending.map(d =>
-            spark.read.option("mergeSchema", "true")
-              .parquet(s"$path/epoch=$from/$d")
-              .withColumn("day",
-                if (d == NullDayDir) lit(null).cast("date")
-                else lit(java.sql.Date.valueOf(d.stripPrefix("day=")))))
-        }
+        // an epoch retention emptied of every day dir holds no data
+        // files — reading it would fail schema inference, so it
+        // contributes nothing (live batches may still carry rows)
+        val hasDays = f
+          .listStatus(new org.apache.hadoop.fs.Path(eDir)).toSeq
+          .exists(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        if (!hasDays) Seq.empty
+        else readCommittedEpoch(spark, f, path, eDir, plan)
       }
     val liveDirs = subdirs(spark, path, "batch_id=")
       .filter { case (id, p) =>
@@ -756,6 +753,27 @@ object Streaming {
     val parts = epochParts ++ liveDirs.map(d => withDay(spark.read.parquet(d)))
     require(parts.nonEmpty, s"empty sink at $path")
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def readCommittedEpoch(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, path: String, eDir: String,
+      plan: org.apache.hadoop.fs.Path): Seq[DataFrame] = {
+    val base = spark.read.option("mergeSchema", "true").parquet(eDir)
+    if (!f.exists(plan)) Seq(base)
+    else {
+      // roll-forward unavailable: each planned day lives on exactly
+      // one side of its atomic rename — resolve the ones not yet
+      // moved in from the source epoch
+      val (from, days) = readPlan(f, plan)
+      val pending = days.filterNot(d =>
+        f.exists(new org.apache.hadoop.fs.Path(eDir, d)))
+      base +: pending.map(d =>
+        spark.read.option("mergeSchema", "true")
+          .parquet(s"$path/epoch=$from/$d")
+          .withColumn("day",
+            if (d == NullDayDir) lit(null).cast("date")
+            else lit(java.sql.Date.valueOf(d.stripPrefix("day=")))))
+    }
   }
 
   /** Warehouse retention: drop the committed epoch's `day=` directories

@@ -1077,6 +1077,35 @@ class StreamingSpec extends SparkSpecBase
       "refused retirement deleted a day dir")
   }
 
+  test("retiring every day leaves the sink readable and compactable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_retireall").toString
+    val out = s"$root/events"
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // retention may legitimately empty the whole epoch (a long-idle
+    // sink): the dataless epoch dir must not break readers with failed
+    // schema inference once new data arrives
+    assert(Streaming.retireDays(spark, out,
+      java.sql.Date.valueOf("2099-01-01")) == Seq("day=2024-01-01"))
+    val e = intercept[IllegalArgumentException](ids)
+    assert(e.getMessage.contains("empty sink"),
+      s"fully-retired, batchless sink should read as empty: $e")
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-02-01 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    assert(ids == Seq(2L),
+      "emptied epoch dir broke the union view for new live batches")
+    // and compaction over the emptied epoch proceeds normally
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    assert(ids == Seq(2L))
+    assert(listNames(out, "epoch=") == Seq("epoch=1"))
+  }
+
   test("vacuum sweeps uncommitted leftovers and never touches committed data") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_vacuum").toString
