@@ -1305,4 +1305,19 @@ object OracleSql {
       |FROM events
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day""".stripMargin
+
+  /** q116 — the retention-lifecycle audit: the engine ingests events
+    * into the sink, compacts quiesced, retires every day strictly
+    * older than min(day) + 7 and reads back the survivors
+    * (Streaming.q116Retention); the oracle counts the SAME events per
+    * day with the retention horizon re-stated as a WHERE predicate,
+    * so hash equality proves retirement dropped exactly the expired
+    * days and left the survivors' rows undisturbed. */
+  val q116: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |FROM events
+      |WHERE CAST(ts AS DATE) >=
+      |  (SELECT MIN(CAST(ts AS DATE)) + INTERVAL 7 DAY FROM events)
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day""".stripMargin
 }

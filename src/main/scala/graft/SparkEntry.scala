@@ -128,7 +128,8 @@ object SparkEntry {
     "q112_sql_set_ops" -> (SqlSurface.q112SqlSetOps _),
     "q113_sql_outer_join" -> (SqlSurface.q113SqlOuterJoin _),
     "q114_ctas_bucketed" -> (SqlSurface.q114CtasBucketed _),
-    "q115_stream_compaction" -> (Streaming.q115StreamCompaction _)
+    "q115_stream_compaction" -> (Streaming.q115StreamCompaction _),
+    "q116_retention" -> (Streaming.q116Retention _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,7 +271,12 @@ object SparkEntry {
     // micro-batches, compacts mid-stream and reads the union view; the
     // oracle is a plain day-count over events — hash equality proves
     // the ingest → compact → read path is exactly-once
-    "q115_stream_compaction" -> OracleSql.q115
+    "q115_stream_compaction" -> OracleSql.q115,
+    // q116 retention lifecycle: the engine compacts quiesced, retires
+    // days older than min(day)+7 and reads the survivors; the oracle
+    // re-states the horizon as a WHERE predicate — hash equality
+    // proves retirement dropped exactly the expired days
+    "q116_retention" -> OracleSql.q116
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -688,6 +688,46 @@ object Streaming {
       .orderBy("day")
   }
 
+  /** q116 — the warehouse RETENTION lifecycle END TO END under the
+    * oracle hash (the q115 pattern, extended through the round-12
+    * lifecycle ops): events land as two micro-batch `batch_id=`
+    * directories, a QUIESCED [[compactSink]] folds them into the
+    * date-partitioned epoch zone (quiesced because retention requires
+    * every consumable batch compacted — [[retireDays]] refuses
+    * otherwise, and this query exercises the sanctioned order), then
+    * [[retireDays]] drops every `day=` directory strictly older than
+    * min(day) + 7 — an O(1)-per-day directory delete, no data I/O —
+    * and the survivors are read back through [[readSink]] and reduced
+    * to per-day counts. The oracle is the same day-count over `events`
+    * WITH the retention predicate re-stated in SQL: hash equality
+    * proves retirement dropped EXACTLY the expired days — nothing
+    * more (survivors intact, counts undisturbed), nothing less (no
+    * expired day resurrected). The data-derived horizon (one-row
+    * bounded collect of min(day)) keeps the query meaningful at every
+    * SF without a hard-coded calendar date. Scratch-sink convention
+    * and determinism story are q115's. */
+  def q116Retention(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
+      s"events_ret_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val ev = Tables.events(spark, dir)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    compactSink(spark, sink, quiesced = true)
+    val minDay = ev.agg(min(to_date(col("ts")))).head().getDate(0)
+    retireDays(spark, sink,
+      java.sql.Date.valueOf(minDay.toLocalDate.plusDays(7)))
+    readSink(spark, sink)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("day")
+  }
+
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the

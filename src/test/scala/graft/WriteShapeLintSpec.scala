@@ -32,10 +32,11 @@ class WriteShapeLintSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
   // The sweep runs the ENTIRE registry under the listener (not a
   // curated write-query list): a future query that adds a partitioned
   // write is covered automatically, with no list to forget to extend.
-  // As of round 12 the partitioned writers are q115 (sink compaction,
-  // the fixed range shape), q100 (CTAS + INSERT, allowlisted), and the
-  // LSH layout (allowlisted); q114 buckets without partition dirs and
-  // q90 writes unpartitioned — both out of scope by construction.
+  // As of round 12 the partitioned writers are q115/q116 (sink
+  // compaction, the fixed range shape), q100 (CTAS + INSERT,
+  // allowlisted), and the LSH layout (allowlisted); q114 buckets
+  // without partition dirs and q90 writes unpartitioned — both out of
+  // scope by construction.
 
   /** Deliberate single-writer-per-partition-value layouts. */
   private def allowlisted(target: String): Option[String] =
