@@ -50,6 +50,7 @@ object Bench {
     // before/after divergence) instead of re-deriving the story from
     // git archaeology.
     val calibBefore = calibrate()
+    val calibMtBefore = calibrateParallel()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // duration computed INSIDE the try: a throwing query reports −1,
       // never its time-to-failure disguised as a normal duration
@@ -68,7 +69,8 @@ object Bench {
       name -> dur
     }
     val calibAfter = calibrate()
-    val calib = Some((calibBefore, calibAfter))
+    val calibMtAfter = calibrateParallel()
+    val calib = Some((calibBefore, calibAfter, calibMtBefore, calibMtAfter))
     println(mkLine(results, sfDir, _.takeWhile(_ != '_'), calib))
     // a clean full-name copy on disk preserves the signal regardless
     // of how stdout is interleaved or truncated (BENCH_r02/r04 parsed
@@ -81,27 +83,56 @@ object Bench {
     spark.stop()
   }
 
+  private def pass(n: Int, seed: Long): Unit = {
+    val a = new Array[Long](n)
+    var x = seed
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      a(i) = x
+      i += 1
+    }
+    java.util.Arrays.sort(a)
+  }
+
   /** Deterministic single-threaded CPU probe: fill 4M longs with an
     * LCG and sort, ×3, after one smaller untimed pass so BOTH probes
     * (not just the second) run JIT-compiled code. ~0.5 s on this host
     * at full clock; the value scales directly with the host's current
     * effective CPU speed and with nothing else. */
   private[graft] def calibrate(): Double = {
-    def pass(n: Int, seed: Long): Unit = {
-      val a = new Array[Long](n)
-      var x = seed
-      var i = 0
-      while (i < n) {
-        x = x * 6364136223846793005L + 1442695040888963407L
-        a(i) = x
-        i += 1
-      }
-      java.util.Arrays.sort(a)
-    }
     pass(500000, 1L) // JIT warmup, untimed
     val t0 = System.nanoTime()
     var rep = 0
     while (rep < 3) { pass(4000000, 0x9E3779B97F4A7C15L + rep); rep += 1 }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Multi-core sibling of [[calibrate]]: EVERY core runs the same
+    * fixed workload simultaneously and the wall-clock of the slowest
+    * is recorded. The single-threaded probe alone under-detects this
+    * host's characteristic degradation mode — a solo single-core burst
+    * stays at full clock while the 32-thread query storm runs against
+    * exhausted multi-core capacity (observed in round 12: calib steady
+    * at 1.2 s while the same query set ran 2× its prior total). On a
+    * healthy host this reads ≈ the single-threaded probe (all cores in
+    * parallel, no queuing); the before-value's RATIO to calib_before
+    * is the multi-core contention factor at bench time. Comparable
+    * across rounds only at equal core count — the driver records
+    * `cpus` alongside the bench JSON. */
+  private[graft] def calibrateParallel(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    // calibrate() has already JIT-compiled pass(); a tiny per-thread
+    // warmup would only add scheduler noise here
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        var rep = 0
+        while (rep < 3) { pass(4000000, 0x9E3779B97F4A7C15L * (t + 1) + rep); rep += 1 }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -121,7 +152,7 @@ object Bench {
 
   private[graft] def mkLine(results: Map[String, Double], sfDir: String,
       key: String => String,
-      calib: Option[(Double, Double)] = None): String = {
+      calib: Option[(Double, Double, Double, Double)] = None): String = {
     val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -129,8 +160,9 @@ object Bench {
     // total (−1 marker), so without this count a crash would read as
     // a faster bench. errors > 0 means the total is not comparable.
     val errors = results.values.count(_ < 0)
-    val cal = calib.map { case (b, a) =>
-      s""","calib_before":${fmt(b)},"calib_after":${fmt(a)}"""
+    val cal = calib.map { case (b, a, mb, ma) =>
+      s""","calib_before":${fmt(b)},"calib_after":${fmt(a)}""" +
+        s""","calib_mt_before":${fmt(mb)},"calib_mt_after":${fmt(ma)}"""
     }.getOrElse("")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors$cal,"queries":$qs,"sf":"$sfDir"}"""
   }
