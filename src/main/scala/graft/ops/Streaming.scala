@@ -379,12 +379,19 @@ object Streaming {
     val lock = new org.apache.hadoop.fs.Path(root, CompactLock)
     val staleMs = spark.conf.getOption("spark.graft.compact.lockStaleMs")
       .map(_.toLong).getOrElse(60L * 60 * 1000)
+    val token = s"${java.util.UUID.randomUUID()}\n"
     def tryAcquire(): Boolean =
       try {
         val out = f.create(lock, false)
-        try out.write(s"${java.util.UUID.randomUUID()}\n".getBytes("UTF-8"))
+        try out.write(token.getBytes("UTF-8"))
         finally out.close()
         true
+      } catch { case _: java.io.IOException => false }
+    def holdsOwnToken(): Boolean =
+      try {
+        val in = f.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString == token
+        finally in.close()
       } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val age =
@@ -402,6 +409,17 @@ object Streaming {
       f.delete(lock, false)
       require(tryAcquire(), s"could not steal stale compactor lock $lock")
     }
+    // verify-after-acquire closes the double-steal race: two stealers
+    // that both judged the same lock stale can interleave as
+    // (A delete, A create, B delete A's FRESH lock, B create) — both
+    // believe they hold it. Each acquirer re-reads the lock and
+    // requires its OWN session token, so exactly the last creator
+    // proceeds and every displaced acquirer fails loudly instead of
+    // mutating concurrently. (A stealer cannot displace a VERIFIED
+    // holder later: its staleness check re-stats the fresh mtime.)
+    require(holdsOwnToken(),
+      s"compactor lock $lock was displaced by a concurrent stealer " +
+        "during acquisition - backing off")
     try body finally f.delete(lock, false)
   }
 
