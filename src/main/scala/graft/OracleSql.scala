@@ -1312,12 +1312,20 @@ object OracleSql {
     * (Streaming.q116Retention); the oracle counts the SAME events per
     * day with the retention horizon re-stated as a WHERE predicate,
     * so hash equality proves retirement dropped exactly the expired
-    * days and left the survivors' rows undisturbed. */
+    * days and left the survivors' rows undisturbed. Null-ts rows are
+    * first-class on the engine side (they compact into hive's null
+    * partition, which carries no date to age on and is never retired),
+    * so the oracle keeps them too — `NULL >= x` is not true, and
+    * without the IS NULL disjunct the predicate would silently drop
+    * them, a latent hash mismatch on any SF that carries a null ts.
+    * NULLS FIRST pins the one ordering point where the engines'
+    * defaults differ (Spark sorts nulls first ASC, DuckDB last). */
   val q116: String =
     """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
       |FROM events
       |WHERE CAST(ts AS DATE) >=
       |  (SELECT MIN(CAST(ts AS DATE)) + INTERVAL 7 DAY FROM events)
+      |  OR CAST(ts AS DATE) IS NULL
       |GROUP BY CAST(ts AS DATE)
-      |ORDER BY day""".stripMargin
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

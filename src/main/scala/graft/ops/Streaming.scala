@@ -17,6 +17,8 @@ import graft.Tables
   */
 object Streaming {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Event-time tumbling-window counts with a watermark (V16): the
     * streaming twin of q09. Append mode: a window emits once its
     * watermark passes. */
@@ -409,18 +411,27 @@ object Streaming {
       f.delete(lock, false)
       require(tryAcquire(), s"could not steal stale compactor lock $lock")
     }
-    // verify-after-acquire closes the double-steal race: two stealers
+    // verify-after-acquire NARROWS the double-steal race: two stealers
     // that both judged the same lock stale can interleave as
     // (A delete, A create, B delete A's FRESH lock, B create) — both
     // believe they hold it. Each acquirer re-reads the lock and
-    // requires its OWN session token, so exactly the last creator
-    // proceeds and every displaced acquirer fails loudly instead of
-    // mutating concurrently. (A stealer cannot displace a VERIFIED
-    // holder later: its staleness check re-stats the fresh mtime.)
+    // requires its OWN session token, so the displaced acquirer fails
+    // loudly instead of mutating concurrently. A residual window
+    // remains: a stealer that stat'd the stale lock, then slept past
+    // another acquirer's full delete+create+verify, still deletes the
+    // VERIFIED holder's lock and passes its own verify — closing that
+    // fully needs an atomic compare-and-delete (or rename-based
+    // locking) the portable FileSystem API does not offer; the window
+    // requires two steal attempts racing a third acquirer inside one
+    // staleness horizon, operationally remote for a lock held seconds.
     require(holdsOwnToken(),
       s"compactor lock $lock was displaced by a concurrent stealer " +
         "during acquisition - backing off")
-    try body finally f.delete(lock, false)
+    // release only a lock that still carries OUR token: a blanket
+    // delete would release whatever lock exists at exit, including one
+    // a later stealer legitimately holds after displacing us mid-body
+    try body
+    finally if (holdsOwnToken()) f.delete(lock, false)
   }
 
   /** Highest durably-committed compaction epoch (−1 if none): an epoch
@@ -513,9 +524,10 @@ object Streaming {
     * day, which at a 100 TB/day feed funnels terabytes through a single
     * task), a quiet day keeps one parallel writer and one sized file,
     * and `day=` pruning stays exact (hive layout unchanged). The range
-    * sample pass reads the input twice; that is metadata-cheap next to
-    * the shuffle+write and is what buys balanced writers without a
-    * per-day file-count plan.
+    * partitioner adds one extra job that SAMPLES the input (a bounded
+    * reservoir per partition, not a second full read); that is cheap
+    * next to the shuffle+write and is what buys balanced writers
+    * without a per-day file-count plan.
     *
     * Input gating (the at-least-once window): a batch directory is
     * consumed only if its [[BatchCommit]] marker exists — a dir the
@@ -723,7 +735,14 @@ object Streaming {
     * expired day resurrected). The data-derived horizon (one-row
     * bounded collect of min(day)) keeps the query meaningful at every
     * SF without a hard-coded calendar date. Scratch-sink convention
-    * and determinism story are q115's. */
+    * and determinism story are q115's.
+    *
+    * Degenerate inputs agree with the oracle instead of throwing: an
+    * empty (or all-null-ts) events table skips retirement and returns
+    * the empty frame, and a span shorter than the 7-day horizon — under
+    * which retirement legitimately empties the whole epoch — returns
+    * the empty frame rather than tripping readSink's loud empty-sink
+    * contract (the oracle's WHERE also yields zero rows there). */
   def q116Retention(spark: SparkSession, dir: String): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -737,13 +756,28 @@ object Streaming {
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
     compactSink(spark, sink, quiesced = true)
-    val minDay = ev.agg(min(to_date(col("ts")))).head().getDate(0)
-    retireDays(spark, sink,
-      java.sql.Date.valueOf(minDay.toLocalDate.plusDays(7)))
-    readSink(spark, sink)
+    def result(rows: DataFrame): DataFrame = rows
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy("day")
+    def emptyFrame: DataFrame =
+      result(ev.select(to_date(col("ts")).as("day")).limit(0))
+    val minDayRow = ev.agg(min(to_date(col("ts")))).head()
+    // an empty or all-null-ts table has no dated horizon — skip
+    // retirement (null-day rows never age; the read below still
+    // returns them, matching the oracle's IS NULL disjunct)
+    if (!minDayRow.isNullAt(0))
+      retireDays(spark, sink,
+        java.sql.Date.valueOf(minDayRow.getDate(0).toLocalDate.plusDays(7)))
+    // a span shorter than the horizon retires EVERY dated day; with no
+    // null-day dir either, the sink is legitimately empty — agree with
+    // the oracle's empty result instead of failing the read
+    val cut = maxEpoch(spark, sink)
+    val hasDays = cut >= 0 && fs(spark, sink)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$sink/epoch=$cut")).toSeq
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+    if (!hasDays) emptyFrame
+    else result(readSink(spark, sink))
   }
 
   /** Exactly-once union view over the sink: the single max committed
@@ -793,7 +827,15 @@ object Streaming {
         if (f.exists(plan))
           try finishMoves(f, path,
             new org.apache.hadoop.fs.Path(eDir)) // reader roll-forward
-          catch { case _: Exception => () }      // fall back below
+          catch { case e: Exception =>
+            // fall back to plan-resolution below — but LOUDLY: a
+            // persistent roll-forward failure (permissions, FS quirk)
+            // silently degrading every read to the weaker pre-move
+            // resolution mode would otherwise leave zero trace
+            log.warn(s"reader roll-forward of $plan failed; falling " +
+              "back to resolving pending days from the source epoch " +
+              s"(reads completing after the move lands will fail): $e")
+          }
         // an epoch retention emptied of every day dir holds no data
         // files — reading it would fail schema inference, so it
         // contributes nothing (live batches may still carry rows)

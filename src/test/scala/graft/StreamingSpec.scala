@@ -1260,6 +1260,78 @@ class StreamingSpec extends SparkSpecBase
     assert(ids == Seq(1L), "sink unreadable after an empty-only compaction")
   }
 
+  test("a failing reader roll-forward falls back to pre-move plan resolution, losing nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    val root = java.nio.file.Files.createTempDirectory("sink_rofallback").toString
+    val out = s"$root/events"
+    // the died-mid-move crash state: epoch=1 committed with a plan
+    // still owing epoch=0's day, the move NOT yet performed
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    spark.read.parquet(s"$out/batch_id=1")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$out/epoch=1")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=1/_MERGE_PLAN").toPath,
+      "from=0\nday=2024-01-01")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$out/epoch=1/_EPOCH_COMMIT").toPath, "")
+    // read through a filesystem whose rename always fails (the
+    // read-only-FS / permissions case): the construction-time
+    // roll-forward must DEGRADE to resolving each owed day on
+    // whichever side of its rename it sits — complete result, plan
+    // left in place, a warning logged instead of silence
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftro.impl", classOf[RenameRefusingLocalFs].getName)
+    val roIds = Streaming.readSink(spark, s"graftro:$out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(roIds == Seq(1L, 2L),
+      "fallback plan resolution lost or duplicated a planned day")
+    assert(new java.io.File(s"$out/epoch=1/_MERGE_PLAN").exists() &&
+      new java.io.File(s"$out/epoch=0/day=2024-01-01").exists() &&
+      !new java.io.File(s"$out/epoch=1/day=2024-01-01").exists(),
+      "a rename-refusing filesystem still mutated the sink")
+    // the same sink through the writable path rolls forward for real
+    val ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+    assert(!new java.io.File(s"$out/epoch=1/_MERGE_PLAN").exists(),
+      "writable reader did not roll the move phase forward")
+  }
+
+  test("q116 lifecycle agrees with its oracle on degenerate event spans") {
+    import spark.implicits._
+    // a span SHORTER than the 7-day horizon: retirement legitimately
+    // empties the whole epoch; the query must return the oracle's
+    // empty result, not trip readSink's empty-sink contract
+    val shortRoot = java.nio.file.Files
+      .createTempDirectory("sf_shortspan").toString
+    Seq((tsv("2024-01-01 10:00:00"), 1L), (tsv("2024-01-02 10:00:00"), 2L),
+      (tsv("2024-01-03 10:00:00"), 3L))
+      .toDF("ts", "event_id").write.parquet(s"$shortRoot/events.parquet")
+    val short = Streaming.q116Retention(spark, shortRoot)
+    assert(short.columns.toSeq == Seq("day", "n_events"))
+    assert(short.count() == 0,
+      "sub-horizon span should retire every day and return empty")
+    // an all-null-ts table: rows carry no date to age on — retirement
+    // skips, and the read returns the null-day group the oracle's
+    // IS NULL disjunct also keeps
+    val nullRoot = java.nio.file.Files
+      .createTempDirectory("sf_nullspan").toString
+    Seq((null.asInstanceOf[Timestamp], 1L), (null.asInstanceOf[Timestamp], 2L))
+      .toDF("ts", "event_id").write.parquet(s"$nullRoot/events.parquet")
+    val nulls = Streaming.q116Retention(spark, nullRoot).collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(0) &&
+      nulls.head.getLong(1) == 2L,
+      s"all-null-ts table should keep its null-day group: ${nulls.toSeq}")
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -1283,4 +1355,16 @@ class StreamingSpec extends SparkSpecBase
       assert(last.getBoolean(4) && last.getBoolean(5))
     } finally q.stop()
   }
+}
+
+/** A local filesystem whose rename ALWAYS fails — the test stand-in for
+  * a read-only mount or a permissions fault, injected via the
+  * `graftro:` scheme (`fs.graftro.impl`). Everything else behaves like
+  * the real local FS, so reads proceed; only the reader roll-forward's
+  * move attempt is refused. */
+class RenameRefusingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftro"
+  override def getUri: java.net.URI = java.net.URI.create("graftro:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = false
 }
