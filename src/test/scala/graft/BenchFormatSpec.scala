@@ -11,8 +11,13 @@ class BenchFormatSpec extends AnyFunSuite {
     SparkEntry.queries.keys.map(_ -> 999.99).toMap
 
   test("short-id stdout line stays under the capture tail with headroom") {
+    // worst case includes a TRIPPED verdict: the retry fields ride on
+    // the same line and must fit the tail too
     val line = Bench.mkLine(worstCase, "/root/testdata/sf0.1",
-      _.takeWhile(_ != '_'), Some((999.99, 999.99, 999.99, 999.99)))
+      _.takeWhile(_ != '_'),
+      Some(Bench.Probes(999.99, 999.99, 999.99, 999.99)),
+      Some(Bench.Retry(
+        worstCase.toSeq.take(Bench.RetryWorstN).toMap, 999.99, 999.99)))
     assert(line.length < 1900, s"bench line ${line.length} chars — " +
       "the driver's ~2,000-char stdout tail would truncate it")
   }
@@ -30,12 +35,40 @@ class BenchFormatSpec extends AnyFunSuite {
     // errors (a crash must never read as a faster bench); 1.005 rounds up
     assert(line ==
       """{"metric":"total","value":1.01,"unit":"sec","errors":1,"queries":{"q01":1.01,"q02":-1.00},"sf":"/sf"}""")
-    // the calibration probes ride as four extra top-level fields:
-    // single-threaded before/after plus the multi-core (mt) pair
+    // the calibration probes ride as five extra top-level fields: the
+    // single-threaded before/after pair, the multi-core (mt) pair, and
+    // the contention VERDICT derived from them
     val withCal = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
-      _.takeWhile(_ != '_'), Some((0.5, 0.625, 0.75, 1.0)))
+      _.takeWhile(_ != '_'), Some(Bench.Probes(0.5, 0.625, 0.75, 1.0)))
     assert(withCal ==
-      """{"metric":"total","value":1.00,"unit":"sec","errors":0,"calib_before":0.50,"calib_after":0.63,"calib_mt_before":0.75,"calib_mt_after":1.00,"queries":{"q01":1.00},"sf":"/sf"}""")
+      """{"metric":"total","value":1.00,"unit":"sec","errors":0,"calib_before":0.50,"calib_after":0.63,"calib_mt_before":0.75,"calib_mt_after":1.00,"contended":false,"queries":{"q01":1.00},"sf":"/sf"}""")
+  }
+
+  test("a tripped verdict reports merged-min durations plus the raw total") {
+    // q01 retried faster (4.0 → 1.0: the host recovered), q02 retried
+    // slower (still-degraded retry must not REPLACE a better original),
+    // q03 not retried; headline = merged total, raw_total = original
+    val line = Bench.mkLine(
+      Map("q01_x" -> 4.0, "q02_y" -> 2.0, "q03_z" -> 0.5), "/sf",
+      _.takeWhile(_ != '_'),
+      Some(Bench.Probes(1.0, 1.0, 2.0, 40.0)),
+      Some(Bench.Retry(Map("q01_x" -> 1.0, "q02_y" -> 3.0), 1.1, 1.9)))
+    assert(line ==
+      """{"metric":"total","value":3.50,"unit":"sec","errors":0,"calib_before":1.00,"calib_after":1.00,"calib_mt_before":2.00,"calib_mt_after":40.00,"contended":true,"raw_total":6.50,"retried":2,"calib_retry":1.10,"calib_mt_retry":1.90,"queries":{"q01":1.00,"q02":2.00,"q03":0.50},"sf":"/sf"}""")
+  }
+
+  test("the contended verdict trips on the observed contamination shapes and not on healthy readings") {
+    // round-11/judge healthy readings: mt/st ~1.5-1.9, flat ramp
+    assert(!Bench.Probes(1.16, 1.29, 1.92, 1.87).contended)
+    assert(!Bench.Probes(1.2, 1.4, 1.3, 1.5).contended)
+    // the round-12 contaminated run: mt ramp 2.68 → 33.47 while st sat
+    // steady — the exact shape the verdict exists to catch
+    assert(Bench.Probes(1.25, 1.41, 2.68, 33.47).contended)
+    // mt already queued at START relative to st (contention predates
+    // the run): trips even with a flat ramp
+    assert(Bench.Probes(1.2, 1.2, 5.0, 5.2).contended)
+    // mt queued at the END only (contention arrived mid-run)
+    assert(Bench.Probes(1.2, 1.2, 1.4, 4.5).contended)
   }
 
   test("the calibration probe is fixed work, repeatable on a steady host") {
@@ -61,5 +94,57 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(mt > 0.5, s"mt probe under the rot floor (0.5 s): $mt - " +
       "fixed work shrank?")
     assert(mt < 60.0, s"mt probe at $mt s - fixed work grew?")
+  }
+
+  test("a synthetic background burn during the mt probe trips the contended verdict") {
+    // the round-12 contamination, reproduced: measure the mt probe on
+    // the (relatively) quiet JVM, then again under a 3x-oversubscribed
+    // background burn — the ramp must trip the verdict. The burn
+    // multiplies the runnable-thread count ~4x whatever the ambient
+    // load is, so the ratio survives concurrent test suites.
+    val st = Bench.calibrate()
+    val mtQuiet = Bench.calibrateParallel()
+    @volatile var stop = false
+    val burners = (0 until 3 * Runtime.getRuntime.availableProcessors())
+      .map { t =>
+        val th = new Thread(() => {
+          val a = new Array[Long](1 << 18)
+          var x = t.toLong
+          while (!stop) {
+            var i = 0
+            while (i < a.length) {
+              x = x * 6364136223846793005L + 1442695040888963407L
+              a(i) = x
+              i += 1
+            }
+            java.util.Arrays.sort(a)
+          }
+        })
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+    val mtBurn =
+      try Bench.calibrateParallel()
+      finally { stop = true; burners.foreach(_.join(10000)) }
+    val probes = Bench.Probes(st, st, mtQuiet, mtBurn)
+    assert(probes.contended,
+      f"burned probe $mtBurn%.2f vs quiet $mtQuiet%.2f (st $st%.2f) " +
+        "did not trip the contended verdict")
+  }
+
+  test("a dying probe worker fails the reading loudly instead of shrinking it") {
+    // a worker that dies (the OOME-on-a-constrained-host case) must not
+    // silently end — join() would return with fewer cores loaded and
+    // the probe would read artificially FAST exactly when the host is
+    // unhealthy
+    val e = intercept[IllegalStateException] {
+      Bench.calibrateParallelWith { t =>
+        if (t == 1) throw new RuntimeException("synthetic worker death")
+      }
+    }
+    assert(e.getMessage.contains("understate contention"), e.getMessage)
+    assert(e.getCause != null &&
+      e.getCause.getMessage == "synthetic worker death")
   }
 }
