@@ -260,13 +260,31 @@ object Streaming {
     * never compacted — the same failure mode [[EpochCommit]] exists to
     * avoid for epochs. mode=overwrite deletes the whole dir (marker
     * included) before rewriting, so a replay atomically un-commits and
-    * re-commits its own directory. */
+    * re-commits its own directory.
+    *
+    * Single-writer is ENFORCED, not assumed (the [[WriterLock]] lease):
+    * this 3-arg form is the ONE-SHOT writer — it takes an ephemeral
+    * exclusive lease for the duration of the write and releases it, so
+    * an ad-hoc backfill on a sink with a LIVE stream writer fails
+    * loudly instead of silently interleaving; a long-lived stream
+    * holds a durable lease instead (acquire via [[acquireWriter]] once
+    * and use the 5-arg fenced form per batch — what
+    * [[parquetSinkStream]] does). */
   def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit = {
-    val dir = s"$path/batch_id=$batchId"
-    batch.write.mode("overwrite").parquet(dir)
-    touch(fs(batch.sparkSession, path),
-      new org.apache.hadoop.fs.Path(dir, BatchCommit))
+    val writerId = s"oneshot-${java.util.UUID.randomUUID()}"
+    val spark = batch.sparkSession
+    val fence = acquireWriter(spark, path, writerId)
+    try writeLeased(batch, path, batchId, writerId, fence)
+    finally releaseWriter(spark, path, writerId, fence)
   }
+
+  /** Fenced form for a long-lived writer holding a durable lease from
+    * [[acquireWriter]]: verifies ownership before the write and fails
+    * loudly if a successor (restart, takeover, staleness steal) has
+    * displaced this instance. */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long,
+      writerId: String, fence: Long): Unit =
+    writeLeased(batch, path, batchId, writerId, fence)
 
   /** Streaming parquet sink over writeBatchIdempotent: the deployment
     * shape for continuously ingesting an event feed into the
@@ -280,19 +298,52 @@ object Streaming {
     * window by construction: the batch just written is always the max
     * live id, and non-quiesced compaction never consumes the max live
     * id (see compactSink) — a restart that replays it finds its dir
-    * untouched and overwrites in place. */
+    * untouched and overwrites in place.
+    *
+    * Single-writer enforcement: the stream acquires the sink's
+    * [[WriterLock]] lease BEFORE starting, identified by its
+    * checkpoint path — so a restart from the same checkpoint is the
+    * same writer and takes over (fencing off any zombie predecessor),
+    * while a second stream (different checkpoint) or a concurrent
+    * one-shot backfill fails loudly at start instead of interleaving
+    * `batch_id=` overwrites. The lease is heartbeated each batch and
+    * released when the query terminates (a crashed JVM's lease goes
+    * stale and is stolen by the successor). */
   def parquetSinkStream(events: DataFrame, path: String,
       checkpoint: String, compactEvery: Int = 0, tsCol: String = "ts")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    val writerId = "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fence = acquireWriter(spark, path, writerId)
+    val query = events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        writeBatchIdempotent(batch, path, id)
+        writeBatchIdempotent(batch, path, id, writerId, fence)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
           compactSink(batch.sparkSession, path, tsCol)
         ()
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append").start()
+    // release on termination (async listener; releaseWriter is fenced,
+    // so a successor that already took over is never un-leased)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          try releaseWriter(spark, path, writerId, fence)
+          catch { case ex: Exception =>
+            log.warn(s"writer lease release on $path failed " +
+              s"(will age out at the staleness horizon): $ex")
+          }
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
+  }
 
   // ------------------------------------------------------- compaction
   // parquetSinkStream lands one batch_id=N directory per micro-batch;
@@ -337,6 +388,23 @@ object Streaming {
     * fresh null rows, and be dropped with the retired source epoch). */
   private val NullDayDir = "day=__HIVE_DEFAULT_PARTITION__"
 
+  /** Writer lease for the sink's BATCH WRITE path — the sibling of
+    * [[CompactLock]] for the other half of the "one writer and one
+    * compactor" contract, which was previously documented but not
+    * enforced: two `parquetSinkStream` instances (or a stream plus a
+    * backfill job) on one sink would silently interleave `batch_id=`
+    * overwrites with no loud failure. The lease file carries
+    * `id=<writerId>` (a stable identity — parquetSinkStream derives it
+    * from the checkpoint path, so a RESTART of the same stream is the
+    * same writer), `fence=<n>` (a monotonically increasing fencing
+    * token: every acquisition bumps it, and a zombie instance whose
+    * lease was taken over fails its next write on the fence mismatch
+    * instead of interleaving), and a per-acquisition token for the
+    * verify-after-write race check. Heartbeated (mtime) on every batch
+    * write; a crashed writer's lease is stolen once older than
+    * `spark.graft.writer.lockStaleMs` (default 1 h). */
+  private val WriterLock = "_WRITER_LOCK"
+
   /** Best-effort mutual-exclusion marker for the sink's MUTATING
     * maintenance ops (compact / retire / vacuum). Concurrent compactors
     * were previously excluded only by documentation, but the blast
@@ -365,6 +433,119 @@ object Streaming {
 
   private def touch(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = f.create(p, true).close()
+
+  // -------------------------------------------------- writer lease
+  // Lease file content: id, fence, and a per-acquisition random token
+  // (the token disambiguates two acquirers racing the same id+fence).
+
+  private def readWriterLock(f: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[(String, Long, String)] =
+    try {
+      val in = f.open(lock)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val m = lines.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+      Some((m("id"), m("fence").toLong, m("token")))
+    } catch { case _: Exception => None } // absent or torn mid-write
+
+  /** Acquire (or take over) the sink's writer lease as `writerId`;
+    * returns the FENCE for this acquisition, to be passed to every
+    * subsequent [[writeBatchIdempotent]] call. Rules:
+    *
+    *  - no lease → acquired at fence 1;
+    *  - lease held by the SAME id → takeover at fence+1 regardless of
+    *    freshness: the same logical writer restarting (same checkpoint)
+    *    must never be blocked by its own crashed predecessor, and a
+    *    still-live zombie predecessor is FENCED OFF — its next write
+    *    sees the higher fence and fails loudly;
+    *  - lease held by a DIFFERENT id and fresh → refused loudly (a
+    *    second stream or backfill on a live sink is the silent-
+    *    interleaving hazard this lease exists to prevent);
+    *  - lease held by a different id but stale → stolen at fence+1
+    *    (crashed foreign writer; staleness per
+    *    `spark.graft.writer.lockStaleMs`, default 1 h — the stream
+    *    heartbeats the lease every batch, so a live writer stays
+    *    fresh at any realistic trigger interval).
+    *
+    * Acquisition is verify-after-write (same discipline and same
+    * residual stat-before-verify window as [[CompactLock]]): the lease
+    * is re-read and must carry this acquisition's token. */
+  def acquireWriter(spark: SparkSession, path: String,
+      writerId: String): Long = {
+    val f = fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    f.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(root, WriterLock)
+    val staleMs = spark.conf.getOption("spark.graft.writer.lockStaleMs")
+      .map(_.toLong).getOrElse(60L * 60 * 1000)
+    val cur = readWriterLock(f, lock)
+    cur match {
+      case Some((id, _, _)) if id != writerId =>
+        val age =
+          try System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime
+          catch { // released between read and stat: treat as stale
+            case _: java.io.FileNotFoundException => Long.MaxValue
+          }
+        if (age < staleMs)
+          throw new IllegalStateException(
+            s"writer '$id' holds the lease on $path (age $age ms < " +
+              s"stale threshold $staleMs ms) - a second concurrent " +
+              "writer would silently interleave batch_id= overwrites; " +
+              "stop it first, or delete _WRITER_LOCK if it is known dead")
+      case _ => () // free, or our own id: takeover is always allowed
+    }
+    val fence = cur.map(_._2).getOrElse(0L) + 1
+    val token = java.util.UUID.randomUUID().toString
+    val out = f.create(lock, true)
+    try out.write(s"id=$writerId\nfence=$fence\ntoken=$token\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+    require(readWriterLock(f, lock).exists(_._3 == token),
+      s"writer lease on $path was displaced during acquisition - backing off")
+    fence
+  }
+
+  /** Release the lease if it still carries (`writerId`, `fence`): a
+    * successor's lease (same id, higher fence — or a different id after
+    * a staleness steal) is left untouched. Safe to call from a stale
+    * instance. */
+  def releaseWriter(spark: SparkSession, path: String, writerId: String,
+      fence: Long): Unit = {
+    val f = fs(spark, path)
+    val lock = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), WriterLock)
+    if (readWriterLock(f, lock).exists(c => c._1 == writerId && c._2 == fence))
+      f.delete(lock, false)
+  }
+
+  /** The fenced write: verify the lease is still ours, write the batch
+    * dir + commit marker, heartbeat the lease. The verify-then-write
+    * window is the unavoidable residue of lease-based exclusion without
+    * filesystem-level fencing; the displaced writer fails its NEXT
+    * batch at the latest, bounding the interleave to one in-flight
+    * batch — which the successor's replay then overwrites wholesale
+    * (mode=overwrite per batch dir), restoring exactly-once. */
+  private def writeLeased(batch: DataFrame, path: String, batchId: Long,
+      writerId: String, fence: Long): Unit = {
+    val f = fs(batch.sparkSession, path)
+    val lock = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), WriterLock)
+    val cur = readWriterLock(f, lock)
+    require(cur.exists(c => c._1 == writerId && c._2 == fence),
+      s"writer lease on $path displaced: this writer holds " +
+        s"('$writerId', fence=$fence) but the lease carries " +
+        s"${cur.map(c => s"('${c._1}', fence=${c._2})").getOrElse("nothing")}" +
+        " - another writer took over this sink; abandoning the write")
+    val dir = s"$path/batch_id=$batchId"
+    batch.write.mode("overwrite").parquet(dir)
+    touch(f, new org.apache.hadoop.fs.Path(dir, BatchCommit))
+    try f.setTimes(lock, System.currentTimeMillis(), -1) // heartbeat
+    catch { case _: java.io.IOException => () } // displaced post-write: next write fails
+  }
 
   /** Run `body` holding the sink's [[CompactLock]]. Acquisition is
     * create-exclusive (`create(overwrite = false)` fails if the marker
@@ -538,8 +719,9 @@ object Streaming {
     * replay (checkpoint commit pending), and a replay's mode=overwrite
     * delete-then-rewrite must not race the compactor's read. Pass
     * `quiesced = true` only when the writing stream is known stopped.
-    * With one writer and one compactor — now ENFORCED by
-    * [[CompactLock]], not just documented — every crash point is
+    * With one writer and one compactor — BOTH halves now ENFORCED
+    * ([[WriterLock]] lease on the write path, [[CompactLock]] on
+    * maintenance), not just documented — every crash point is
     * recovered by the next run, and READERS stay consistent throughout:
     *
     *  - died before the commit marker → an uncommitted attempt never
@@ -943,9 +1125,11 @@ object Streaming {
     * `batch_id=` dirs without [[BatchCommit]]: an uncommitted batch is
     * invisible to readers and will be rewritten by the stream's replay,
     * but deleting it under a LIVE writer would race the in-flight
-    * write, so the flag asserts the stream is stopped. Committed data
-    * is never touched. Returns the removed names. Holds
-    * [[CompactLock]]. */
+    * write, so the flag asserts the stream is stopped (a quiesced
+    * vacuum also clears a leftover [[WriterLock]] lease — a crashed
+    * writer's lease would otherwise block new writers until the
+    * staleness horizon). Committed data is never touched. Returns the
+    * removed names. Holds [[CompactLock]]. */
   def vacuumSink(spark: SparkSession, path: String,
       quiesced: Boolean = false): Seq[String] =
     withCompactorLock(spark, path) {
@@ -959,6 +1143,11 @@ object Streaming {
         else subdirs(spark, path, "batch_id=").collect {
           case (_, p) if !f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit)) => p
         }
+      val writerLease = {
+        val lease = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(path), WriterLock)
+        if (quiesced && f.exists(lease)) Seq(lease) else Seq.empty
+      }
       def tmpsUnder(dir: org.apache.hadoop.fs.Path) =
         if (!f.exists(dir)) Seq.empty
         else f.listStatus(dir).toSeq
@@ -967,7 +1156,7 @@ object Streaming {
       val tmps = tmpsUnder(new org.apache.hadoop.fs.Path(path)) ++
         (if (cut < 0) Seq.empty
          else tmpsUnder(new org.apache.hadoop.fs.Path(s"$path/epoch=$cut")))
-      val victims = uncommittedEpochs ++ staleBatches ++ tmps
+      val victims = uncommittedEpochs ++ staleBatches ++ writerLease ++ tmps
       victims.foreach(p => f.delete(p, true))
       victims.map(_.getName)
     }

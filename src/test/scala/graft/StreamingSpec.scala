@@ -1260,6 +1260,113 @@ class StreamingSpec extends SparkSpecBase
     assert(ids == Seq(1L), "sink unreadable after an empty-only compaction")
   }
 
+  test("a second writer on a live sink is refused; the same stream restarts cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_writerlock").toString
+    val out = s"$root/events"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    def start() = Streaming.parquetSinkStream(
+      input.toDF().toDF("ts", "event_id", "event_type"), out, ckpt)
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val q1 = start()
+    try {
+      input.addData((tsv("2024-01-01 10:00:00"), 1L, "click"))
+      q1.processAllAvailable()
+      assert(new java.io.File(out, "_WRITER_LOCK").exists(),
+        "stream writer did not take the lease")
+      // a concurrent ONE-SHOT backfill on the live sink: refused loudly
+      // (the silent hazard was interleaved batch_id= overwrites)
+      val eOneShot = intercept[IllegalStateException](
+        Streaming.writeBatchIdempotent(
+          Seq((tsv("2024-01-01 12:00:00"), 99L, "backfill"))
+            .toDF("ts", "event_id", "event_type"), out, 7L))
+      assert(eOneShot.getMessage.contains("holds the lease"),
+        eOneShot.getMessage)
+      assert(!new java.io.File(s"$out/batch_id=7").exists(),
+        "refused backfill still wrote its batch dir")
+      // a SECOND STREAM (different checkpoint) on the same sink:
+      // refused at start, before any batch could land
+      val input2 = MemoryStream[(Timestamp, Long, String)]
+      val eStream = intercept[IllegalStateException](
+        Streaming.parquetSinkStream(
+          input2.toDF().toDF("ts", "event_id", "event_type"),
+          out, s"$root/ckpt2"))
+      assert(eStream.getMessage.contains("holds the lease"),
+        eStream.getMessage)
+    } finally q1.stop()
+    // restart from the SAME checkpoint = the same logical writer:
+    // takeover is allowed whether or not the predecessor's async
+    // release has landed, and the stream keeps writing cleanly
+    val q2 = start()
+    try {
+      input.addData((tsv("2024-01-01 11:00:00"), 2L, "view"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids == Seq(1L, 2L),
+      "restart from the same checkpoint lost or duplicated rows")
+    // once no writer is live, a one-shot backfill proceeds (either the
+    // terminated stream released its lease, or — had it crashed — the
+    // lease would age out at the staleness horizon)
+    org.scalatest.concurrent.Eventually.eventually(
+      org.scalatest.concurrent.Eventually.timeout(
+        org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-02 10:00:00"), 3L, "late"))
+          .toDF("ts", "event_id", "event_type"), out, 2L)
+    }
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("the writer fence cuts off a zombie predecessor and a stale foreign lease is stolen") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_fence").toString
+    val out = s"$root/events"
+    val df = Seq((tsv("2024-01-01 10:00:00"), 1L, "click"))
+      .toDF("ts", "event_id", "event_type")
+    // instance 1 of writer "w" acquires, then "crashes" (no release);
+    // instance 2 (the restart) takes over at a HIGHER fence
+    val fence1 = Streaming.acquireWriter(spark, out, "w")
+    val fence2 = Streaming.acquireWriter(spark, out, "w")
+    assert(fence2 > fence1)
+    // the zombie's write fails the fence check LOUDLY - it can no
+    // longer interleave with its successor
+    val eZombie = intercept[IllegalArgumentException](
+      Streaming.writeBatchIdempotent(df, out, 0L, "w", fence1))
+    assert(eZombie.getMessage.contains("displaced"), eZombie.getMessage)
+    assert(!new java.io.File(s"$out/batch_id=0").exists())
+    // the live successor writes fine and its heartbeat keeps the lease
+    Streaming.writeBatchIdempotent(df, out, 0L, "w", fence2)
+    assert(new java.io.File(s"$out/batch_id=0/_BATCH_COMMIT").exists())
+    // a DIFFERENT writer is refused while the lease is fresh...
+    val eFresh = intercept[IllegalStateException](
+      Streaming.acquireWriter(spark, out, "other"))
+    assert(eFresh.getMessage.contains("holds the lease"), eFresh.getMessage)
+    // ...but steals it once stale (crashed foreign writer)
+    val lease = new java.io.File(out, "_WRITER_LOCK")
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    Streaming.writeBatchIdempotent(df, out, 1L, "other",
+      Streaming.acquireWriter(spark, out, "other"))
+    assert(new java.io.File(s"$out/batch_id=1/_BATCH_COMMIT").exists())
+    Streaming.releaseWriter(spark, out, "other", 4L)
+    // a release with the WRONG fence is a no-op (never un-lease a
+    // successor); with the right fence the lease is gone
+    val fenceNow = Streaming.acquireWriter(spark, out, "other")
+    Streaming.releaseWriter(spark, out, "other", fenceNow - 1)
+    assert(lease.exists(), "mismatched-fence release deleted the lease")
+    Streaming.releaseWriter(spark, out, "other", fenceNow)
+    assert(!lease.exists())
+    // a quiesced vacuum clears a leftover lease so a dead writer does
+    // not block the sink until the staleness horizon
+    Streaming.acquireWriter(spark, out, "dead")
+    assert(Streaming.vacuumSink(spark, out, quiesced = true)
+      .contains("_WRITER_LOCK"))
+    assert(!lease.exists())
+  }
+
   test("a failing reader roll-forward falls back to pre-move plan resolution, losing nothing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, to_date}
