@@ -1328,4 +1328,26 @@ object OracleSql {
       |  OR CAST(ts AS DATE) IS NULL
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q117 — the row-level-delete audit: the engine ingests events into
+    * the sink, compacts quiesced, DELETEs the `user_id % 7 = 3` cohort
+    * (Streaming.deleteWhere rewrites only the affected day partitions)
+    * and reads back the survivors per day; the oracle aggregates the
+    * SAME events with the delete's complement as a WHERE predicate.
+    * The complement is NULL-SAFE (`NOT COALESCE(p, FALSE)`): SQL
+    * DELETE removes only rows where the predicate is TRUE, so a NULL
+    * `user_id` survives on both sides instead of silently diverging.
+    * The distinct-user count per day pins more than row counts: a
+    * delete that dropped the right NUMBER of rows but the wrong rows
+    * would shift some day's user profile and break the hash. NULLS
+    * FIRST pins the engines' differing null-sort defaults (null-ts
+    * rows live in hive's null partition and are never aged or — here
+    * — matched by the user predicate). */
+  val q117: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE NOT COALESCE(user_id % 7 = 3, FALSE)
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

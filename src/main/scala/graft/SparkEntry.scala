@@ -129,7 +129,8 @@ object SparkEntry {
     "q113_sql_outer_join" -> (SqlSurface.q113SqlOuterJoin _),
     "q114_ctas_bucketed" -> (SqlSurface.q114CtasBucketed _),
     "q115_stream_compaction" -> (Streaming.q115StreamCompaction _),
-    "q116_retention" -> (Streaming.q116Retention _)
+    "q116_retention" -> (Streaming.q116Retention _),
+    "q117_delete_where" -> (Streaming.q117DeleteWhere _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,7 +277,14 @@ object SparkEntry {
     // days older than min(day)+7 and reads the survivors; the oracle
     // re-states the horizon as a WHERE predicate — hash equality
     // proves retirement dropped exactly the expired days
-    "q116_retention" -> OracleSql.q116
+    "q116_retention" -> OracleSql.q116,
+    // q117 row-level delete: the engine compacts quiesced, deletes the
+    // user_id%7=3 cohort via deleteWhere and reads the survivors; the
+    // oracle re-states the delete's null-safe complement as a WHERE
+    // predicate — hash equality proves the delete removed exactly the
+    // cohort and left the survivors (rows AND distinct-user profile)
+    // undisturbed
+    "q117_delete_where" -> OracleSql.q117
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

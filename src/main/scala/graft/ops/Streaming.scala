@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -361,7 +361,23 @@ object Streaming {
     * epoch), and object-store committers commonly run with
     * mapreduce.fileoutputcommitter.marksuccessfuljobs=false, which
     * would make epochs invisible forever while their sources were
-    * already retired. An explicit marker has neither failure mode. */
+    * already retired. An explicit marker has neither failure mode.
+    *
+    * The marker's content carries `batches=<N>`, the highest batch id
+    * folded into the epoch (its CONSUMED-BATCH WATERMARK). Epoch ids
+    * and batch ids were originally the same counter (an epoch took the
+    * id of the max batch it consumed), but [[deleteWhere]] mints
+    * epochs that consume NO batches — its epoch id advances past the
+    * watermark, and every "is this batch folded in yet?" decision
+    * (reader visibility, recovery retirement, retention's quiesce
+    * rail) must compare against the WATERMARK, not the epoch id:
+    * comparing against the id would make a batch written after a
+    * delete invisible to [[readSink]] and retire it unconsumed at the
+    * next compaction — silent loss. Installed atomically (temp +
+    * rename) so a half-written marker can never commit an epoch with
+    * a torn watermark; an EMPTY/unparsable marker falls back to the
+    * epoch id, which is exact for every epoch minted before the
+    * watermark existed. */
   private val EpochCommit = "_EPOCH_COMMIT"
 
   /** Roll-forward manifest for the merge's move phase: lists the day
@@ -433,6 +449,45 @@ object Streaming {
 
   private def touch(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = f.create(p, true).close()
+
+  /** Commit an epoch with its consumed-batch watermark (see
+    * [[EpochCommit]]). Temp + rename: a crash mid-write leaves no
+    * marker (the attempt stays uncommitted and is discarded by the
+    * next [[settleEpochs]]), never a torn one — a torn marker would
+    * fall back to watermark = epoch id, which after a delete exceeds
+    * the true watermark and would retire future batches unconsumed. */
+  private def commitEpoch(f: org.apache.hadoop.fs.FileSystem,
+      epochDir: org.apache.hadoop.fs.Path, consumed: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(epochDir, s".$EpochCommit.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"batches=$consumed".getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, new org.apache.hadoop.fs.Path(epochDir, EpochCommit)),
+      s"could not install epoch commit marker under $epochDir")
+  }
+
+  /** The consumed-batch watermark of committed epoch `epochId`: the
+    * highest batch id folded into it. Batch dirs with id <= watermark
+    * are durably represented in the epoch (retire on sight); ids above
+    * it are live. Falls back to the epoch id itself for markers
+    * without content (every pre-watermark epoch consumed exactly the
+    * batches up to its own id). −1 when no epoch exists. */
+  private def consumedThrough(f: org.apache.hadoop.fs.FileSystem,
+      path: String, epochId: Long): Long =
+    if (epochId < 0) -1L
+    else {
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$path/epoch=$epochId", EpochCommit)
+      try {
+        val in = f.open(marker)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.collectFirst {
+          case l if l.startsWith("batches=") => l.stripPrefix("batches=").toLong
+        }.getOrElse(epochId)
+      } catch { case _: Exception => epochId }
+    }
 
   // -------------------------------------------------- writer lease
   // Lease file content: id, fence, and a per-acquisition random token
@@ -759,28 +814,37 @@ object Streaming {
       compactLocked(spark, path, tsCol, quiesced)
     }
 
-  private def compactLocked(spark: SparkSession, path: String,
-      tsCol: String, quiesced: Boolean): Long = {
-    val f = fs(spark, path)
-    // recovery step 1: settle every epoch attempt — finish the move
-    // phase of committed epochs still carrying a plan (BEFORE step 2
-    // can retire their source epoch), discard uncommitted attempts
-    // (which by construction hold no moved-in days)
+  /** Recovery step shared by every maintenance op: settle every epoch
+    * attempt — finish the move phase of committed epochs still
+    * carrying a plan (BEFORE retirement can drop their source epoch),
+    * discard uncommitted attempts (which by construction hold no
+    * moved-in days). */
+  private def settleEpochs(spark: SparkSession, path: String,
+      f: org.apache.hadoop.fs.FileSystem): Unit =
     subdirs(spark, path, "epoch=").sortBy(_._1).foreach { case (_, p) =>
       if (!f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)))
         f.delete(p, true)
       else if (f.exists(new org.apache.hadoop.fs.Path(p, MergePlan)))
         finishMoves(f, path, p)
     }
+
+  private def compactLocked(spark: SparkSession, path: String,
+      tsCol: String, quiesced: Boolean): Long = {
+    val f = fs(spark, path)
+    settleEpochs(spark, path, f) // recovery step 1
     val before = maxEpoch(spark, path)
     // recovery step 2: older committed epochs are fully represented in
     // the max one (re-compaction folds history forward) — retire them,
-    // and retire batch dirs already folded into an epoch
+    // and retire batch dirs already folded into an epoch. "Folded" is
+    // decided by the epoch's consumed-batch WATERMARK, not its id: a
+    // delete-minted epoch id runs ahead of the batch counter, and
+    // comparing ids would retire the next batches unconsumed.
+    val wm = consumedThrough(f, path, before)
     subdirs(spark, path, "epoch=").foreach { case (id, p) =>
       if (id < before) f.delete(p, true)
     }
     subdirs(spark, path, "batch_id=").foreach { case (id, p) =>
-      if (id <= before) f.delete(p, true)
+      if (id <= wm) f.delete(p, true)
     }
     // input selection: committed batches only, max live id held back
     // unless the writer is quiesced (see scaladoc)
@@ -803,7 +867,12 @@ object Streaming {
       f.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
     }
     if (withData.isEmpty) return retireLive()
-    val epoch = live.map(_._1).max
+    val consumed = live.map(_._1).max
+    // the epoch id must exceed BOTH the previous epoch (maxEpoch picks
+    // the max committed id) and the consumed batches; after a delete
+    // (which advances the epoch counter without consuming batches) the
+    // batch counter may lag the epoch counter
+    val epoch = math.max(consumed, before + 1)
     val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
     val fresh = spark.read.option("mergeSchema", "true")
       .parquet(withData.map(_._2.toString): _*)
@@ -858,7 +927,7 @@ object Streaming {
     // (readers switch to this epoch, resolving owed days via the
     // plan), then perform the moves and retire the sources
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
-    touch(f, new org.apache.hadoop.fs.Path(epochDir, EpochCommit))
+    commitEpoch(f, epochDir, consumed)
     if (toMove.nonEmpty) finishMoves(f, path, epochDir)
     if (before >= 0)
       f.delete(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"), true)
@@ -962,6 +1031,44 @@ object Streaming {
     else result(readSink(spark, sink))
   }
 
+  /** q117 — the row-level DELETE lifecycle END TO END under the oracle
+    * hash (q115/q116's pattern, extended through [[deleteWhere]]):
+    * events land as two micro-batch `batch_id=` directories, a
+    * QUIESCED [[compactSink]] folds them into the date-partitioned
+    * epoch zone (the delete's rail refuses otherwise — same sanctioned
+    * order as retention), then a GDPR-style predicate delete removes
+    * every row of the `user_id % 7 = 3` cohort, and the survivors are
+    * read back through [[readSink]] and reduced to per-day counts plus
+    * a per-day distinct-user count. The oracle is the same aggregate
+    * over `events` WITH the delete's complement re-stated as a WHERE
+    * predicate (`NOT COALESCE(user_id % 7 = 3, FALSE)` — null-safe,
+    * because DELETE removes only rows where the predicate is TRUE):
+    * hash equality proves the delete removed EXACTLY the cohort —
+    * nothing more (survivors' rows and day layout undisturbed, the
+    * distinct-user profile intact), nothing less (no cohort row
+    * survives in any rewritten or moved day). Scratch-sink convention
+    * and determinism story are q115's. */
+  def q117DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
+      s"events_del_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val ev = Tables.events(spark, dir)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    compactSink(spark, sink, quiesced = true)
+    deleteWhere(spark, sink, col("user_id") % 7 === 3)
+    readSink(spark, sink)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
+
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the
@@ -1027,9 +1134,13 @@ object Streaming {
         if (!hasDays) Seq.empty
         else readCommittedEpoch(spark, f, path, eDir, plan)
       }
+    // live = newer than the epoch's consumed-batch WATERMARK (== the
+    // epoch id except after a delete, whose epoch consumed no batches
+    // — filtering on the id there would hide legitimately live rows)
+    val wm = consumedThrough(f, path, cut)
     val liveDirs = subdirs(spark, path, "batch_id=")
       .filter { case (id, p) =>
-        id > cut && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+        id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
       }
       .sortBy(_._1).map(_._2.toString)
     val parts = epochParts ++ liveDirs.map(d => withDay(spark.read.parquet(d)))
@@ -1090,9 +1201,10 @@ object Streaming {
         def expired(name: String): Boolean =
           name != NullDayDir &&
             java.sql.Date.valueOf(name.stripPrefix("day=")).before(olderThan)
+        val wm = consumedThrough(f, path, cut)
         val liveCommitted = subdirs(spark, path, "batch_id=")
           .filter { case (id, p) =>
-            id > cut && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+            id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
           }
         require(liveCommitted.isEmpty,
           s"retention over $path requires a quiesced compaction first: " +
@@ -1116,6 +1228,114 @@ object Streaming {
         victims
       }
     }
+
+  /** Row-level predicate delete over the sink (the GDPR-style "delete
+    * user X" op day-granular [[retireDays]] cannot express): removes
+    * every compacted row where `predicate` is TRUE — rows where it is
+    * FALSE or NULL survive, matching SQL `DELETE WHERE` — by minting a
+    * NEW epoch in which only the AFFECTED `day=` directories are
+    * rewritten (read → keep the non-matching rows → write through the
+    * same size-aware sized-writer shape as compaction) and every
+    * untouched day is MOVED in by an O(1) rename. Cost is
+    * O(scan + affected days' data), not O(table): the match scan reads
+    * the epoch once (column-pruned to the predicate's columns + day),
+    * and rewrite I/O is proportional to the days that actually hold
+    * matching rows — at 100 TB, deleting one user's rows rewrites the
+    * handful of day partitions they appear in, not the warehouse.
+    *
+    * Crash safety is compaction's, by construction: same plan →
+    * commit → move → retire ordering, same [[settleEpochs]] recovery,
+    * same reader roll-forward. A delete that dies uncommitted is
+    * discarded wholesale (source epoch untouched); committed mid-move
+    * it is complete by reference. The minted epoch consumes NO batches,
+    * so its commit marker carries the PREVIOUS watermark forward (see
+    * [[EpochCommit]]) and the epoch counter advances past the batch
+    * counter — readers and recovery compare batch ids against the
+    * watermark, never the epoch id.
+    *
+    * Rails (both LOUD, mirroring [[retireDays]]): consumable live
+    * batch dirs are refused — they may hold rows matching the
+    * predicate that the delete cannot see; run a quiesced
+    * [[compactSink]] first so the delete's point-in-time cut is the
+    * whole table. (An in-flight uncommitted batch is fine: its rows
+    * land AFTER the delete's cut, which is what a concurrent insert
+    * means.) A predicate referencing columns absent from the sink
+    * fails analysis loudly. Days whose rows are ALL deleted vanish
+    * from the layout entirely; deleting every row of every day leaves
+    * an empty epoch, readable only through the empty-sink contract.
+    *
+    * Holds [[CompactLock]] — a delete is maintenance, mutually
+    * exclusive with compaction/retention/vacuum. Returns the new max
+    * epoch (unchanged when nothing matched — a no-op delete mints no
+    * epoch). */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+      tsCol: String = "ts"): Long =
+    withCompactorLock(spark, path) {
+      deleteLocked(spark, path, predicate, tsCol)
+    }
+
+  private def deleteLocked(spark: SparkSession, path: String,
+      predicate: Column, tsCol: String): Long = {
+    val f = fs(spark, path)
+    settleEpochs(spark, path, f)
+    val before = maxEpoch(spark, path)
+    val wm = consumedThrough(f, path, before)
+    val liveCommitted = subdirs(spark, path, "batch_id=")
+      .filter { case (id, p) =>
+        id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+      }
+    require(liveCommitted.isEmpty,
+      s"deleteWhere over $path requires a quiesced compaction first: " +
+        s"${liveCommitted.size} consumable live batch dir(s) may hold " +
+        "rows matching the predicate that the delete would miss")
+    if (before < 0) return -1L // nothing compacted, nothing to delete
+    val eDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$before")
+    val prevDays = f.listStatus(eDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(s => s.getPath.getName -> s.getPath)
+    if (prevDays.isEmpty) return before // retention-emptied epoch
+    // match scan: ONE column-pruned pass over the epoch to find the
+    // day partitions holding matching rows (bounded by the calendar,
+    // like compaction's day list). Days without a match are never read
+    // again — they move by rename.
+    val affected = spark.read.option("mergeSchema", "true")
+      .parquet(eDir.toString)
+      .filter(predicate).select("day").distinct().collect()
+      .map(r => Option(r.get(0)).map(d => s"day=$d").getOrElse(NullDayDir))
+      .toSet
+    if (affected.isEmpty) return before
+    val affectedDirs = prevDays.filter(d => affected.contains(d._1))
+    val epoch = before + 1
+    val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
+    // keep = predicate not TRUE (null-safe: a NULL predicate keeps the
+    // row, exactly SQL DELETE's complement)
+    val kept = spark.read.option("basePath", eDir.toString)
+      .option("mergeSchema", "true")
+      .parquet(affectedDirs.map(_._2.toString): _*)
+      .filter(!(predicate <=> lit(true)))
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val inputBytes =
+      affectedDirs.map(d => f.getContentSummary(d._2).getLength).sum
+    val k = math.min(32768L, math.max(
+      math.min(affected.size.toLong, 1024L),
+      (inputBytes + targetBytes - 1) / targetBytes)).toInt
+    val sized =
+      if (kept.columns.contains(tsCol))
+        kept.repartitionByRange(k, col("day"), col(tsCol))
+      else kept.repartitionByRange(k, col("day"))
+    sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    // untouched days move by the AFFECTED set, not the written set: an
+    // affected day emptied by the delete was legitimately not written
+    // and must NOT be resurrected from the source epoch
+    val toMove = prevDays.filterNot(d => affected.contains(d._1))
+    if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    commitEpoch(f, epochDir, wm) // no batches consumed: carry forward
+    if (toMove.nonEmpty) finishMoves(f, path, epochDir)
+    f.delete(eDir, true)
+    epoch
+  }
 
   /** Orphan sweep: remove the sink's uncommitted leftovers — epoch
     * attempts without [[EpochCommit]] (a compactor died mid-write;

@@ -18,13 +18,18 @@ class ScaleSensitivitySpec extends SparkSpecBase {
   // extended in round 10 with the four queries whose r9 bench numbers
   // moved (q49/q59/q39/q27), in round 11 with q71 (the r10 bench's
   // most expensive query and the only top-5 entry without a canary),
-  // and in round 12 with q85 (the r11 bench's #3 query, 1.14 s on zero
-  // code change — the last top-5 entry without a canary)
+  // in round 12 with q85 (the r11 bench's #3 query, 1.14 s on zero
+  // code change — the last top-5 entry without a canary), and in
+  // round 13 with the sink-lifecycle I/O queries (q115/q116 were the
+  // r12 bench's #1 and #3 costs with no canary; q117 is their new
+  // delete sibling) — real multi-write I/O, so a super-linear write
+  // path would hide inside "it's just I/O" without these
   private val watched =
     Seq("q100_ctas", "q17_placement_targets", "q22_hive_connected",
       "q65_bigram_lm", "q86_funnel",
       "q49_ivf_ann", "q59_tfidf_terms", "q39_supplier_part",
-      "q27_shingle_jaccard", "q71_quantized_knn", "q85_retention_cohorts")
+      "q27_shingle_jaccard", "q71_quantized_knn", "q85_retention_cohorts",
+      "q115_stream_compaction", "q116_retention", "q117_delete_where")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -940,9 +940,26 @@ class StreamingSpec extends SparkSpecBase
       val hotFiles = listNames(s"$out/epoch=0/day=2024-01-01", "part-")
       assert(hotFiles.size > 1,
         s"hot day funneled through a single writer: ${hotFiles.size} file(s)")
-      // and the quiet day keeps a small file set of its own directory
+      // the SIZED half of the contract, asserted by size and not just
+      // count: a k-derivation bug writing 2 unbalanced files would
+      // pass the >1 check while still funneling the day's bytes into
+      // one giant file. Band: target + parquet's fixed per-file
+      // footer/metadata floor (~4 KiB here dominates the tiny 8 KiB
+      // test target; at the 128 MiB production default the floor is
+      // noise and the band is effectively ~2x target).
+      val maxBytes = new java.io.File(s"$out/epoch=0/day=2024-01-01")
+        .listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.length).max
+      assert(maxBytes <= 2 * 8192 + 4096,
+        s"sized-writer contract broken: a hot-day file holds $maxBytes " +
+          "bytes against a 8192-byte target")
+      // and the quiet day writes through exactly ONE writer: its rows
+      // fall in one (day, ts) range, so extra files there would mean
+      // the range partitioner is splitting days it has no size reason
+      // to split (small-file bloat at warehouse scale)
       val coldFiles = listNames(s"$out/epoch=0/day=2024-01-02", "part-")
-      assert(coldFiles.nonEmpty)
+      assert(coldFiles.size == 1,
+        s"quiet day should write exactly one file: $coldFiles")
       // day= pruning stays EXACT: the filtered read scans precisely the
       // hot day dir's files - no more (pruning lost), no fewer
       val filtered = Streaming.readSink(spark, out)
@@ -1437,6 +1454,161 @@ class StreamingSpec extends SparkSpecBase
     assert(nulls.length == 1 && nulls.head.isNullAt(0) &&
       nulls.head.getLong(1) == 2L,
       s"all-null-ts table should keep its null-day group: ${nulls.toSeq}")
+  }
+
+  test("deleteWhere removes exactly the matching rows, rewrites only affected days and MOVES the rest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_delete").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L),
+        (tsv("2024-01-01 11:00:00"), 2L, 8L),
+        (tsv("2024-01-02 10:00:00"), 3L, 9L),
+        (tsv("2024-01-03 09:00:00"), 4L, 7L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    val day2Files = listNames(s"$out/epoch=0/day=2024-01-02", "part-")
+    // delete user 7 (days 1 and 3); day 2 holds no match
+    assert(Streaming.deleteWhere(spark, out, col("user_id") === 7L) == 1L)
+    assert(listNames(out, "epoch=") == Seq("epoch=1"),
+      "delete did not retire the source epoch")
+    val got = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L), s"wrong survivors: $got")
+    // the unaffected day MOVED (same part-file names — a rewrite would
+    // mint fresh UUIDs): delete cost is O(affected days), not O(table)
+    assert(listNames(s"$out/epoch=1/day=2024-01-02", "part-") == day2Files,
+      "day without matching rows was rewritten, not moved")
+    // day 3 lost its only row — the directory must vanish, not linger
+    // as an empty dir or resurrect via the move plan
+    assert(listNames(s"$out/epoch=1", "day=") ==
+      Seq("day=2024-01-01", "day=2024-01-02"),
+      "fully-deleted day did not vanish from the layout")
+  }
+
+  test("deleteWhere is null-safe (NULL predicate keeps the row) and a no-op delete mints no epoch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_delnull").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, java.lang.Long.valueOf(7L)),
+        (tsv("2024-01-01 11:00:00"), 2L, null.asInstanceOf[java.lang.Long]))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // user_id IS NULL → predicate NULL → row SURVIVES (SQL DELETE
+    // removes only rows where the predicate is TRUE)
+    assert(Streaming.deleteWhere(spark, out, col("user_id") === 7L) == 1L)
+    val got = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L), s"null-predicate row did not survive: $got")
+    // nothing matches now: no new epoch directory may be minted
+    assert(Streaming.deleteWhere(spark, out, col("user_id") === 7L) == 1L)
+    assert(listNames(out, "epoch=") == Seq("epoch=1"),
+      "a no-op delete minted an epoch")
+  }
+
+  test("deleteWhere refuses consumable live batches and batch ids continue safely after a delete") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_delwm").toString
+    val out = s"$root/events"
+    def write(id: Long, rows: (Timestamp, Long, Long)*): Unit =
+      Streaming.writeBatchIdempotent(
+        rows.toSeq.toDF("ts", "event_id", "user_id"), out, id)
+    write(0L, (tsv("2024-01-01 10:00:00"), 1L, 7L))
+    write(1L, (tsv("2024-01-02 10:00:00"), 2L, 8L))
+    // rail: a consumable live batch may hold matching rows the delete
+    // cannot see — refused until a quiesced compaction folds it in
+    val e = intercept[IllegalArgumentException](
+      Streaming.deleteWhere(spark, out, col("user_id") === 7L))
+    assert(e.getMessage.contains("quiesced compaction"), e.getMessage)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    assert(Streaming.deleteWhere(spark, out, col("user_id") === 7L) == 2L)
+    // the epoch counter (2) now runs AHEAD of the batch counter (next
+    // id is 2): the stream's continuation must stay visible and must
+    // survive the next compaction — under id-based bookkeeping batch 2
+    // would be invisible to readSink and retired unconsumed
+    write(2L, (tsv("2024-01-03 09:00:00"), 3L, 9L))
+    val live = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(live == Seq(2L, 3L),
+      s"post-delete batch invisible through the watermark: $live")
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 3L,
+      "post-delete compaction did not advance past the delete epoch")
+    val after = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(2L, 3L),
+      s"post-delete batch lost by watermark bookkeeping: $after")
+    assert(listNames(out, "batch_id=").isEmpty,
+      "consumed batches not retired under the watermark")
+  }
+
+  test("a delete that died uncommitted is discarded wholesale; legacy empty commit markers still read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_delcrash").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L),
+        (tsv("2024-01-02 10:00:00"), 2L, 8L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // synthesize a delete attempt that died before its commit marker:
+    // a half-written epoch=1 holding a partial rewrite (day 1 already
+    // emptied of user 7's row) but NO _EPOCH_COMMIT
+    val attempt = new java.io.File(s"$out/epoch=1/day=2024-01-02")
+    attempt.mkdirs()
+    Seq((tsv("2024-01-02 10:00:00"), 2L, 8L))
+      .toDF("ts", "event_id", "user_id")
+      .write.mode("overwrite").parquet(attempt.toString)
+    // readers never see the attempt; the next maintenance op discards
+    // it and the source epoch is fully intact — the delete simply
+    // never happened (the caller re-runs it)
+    val got = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"uncommitted delete attempt leaked: $got")
+    assert(Streaming.deleteWhere(spark, out, col("user_id") === 99L) == 0L,
+      "no-op delete after discarding the attempt should keep epoch 0")
+    assert(listNames(out, "epoch=") == Seq("epoch=0"),
+      "uncommitted delete attempt not discarded by maintenance recovery")
+    // legacy marker compatibility: an epoch committed by a pre-watermark
+    // build carries an EMPTY marker — its watermark must read as the
+    // epoch id (exact for every epoch minted before deletes existed),
+    // so its consumed batches stay retired and newer batches stay live
+    val marker = new java.io.File(s"$out/epoch=0/_EPOCH_COMMIT")
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 09:00:00"), 3L, 9L))
+        .toDF("ts", "event_id", "user_id"), out, 1L)
+    val legacy = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(legacy == Seq(1L, 2L, 3L),
+      s"legacy empty marker mis-read the watermark: $legacy")
+  }
+
+  test("the full lifecycle chains: ingest, compact, delete, retire, vacuum, read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_lifecycle").toString
+    val out = s"$root/events"
+    // 10 days of events, one per day, users cycling 0/1/2
+    val day0 = java.time.LocalDate.parse("2024-01-01")
+    Streaming.writeBatchIdempotent(
+      (0 until 10).map(i => (Timestamp.valueOf(day0.plusDays(i).atTime(12, 0)),
+        i.toLong, (i % 3).toLong)).toDF("ts", "event_id", "user_id"),
+      out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // GDPR pass: forget user 1 (days 1,4,7 rewritten; rest move)
+    assert(Streaming.deleteWhere(spark, out, col("user_id") === 1L) == 1L)
+    // age pass: forget the first 5 calendar days
+    val retired = Streaming.retireDays(spark, out,
+      java.sql.Date.valueOf(day0.plusDays(5).toString))
+    assert(retired == Seq("day=2024-01-01", "day=2024-01-03",
+      "day=2024-01-04"), s"wrong retirement set: $retired")
+    // (Jan 2 and Jan 5 already vanished with user 1's deletes)
+    assert(Streaming.vacuumSink(spark, out, quiesced = true).isEmpty,
+      "a clean lifecycle left orphans for vacuum")
+    val got = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(5L, 6L, 8L, 9L),
+      s"lifecycle survivors wrong: $got")
   }
 
   test("replay stream maintains per-game state across micro-batches") {
