@@ -1350,4 +1350,23 @@ object OracleSql {
       |WHERE NOT COALESCE(user_id % 7 = 3, FALSE)
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q118 — the incremental-consumption audit: the engine ingests two
+    * event slices (event_id % 3 IN (0, 1)), compacts them quiesced,
+    * records the sink watermark as a cursor, ingests the third slice,
+    * and `readSinkSince(cursor)` must serve EXACTLY that third slice;
+    * the oracle aggregates the slice's membership predicate directly
+    * over `events`. Hash equality proves the delta leaked nothing
+    * already consumed (the compacted slices stay behind the cursor)
+    * and missed nothing new. The distinct-user count pins content, not
+    * just volume; NULLS FIRST pins the engines' null-sort defaults
+    * (null-ts rows hash by slice like any other row — the cursor is
+    * batch-id-based, not time-based). */
+  val q118: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE event_id % 3 = 2
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

@@ -130,7 +130,8 @@ object SparkEntry {
     "q114_ctas_bucketed" -> (SqlSurface.q114CtasBucketed _),
     "q115_stream_compaction" -> (Streaming.q115StreamCompaction _),
     "q116_retention" -> (Streaming.q116Retention _),
-    "q117_delete_where" -> (Streaming.q117DeleteWhere _)
+    "q117_delete_where" -> (Streaming.q117DeleteWhere _),
+    "q118_incremental_read" -> (Streaming.q118IncrementalRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,7 +285,13 @@ object SparkEntry {
     // predicate — hash equality proves the delete removed exactly the
     // cohort and left the survivors (rows AND distinct-user profile)
     // undisturbed
-    "q117_delete_where" -> OracleSql.q117
+    "q117_delete_where" -> OracleSql.q117,
+    // q118 incremental consumption: the engine compacts two slices,
+    // records the watermark cursor, ingests a third and reads the
+    // delta via readSinkSince; the oracle re-states the third slice's
+    // membership as a WHERE predicate — hash equality proves the delta
+    // is exactly the data that arrived after the cursor
+    "q118_incremental_read" -> OracleSql.q118
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -1069,6 +1069,40 @@ object Streaming {
       .orderBy("day")
   }
 
+  /** q118 — incremental consumption END TO END under the oracle hash
+    * (the read-side completion of the q115–q117 lifecycle): two event
+    * slices land as micro-batch dirs and a QUIESCED [[compactSink]]
+    * folds them into the epoch zone, a downstream consumer records
+    * [[sinkWatermark]] as its cursor, a THIRD slice arrives, and
+    * [[readSinkSince]] serves the delta — which must be EXACTLY that
+    * third slice: nothing already-consumed leaks back in (the compacted
+    * two-thirds stay behind the cursor), nothing new is missed. The
+    * oracle re-states the delta as a WHERE predicate over `events`
+    * (the third slice's membership test) aggregated to per-day counts
+    * + distinct users; hash equality proves both directions. Scratch
+    * sink convention and determinism story are q115's. */
+  def q118IncrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
+      s"events_inc_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val ev = Tables.events(spark, dir)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0), sink, 0L)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1), sink, 1L)
+    compactSink(spark, sink, quiesced = true)
+    val cursor = sinkWatermark(spark, sink)
+    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 2), sink, 2L)
+    readSinkSince(spark, sink, cursor)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
+
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the
@@ -1167,6 +1201,67 @@ object Streaming {
             if (d == NullDayDir) lit(null).cast("date")
             else lit(java.sql.Date.valueOf(d.stripPrefix("day=")))))
     }
+  }
+
+  /** The sink's consumption cursor: the highest batch id durably
+    * visible through [[readSink]] — the max over the committed live
+    * batch ids and the committed epoch's consumed-batch watermark
+    * (NOT the epoch id, which runs ahead after a [[deleteWhere]]).
+    * −1 on a sink holding neither. A downstream incremental consumer
+    * records this, does its work, and later asks [[readSinkSince]]
+    * for everything that arrived after it. */
+  def sinkWatermark(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val wm = consumedThrough(f, path, maxEpoch(spark, path))
+    subdirs(spark, path, "batch_id=")
+      .filter { case (_, p) =>
+        f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+      }
+      .map(_._1).foldLeft(wm)(math.max)
+  }
+
+  /** Incremental consumption: the rows of exactly the COMMITTED batch
+    * directories with id > `cursor` (a value previously returned by
+    * [[sinkWatermark]]) — what a downstream pipeline reads to process
+    * only the data that arrived since its last run, instead of
+    * re-scanning the table. At 100 TB the difference is the whole
+    * point of a cursor: a day's delta is a handful of batch dirs, the
+    * table is the other 99.9 %. Uncommitted dirs are invisible (same
+    * rule as [[readSink]]), so a crashed writer can never feed a
+    * half-batch downstream; re-reading the same cursor is idempotent.
+    *
+    * The serveable history is bounded by the COMPACTION HORIZON:
+    * [[compactSink]] folds live batches into the epoch and retires
+    * their directories, advancing the epoch watermark past them — the
+    * per-batch delta boundaries are gone (and a later [[deleteWhere]]
+    * may legitimately have removed rows). A cursor strictly below the
+    * epoch watermark therefore REFUSES loudly instead of silently
+    * returning a partial delta; the consumer must fall back to a full
+    * [[readSink]] re-read (or compact less often than it consumes —
+    * the retention contract every log-compacted feed has). An
+    * up-to-date cursor returns an EMPTY frame with the sink's full
+    * schema, so a poll loop needs no special casing. */
+  def readSinkSince(spark: SparkSession, path: String, cursor: Long,
+      tsCol: String = "ts"): DataFrame = {
+    val f = fs(spark, path)
+    val wm = consumedThrough(f, path, maxEpoch(spark, path))
+    require(cursor >= wm,
+      s"incremental history before batch $wm is gone from $path: " +
+        s"cursor $cursor predates the compaction horizon (those batches " +
+        "were folded into the epoch and their boundaries retired) — " +
+        "re-read the full sink via readSink and restart the cursor")
+    val delta = subdirs(spark, path, "batch_id=")
+      .filter { case (id, p) =>
+        id > cursor && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+      }
+      .sortBy(_._1).map(_._2.toString)
+    def withDay(df: DataFrame): DataFrame =
+      if (df.columns.contains(tsCol))
+        df.withColumn("day", to_date(col(tsCol)))
+      else df.withColumn("day", lit(null).cast("date"))
+    if (delta.isEmpty) readSink(spark, path, tsCol).limit(0)
+    else delta.map(d => withDay(spark.read.parquet(d)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Warehouse retention: drop the committed epoch's `day=` directories

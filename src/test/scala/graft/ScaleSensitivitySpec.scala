@@ -29,7 +29,8 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q65_bigram_lm", "q86_funnel",
       "q49_ivf_ann", "q59_tfidf_terms", "q39_supplier_part",
       "q27_shingle_jaccard", "q71_quantized_knn", "q85_retention_cohorts",
-      "q115_stream_compaction", "q116_retention", "q117_delete_where")
+      "q115_stream_compaction", "q116_retention", "q117_delete_where",
+      "q118_incremental_read")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

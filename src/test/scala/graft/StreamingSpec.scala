@@ -1611,6 +1611,84 @@ class StreamingSpec extends SparkSpecBase
       s"lifecycle survivors wrong: $got")
   }
 
+  test("readSinkSince serves exactly the committed delta and chained cursors partition the feed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_incr").toString
+    val out = s"$root/events"
+    def write(id: Long, rows: (Timestamp, Long, Long)*): Unit =
+      Streaming.writeBatchIdempotent(
+        rows.toSeq.toDF("ts", "event_id", "user_id"), out, id)
+    write(0L, (tsv("2024-01-01 10:00:00"), 1L, 7L))
+    write(1L, (tsv("2024-01-02 10:00:00"), 2L, 8L))
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    val c0 = Streaming.sinkWatermark(spark, out)
+    assert(c0 == 1L, s"watermark should sit at the folded max batch: $c0")
+    // up-to-date cursor: EMPTY delta with the sink's full schema — a
+    // poll loop needs no special casing
+    val empty = Streaming.readSinkSince(spark, out, c0)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("ts", "event_id", "user_id", "day"))
+    write(2L, (tsv("2024-01-03 09:00:00"), 3L, 9L))
+    write(3L, (tsv("2024-01-04 09:00:00"), 4L, 9L))
+    // the delta is exactly the post-cursor batches: nothing consumed
+    // leaks back (1,2 stay behind), nothing new is missed
+    val d1 = Streaming.readSinkSince(spark, out, c0)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(d1 == Seq(3L, 4L), s"wrong delta: $d1")
+    // re-reading the same cursor is idempotent
+    val again = Streaming.readSinkSince(spark, out, c0)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(again == d1, "cursor re-read not idempotent")
+    // chained cursors partition the feed: (c0,c1] then (c1,c2]
+    val c1 = Streaming.sinkWatermark(spark, out)
+    assert(c1 == 3L)
+    write(4L, (tsv("2024-01-05 09:00:00"), 5L, 9L))
+    val d2 = Streaming.readSinkSince(spark, out, c1)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(d2 == Seq(5L), s"second delta overlaps or skips: $d2")
+  }
+
+  test("readSinkSince hides uncommitted batches and refuses a cursor behind the compaction horizon") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_incr2").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    val c0 = Streaming.sinkWatermark(spark, out)
+    // a write in flight (no _BATCH_COMMIT) must be invisible: a crashed
+    // writer can never feed a half-batch downstream
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, 8L))
+        .toDF("ts", "event_id", "user_id"), out, 1L)
+    val commit = new java.io.File(s"$out/batch_id=1/_BATCH_COMMIT")
+    assert(commit.delete(), "test setup: could not hide the commit marker")
+    assert(Streaming.readSinkSince(spark, out, c0).count() == 0,
+      "uncommitted batch leaked into the incremental delta")
+    // restore the marker: the batch becomes consumable
+    assert(commit.createNewFile())
+    assert(Streaming.readSinkSince(spark, out, c0).count() == 1)
+    // compaction folds it and retires its dir: the cursor now predates
+    // the horizon and must REFUSE, not silently return a partial delta
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    val e = intercept[IllegalArgumentException](
+      Streaming.readSinkSince(spark, out, c0))
+    assert(e.getMessage.contains("compaction horizon"), e.getMessage)
+    // the new watermark serves again, and survives a delete epoch
+    // advancing the epoch counter without consuming batches
+    val c1 = Streaming.sinkWatermark(spark, out)
+    assert(Streaming.deleteWhere(spark, out, col("user_id") === 7L) == 2L)
+    assert(Streaming.sinkWatermark(spark, out) == c1,
+      "a delete (which consumes no batches) moved the watermark")
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 10:00:00"), 3L, 9L))
+        .toDF("ts", "event_id", "user_id"), out, 2L)
+    val d = Streaming.readSinkSince(spark, out, c1)
+      .select("event_id").as[Long].collect().toSeq
+    assert(d == Seq(3L), s"post-delete delta wrong: $d")
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
