@@ -1369,4 +1369,34 @@ object OracleSql {
       |WHERE event_id % 3 = 2
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q119 — the CDC-upsert (MERGE) audit: the engine compacts the
+    * whole events table into the sink, applies one `upsertBatch`
+    * carrying updates (keys `event_id % 5 = 0` re-typed 'upd') and
+    * inserts (fresh keys offset by 10⁹, typed 'ins'), and reads back
+    * per-type counts + distinct users + distinct days. The oracle
+    * re-states the merge relationally — the base table with the
+    * update's CASE applied, UNION ALL the insert slice (event_id is
+    * unique in events, so "replace by key" is exactly "rewrite that
+    * row"). A merge that duplicated a matched row (kept AND
+    * re-inserted), dropped an unmatched one, or landed an update in
+    * the wrong day shifts n_events / n_users / n_days for its type
+    * and breaks the hash. NULLS FIRST pins the engines' differing
+    * null-sort defaults should event_type ever carry NULL. */
+  val q119: String =
+    """WITH merged AS (
+      |  SELECT CASE WHEN event_id % 5 = 0 THEN 'upd' ELSE event_type END
+      |           AS event_type,
+      |         user_id, ts
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'ins' AS event_type, user_id, ts
+      |  FROM events WHERE event_id % 5 = 1
+      |)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM merged
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
 }

@@ -131,7 +131,8 @@ object SparkEntry {
     "q115_stream_compaction" -> (Streaming.q115StreamCompaction _),
     "q116_retention" -> (Streaming.q116Retention _),
     "q117_delete_where" -> (Streaming.q117DeleteWhere _),
-    "q118_incremental_read" -> (Streaming.q118IncrementalRead _)
+    "q118_incremental_read" -> (Streaming.q118IncrementalRead _),
+    "q119_upsert_batch" -> (Streaming.q119UpsertBatch _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -291,7 +292,13 @@ object SparkEntry {
     // delta via readSinkSince; the oracle re-states the third slice's
     // membership as a WHERE predicate — hash equality proves the delta
     // is exactly the data that arrived after the cursor
-    "q118_incremental_read" -> OracleSql.q118
+    "q118_incremental_read" -> OracleSql.q118,
+    // q119 CDC upsert: the engine compacts the events table, applies
+    // one upsertBatch with updates + inserts and reads back per-type
+    // profiles; the oracle re-states the merge relationally (CASE for
+    // updates, UNION ALL for inserts) — hash equality proves MERGE
+    // semantics: matched replaced, unmatched untouched, inserts once
+    "q119_upsert_batch" -> OracleSql.q119
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

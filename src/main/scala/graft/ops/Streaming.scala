@@ -1103,6 +1103,47 @@ object Streaming {
       .orderBy("day")
   }
 
+  /** q119 — CDC upsert (MERGE) END TO END under the oracle hash: the
+    * whole events table compacts into the epoch zone, then ONE
+    * [[upsertBatch]] applies a mixed CDC batch — updates (the
+    * `event_id % 5 = 0` cohort re-typed to 'upd', keeping their
+    * original rows' other columns) and inserts (fresh keys offset by
+    * 10⁹, typed 'ins') — and [[readSink]] reduces the merged table to
+    * per-type counts, distinct users, and distinct DAYS. The oracle
+    * re-states the merge relationally: the base table with the
+    * update's CASE applied, UNION ALL the insert slice. Hash equality
+    * proves MERGE semantics exactly — matched rows replaced (not
+    * duplicated: a row both kept and re-inserted would inflate
+    * n_events), unmatched rows untouched, inserts present once, and
+    * the n_days profile pins that updates REPLACED rows in their
+    * original days while inserts landed in theirs. Scratch-sink
+    * convention and determinism story are q115's. */
+  def q119UpsertBatch(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
+      s"events_ups_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val ev = Tables.events(spark, dir)
+    writeBatchIdempotent(ev, sink, 0L)
+    compactSink(spark, sink, quiesced = true)
+    val updates = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("event_type", lit("upd"))
+    val inserts = ev.filter(pmod(col("event_id"), lit(5)) === 1)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("event_type", lit("ins"))
+    upsertBatch(spark, sink, updates.unionByName(inserts), Seq("event_id"))
+    readSink(spark, sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy("event_type")
+  }
+
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the
@@ -1429,6 +1470,141 @@ object Streaming {
     commitEpoch(f, epochDir, wm) // no batches consumed: carry forward
     if (toMove.nonEmpty) finishMoves(f, path, epochDir)
     f.delete(eDir, true)
+    epoch
+  }
+
+  /** CDC upsert (MERGE) into the sink by key: every compacted row
+    * whose `keyCols` tuple appears in `batch` is REPLACED by the
+    * batch's row(s); keys the sink has never seen are INSERTED —
+    * together, SQL MERGE's `WHEN MATCHED THEN UPDATE / WHEN NOT
+    * MATCHED THEN INSERT` ([[graft.ops.RelationalQueries]]'s q90
+    * proves those semantics on a static table; this is the
+    * sink-lifecycle equivalent a CDC feed applies hourly at 100 TB).
+    *
+    * The merge is ATOMIC: the matched days' rewrites AND the batch's
+    * rows land in ONE minted epoch whose single commit marker flips
+    * both — there is no window where the delete half is visible
+    * without the insert half (writing the batch as a separate live
+    * batch dir would open exactly that window between the two
+    * commits). Cost is O(scan + affected days): affected = days
+    * holding a matching key (one column-pruned semi-join scan finds
+    * them) PLUS days receiving a batch row; every other day moves by
+    * O(1) rename under the same plan→commit→move crash protocol as
+    * compaction — an hourly CDC batch whose rows cluster on recent
+    * days rewrites those days, not the table. Like a delete epoch,
+    * the minted epoch consumes NO batches: its marker carries the
+    * previous watermark forward and the epoch counter advances past
+    * the batch counter.
+    *
+    * Key-matching is JOIN equality, so NULL keys never match: a
+    * null-key batch row always INSERTS and a null-key sink row always
+    * SURVIVES — state the merge key as non-null columns (as SQL MERGE
+    * ON does). Duplicate keys WITHIN the batch are appended as-is
+    * (dedup to last-write-wins upstream if the feed carries multiple
+    * versions). The keys side broadcasts by default (a CDC batch is
+    * small by contract); set `spark.graft.upsert.broadcastKeys=false`
+    * for a bulk backfill-sized batch and let AQE pick the join. An
+    * empty batch is a no-op; an empty sink makes the upsert a pure
+    * insert minting epoch 0.
+    *
+    * Rails mirror [[deleteWhere]]: consumable live batch dirs are
+    * refused (they may hold matching keys the merge cannot see — run
+    * a quiesced [[compactSink]] first); an in-flight uncommitted
+    * batch is fine (its rows land after the merge's cut). Holds
+    * [[CompactLock]]. Returns the new max epoch. */
+  def upsertBatch(spark: SparkSession, path: String, batch: DataFrame,
+      keyCols: Seq[String], tsCol: String = "ts"): Long =
+    withCompactorLock(spark, path) {
+      upsertLocked(spark, path, batch, keyCols, tsCol)
+    }
+
+  private def upsertLocked(spark: SparkSession, path: String,
+      batch: DataFrame, keyCols: Seq[String], tsCol: String): Long = {
+    require(keyCols.nonEmpty, "upsertBatch needs at least one key column")
+    val missing = keyCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"upsert batch lacks key column(s): ${missing.mkString(", ")}")
+    val f = fs(spark, path)
+    settleEpochs(spark, path, f)
+    val before = maxEpoch(spark, path)
+    val wm = consumedThrough(f, path, before)
+    val liveCommitted = subdirs(spark, path, "batch_id=")
+      .filter { case (id, p) =>
+        id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+      }
+    require(liveCommitted.isEmpty,
+      s"upsertBatch over $path requires a quiesced compaction first: " +
+        s"${liveCommitted.size} consumable live batch dir(s) may hold " +
+        "rows whose keys the merge would miss")
+    if (batch.isEmpty) return before
+    def dayDir(v: Any): String =
+      Option(v).map(d => s"day=$d").getOrElse(NullDayDir)
+    // the day column is DERIVED here, never trusted from the caller: a
+    // batch that round-tripped through readSink may carry one
+    val dropped =
+      if (batch.columns.contains("day")) batch.drop("day") else batch
+    val incoming =
+      if (dropped.columns.contains(tsCol))
+        dropped.withColumn("day", to_date(col(tsCol)))
+      else dropped.withColumn("day", lit(null).cast("date"))
+    val distinctKeys = batch.select(keyCols.map(col): _*).distinct()
+    val keys =
+      if (spark.conf.getOption("spark.graft.upsert.broadcastKeys")
+        .forall(_.toBoolean)) broadcast(distinctKeys)
+      else distinctKeys
+    val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
+      if (before < 0) Seq.empty
+      else f.listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"))
+        .toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(s => s.getPath.getName -> s.getPath)
+    // match scan: ONE column-pruned semi-join pass over the epoch finds
+    // the day partitions holding a matching key (bounded by the
+    // calendar, like compaction's day list)
+    val matchDays: Set[String] =
+      if (prevDays.isEmpty) Set.empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(s"$path/epoch=$before")
+        .select((keyCols :+ "day").map(col): _*)
+        .join(keys, keyCols, "left_semi")
+        .select("day").distinct().collect()
+        .map(r => dayDir(r.get(0))).toSet
+    val insertDays: Set[String] = incoming.select("day").distinct()
+      .collect().map(r => dayDir(r.get(0))).toSet
+    val affected = matchDays ++ insertDays
+    val affectedDirs = prevDays.filter(d => affected.contains(d._1))
+    val epoch = before + 1 // 0 on an empty sink: a pure insert
+    val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
+    // survivors of the matched days (anti-join = NOT matched) plus the
+    // batch itself — ONE write, ONE commit, atomic by construction
+    val kept =
+      if (affectedDirs.isEmpty) None
+      else Some(spark.read
+        .option("basePath", s"$path/epoch=$before")
+        .option("mergeSchema", "true")
+        .parquet(affectedDirs.map(_._2.toString): _*)
+        .join(keys, keyCols, "left_anti"))
+    val epochRows =
+      kept.fold(incoming)(_.unionByName(incoming, allowMissingColumns = true))
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val inputBytes =
+      affectedDirs.map(d => f.getContentSummary(d._2).getLength).sum
+    val k = math.min(32768L, math.max(
+      math.min(affected.size.toLong, 1024L),
+      (inputBytes + targetBytes - 1) / targetBytes)).toInt
+    val sized =
+      if (epochRows.columns.contains(tsCol))
+        epochRows.repartitionByRange(k, col("day"), col(tsCol))
+      else epochRows.repartitionByRange(k, col("day"))
+    sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    val toMove = prevDays.filterNot(d => affected.contains(d._1))
+    if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    commitEpoch(f, epochDir, wm) // no batches consumed: carry forward
+    if (toMove.nonEmpty) finishMoves(f, path, epochDir)
+    if (before >= 0)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/epoch=$before"), true)
     epoch
   }
 

@@ -1689,6 +1689,130 @@ class StreamingSpec extends SparkSpecBase
     assert(d == Seq(3L), s"post-delete delta wrong: $d")
   }
 
+  test("upsertBatch replaces matched keys, inserts new ones atomically, and MOVES untouched days") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_upsert").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "a"),
+        (tsv("2024-01-01 11:00:00"), 2L, "b"),
+        (tsv("2024-01-02 10:00:00"), 3L, "c"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    val day2Files = listNames(s"$out/epoch=0/day=2024-01-02", "part-")
+    // key 1 updates in place (same day), key 9 is new (new day)
+    val batch = Seq((tsv("2024-01-01 10:00:00"), 1L, "a2"),
+      (tsv("2024-01-03 09:00:00"), 9L, "new"))
+      .toDF("ts", "event_id", "event_type")
+    assert(Streaming.upsertBatch(spark, out, batch, Seq("event_id")) == 1L)
+    // ATOMIC: one epoch carries both halves; the source epoch is gone
+    assert(listNames(out, "epoch=") == Seq("epoch=1"),
+      "upsert did not retire the source epoch")
+    assert(listNames(out, "batch_id=").isEmpty,
+      "upsert leaked a live batch dir — the merge would not be atomic")
+    val got = Streaming.readSink(spark, out)
+      .select("event_id", "event_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, "a2"), (2L, "b"), (3L, "c"), (9L, "new")),
+      s"merge result wrong: $got")
+    // the day with neither a match nor an insert MOVED (same part-file
+    // names): upsert cost is O(affected days), not O(table)
+    assert(listNames(s"$out/epoch=1/day=2024-01-02", "part-") == day2Files,
+      "day without matching keys or inserts was rewritten, not moved")
+    assert(listNames(s"$out/epoch=1", "day=") ==
+      Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+  }
+
+  test("upsertBatch key matching is join-null-blind; empty batch is a no-op; empty sink pure-inserts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_upsnull").toString
+    val out = s"$root/events"
+    // empty sink: the upsert is a pure insert minting epoch 0
+    val seed = Seq((tsv("2024-01-01 10:00:00"), java.lang.Long.valueOf(1L), "a"),
+      (tsv("2024-01-01 11:00:00"), null.asInstanceOf[java.lang.Long], "nk"))
+      .toDF("ts", "event_id", "event_type")
+    assert(Streaming.upsertBatch(spark, out, seed, Seq("event_id")) == 0L)
+    assert(listNames(out, "epoch=") == Seq("epoch=0"))
+    // a null-key batch row INSERTS (join equality never matches NULL)
+    // and the sink's null-key row SURVIVES
+    val batch = Seq(
+      (tsv("2024-01-01 12:00:00"), null.asInstanceOf[java.lang.Long], "nk2"))
+      .toDF("ts", "event_id", "event_type")
+    assert(Streaming.upsertBatch(spark, out, batch, Seq("event_id")) == 1L)
+    val types = Streaming.readSink(spark, out)
+      .select("event_type").as[String].collect().sorted.toSeq
+    assert(types == Seq("a", "nk", "nk2"),
+      s"null-key merge semantics wrong: $types")
+    // empty batch: no epoch minted, nothing rewritten
+    assert(Streaming.upsertBatch(spark, out,
+      seed.limit(0), Seq("event_id")) == 1L)
+    assert(listNames(out, "epoch=") == Seq("epoch=1"),
+      "an empty upsert minted an epoch")
+  }
+
+  test("upsertBatch refuses consumable live batches and carries the watermark like a delete") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_upswm").toString
+    val out = s"$root/events"
+    def write(id: Long, rows: (Timestamp, Long, String)*): Unit =
+      Streaming.writeBatchIdempotent(
+        rows.toSeq.toDF("ts", "event_id", "event_type"), out, id)
+    write(0L, (tsv("2024-01-01 10:00:00"), 1L, "a"))
+    write(1L, (tsv("2024-01-02 10:00:00"), 2L, "b"))
+    val batch = Seq((tsv("2024-01-01 10:00:00"), 1L, "a2"))
+      .toDF("ts", "event_id", "event_type")
+    // rail: a consumable live batch may hold a matching key the merge
+    // cannot see — refused until a quiesced compaction folds it in
+    val e = intercept[IllegalArgumentException](
+      Streaming.upsertBatch(spark, out, batch, Seq("event_id")))
+    assert(e.getMessage.contains("quiesced compaction"), e.getMessage)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    assert(Streaming.upsertBatch(spark, out, batch, Seq("event_id")) == 2L)
+    // the upsert epoch consumed no batches: the watermark held at 1,
+    // so the stream's continuation (batch 2) stays visible and the
+    // next compaction consumes it instead of retiring it unseen
+    write(2L, (tsv("2024-01-03 09:00:00"), 3L, "c"))
+    val live = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(live == Seq(1L, 2L, 3L),
+      s"post-upsert batch invisible through the watermark: $live")
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 3L)
+    assert(Streaming.readSink(spark, out)
+      .filter(col("event_id") === 1L)
+      .select("event_type").as[String].collect().toSeq == Seq("a2"),
+      "the update was lost across the next compaction")
+  }
+
+  test("an upsert that died uncommitted is discarded wholesale") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_upscrash").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "a"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    assert(Streaming.upsertBatch(spark, out,
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "a2"))
+        .toDF("ts", "event_id", "event_type"), Seq("event_id")) == 1L)
+    // simulate the crash: strip the commit marker — the attempt must
+    // read as if it never happened... except epoch 0 is already gone.
+    // So instead crash an attempt ON TOP of epoch 1: mint epoch 2 by
+    // hand-copying the shape (uncommitted = no _EPOCH_COMMIT)
+    val e2 = new java.io.File(s"$out/epoch=2/day=2024-01-01")
+    assert(e2.mkdirs())
+    java.nio.file.Files.write(e2.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // neither the reader nor the next maintenance op may see epoch 2
+    assert(Streaming.readSink(spark, out)
+      .select("event_type").as[String].collect().toSeq == Seq("a2"))
+    assert(Streaming.upsertBatch(spark, out,
+      Seq((tsv("2024-01-02 10:00:00"), 5L, "e"))
+        .toDF("ts", "event_id", "event_type"), Seq("event_id")) == 2L,
+      "recovery did not discard the uncommitted attempt before minting")
+    assert(Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
