@@ -345,6 +345,70 @@ object Streaming {
     query
   }
 
+  /** Streaming CDC apply: the deployment form of [[upsertBatch]] — a
+    * change feed (updated rows + new keys) continuously MERGEs into
+    * the sink, maintaining a mutable keyed table instead of an
+    * append-only log. Each micro-batch applies ATOMICALLY (one minted
+    * epoch, see upsertBatch); restart safety needs no write-ahead
+    * bookkeeping because re-applying a CDC batch is IDEMPOTENT — a
+    * replayed batch replaces the same keys with the same rows, its
+    * inserts now match-and-replace themselves (StreamingSpec pins
+    * this) — so the checkpoint's replay converges on the exactly-once
+    * END STATE even across a crash mid-apply (an uncommitted upsert
+    * epoch is discarded wholesale by recovery, then re-applied).
+    *
+    * A CDC-maintained sink is written ONLY through its change stream:
+    * upsertBatch's quiesce rail refuses consumable live `batch_id=`
+    * dirs, so don't point [[parquetSinkStream]] at the same sink. The
+    * [[WriterLock]] lease enforces single-stream: acquired by
+    * checkpoint identity before start (a second stream on a live sink
+    * fails loudly; a restart from the same checkpoint takes over at a
+    * higher fence), verified before and heartbeated after every apply
+    * (a fenced-off zombie predecessor fails its next apply), released
+    * at termination. */
+  def cdcSinkStream(changes: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], tsCol: String = "ts")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val writerId = "cdc-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fence = acquireWriter(spark, path, writerId)
+    val query = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val f = fs(spark, path)
+        val lock = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(path), WriterLock)
+        val cur = readWriterLock(f, lock)
+        require(cur.exists(c => c._1 == writerId && c._2 == fence),
+          s"writer lease on $path displaced: this CDC stream holds " +
+            s"('$writerId', fence=$fence) but the lease carries " +
+            s"${cur.map(c => s"('${c._1}', fence=${c._2})").getOrElse("nothing")}" +
+            " - another writer took over this sink; abandoning the apply")
+        upsertBatch(spark, path, batch, keyCols, tsCol)
+        try f.setTimes(lock, System.currentTimeMillis(), -1) // heartbeat
+        catch { case _: java.io.IOException => () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          try releaseWriter(spark, path, writerId, fence)
+          catch { case ex: Exception =>
+            log.warn(s"writer lease release on $path failed " +
+              s"(will age out at the staleness horizon): $ex")
+          }
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
+  }
+
   // ------------------------------------------------------- compaction
   // parquetSinkStream lands one batch_id=N directory per micro-batch;
   // at a 1-minute trigger that is ~526k directories/year — correct but

@@ -1813,6 +1813,70 @@ class StreamingSpec extends SparkSpecBase
       .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
   }
 
+  test("cdcSinkStream maintains a keyed table across micro-batches and re-applying a batch is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_cdc").toString
+    val out = s"$root/state"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = Streaming.cdcSinkStream(
+      input.toDF().toDF("ts", "event_id", "event_type"),
+      out, s"$root/ckpt", Seq("event_id"))
+    try {
+      input.addData(
+        (tsv("2024-01-01 10:00:00"), 1L, "a"),
+        (tsv("2024-01-01 11:00:00"), 2L, "b"))
+      q.processAllAvailable()
+      input.addData(
+        (tsv("2024-01-01 12:00:00"), 1L, "a2"), // update key 1
+        (tsv("2024-01-02 09:00:00"), 3L, "c"))  // insert key 3
+      q.processAllAvailable()
+      val state = Streaming.readSink(spark, out)
+        .select("event_id", "event_type").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(state == Seq((1L, "a2"), (2L, "b"), (3L, "c")),
+        s"CDC end state wrong: $state")
+      // the table is mutable state, not a log: no live batch dirs ever
+      assert(listNames(out, "batch_id=").isEmpty,
+        "CDC apply leaked batch dirs - the sink would stop accepting merges")
+    } finally q.stop()
+    // the property checkpoint-replay correctness rides on: re-applying
+    // the SAME change batch converges (its updates replace identically,
+    // its inserts match-and-replace themselves)
+    val replay = Seq((tsv("2024-01-01 12:00:00"), 1L, "a2"),
+      (tsv("2024-01-02 09:00:00"), 3L, "c"))
+      .toDF("ts", "event_id", "event_type")
+    val e1 = Streaming.upsertBatch(spark, out, replay, Seq("event_id"))
+    val after = Streaming.readSink(spark, out)
+      .select("event_id", "event_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(after == Seq((1L, "a2"), (2L, "b"), (3L, "c")),
+      s"replayed CDC batch changed the end state: $after")
+    assert(Streaming.upsertBatch(spark, out, replay, Seq("event_id")) == e1 + 1,
+      "idempotent re-apply should still mint its epoch (atomicity per apply)")
+  }
+
+  test("a second CDC stream on a live sink is refused by the writer lease") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_cdc2").toString
+    val out = s"$root/state"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = Streaming.cdcSinkStream(
+      input.toDF().toDF("ts", "event_id", "event_type"),
+      out, s"$root/ckpt_a", Seq("event_id"))
+    try {
+      input.addData((tsv("2024-01-01 10:00:00"), 1L, "a"))
+      q.processAllAvailable()
+      val input2 = MemoryStream[(Timestamp, Long, String)]
+      val e = intercept[IllegalStateException](
+        Streaming.cdcSinkStream(
+          input2.toDF().toDF("ts", "event_id", "event_type"),
+          out, s"$root/ckpt_b", Seq("event_id")))
+      assert(e.getMessage.contains("holds the lease"), e.getMessage)
+    } finally q.stop()
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
