@@ -674,7 +674,17 @@ object Streaming {
     * Released on every exit — an exception from `body` means the op has
     * stopped mutating, and crash recovery is the next run's job. */
   private def withCompactorLock[T](spark: SparkSession, path: String)
-      (body: => T): T = {
+      (body: => T): T =
+    withFencedCompactorLock(spark, path)(_ => body)
+
+  /** [[withCompactorLock]] variant handing the body a FENCE CHECK to
+    * call immediately before its first irreversible mutation (an epoch
+    * commit, a directory retirement): re-verifies the lock still
+    * carries this session's token and aborts loudly if a steal
+    * displaced it mid-body — the last line of defense behind the
+    * identity-checked steal. */
+  private def withFencedCompactorLock[T](spark: SparkSession, path: String)
+      (body: (() => Unit) => T): T = {
     val f = fs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     f.mkdirs(root)
@@ -696,6 +706,15 @@ object Streaming {
         finally in.close()
       } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
+      // read the blocker's token BEFORE judging staleness: the steal
+      // below is IDENTITY-CHECKED against this value, so it can only
+      // ever displace the exact lock instance judged stale
+      val staleTok: Option[String] =
+        try {
+          val in = f.open(lock)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } catch { case _: java.io.IOException => None } // vanished/torn
       val age =
         try System.currentTimeMillis() -
           f.getFileStatus(lock).getModificationTime
@@ -708,29 +727,62 @@ object Streaming {
             s"threshold $staleMs ms) - concurrent sink maintenance is " +
             "not supported; wait for it, or delete the lock if its " +
             "holder is known dead")
-      f.delete(lock, false)
+      // COMPARE-AND-DELETE via atomic rename (closes the double-steal
+      // race a plain delete leaves open: a stealer that slept past
+      // another acquirer's full delete+create+verify would delete the
+      // VERIFIED holder's fresh lock). Rename the current lock aside
+      // to a private tombstone — atomic, single-winner — then confirm
+      // the tombstone IS the instance judged stale; a fresh holder's
+      // lock renamed by mistake is restored immediately. The residual
+      // window shrinks from the whole body duration to the
+      // microseconds between rename-aside and restore, and even that
+      // needs a third acquirer's create to land inside it. (.tmp
+      // suffix so a crash mid-steal leaves only vacuumSink litter.)
+      val tomb = new org.apache.hadoop.fs.Path(root,
+        s".$CompactLock.steal.${java.util.UUID.randomUUID()}.tmp")
+      val renamed =
+        try f.rename(lock, tomb)
+        catch { case _: java.io.IOException => false }
+      if (renamed) {
+        val tombTok: Option[String] =
+          try {
+            val in = f.open(tomb)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+            finally in.close()
+          } catch { case _: java.io.IOException => None }
+        if (staleTok.isDefined && tombTok == staleTok)
+          f.delete(tomb, false) // confirmed: retired the stale instance
+        else {
+          // displaced a DIFFERENT (freshly re-acquired) lock: restore
+          // it and back off; if another acquirer created meanwhile,
+          // the restore fails and the tombstone is dropped
+          if (!f.rename(tomb, lock)) f.delete(tomb, false)
+          throw new IllegalStateException(
+            s"compactor lock $lock was re-acquired while this session " +
+              "was stealing it - backing off")
+        }
+      } // !renamed: already stolen or released by someone else — race
+        // for the plain create below like any other acquirer
       require(tryAcquire(), s"could not steal stale compactor lock $lock")
     }
-    // verify-after-acquire NARROWS the double-steal race: two stealers
-    // that both judged the same lock stale can interleave as
-    // (A delete, A create, B delete A's FRESH lock, B create) — both
-    // believe they hold it. Each acquirer re-reads the lock and
-    // requires its OWN session token, so the displaced acquirer fails
-    // loudly instead of mutating concurrently. A residual window
-    // remains: a stealer that stat'd the stale lock, then slept past
-    // another acquirer's full delete+create+verify, still deletes the
-    // VERIFIED holder's lock and passes its own verify — closing that
-    // fully needs an atomic compare-and-delete (or rename-based
-    // locking) the portable FileSystem API does not offer; the window
-    // requires two steal attempts racing a third acquirer inside one
-    // staleness horizon, operationally remote for a lock held seconds.
+    // verify-after-acquire: two acquirers racing the post-steal create
+    // can interleave on filesystems whose create(overwrite=false) is
+    // not truly exclusive; each re-reads the lock and requires its OWN
+    // session token, so a displaced acquirer fails loudly instead of
+    // mutating concurrently. Belt-and-braces under the identity-checked
+    // steal above; maintenance bodies additionally re-verify the token
+    // immediately before their first irreversible mutation.
     require(holdsOwnToken(),
       s"compactor lock $lock was displaced by a concurrent stealer " +
         "during acquisition - backing off")
+    val fenceCheck: () => Unit = () => require(holdsOwnToken(),
+      s"compactor lock $lock no longer carries this session's token " +
+        "at the point of no return - a stale-lock steal displaced this " +
+        "holder mid-body; aborting before committing anything")
     // release only a lock that still carries OUR token: a blanket
     // delete would release whatever lock exists at exit, including one
     // a later stealer legitimately holds after displacing us mid-body
-    try body
+    try body(fenceCheck)
     finally if (holdsOwnToken()) f.delete(lock, false)
   }
 
@@ -874,8 +926,8 @@ object Streaming {
     * Returns the new max epoch (unchanged if nothing to do). */
   def compactSink(spark: SparkSession, path: String,
       tsCol: String = "ts", quiesced: Boolean = false): Long =
-    withCompactorLock(spark, path) {
-      compactLocked(spark, path, tsCol, quiesced)
+    withFencedCompactorLock(spark, path) { fence =>
+      compactLocked(spark, path, tsCol, quiesced, fence)
     }
 
   /** Recovery step shared by every maintenance op: settle every epoch
@@ -893,7 +945,7 @@ object Streaming {
     }
 
   private def compactLocked(spark: SparkSession, path: String,
-      tsCol: String, quiesced: Boolean): Long = {
+      tsCol: String, quiesced: Boolean, fence: () => Unit): Long = {
     val f = fs(spark, path)
     settleEpochs(spark, path, f) // recovery step 1
     val before = maxEpoch(spark, path)
@@ -904,6 +956,7 @@ object Streaming {
     // delete-minted epoch id runs ahead of the batch counter, and
     // comparing ids would retire the next batches unconsumed.
     val wm = consumedThrough(f, path, before)
+    fence() // about to retire subsumed epochs/batches: last exit
     subdirs(spark, path, "epoch=").foreach { case (id, p) =>
       if (id < before) f.delete(p, true)
     }
@@ -991,6 +1044,7 @@ object Streaming {
     // (readers switch to this epoch, resolving owed days via the
     // plan), then perform the moves and retire the sources
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    fence() // the commit makes the epoch visible: last exit
     commitEpoch(f, epochDir, consumed)
     if (toMove.nonEmpty) finishMoves(f, path, epochDir)
     if (before >= 0)
@@ -1392,7 +1446,7 @@ object Streaming {
     * never retired by this op. Holds [[CompactLock]]. */
   def retireDays(spark: SparkSession, path: String,
       olderThan: java.sql.Date): Seq[String] =
-    withCompactorLock(spark, path) {
+    withFencedCompactorLock(spark, path) { fence =>
       val f = fs(spark, path)
       val cut = maxEpoch(spark, path)
       if (cut < 0) Seq.empty
@@ -1421,6 +1475,7 @@ object Streaming {
         val victims = f.listStatus(eDir).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
           .map(_.getPath.getName).filter(expired).sorted
+        fence() // about to drop day dirs: last exit
         victims.foreach { d =>
           require(f.delete(new org.apache.hadoop.fs.Path(eDir, d), true),
             s"could not delete $eDir/$d")
@@ -1470,12 +1525,12 @@ object Streaming {
     * epoch). */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
       tsCol: String = "ts"): Long =
-    withCompactorLock(spark, path) {
-      deleteLocked(spark, path, predicate, tsCol)
+    withFencedCompactorLock(spark, path) { fence =>
+      deleteLocked(spark, path, predicate, tsCol, fence)
     }
 
   private def deleteLocked(spark: SparkSession, path: String,
-      predicate: Column, tsCol: String): Long = {
+      predicate: Column, tsCol: String, fence: () => Unit): Long = {
     val f = fs(spark, path)
     settleEpochs(spark, path, f)
     val before = maxEpoch(spark, path)
@@ -1531,6 +1586,7 @@ object Streaming {
     // and must NOT be resurrected from the source epoch
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    fence() // the commit makes the delete visible: last exit
     commitEpoch(f, epochDir, wm) // no batches consumed: carry forward
     if (toMove.nonEmpty) finishMoves(f, path, epochDir)
     f.delete(eDir, true)
@@ -1578,12 +1634,13 @@ object Streaming {
     * [[CompactLock]]. Returns the new max epoch. */
   def upsertBatch(spark: SparkSession, path: String, batch: DataFrame,
       keyCols: Seq[String], tsCol: String = "ts"): Long =
-    withCompactorLock(spark, path) {
-      upsertLocked(spark, path, batch, keyCols, tsCol)
+    withFencedCompactorLock(spark, path) { fence =>
+      upsertLocked(spark, path, batch, keyCols, tsCol, fence)
     }
 
   private def upsertLocked(spark: SparkSession, path: String,
-      batch: DataFrame, keyCols: Seq[String], tsCol: String): Long = {
+      batch: DataFrame, keyCols: Seq[String], tsCol: String,
+      fence: () => Unit): Long = {
     require(keyCols.nonEmpty, "upsertBatch needs at least one key column")
     val missing = keyCols.filterNot(batch.columns.contains)
     require(missing.isEmpty,
@@ -1665,6 +1722,7 @@ object Streaming {
     sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    fence() // the commit makes the merge visible: last exit
     commitEpoch(f, epochDir, wm) // no batches consumed: carry forward
     if (toMove.nonEmpty) finishMoves(f, path, epochDir)
     if (before >= 0)
@@ -1687,7 +1745,7 @@ object Streaming {
     * removed names. Holds [[CompactLock]]. */
   def vacuumSink(spark: SparkSession, path: String,
       quiesced: Boolean = false): Seq[String] =
-    withCompactorLock(spark, path) {
+    withFencedCompactorLock(spark, path) { fence =>
       val f = fs(spark, path)
       val cut = maxEpoch(spark, path)
       val uncommittedEpochs = subdirs(spark, path, "epoch=").collect {
@@ -1712,6 +1770,7 @@ object Streaming {
         (if (cut < 0) Seq.empty
          else tmpsUnder(new org.apache.hadoop.fs.Path(s"$path/epoch=$cut")))
       val victims = uncommittedEpochs ++ staleBatches ++ writerLease ++ tmps
+      fence() // about to sweep: last exit
       victims.foreach(p => f.delete(p, true))
       victims.map(_.getName)
     }

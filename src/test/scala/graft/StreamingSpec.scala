@@ -1000,6 +1000,12 @@ class StreamingSpec extends SparkSpecBase
       System.currentTimeMillis() - 2L * 60 * 60 * 1000))
     assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
     assert(!lock.exists(), "lock not released after completion")
+    // the identity-checked steal retires its tombstone: no
+    // .steal litter survives a successful steal (vacuum would sweep a
+    // crash's leftover, but the happy path must clean up itself)
+    assert(new java.io.File(out).listFiles()
+      .filter(_.getName.contains(".steal.")).isEmpty,
+      "stale-lock steal left its tombstone behind")
     // a maintenance op that THROWS releases too (it stopped mutating)
     Streaming.writeBatchIdempotent(
       Seq((tsv("2024-01-02 10:00:00"), 2L, "view"))
