@@ -1730,6 +1730,137 @@ object Streaming {
     epoch
   }
 
+  /** Operational snapshot of the sink in ONE metadata row — what a
+    * monitoring job polls to decide when to compact / retire / vacuum
+    * a 100 TB feed. Pure directory listings and content summaries: no
+    * data I/O, no lock taken (a snapshot may be read while maintenance
+    * runs; the numbers are point-in-time, like any monitoring probe).
+    *
+    * Columns: `epoch` (max committed id, −1 none), `watermark`
+    * (consumed-batch high mark), `live_batches` / `live_bytes`
+    * (committed, consumable — the compaction backlog),
+    * `inflight_batches` (uncommitted dirs: writes in flight or crash
+    * leftovers for vacuum), `days` / `epoch_bytes` (epoch zone
+    * extent), `has_null_day`, `pending_move_days` (merge-plan days not
+    * yet rolled forward), `compactor_locked`, `writer_id` (current
+    * lease holder, null when unleased). */
+  def describeSink(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val cut = maxEpoch(spark, path)
+    val wm = consumedThrough(f, path, cut)
+    val batches = subdirs(spark, path, "batch_id=")
+    val (committed, inflight) = batches.partition { case (_, p) =>
+      f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+    }
+    val live = committed.filter(_._1 > wm)
+    val eDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$cut")
+    val dayDirs =
+      if (cut < 0) Seq.empty
+      else f.listStatus(eDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(_.getPath.getName)
+    val pendingMoves =
+      if (cut < 0) 0L
+      else {
+        val plan = new org.apache.hadoop.fs.Path(eDir, MergePlan)
+        if (!f.exists(plan)) 0L
+        else readPlan(f, plan)._2
+          .count(d => !f.exists(new org.apache.hadoop.fs.Path(eDir, d))).toLong
+      }
+    val epochBytes =
+      if (cut < 0) 0L else f.getContentSummary(eDir).getLength
+    val liveBytes =
+      live.map(b => f.getContentSummary(b._2).getLength).sum
+    val root = new org.apache.hadoop.fs.Path(path)
+    val compactorLocked =
+      f.exists(new org.apache.hadoop.fs.Path(root, CompactLock))
+    val writerId = readWriterLock(f,
+      new org.apache.hadoop.fs.Path(root, WriterLock)).map(_._1).orNull
+    Seq((cut, wm, live.size.toLong, liveBytes, inflight.size.toLong,
+      dayDirs.size.toLong, epochBytes, dayDirs.contains(NullDayDir),
+      pendingMoves, compactorLocked, writerId))
+      .toDF("epoch", "watermark", "live_batches", "live_bytes",
+        "inflight_batches", "days", "epoch_bytes", "has_null_day",
+        "pending_move_days", "compactor_locked", "writer_id")
+  }
+
+  /** Policy-driven maintenance in one call — the cron entry point
+    * that keeps a sink healthy without an operator scripting the
+    * individual ops. Applies, in the lifecycle's sanctioned order:
+    *
+    *  1. COMPACT when the consumable live backlog reaches
+    *     `compactAfterBatches` dirs or `compactAfterBytes` bytes
+    *     (whichever trips first; backlog read from [[describeSink]]'s
+    *     inputs);
+    *  2. RETIRE (only with `retainDays = Some(n)`, and only after a
+    *     compaction left the sink quiesced) every day strictly older
+    *     than the sink's max day minus n — DATA-RELATIVE retention,
+    *     deterministic under replay and test, immune to a stalled
+    *     feed suddenly mass-expiring on wall-clock time;
+    *  3. VACUUM crash leftovers (only with `quiesced = true`, which
+    *     also asserts no live writer — same contract as
+    *     [[vacuumSink]]).
+    *
+    * Each step takes the maintenance lock itself; between steps
+    * another actor may interleave (every op is standalone-safe, so
+    * interleaving only re-orders work). Returns the actions taken,
+    * e.g. `compacted=3`, `retired=day=2024-01-01`, `vacuumed=2` —
+    * empty when the sink needed nothing. */
+  def maintainSink(spark: SparkSession, path: String,
+      compactAfterBatches: Int = 8,
+      compactAfterBytes: Long = 1L << 30,
+      retainDays: Option[Int] = None,
+      quiesced: Boolean = false,
+      tsCol: String = "ts"): Seq[String] = {
+    val f = fs(spark, path)
+    val wm = consumedThrough(f, path, maxEpoch(spark, path))
+    val live = subdirs(spark, path, "batch_id=")
+      .filter { case (id, p) =>
+        id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+      }
+    val liveBytes = live.map(b => f.getContentSummary(b._2).getLength).sum
+    val compacted =
+      if (live.size >= compactAfterBatches || liveBytes >= compactAfterBytes) {
+        compactSink(spark, path, tsCol, quiesced)
+        Seq(s"compacted=${live.size}")
+      } else Seq.empty
+    val retired = retainDays match {
+      case Some(n) =>
+        require(n > 0, s"retainDays must be positive, got $n")
+        val cut = maxEpoch(spark, path)
+        val wmNow = consumedThrough(f, path, cut)
+        val backlog = subdirs(spark, path, "batch_id=").exists { case (id, p) =>
+          id > wmNow && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+        }
+        val days =
+          if (cut < 0) Seq.empty
+          else f.listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$cut"))
+            .toSeq.map(_.getPath.getName)
+            .filter(d => d.startsWith("day=") && d != NullDayDir)
+            .map(d => java.sql.Date.valueOf(d.stripPrefix("day=")))
+        if (backlog)
+          // retireDays would refuse (live rows could resurrect retired
+          // days); a cron must not die on a transient backlog — defer
+          // to the next run, whose compaction step will clear it
+          Seq("retire_deferred=live_backlog")
+        else if (days.isEmpty) Seq.empty
+        else {
+          val horizon = java.sql.Date.valueOf(
+            days.map(_.toLocalDate).max.minusDays(n - 1L))
+          retireDays(spark, path, horizon).map(d => s"retired=$d")
+        }
+      case None => Seq.empty
+    }
+    val vacuumed =
+      if (!quiesced) Seq.empty
+      else {
+        val swept = vacuumSink(spark, path, quiesced = true)
+        if (swept.isEmpty) Seq.empty else Seq(s"vacuumed=${swept.size}")
+      }
+    compacted ++ retired ++ vacuumed
+  }
+
   /** Orphan sweep: remove the sink's uncommitted leftovers — epoch
     * attempts without [[EpochCommit]] (a compactor died mid-write;
     * also swept by the next compaction, but a vacuum should not need

@@ -1883,6 +1883,73 @@ class StreamingSpec extends SparkSpecBase
     } finally q.stop()
   }
 
+  test("describeSink reports the sink's operational state without taking locks or reading data") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_desc").toString
+    val out = s"$root/events"
+    // empty sink: a clean all-defaults row, not an error
+    val empty = Streaming.describeSink(spark, out).collect()(0)
+    assert(empty.getAs[Long]("epoch") == -1L)
+    assert(empty.getAs[Long]("live_batches") == 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "a"),
+        (tsv("2024-01-02 10:00:00"), 2L, "b"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 10:00:00"), 3L, "c"))
+        .toDF("ts", "event_id", "event_type"), out, 1L)
+    // an in-flight write: strip the commit marker
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-04 10:00:00"), 4L, "d"))
+        .toDF("ts", "event_id", "event_type"), out, 2L)
+    assert(new java.io.File(s"$out/batch_id=2/_BATCH_COMMIT").delete())
+    val d = Streaming.describeSink(spark, out).collect()(0)
+    assert(d.getAs[Long]("epoch") == 0L)
+    assert(d.getAs[Long]("watermark") == 0L)
+    assert(d.getAs[Long]("live_batches") == 1L)
+    assert(d.getAs[Long]("inflight_batches") == 1L)
+    assert(d.getAs[Long]("days") == 2L)
+    assert(!d.getAs[Boolean]("has_null_day"))
+    assert(d.getAs[Long]("pending_move_days") == 0L)
+    assert(d.getAs[Long]("epoch_bytes") > 0L)
+    assert(d.getAs[Long]("live_bytes") > 0L)
+    assert(!d.getAs[Boolean]("compactor_locked"))
+    assert(d.getAs[String]("writer_id") == null)
+    // the snapshot itself must not have taken or leaked any lock
+    assert(!new java.io.File(out, "_COMPACT_LOCK").exists())
+  }
+
+  test("maintainSink compacts on backlog, retires data-relative, defers retirement under backlog") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_maint").toString
+    val out = s"$root/events"
+    def write(id: Long, day: Int): Unit =
+      Streaming.writeBatchIdempotent(
+        Seq((tsv(f"2024-01-$day%02d 10:00:00"), id, "e"))
+          .toDF("ts", "event_id", "event_type"), out, id)
+    write(0L, 1); write(1L, 2)
+    // below the batch threshold: nothing to do
+    assert(Streaming.maintainSink(spark, out, compactAfterBatches = 3).isEmpty)
+    // retention requested while a live backlog exists: deferred, not
+    // thrown — a cron survives a transient backlog
+    assert(Streaming.maintainSink(spark, out, compactAfterBatches = 3,
+      retainDays = Some(1)) == Seq("retire_deferred=live_backlog"))
+    write(2L, 3)
+    // threshold reached: compact; then data-relative retention keeps
+    // the most recent 2 days (max=Jan 3, horizon=Jan 2, Jan 1 retired)
+    val actions = Streaming.maintainSink(spark, out, compactAfterBatches = 3,
+      retainDays = Some(2), quiesced = true)
+    assert(actions == Seq("compacted=3", "retired=day=2024-01-01"),
+      s"wrong maintenance actions: $actions")
+    val got = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"wrong survivors after maintenance: $got")
+    // steady state: an immediate re-run finds nothing to do
+    assert(Streaming.maintainSink(spark, out, compactAfterBatches = 3,
+      retainDays = Some(2), quiesced = true).isEmpty)
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
