@@ -688,6 +688,46 @@ object OracleSql {
       |  FROM bc JOIN uc USING (w1)) x
       |WHERE rn <= 3 ORDER BY w1, rn""".stripMargin
 
+  /** q120 — perplexity filter: per-bigram surprisal is integerized
+    * (`FLOOR(10000 * LN(c1/c2))`) BEFORE the per-doc SUM, so the
+    * aggregate is integer-exact and order-independent in both engines;
+    * the single double op per distinct bigram is the same IEEE ln /
+    * divide in both, and a floor-boundary flip would need the true
+    * value within ~1 ulp of an integer — ruled out in practice for
+    * rational c1/c2 ratios. mean_dbp divides two exact integers as
+    * doubles (< 2^53) and floors. LIMIT ties are impossible: the
+    * ORDER BY key (mean_dbp, doc_id) is unique per doc. */
+  val q120: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |      i -> list_value(list_extract(t, i), list_extract(t, i+1)))) AS pair
+      |  FROM toks WHERE len(t) >= 2
+      |), bgw AS (
+      |  SELECT doc_id, list_extract(pair, 1) AS w1, list_extract(pair, 2) AS w2
+      |  FROM bg
+      |), bc AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bgw GROUP BY 1, 2
+      |), uc AS (
+      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1
+      |), scored AS (
+      |  SELECT bgw.doc_id,
+      |    CAST(FLOOR(10000 * LN(CAST(uc.c1 AS DOUBLE) / bc.c2)) AS BIGINT) AS s
+      |  FROM bgw JOIN bc USING (w1, w2) JOIN uc USING (w1)
+      |), perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(s) AS BIGINT) AS surprisal_dbp
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_bigrams, surprisal_dbp,
+      |  CAST(FLOOR(CAST(surprisal_dbp AS DOUBLE) / n_bigrams) AS BIGINT)
+      |    AS mean_dbp
+      |FROM perdoc
+      |ORDER BY mean_dbp DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** q66 — medians of integer counts interpolate to k or k+0.5 exactly
     * in both engines (quantile_cont ≙ Spark percentile), so the ×10
     * integerization and the 2·MAD comparison are exact. */

@@ -132,7 +132,8 @@ object SparkEntry {
     "q116_retention" -> (Streaming.q116Retention _),
     "q117_delete_where" -> (Streaming.q117DeleteWhere _),
     "q118_incremental_read" -> (Streaming.q118IncrementalRead _),
-    "q119_upsert_batch" -> (Streaming.q119UpsertBatch _)
+    "q119_upsert_batch" -> (Streaming.q119UpsertBatch _),
+    "q120_perplexity_filter" -> (TextOps.q120PerplexityFilter _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,7 +299,11 @@ object SparkEntry {
     // profiles; the oracle re-states the merge relationally (CASE for
     // updates, UNION ALL for inserts) — hash equality proves MERGE
     // semantics: matched replaced, unmatched untouched, inserts once
-    "q119_upsert_batch" -> OracleSql.q119
+    "q119_upsert_batch" -> OracleSql.q119,
+    // q120 perplexity filter: per-doc surprisal under the corpus
+    // bigram model, integerized per-bigram before the sum so both
+    // engines aggregate exact integers; top-20 most perplexing docs
+    "q120_perplexity_filter" -> OracleSql.q120
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -787,6 +787,51 @@ object TextOps {
       .orderBy("w1", "rn")
   }
 
+  // --------------------------------------------------------------- q120
+  /** q120 — perplexity-based quality filter (V15, the standard LLM
+    * curation pass q65's model enables): score every document by its
+    * surprisal under the CORPUS bigram MLE model and surface the 20
+    * most perplexing — the band a curation pipeline drops or
+    * down-weights. Per-bigram surprisal is integerized BEFORE any
+    * aggregation — `floor(10000 · ln(c1/c2))` "decibasis points", one
+    * deterministic double op per DISTINCT bigram — so the per-doc SUM
+    * is integer-exact and order-independent (summing raw doubles would
+    * drift past the oracle's 1e-9 hash tolerance under Spark's
+    * partition-order-dependent reduction; the q59/q65 fixed-point
+    * discipline, extended to a log). c1 ≥ c2 always (a bigram's count
+    * bounds its prefix's), so surprisal is non-negative, and every
+    * scored bigram exists in the model (the doc itself contributed),
+    * so no smoothing term is needed. mean_dbp = floor(total/n) keeps
+    * the per-doc normalization integer-exact too.
+    *
+    * Scale shape: the instance stream (doc_id, w1, w2) joins the two
+    * MODEL tables (distinct bigrams, unigram totals) — model cardinality
+    * is vocab-bounded, orders below the corpus, so AQE broadcasts them
+    * at production scale; the doc reduction is one hash agg; top-20 is
+    * TakeOrdered, no global sort. */
+  def q120PerplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val bg = withToks(Tables.documents(spark, dir))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uc = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .withColumn("s",
+        floor(lit(10000) * log(col("c1").cast("double") / col("c2")))
+          .cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprisal_dbp"))
+      .withColumn("mean_dbp",
+        floor(col("surprisal_dbp").cast("double") / col("n_bigrams"))
+          .cast("bigint"))
+      .orderBy(col("mean_dbp").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- q66
   /** q66 — robust outlier detection (V15 quality filtering): documents
     * whose token count sits more than 2 MADs from their language's

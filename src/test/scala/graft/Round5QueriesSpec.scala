@@ -89,6 +89,34 @@ class Round5QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q120 equals a driver-side exact surprisal recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = docs.flatMap { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      t.zip(t.drop(1)).map(p => (id, p))
+    }
+    val c2 = bigrams.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val expected = bigrams
+      .map { case (id, p) =>
+        (id, math.floor(10000.0 * math.log(c1(p._1).toDouble / c2(p))).toLong)
+      }
+      .groupBy(_._1).map { case (id, g) =>
+        val total = g.map(_._2).sum
+        (id, g.length.toLong, total,
+          math.floor(total.toDouble / g.length).toLong)
+      }
+      .toSeq.sortBy(t => (-t._4, t._1)).take(20)
+    val got = SparkEntry.queries("q120_perplexity_filter")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"engine top-20 diverges from the exact recomputation:\n$got\nvs\n$expected")
+  }
+
   test("q66 agrees with a driver-side exact median/MAD recomputation") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text")).collect()
