@@ -414,6 +414,23 @@ object OracleSql {
     * transitive closure + min per node (the declarative mirror of the
     * Spark side's label propagation — both converge to min-member-id
     * components). */
+  /** q121 — near-dup dedup materialization: kept = ids never seen as
+    * the larger member of a qualifying pair (q48's text embedded
+    * verbatim, like q55). NOT IN is null-safe here (drop_id is never
+    * NULL); the per-bucket id-sum pins exact membership, not just
+    * counts. */
+  val q121: String =
+    s"""WITH pairs AS (
+       |  SELECT keep_id, drop_id FROM (
+       |$q48
+       |  )
+       |)
+       |SELECT vec_id % 10 AS bucket, COUNT(*) AS n_kept,
+       |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+       |FROM embeddings
+       |WHERE vec_id NOT IN (SELECT DISTINCT drop_id FROM pairs)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q55: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT keep_id, drop_id FROM (

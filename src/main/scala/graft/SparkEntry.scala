@@ -133,7 +133,8 @@ object SparkEntry {
     "q117_delete_where" -> (Streaming.q117DeleteWhere _),
     "q118_incremental_read" -> (Streaming.q118IncrementalRead _),
     "q119_upsert_batch" -> (Streaming.q119UpsertBatch _),
-    "q120_perplexity_filter" -> (TextOps.q120PerplexityFilter _)
+    "q120_perplexity_filter" -> (TextOps.q120PerplexityFilter _),
+    "q121_neardup_dedup" -> (VectorOps.q121NeardupDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -303,7 +304,11 @@ object SparkEntry {
     // q120 perplexity filter: per-doc surprisal under the corpus
     // bigram model, integerized per-bigram before the sum so both
     // engines aggregate exact integers; top-20 most perplexing docs
-    "q120_perplexity_filter" -> OracleSql.q120
+    "q120_perplexity_filter" -> OracleSql.q120,
+    // q121 near-dup dedup materialization: kept = ids never the larger
+    // member of a qualifying q48 pair; per-bucket kept count + id-sum
+    // pins exact membership of the deduplicated corpus
+    "q121_neardup_dedup" -> OracleSql.q121
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

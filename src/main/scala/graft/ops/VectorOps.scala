@@ -485,6 +485,34 @@ object VectorOps {
       .localCheckpoint()
   }
 
+  /** q121 — the near-dup dedup MATERIALIZATION (V14's missing last
+    * step: q48 finds the pairs and q55 the clusters, but a pipeline
+    * ultimately has to EMIT the deduplicated corpus): keep-first
+    * policy — a vector is dropped iff it is the LARGER id in ANY
+    * qualifying pair (q48's exact cosine ≥ 0.38 in basis points), so
+    * the retained set is exactly the ids never seen as `drop_id`.
+    * This is the greedy first-occurrence dedup production pipelines
+    * run (each dup group keeps its minimal member chain-wise; the
+    * transitive-closure canonical view stays q55's job). Output is a
+    * membership-pinning aggregate — per `vec_id % 10` bucket, the
+    * kept count AND the kept id-sum — so a wrong keep/drop decision
+    * anywhere shifts a bucket's sum and breaks the oracle hash even
+    * if counts balance. Scale shape: pair generation is q48's blocked
+    * all-pairs (never a cross join of the full corpus); the drop set
+    * distincts once and anti-joins back (broadcast at production
+    * ratios — dups are a small fraction); one hash agg, no global
+    * sort. */
+  def q121NeardupDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = q48EmbedNeardup(spark, dir)
+      .select(col("drop_id").as("vec_id")).distinct()
+    Tables.embeddings(spark, dir)
+      .select("vec_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy((col("vec_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+      .orderBy("bucket")
+  }
+
   def q55DupClusters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cluster_id"))

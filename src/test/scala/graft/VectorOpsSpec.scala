@@ -171,6 +171,24 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q121: kept set is exactly the complement of q48's drop ids, pinned by bucket sums") {
+    val dropIds = SparkEntry.queries("q48_embed_neardup")(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(dropIds.nonEmpty)
+    val allIds = Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val kept = allIds.filterNot(dropIds)
+    val expected = kept.groupBy(_ % 10).map { case (b, g) =>
+      (b, g.length.toLong, g.sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q121_neardup_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"dedup materialization diverges from the q48 complement:\n$got\nvs\n$expected")
+    // sanity: the dedup actually dropped something and kept something
+    assert(kept.length < allIds.length && kept.nonEmpty)
+  }
+
   test("q99: every vector splits exactly once and clusters never straddle splits") {
     val rows = SparkEntry.queries("q99_cluster_split")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
