@@ -745,6 +745,24 @@ object OracleSql {
       |ORDER BY mean_dbp DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** q122 — MinHash dedup materialization: kept = docs never the
+    * larger member of a q91 candidate pair with verified Jaccard ≥
+    * 0.8. Embeds q91's text verbatim (q55/q121's idiom); NOT IN is
+    * null-safe (doc_b never NULL); per-lang id-sums pin membership.
+    * NULLS FIRST pins the engines' null-sort defaults should lang
+    * ever carry NULL. */
+  lazy val q122: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b, n_inter, jac_bp FROM (
+       |$q91
+       |  )
+       |)
+       |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT DISTINCT doc_b FROM pairs WHERE jac_bp >= 8000)
+       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   /** q66 — medians of integer counts interpolate to k or k+0.5 exactly
     * in both engines (quantile_cont ≙ Spark percentile), so the ×10
     * integerization and the 2·MAD comparison are exact. */

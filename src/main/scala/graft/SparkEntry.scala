@@ -134,7 +134,8 @@ object SparkEntry {
     "q118_incremental_read" -> (Streaming.q118IncrementalRead _),
     "q119_upsert_batch" -> (Streaming.q119UpsertBatch _),
     "q120_perplexity_filter" -> (TextOps.q120PerplexityFilter _),
-    "q121_neardup_dedup" -> (VectorOps.q121NeardupDedup _)
+    "q121_neardup_dedup" -> (VectorOps.q121NeardupDedup _),
+    "q122_minhash_dedup" -> (TextOps.q122MinhashDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,7 +309,11 @@ object SparkEntry {
     // q121 near-dup dedup materialization: kept = ids never the larger
     // member of a qualifying q48 pair; per-bucket kept count + id-sum
     // pins exact membership of the deduplicated corpus
-    "q121_neardup_dedup" -> OracleSql.q121
+    "q121_neardup_dedup" -> OracleSql.q121,
+    // q122 MinHash dedup materialization (q121's text-side twin):
+    // kept = docs never the larger member of a q91 pair with verified
+    // Jaccard >= 0.8; per-lang kept counts + id-sums pin membership
+    "q122_minhash_dedup" -> OracleSql.q122
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

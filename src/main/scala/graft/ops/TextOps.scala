@@ -1091,6 +1091,30 @@ object TextOps {
     * shape (signatures in one agg pass — 8 min() columns, no
     * per-permutation explode; candidates from 16-byte band keys;
     * arrays never shuffle). */
+  /** q122 — MinHash near-dup dedup MATERIALIZATION for documents
+    * (q121's text-side twin; V14's last step on this modality): a
+    * document is dropped iff it is the LARGER id in any q91 LSH
+    * candidate pair whose VERIFIED Jaccard ≥ 0.8 (8000 bp — the
+    * standard near-dup cutoff), so the retained corpus is exactly the
+    * ids never seen as `doc_b` at the threshold. Keep-first is the
+    * greedy policy production text dedups run; q55-style closure stays
+    * the cluster view's job. Output pins membership per language:
+    * kept count AND kept id-sum — dropping the wrong doc shifts its
+    * lang's sum and breaks the oracle hash even when counts balance.
+    * Scale shape is q91's (banded LSH candidates, df-bounded verify;
+    * never all-pairs) plus one distinct + anti-join + hash agg. */
+  def q122MinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = q91MinhashPortable(spark, dir)
+      .filter(col("jac_bp") >= 8000)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+  }
+
   def q91MinhashPortable(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleDocs(spark, dir)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -245,6 +245,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(ids.forall(docIds.contains))
   }
 
+  test("q122: kept set is exactly the complement of q91's thresholded drop ids") {
+    val dropIds = SparkEntry.queries("q91_minhash_portable")(spark, sf)
+      .collect()
+      .filter(_.getLong(3) >= 8000).map(_.getLong(1)).toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.filterNot(d => dropIds(d._1))
+      .groupBy(_._2).map { case (lang, g) =>
+        (lang, g.length.toLong, g.map(_._1).sum)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q122_minhash_dedup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"dedup materialization diverges from the q91 complement:\n$got\nvs\n$expected")
+  }
+
   test("q32: one fingerprint per doc") {
     val n = SparkEntry.queries("q32_doc_fingerprint")(spark, sf).count()
     assert(n == Tables.documents(spark, sf).count())
