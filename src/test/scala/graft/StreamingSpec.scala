@@ -1654,6 +1654,22 @@ class StreamingSpec extends SparkSpecBase
     assert(d2 == Seq(5L), s"second delta overlaps or skips: $d2")
   }
 
+  test("incremental consumption works on a sink that has never compacted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_incr0").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    // no epoch exists: the watermark is the max committed batch id and
+    // the virgin cursor -1 serves the whole feed
+    assert(Streaming.sinkWatermark(spark, out) == 0L)
+    val all = Streaming.readSinkSince(spark, out, -1L)
+      .select("event_id").as[Long].collect().toSeq
+    assert(all == Seq(1L), s"virgin cursor missed the feed: $all")
+    assert(Streaming.readSinkSince(spark, out, 0L).count() == 0)
+  }
+
   test("readSinkSince hides uncommitted batches and refuses a cursor behind the compaction horizon") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_incr2").toString
