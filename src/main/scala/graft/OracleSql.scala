@@ -414,6 +414,35 @@ object OracleSql {
     * transitive closure + min per node (the declarative mirror of the
     * Spark side's label propagation — both converge to min-member-id
     * components). */
+  /** q123 — filtered kNN: q15's exact search with the probe's-own-lang
+    * restriction as a PRE-FILTER in the join condition; the neighbor's
+    * lang rides in the output so the hash pins the filter row-by-row.
+    * vec_id ≡ doc_id per the testdata contract aligns embedding to
+    * metadata. Same double-identical dot/divide evaluation as q15. */
+  val q123: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), nl AS (
+      |  SELECT n.vec_id, n.v, n.nrm, d.lang
+      |  FROM n JOIN documents d ON d.doc_id = n.vec_id
+      |), p AS (
+      |  SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, lang AS plang
+      |  FROM nl WHERE vec_id < 5
+      |), s AS (
+      |  SELECT p.probe_id, nl.vec_id AS neighbor_id, nl.lang,
+      |    list_dot_product(p.pv, nl.v) / (p.pnrm * nl.nrm) AS sim
+      |  FROM p JOIN nl ON nl.vec_id <> p.probe_id AND nl.lang = p.plang
+      |)
+      |SELECT probe_id, rank, neighbor_id, lang FROM (
+      |  SELECT probe_id, neighbor_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM s) t
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** q121 — near-dup dedup materialization: kept = ids never seen as
     * the larger member of a qualifying pair (q48's text embedded
     * verbatim, like q55). NOT IN is null-safe here (drop_id is never

@@ -135,7 +135,8 @@ object SparkEntry {
     "q119_upsert_batch" -> (Streaming.q119UpsertBatch _),
     "q120_perplexity_filter" -> (TextOps.q120PerplexityFilter _),
     "q121_neardup_dedup" -> (VectorOps.q121NeardupDedup _),
-    "q122_minhash_dedup" -> (TextOps.q122MinhashDedup _)
+    "q122_minhash_dedup" -> (TextOps.q122MinhashDedup _),
+    "q123_filtered_knn" -> (VectorOps.q123FilteredKnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -313,7 +314,11 @@ object SparkEntry {
     // q122 MinHash dedup materialization (q121's text-side twin):
     // kept = docs never the larger member of a q91 pair with verified
     // Jaccard >= 0.8; per-lang kept counts + id-sums pin membership
-    "q122_minhash_dedup" -> OracleSql.q122
+    "q122_minhash_dedup" -> OracleSql.q122,
+    // q123 filtered vector search: q15's exact kNN restricted to the
+    // probe's own language as a PRE-filter in the join condition; the
+    // neighbor's lang in the output pins the filter row-by-row
+    "q123_filtered_knn" -> OracleSql.q123
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

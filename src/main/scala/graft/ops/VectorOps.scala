@@ -485,6 +485,42 @@ object VectorOps {
       .localCheckpoint()
   }
 
+  /** q123 — FILTERED vector search (V13's metadata-constrained form —
+    * the "where lang = X" kNN every vector store ships, and a named
+    * hard problem: pre- vs post-filter): each probe's neighbors are
+    * restricted to its OWN language, and the restriction is a
+    * PRE-FILTER — the lang equality sits in the join condition, so
+    * distance evaluation touches only same-language candidates. At
+    * production selectivity f that is f·N distance ops per probe;
+    * post-filtering (top-k first, discard mismatches after) would
+    * both waste the other (1−f)·N distances and return fewer than k
+    * rows. The per-modality id alignment (vec_id ≡ doc_id in the
+    * testdata contract) is what joins the embedding to its metadata.
+    * Output carries the neighbor's lang so the hash pins that the
+    * filter really applied row-by-row. Same probe set, tie-break, and
+    * broadcast shape as q15. */
+  def q123FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val e = normed(spark, dir).join(lang, "vec_id")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"),
+        col("lang").as("plang"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.join(broadcast(probes),
+      col("vec_id") =!= col("probe_id") && col("lang") === col("plang"))
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("lang"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("lang"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** q121 — the near-dup dedup MATERIALIZATION (V14's missing last
     * step: q48 finds the pairs and q55 the clusters, but a pipeline
     * ultimately has to EMIT the deduplicated corpus): keep-first

@@ -171,6 +171,37 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q123: every neighbor shares its probe's language and ranks agree with a filtered exact scan") {
+    val langOf = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q123_filtered_knn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the filter held row-by-row: neighbor lang == probe lang
+    rows.foreach { r =>
+      assert(r.getString(3) == langOf(r.getLong(0)),
+        s"neighbor ${r.getLong(2)} leaked across the lang filter")
+    }
+    // agreement with a driver-side exact filtered scan
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 5L).flatMap { p =>
+      vecs.keys.filter(id => id != p && langOf(id) == langOf(p)).toSeq
+        .map(id => (id, cos(vecs(p), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (p, i + 1L, id) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "filtered kNN diverges from exact filtered scan")
+  }
+
   test("q121: kept set is exactly the complement of q48's drop ids, pinned by bucket sums") {
     val dropIds = SparkEntry.queries("q48_embed_neardup")(spark, sf).collect()
       .map(_.getLong(1)).toSet
