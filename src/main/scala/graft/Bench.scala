@@ -212,8 +212,16 @@ object Bench {
   // pins the short-id line under the cap for the CURRENT query
   // registry, so a query added past the budget fails a test instead
   // of silently truncating the round's bench signal.
-  private def fmt(v: Double): String = BigDecimal(v)
-    .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+  /** Width-capped duration rendering: 0.01 s resolution below 10 s
+    * (where per-query precision matters), 0.1 s in [10, 100), whole
+    * seconds above. The line must fit the driver's ~2,000-char stdout
+    * tail for the WHOLE registry at worst-case widths (BenchFormatSpec
+    * pins it), and bench noise exceeds 0.1 s long before a query
+    * does — the wide values pay for the registry's growth. */
+  private def fmt(v: Double): String = {
+    val scale = if (math.abs(v) < 10) 2 else if (math.abs(v) < 100) 1 else 0
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+  }
 
   /** Headline semantics under a tripped verdict: each retried query
     * contributes min(original, retry) — the retry is one more rep of

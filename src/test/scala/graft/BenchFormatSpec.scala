@@ -54,7 +54,7 @@ class BenchFormatSpec extends AnyFunSuite {
       Some(Bench.Probes(1.0, 1.0, 2.0, 40.0)),
       Some(Bench.Retry(Map("q01_x" -> 1.0, "q02_y" -> 3.0), 1.1, 1.9)))
     assert(line ==
-      """{"metric":"total","value":3.50,"unit":"sec","errors":0,"calib_before":1.00,"calib_after":1.00,"calib_mt_before":2.00,"calib_mt_after":40.00,"contended":true,"raw_total":6.50,"retried":2,"calib_retry":1.10,"calib_mt_retry":1.90,"queries":{"q01":1.00,"q02":2.00,"q03":0.50},"sf":"/sf"}""")
+      """{"metric":"total","value":3.50,"unit":"sec","errors":0,"calib_before":1.00,"calib_after":1.00,"calib_mt_before":2.00,"calib_mt_after":40.0,"contended":true,"raw_total":6.50,"retried":2,"calib_retry":1.10,"calib_mt_retry":1.90,"queries":{"q01":1.00,"q02":2.00,"q03":0.50},"sf":"/sf"}""")
   }
 
   test("the contended verdict trips on the observed contamination shapes and not on healthy readings") {
