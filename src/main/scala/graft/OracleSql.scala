@@ -792,6 +792,41 @@ object OracleSql {
        |  SELECT DISTINCT doc_b FROM pairs WHERE jac_bp >= 8000)
        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** q126 — the incremental-dedup audit: the engine admits the
+    * incoming slice (`doc_id % 3 = 0`) against the already-admitted
+    * corpus by probing the band index with ONLY the slice's keys; the
+    * oracle derives the same rejected set from q91's FULL pair list
+    * (doc_a < doc_b throughout) — an incoming doc is rejected iff it
+    * is the `doc_b` of a qualifying pair whose partner is anything
+    * (covers corpus-partner-with-smaller-id AND keep-first inside the
+    * slice), or the `doc_a` of a qualifying pair whose partner is a
+    * CORPUS doc (the corpus is immutable: a new doc loses to an
+    * admitted near-dup regardless of id order). Hash equality proves
+    * the engine's restricted candidate join drops no qualifying pair
+    * and admits no near-dup. LEFT JOIN instead of a projected IN
+    * (Spark confines IN-subqueries to filters — the sweep runs this
+    * text verbatim); UNION (distinct) keeps the rejected set a set. */
+  lazy val q126: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b, n_inter, jac_bp FROM (
+       |$q91
+       |  )
+       |), rejected AS (
+       |  SELECT doc_b AS doc_id FROM pairs
+       |  WHERE jac_bp >= 8000 AND doc_b % 3 = 0
+       |  UNION
+       |  SELECT doc_a AS doc_id FROM pairs
+       |  WHERE jac_bp >= 8000 AND doc_a % 3 = 0 AND doc_b % 3 <> 0
+       |)
+       |SELECT d.lang, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NULL THEN d.doc_id END), 0)
+       |    AS BIGINT) AS id_sum
+       |FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
+       |WHERE d.doc_id % 3 = 0
+       |GROUP BY d.lang ORDER BY d.lang NULLS FIRST""".stripMargin
+
   /** q66 — medians of integer counts interpolate to k or k+0.5 exactly
     * in both engines (quantile_cont ≙ Spark percentile), so the ×10
     * integerization and the 2·MAD comparison are exact. */
@@ -1501,6 +1536,34 @@ object OracleSql {
       |  COUNT(DISTINCT user_id) AS n_users,
       |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
       |FROM merged
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** q124 — the schema-evolution audit: the engine ingests a v1
+    * generation of events WITHOUT `value_cents` (even ids, base
+    * columns only) and a v2 generation WITH it (odd ids,
+    * `FLOOR(value·100)` as BIGINT), compacts both into one epoch, and
+    * aggregates the evolved table; the oracle re-states the two
+    * generations as a CASE — even ids carry NULL cents, odd ids carry
+    * the exact fixed-point value. The per-row FLOOR(value·100)
+    * integerizes BEFORE the SUM (the q59/q65/q120 discipline) so the
+    * aggregate is integer-exact and partition-order-independent in
+    * both engines; COUNT(cents) pins that v1 rows surfaced NULL (a
+    * zero-fill would keep n_events but inflate n_cents), and the
+    * explicit BIGINT casts pin DuckDB's SUM type widening (HUGEINT)
+    * back to the engine's long. NULLS FIRST pins the engines'
+    * differing null-sort defaults should event_type ever carry NULL. */
+  val q124: String =
+    """WITH evolved AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 2 = 1
+      |              THEN CAST(FLOOR(value * 100) AS BIGINT) END AS value_cents
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(value_cents) AS n_cents,
+      |  CAST(COALESCE(SUM(value_cents), 0) AS BIGINT) AS sum_cents
+      |FROM evolved
       |GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 }

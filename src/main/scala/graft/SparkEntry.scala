@@ -136,7 +136,10 @@ object SparkEntry {
     "q120_perplexity_filter" -> (TextOps.q120PerplexityFilter _),
     "q121_neardup_dedup" -> (VectorOps.q121NeardupDedup _),
     "q122_minhash_dedup" -> (TextOps.q122MinhashDedup _),
-    "q123_filtered_knn" -> (VectorOps.q123FilteredKnn _)
+    "q123_filtered_knn" -> (VectorOps.q123FilteredKnn _),
+    "q124_schema_evolution" -> (Streaming.q124SchemaEvolution _),
+    "q125_pq_ann" -> (VectorOps.q125PqAnn _),
+    "q126_incremental_dedup" -> (TextOps.q126IncrementalDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -318,8 +321,18 @@ object SparkEntry {
     // q123 filtered vector search: q15's exact kNN restricted to the
     // probe's own language as a PRE-filter in the join condition; the
     // neighbor's lang in the output pins the filter row-by-row
-    "q123_filtered_knn" -> OracleSql.q123
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73 (engine-specific
+    "q123_filtered_knn" -> OracleSql.q123,
+    // q124 schema evolution: a v1 generation lands without value_cents,
+    // a v2 generation lands with it, both compact into one epoch; the
+    // oracle re-states the generations as a CASE — hash equality proves
+    // v1 rows surfaced NULL and v2 kept exact cents through the rewrite
+    "q124_schema_evolution" -> OracleSql.q124,
+    // q126 incremental dedup: the engine probes the corpus band index
+    // with only the incoming slice's keys; the oracle re-derives the
+    // rejected set from q91's full pair list — hash equality proves the
+    // restricted candidate join loses no qualifying pair
+    "q126_incremental_dedup" -> OracleSql.q126
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

@@ -1262,6 +1262,50 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** q124 — SCHEMA EVOLUTION on the sink END TO END under the oracle
+    * hash (promoting the additive-drift contract — until now pinned
+    * only by ScalaTest — into the t2 gate): a v1 ingest generation
+    * lands WITHOUT the `value_cents` column (the slice
+    * `event_id % 2 = 0`, base columns only), a v2 generation lands
+    * WITH it (`floor(value·100)` as BIGINT — the fixed-point
+    * discipline, integerized per row BEFORE any aggregate so both
+    * engines sum exact integers), a QUIESCED [[compactSink]] folds
+    * both generations into ONE epoch zone (mergeSchema unions the
+    * footers; v1 rows surface the new column as NULL), and
+    * [[readSink]] reduces the evolved table to per-type counts, the
+    * non-null count of the new column, and its exact sum. The oracle
+    * re-states the generations as a CASE over `events` (odd ids carry
+    * cents, even ids carry NULL); hash equality proves v1 rows
+    * surfaced NULL (not zero, not dropped), v2 rows kept their exact
+    * cents through the rewrite, and the evolved schema aggregates as
+    * one relation. Scratch-sink convention and determinism story are
+    * q115's. */
+  def q124SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
+      s"events_evo_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val ev = Tables.events(spark, dir)
+    val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+    val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("bigint").as("value_cents"))
+    writeBatchIdempotent(v1, sink, 0L)
+    writeBatchIdempotent(v2, sink, 1L)
+    compactSink(spark, sink, quiesced = true)
+    readSink(spark, sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("value_cents")).as("n_cents"),
+        coalesce(sum(col("value_cents")), lit(0L)).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the

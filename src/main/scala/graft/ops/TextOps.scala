@@ -1115,14 +1115,16 @@ object TextOps {
       .orderBy("lang")
   }
 
-  def q91MinhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingleDocs(spark, dir)
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+  /** q91's md5-portable MinHash band keys: 8 md5-derived permutation
+    * minima folded into two 4-row band keys, one (doc_id, bk) row per
+    * band. Shared by q91 (all-pairs candidates) and q126 (incremental
+    * candidates — only new docs' keys probe). */
+  private def minhashBands(inv: DataFrame): DataFrame = {
     val mins = (0 until 8).map(i => min(expr(
       s"CAST(conv(substr(md5(concat('$i:', s)), 1, 15), 16, 10) AS BIGINT)"))
       .as(s"h$i"))
     val sigs = inv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
         md5(concat_ws(",", col("h0"), col("h1"), col("h2"), col("h3")))
           .as("b0"),
         md5(concat_ws(",", col("h4"), col("h5"), col("h6"), col("h7")))
@@ -1130,6 +1132,12 @@ object TextOps {
       .select(col("doc_id"), explode(array(
         concat(lit("0:"), col("b0")), concat(lit("1:"), col("b1"))))
         .as("bk"))
+  }
+
+  def q91MinhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleDocs(spark, dir)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val bands = minhashBands(inv)
     val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
       .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -1150,6 +1158,67 @@ object TextOps {
         / (col("na") + col("nb") - col("n_inter"))).cast("bigint"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jac_bp"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // --------------------------------------------------------------- q126
+  /** q126 — INCREMENTAL dedup: admit an incoming slice against an
+    * already-deduplicated corpus, the shape a production pipeline runs
+    * every ingest cycle (re-deduplicating the whole corpus per batch is
+    * O(corpus) per day; probing the corpus's LSH index with only the
+    * new docs' keys is O(slice)). The arrival split is content-derived
+    * (`doc_id % 3 = 0` is the incoming slice, the rest the admitted
+    * corpus); an incoming doc is REJECTED iff it has a verified
+    * near-dup (q91's md5-portable pipeline, Jaccard ≥ 0.8) with ANY
+    * corpus doc — the corpus is immutable, so order doesn't matter —
+    * or with a SMALLER-id incoming doc (keep-first inside the batch,
+    * q122's greedy policy). Only NEW docs' band keys enter the
+    * candidate join (the corpus side is the stored index a real
+    * deployment keeps materialized — q34's layout), and verification
+    * touches candidates only. Output per lang: slice size, admitted
+    * count, admitted id-sum (membership-pinning, q121/q122's
+    * discipline). The oracle derives the same rejected set from q91's
+    * full pair list with the membership predicates re-stated in SQL —
+    * hash equality proves the incremental candidate restriction loses
+    * no pair that matters and admits no near-dup. */
+  def q126IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleDocs(spark, dir)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val bands = minhashBands(inv)
+    val isNew = (c: Column) => pmod(c, lit(3)) === 0
+    // only the slice's keys probe; the full band table is the index
+    val cand = bands.filter(isNew(col("doc_id")))
+      .select(col("bk"), col("doc_id").as("doc_n"))
+      .join(bands.select(col("bk"), col("doc_id").as("doc_o")), Seq("bk"))
+      .filter(col("doc_o") =!= col("doc_n"))
+      // qualifying partner: any corpus doc, or an earlier incoming doc
+      .filter(!isNew(col("doc_o")) || col("doc_o") < col("doc_n"))
+      .select("doc_n", "doc_o")
+      .dropDuplicates("doc_n", "doc_o")
+    val nSh = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val verified = cand
+      .join(inv.select(col("doc_id").as("doc_n"), col("s")), Seq("doc_n"))
+      .join(inv.select(col("doc_id").as("doc_o"), col("s")),
+        Seq("doc_o", "s"))
+      .groupBy("doc_n", "doc_o").agg(count(lit(1)).as("n_inter"))
+      .join(nSh.select(col("doc_id").as("doc_n"), col("n_sh").as("nn")),
+        "doc_n")
+      .join(nSh.select(col("doc_id").as("doc_o"), col("n_sh").as("no")),
+        "doc_o")
+      .filter(floor(lit(10000) * col("n_inter")
+        / (col("nn") + col("no") - col("n_inter"))) >= 8000)
+    val rejected = verified.select(col("doc_n").as("doc_id")).distinct()
+      .withColumn("rej", lit(1))
+    Tables.documents(spark, dir)
+      .filter(isNew(col("doc_id")))
+      .select("doc_id", "lang")
+      .join(rejected, Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("rej").isNull, 1).otherwise(0)).cast("bigint")
+          .as("n_admitted"),
+        coalesce(sum(when(col("rej").isNull, col("doc_id"))), lit(0L))
+          .cast("bigint").as("id_sum"))
+      .orderBy("lang")
   }
 
   // ---------------------------------------------------------------- q89

@@ -659,6 +659,129 @@ object VectorOps {
         .sortBy(_._1)
     }
 
+  // --------------------------------------------------------------- q125
+  /** q125 — product-quantization ANN (V13 scale path #3, the memory
+    * story q71's scalar int8 cannot tell): the 64-dim unit vector is
+    * cut into M=8 subvectors of 8 dims, each encoded as the id of its
+    * nearest centroid in a per-subspace codebook of K=16 (seeds =
+    * first-16 subvectors refined by one Lloyd iteration — q49's
+    * training discipline per subspace) — 8 half-byte codes, a 64×
+    * compression of the float vector, the representation FAISS-style
+    * billion-vector deployments actually scan. Search is ADC
+    * (asymmetric distance computation, Jégou PAMI'11): each probe
+    * precomputes its dot product against all 128 centroids (a 640-row
+    * lookup table), the approximate similarity of a corpus vector is
+    * the SUM of 8 table lookups — relationally, the code table joins
+    * the broadcast LUT on (m, code) and one hash aggregation per
+    * (probe, vector) sums the parts; no float vector is touched in the
+    * scan. The approximate top-64 per probe then re-ranks EXACTLY
+    * (fetch the 64 float vectors, q15's scoring) and emits top-10 —
+    * the standard ADC + re-rank pipeline, whose recall the spec gates
+    * against exact q15. At 100 TB the codes table is 64× smaller than
+    * the corpus and the exact fetch touches 64 vectors per probe:
+    * scan cost scales with the CODES, not the floats. Rows-only
+    * (codebook means are iteration- and partition-order-specific,
+    * q49's caveat); every step is relational — broadcast joins against
+    * bounded codebook/LUT dims, hash aggs, windows. */
+  private val pqSubspaces = 8 // M: subvectors per embedding
+  private val pqSubDim = 8 // dims per subvector (64 / M)
+  private val pqCentroids = 16 // K: codebook size per subspace
+  private val pqRerank = 64 // exact re-rank pool per probe
+
+  /** One row per (vec_id, subspace m, 8-dim subvector slice). */
+  private def subVecs(unit: DataFrame): DataFrame =
+    unit.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("m"), col("u"))
+      .withColumn("sub",
+        slice(col("u"), col("m") * pqSubDim + 1, lit(pqSubDim)))
+      .select(col("vec_id"), col("m"), col("sub"))
+
+  /** L2-argmin code per (vec_id, m) against the broadcast codebook.
+    * d² = |sub|² + |c|² − 2·sub·c; |sub|² is constant per (vec_id, m)
+    * so css − 2·dot alone preserves the argmin. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("css") - lit(2) * dot(col("sub"), col("c")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+
+  // Bounded dimension like q49's quantizer: ≤128 rows × 8 doubles,
+  // built once per (session, dir) — a codebook training job, not a
+  // data collect.
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (SparkSession, Array[(Int, Int, Array[Double])])]
+
+  private[graft] def pqCodebook(spark: SparkSession, dir: String)
+      : Array[(Int, Int, Array[Double])] =
+    graft.SessionCache.getOrBuild(pqCache, spark, dir) {
+      import spark.implicits._
+      val sub = subVecs(unitVecs(normed(spark, dir)))
+      val seeds = sub.filter(col("vec_id") < pqCentroids)
+        .select(col("m"), col("vec_id").cast("int").as("cid"),
+          col("sub").as("c"))
+        .withColumn("css", dot(col("c"), col("c")))
+      // one Lloyd iteration: element-wise mean per (subspace, code)
+      pqAssign(sub, seeds)
+        .join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), col("sub"))
+        .as[(Int, Int, Array[Double])]
+        .groupByKey(t => (t._1, t._2))
+        .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Array[Double])]) =>
+          var sum: Array[Double] = null
+          var n = 0
+          it.foreach { t =>
+            if (sum == null) sum = new Array[Double](t._3.length)
+            var i = 0
+            while (i < t._3.length) { sum(i) += t._3(i); i += 1 }
+            n += 1
+          }
+          (key._1, key._2, sum.map(_ / n))
+        }
+        .collect()
+        .sortBy(t => (t._1, t._2))
+    }
+
+  def q125PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(spark, dir)
+    val unit = unitVecs(e)
+    val cb = spark.createDataFrame(pqCodebook(spark, dir).toSeq)
+      .toDF("m", "cid", "c")
+      .withColumn("css", dot(col("c"), col("c")))
+    // the corpus as 8 half-byte codes per vector (the stored index)
+    val codes = pqAssign(subVecs(unit), cb)
+    // per-probe ADC lookup table: probe-subvector · centroid, 128 rows
+    // per probe — bounded, broadcast
+    val lut = subVecs(unit.filter(col("vec_id") < 5))
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pdot", dot(col("sub"), col("c")))
+      .select(col("probe_id"), col("m"), col("cid").as("code"), col("pdot"))
+    // approximate similarity = sum of 8 LUT lookups; no float vectors
+    val approx = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("asim"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("asim").desc, col("vec_id"))
+    val cands = approx.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= pqRerank)
+      .select(col("probe_id"), col("vec_id"))
+    // exact re-rank of the bounded candidate pool (q15's scoring)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.join(e, "vec_id").join(broadcast(probes), "probe_id")
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"))
+      .orderBy("probe_id", "rank")
+  }
+
   def q49IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

@@ -31,7 +31,7 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q27_shingle_jaccard", "q71_quantized_knn", "q85_retention_cohorts",
       "q115_stream_compaction", "q116_retention", "q117_delete_where",
       "q118_incremental_read", "q119_upsert_batch",
-      "q120_perplexity_filter")
+      "q120_perplexity_filter", "q124_schema_evolution")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

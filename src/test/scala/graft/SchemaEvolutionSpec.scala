@@ -60,4 +60,29 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(badLines == Set("broken,fr,300", "4,es"))
     read.unpersist()
   }
+
+  test("q124 evolves the sink schema: v1 rows surface NULL cents, v2 keeps exact values") {
+    import graft.ops.Streaming
+    val ev = Tables.events(spark, sf)
+    val out = Streaming.q124SchemaEvolution(spark, sf).collect()
+    // one output row per event_type, all rows accounted for
+    val types = ev.select("event_type").distinct().count()
+    assert(out.length == types)
+    assert(out.map(_.getLong(1)).sum == ev.count())
+    // n_cents counts EXACTLY the v2 (odd-id, non-null value) rows —
+    // a zero-fill of the evolved column would inflate this
+    val expectCents = ev.filter(pmod(col("event_id"), lit(2)) === 1
+      && col("value").isNotNull).count()
+    assert(out.map(_.getLong(2)).sum == expectCents)
+    // and the sums are the exact fixed-point per-row values, re-derived
+    // without the sink in the loop
+    val direct = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .groupBy("event_type")
+      .agg(sum(floor(col("value") * 100).cast("bigint")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(3) == direct.getOrElse(r.getString(0), 0L),
+        s"sum_cents diverged for ${r.getString(0)}")
+    }
+  }
 }

@@ -262,6 +262,36 @@ class TextOpsSpec extends SparkSpecBase {
       s"dedup materialization diverges from the q91 complement:\n$got\nvs\n$expected")
   }
 
+  test("q126: incremental admission equals the full-pair derivation, restricted to the slice") {
+    // rejected-by-rule from q91's complete pair list: a new doc loses
+    // to ANY partner when it is doc_b, and to a CORPUS partner when it
+    // is doc_a (the corpus is immutable — order can't save it)
+    val pairs = SparkEntry.queries("q91_minhash_portable")(spark, sf)
+      .collect().filter(_.getLong(3) >= 8000)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rejected =
+      pairs.collect { case (_, b) if b % 3 == 0 => b }.toSet ++
+      pairs.collect { case (a, b) if a % 3 == 0 && b % 3 != 0 => a }.toSet
+    val slice = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0)
+    val expected = slice.groupBy(_._2).map { case (lang, g) =>
+      val admitted = g.filterNot(d => rejected(d._1))
+      (lang, g.length.toLong, admitted.length.toLong, admitted.map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q126_incremental_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"incremental admission diverges from the full derivation:\n$got\nvs\n$expected")
+    // the slice must actually reject something at this SF, or the
+    // incremental path is vacuous
+    assert(expected.map(_._2).sum > expected.map(_._3).sum,
+      "no near-dup rejected - q126's gate is vacuous at this SF")
+  }
+
   test("q32: one fingerprint per doc") {
     val n = SparkEntry.queries("q32_doc_fingerprint")(spark, sf).count()
     assert(n == Tables.documents(spark, sf).count())

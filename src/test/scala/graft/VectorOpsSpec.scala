@@ -140,6 +140,34 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("q125 PQ: codes are a complete 8-per-vector encoding over a <=128-entry codebook") {
+    val cb = ops.VectorOps.pqCodebook(spark, sf)
+    // codebook shape: per-subspace ids within [0, 16), subvector dim 8
+    assert(cb.length <= 8 * 16 && cb.nonEmpty)
+    assert(cb.forall { case (m, cid, c) =>
+      m >= 0 && m < 8 && cid >= 0 && cid < 16 && c.length == 8 })
+    // every (m, cid) appears once — the codebook is a function
+    assert(cb.map(t => (t._1, t._2)).distinct.length == cb.length)
+  }
+
+  test("q125 PQ ANN: ranked output, recall@10 >= 0.9 vs exact q15 after re-rank") {
+    val rows = SparkEntry.queries("q125_pq_ann")(spark, sf).collect()
+    val perProbe = rows.groupBy(_.getLong(0))
+    assert(perProbe.keySet == (0L to 4L).toSet)
+    perProbe.values.foreach { g =>
+      val ranks = g.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+    // ADC over 8 half-byte codes is lossy, but the exact re-rank of the
+    // top-64 pool must recover the true neighborhood: the pipeline's
+    // quality bar is the CANDIDATE GENERATOR's, not the 64x compression's
+    val exact = SparkEntry.queries("q15_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
   test("q35 multimodal: per-kind stats with real byte counts") {
     val rows = SparkEntry.queries("q35_multimodal_features")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
