@@ -139,7 +139,9 @@ object SparkEntry {
     "q123_filtered_knn" -> (VectorOps.q123FilteredKnn _),
     "q124_schema_evolution" -> (Streaming.q124SchemaEvolution _),
     "q125_pq_ann" -> (VectorOps.q125PqAnn _),
-    "q126_incremental_dedup" -> (TextOps.q126IncrementalDedup _)
+    "q126_incremental_dedup" -> (TextOps.q126IncrementalDedup _),
+    "q127_sketch_rollup" -> (RelationalQueries.q127SketchRollup _),
+    "q128_heavy_hitters" -> (TextOps.q128HeavyHitters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -332,7 +334,7 @@ object SparkEntry {
     // rejected set from q91's full pair list — hash equality proves the
     // restricted candidate join loses no qualifying pair
     "q126_incremental_dedup" -> OracleSql.q126
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125 (engine-specific
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

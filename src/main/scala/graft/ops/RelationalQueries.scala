@@ -228,6 +228,40 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** q127 — MERGEABLE sketch rollup (A8's warehouse deployment form,
+    * the piece q11b's one-shot approx_count_distinct doesn't show): a
+    * DataSketches HLL sketch of distinct users is aggregated PER DAY —
+    * the materialization a 100 TB warehouse stores next to each
+    * partition — and weekly uniques are answered by UNIONING the seven
+    * daily sketches (`hll_union_agg`), never re-scanning raw rows.
+    * That's the entire point of a mergeable sketch: distinct counts
+    * don't add (Σ daily uniques ≥ weekly uniques — users repeat), but
+    * sketches union losslessly, so ANY date range is answerable from
+    * the per-day aggregates at bucket-count cost. Output per ISO week:
+    * estimated uniques from the union, the day count, and the naive
+    * (wrong, upper-bound) sum of daily estimates — pinning that the
+    * union path actually de-duplicates across days. Rows-only
+    * (DataSketches binary estimates are engine-specific); ScalaTest
+    * gates the estimate against exact countDistinct within the lgK=12
+    * error envelope. */
+  def q127SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("est_daily"))
+    daily
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .groupBy(col("week"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_days"),
+        sum(col("est_daily")).as("naive_sum"))
+      .orderBy("week")
+  }
+
   /** q36 — as-of join (J11): for each purchase, the user's most recent
     * click at-or-before it. Implemented the scalable way: one window
     * over the per-user event timeline with a running "last click"

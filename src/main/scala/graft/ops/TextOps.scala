@@ -1221,6 +1221,42 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // --------------------------------------------------------------- q128
+  /** q128 — one-pass heavy hitters per language via the Misra–Gries
+    * mergeable sketch (graft.functions.MisraGries): k=32 counters per
+    * lang stream RAW tokens straight into the typed Aggregator — no
+    * groupBy(token) ever happens, so nothing proportional to the
+    * DISTINCT vocabulary shuffles or materializes. q13/q84 are the
+    * exact twins (count then top-k); this is what replaces them when
+    * the vocabulary itself is the scale problem (billions of distinct
+    * n-grams): state is O(k) per group, partial buffers combine
+    * map-side, and the summary still guarantees every token with true
+    * share > 1/(k+1) survives with estimates undercounting by at most
+    * the reported `err_bound`. Output: top-5 survivors per lang with
+    * their estimate AND the group's error bound — the honest answer a
+    * sketch owes its consumer. Rows-only (estimates are
+    * partitioning-dependent); the spec pins the error CONTRACT
+    * (est ≤ true ≤ est + err_bound) on the corpus and the
+    * survival guarantee on synthetic skew. */
+  def q128HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mg = new graft.functions.MisraGries(32)
+    withToks(Tables.documents(spark, dir))
+      .select(col("lang"), explode(col("t")).as("token"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(mg.toColumn.name("sk"))
+      .toDF("lang", "sk")
+      .select(col("lang"), col("sk.delta").as("err_bound"),
+        posexplode(col("sk.items")))
+      .filter(col("pos") < 5)
+      .select(col("lang"), (col("pos") + 1).cast("bigint").as("rn"),
+        col("col._1").as("token"), col("col._2").as("est_n"),
+        col("err_bound"))
+      .orderBy("lang", "rn")
+  }
+
   // ---------------------------------------------------------------- q89
   /** q89 — BPE vocabulary induction (tokenizer training, the flagship
     * preprocessing op of an LLM data pipeline): learn the first 10

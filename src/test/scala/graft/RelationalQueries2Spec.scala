@@ -59,6 +59,33 @@ class RelationalQueries2Spec extends SparkSpecBase {
     }
   }
 
+  test("q127 sketch rollup: union estimate tracks exact weekly uniques and de-duplicates across days") {
+    val rows = SparkEntry.queries("q127_sketch_rollup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact weekly distinct users, recomputed without sketches
+    val exact = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(rows.map(_.getDate(0).toString).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (week, est, nDays, naive) =
+        (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))
+      val truth = exact(week)
+      // lgK=12 HLL: ~0.8% RSE in dense mode, exact in sparse — 2% is a
+      // generous gate that still catches a broken union
+      assert(math.abs(est - truth) <= math.max(1L, truth / 50),
+        s"week $week: est $est vs exact $truth")
+      // the union must DE-duplicate across days: users repeat, so the
+      // naive sum of daily estimates strictly exceeds the weekly truth
+      // whenever the week has multiple days (pinned at every SF: the
+      // events generator reuses user ids across days)
+      if (nDays > 1) assert(est < naive,
+        s"week $week: union estimate $est not below naive sum $naive")
+    }
+  }
+
   test("q46 session windows: partition all events, 30-min gap semantics") {
     val rows = SparkEntry.queries("q46_session_windows")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

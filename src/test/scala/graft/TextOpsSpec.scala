@@ -292,6 +292,51 @@ class TextOpsSpec extends SparkSpecBase {
       "no near-dup rejected - q126's gate is vacuous at this SF")
   }
 
+  test("q128 Misra-Gries: est <= true <= est + err_bound on the corpus") {
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val langTotals = exact.groupBy(_._1._1).map { case (l, m) =>
+      l -> m.values.sum }
+    val rows = SparkEntry.queries("q128_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, token, est, err) =
+        (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4))
+      val truth = exact((lang, token))
+      assert(est <= truth && truth <= est + err,
+        s"$lang/$token: est $est, err $err, true $truth")
+      // the sketch's own bound: delta can never exceed N/(k+1)
+      assert(err <= langTotals(lang) / 33 + 1,
+        s"$lang: err_bound $err above N/(k+1)")
+    }
+  }
+
+  test("MisraGries survival guarantee: heavies survive every partitioning of synthetic skew") {
+    import spark.implicits._
+    // 3 heavy tokens (3000/2000/1000) in a sea of 6000 near-distinct
+    // rares: truth > N/(k+1) = 12000/9 must survive MG(8)
+    val data = Seq.fill(3000)("alpha") ++ Seq.fill(2000)("beta") ++
+      Seq.fill(1000)("gamma") ++ (0 until 6000).map(i => s"rare_${i % 3000}")
+    val mg = new graft.functions.MisraGries(8)
+    for (parts <- Seq(1, 7, 32)) {
+      val buf = spark.createDataset(data).repartition(parts)
+        .groupByKey(_ => 0).mapValues(identity)
+        .agg(mg.toColumn.name("sk")).collect().head._2
+      val kept = buf.items.toMap
+      for ((tok, truth) <- Seq("alpha" -> 3000L, "beta" -> 2000L)) {
+        assert(kept.contains(tok), s"$tok lost at $parts partitions")
+        assert(kept(tok) <= truth && truth <= kept(tok) + buf.delta,
+          s"$tok bound broken at $parts partitions: ${kept(tok)} " +
+            s"+ ${buf.delta} vs $truth")
+      }
+      assert(buf.items.size <= 8 && buf.delta <= 12000 / 9 + 1)
+    }
+  }
+
   test("q32: one fingerprint per doc") {
     val n = SparkEntry.queries("q32_doc_fingerprint")(spark, sf).count()
     assert(n == Tables.documents(spark, sf).count())
