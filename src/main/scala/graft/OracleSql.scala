@@ -792,6 +792,71 @@ object OracleSql {
        |  SELECT DISTINCT doc_b FROM pairs WHERE jac_bp >= 8000)
        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** q129 — the streaming-admission audit: the engine's stateful
+    * per-bucket admitter (batch-declared: arrival order = id order)
+    * rejects a doc iff an earlier bucket-mate agrees on ≥ 6 of its 8
+    * md5-portable signature minima. Because every signature component
+    * is a deterministic md5 derivation, DuckDB rebuilds signatures,
+    * band-0 buckets (joined on the four raw minima — byte-equivalent
+    * to the engine's md5 bucket key), the agreement count, and the
+    * greedy rule (a rejected doc still rejects later ones — state
+    * admits every arrival) verbatim; docs too short to shingle never
+    * appear in `keyed` and stay admitted through the LEFT JOIN. Hash
+    * equality proves the streaming operator's per-bucket state
+    * machine computes exactly this relational semantics. */
+  lazy val q129: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(t) - 2),
+       |      i -> list_extract(t, i) || ' ' || list_extract(t, i+1) || ' ' || list_extract(t, i+2)))) AS s
+       |  FROM toks WHERE len(t) >= 3
+       |), hx AS (
+       |  SELECT doc_id,
+       |    substr(md5('0:' || s), 1, 15) AS x0,
+       |    substr(md5('1:' || s), 1, 15) AS x1,
+       |    substr(md5('2:' || s), 1, 15) AS x2,
+       |    substr(md5('3:' || s), 1, 15) AS x3,
+       |    substr(md5('4:' || s), 1, 15) AS x4,
+       |    substr(md5('5:' || s), 1, 15) AS x5,
+       |    substr(md5('6:' || s), 1, 15) AS x6,
+       |    substr(md5('7:' || s), 1, 15) AS x7
+       |  FROM sh
+       |), keyed AS (
+       |  SELECT doc_id,
+       |    MIN(${hex15("x0")}) AS h0,
+       |    MIN(${hex15("x1")}) AS h1,
+       |    MIN(${hex15("x2")}) AS h2,
+       |    MIN(${hex15("x3")}) AS h3,
+       |    MIN(${hex15("x4")}) AS h4,
+       |    MIN(${hex15("x5")}) AS h5,
+       |    MIN(${hex15("x6")}) AS h6,
+       |    MIN(${hex15("x7")}) AS h7
+       |  FROM hx GROUP BY 1
+       |), rej AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM keyed a JOIN keyed b
+       |    ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+       |    AND b.doc_id < a.doc_id
+       |  WHERE (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END
+       |       + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
+       |       + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END
+       |       + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END
+       |       + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END
+       |       + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END
+       |       + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END
+       |       + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) >= 6
+       |)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NULL THEN d.doc_id END), 0)
+       |    AS BIGINT) AS id_sum
+       |FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
+       |GROUP BY d.lang ORDER BY d.lang NULLS FIRST""".stripMargin
+
   /** q126 — the incremental-dedup audit: the engine admits the
     * incoming slice (`doc_id % 3 = 0`) against the already-admitted
     * corpus by probing the band index with ONLY the slice's keys; the

@@ -141,7 +141,8 @@ object SparkEntry {
     "q125_pq_ann" -> (VectorOps.q125PqAnn _),
     "q126_incremental_dedup" -> (TextOps.q126IncrementalDedup _),
     "q127_sketch_rollup" -> (RelationalQueries.q127SketchRollup _),
-    "q128_heavy_hitters" -> (TextOps.q128HeavyHitters _)
+    "q128_heavy_hitters" -> (TextOps.q128HeavyHitters _),
+    "q129_streaming_admission" -> (TextOps.q129StreamingAdmission _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,7 +334,12 @@ object SparkEntry {
     // with only the incoming slice's keys; the oracle re-derives the
     // rejected set from q91's full pair list — hash equality proves the
     // restricted candidate join loses no qualifying pair
-    "q126_incremental_dedup" -> OracleSql.q126
+    "q126_incremental_dedup" -> OracleSql.q126,
+    // q129 streaming admission: the stateful per-bucket admitter's
+    // batch declaration; signatures are md5-portable so the oracle
+    // rebuilds bucket, agreement, and greedy rejection relationally —
+    // hash equality proves the state machine computes that semantics
+    "q129_streaming_admission" -> OracleSql.q129
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

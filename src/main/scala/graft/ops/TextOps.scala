@@ -1,9 +1,19 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
+
+/** One keyed arrival of the streaming near-dup admission op (q129):
+  * the doc's md5-portable 8-min signature plus its band-0 bucket key —
+  * all computed per ROW (array_min over the shingle array), never via
+  * aggregation, so the projection is streaming-safe. */
+case class SigDoc(doc_id: Long, lang: String, bk: String, sig: Seq[Long])
+
+/** Admission verdict of [[TextOps.neardupAdmit]]. */
+case class AdmitVerdict(doc_id: Long, lang: String, admitted: Boolean)
 
 /** Text-analysis + dedup operators over the `documents` table
   * (SURVEY §2.8 V14/V15 and the LLM-pipeline mandate: exact dedup,
@@ -1217,6 +1227,104 @@ object TextOps {
         sum(when(col("rej").isNull, 1).otherwise(0)).cast("bigint")
           .as("n_admitted"),
         coalesce(sum(when(col("rej").isNull, col("doc_id"))), lit(0L))
+          .cast("bigint").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  // --------------------------------------------------------------- q129
+  /** Streaming near-dup ADMISSION (q126's deployment form — V14 × S6,
+    * the op an ingest service runs on every arriving document): each
+    * doc computes its md5-portable MinHash signature PER ROW (an
+    * `array_min(transform(...))` projection over the shingle array —
+    * no aggregation, so the stream needs no watermark to produce it)
+    * and its band-0 bucket key; a stateful
+    * `flatMapGroupsWithState` keyed by bucket holds the signatures of
+    * every doc seen in that bucket and rejects an arrival iff some
+    * EARLIER-seen bucket-mate agrees on ≥ 6 of the 8 signature minima
+    * (estimated Jaccard ≥ 0.75 — signature-level verification, the
+    * trade a streaming admitter makes: state stays 8 longs/doc instead
+    * of the shingle sets exact verification would need). Docs too
+    * short to shingle are admitted trivially and never enter state.
+    *
+    * The same entry point dispatches batch/streaming (q102's
+    * convention): on a batch frame the fold runs per bucket over
+    * id-ordered arrivals with empty prior state — giving the
+    * deterministic id-order keep-first the ORACLE re-states
+    * relationally (q129 is hash-green: per-row signatures are
+    * md5-portable, so DuckDB rebuilds signature, bucket, agreement
+    * count and the greedy rejection rule verbatim). StreamingSpec
+    * equates a MemoryStream run (fed in id order) with the batch
+    * result and pins CROSS-BATCH state: a batch-2 near-dup of a
+    * batch-1 doc is rejected.
+    *
+    * At 100 TB: state is partitioned by bucket key (Spark's state
+    * store shards it), per-bucket occupancy follows the LSH bucket
+    * distribution (the q73 analysis), and each arrival touches exactly
+    * its own bucket's state — no corpus-wide lookup anywhere. */
+  def neardupAdmit(spark: SparkSession, docs: DataFrame)
+      : Dataset[AdmitVerdict] = {
+    import spark.implicits._
+    val base = withToks(docs).withColumn("sh", shingles)
+    val hs = (0 until 8).map(i => expr(
+      s"array_min(transform(sh, s -> CAST(conv(substr(md5(concat('$i:', s)" +
+        s"), 1, 15), 16, 10) AS BIGINT)))").as(s"h$i"))
+    val sig = base.select(col("doc_id") +: col("lang") +: col("sh") +: hs: _*)
+    val keyed = sig.filter(size(col("sh")) > 0)
+      .withColumn("bk",
+        md5(concat_ws(",", col("h0"), col("h1"), col("h2"), col("h3"))))
+      .select(col("doc_id"), col("lang"), col("bk"),
+        array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
+      .as[SigDoc]
+    val trivial = sig.filter(size(col("sh")) === 0)
+      .select(col("doc_id"), col("lang")).as[(Long, String)]
+      .map { case (id, lang) => AdmitVerdict(id, lang, admitted = true) }
+    def agree(a: Seq[Long], b: Seq[Long]): Int =
+      a.iterator.zip(b.iterator).count(p => p._1 == p._2)
+    // arrival-order greedy fold: reject iff ANY earlier-seen bucket-mate
+    // agrees >= 6/8; every arrival enters state (q126's convention —
+    // rejection compares against all seen, not only the admitted)
+    def fold(prior: Seq[(Long, Seq[Long])], arrivals: Seq[SigDoc])
+        : (Seq[AdmitVerdict], Seq[(Long, Seq[Long])]) = {
+      var seen = prior
+      val out = arrivals.map { d =>
+        val rejected = seen.exists { case (_, s) => agree(s, d.sig) >= 6 }
+        seen = seen :+ (d.doc_id -> d.sig)
+        AdmitVerdict(d.doc_id, d.lang, !rejected)
+      }
+      (out, seen)
+    }
+    val verdicts =
+      if (keyed.isStreaming)
+        keyed.groupByKey(_.bk).flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: String, it: Iterator[SigDoc],
+              state: GroupState[Seq[(Long, Seq[Long])]]) =>
+            val (out, seen) = fold(state.getOption.getOrElse(Seq.empty),
+              it.toSeq.sortBy(_.doc_id))
+            state.update(seen)
+            out.iterator
+        }
+      else
+        keyed.groupByKey(_.bk).flatMapGroups {
+          (_: String, it: Iterator[SigDoc]) =>
+            fold(Seq.empty, it.toSeq.sortBy(_.doc_id))._1.iterator
+        }
+    verdicts.union(trivial)
+  }
+
+  /** q129 — the batch declaration of [[neardupAdmit]] under the oracle
+    * hash: admission verdicts over the whole documents table (arrival
+    * order = id order), reduced per lang to stream size, admitted
+    * count, and admitted id-sum (q126's membership-pinning shape). */
+  def q129StreamingAdmission(spark: SparkSession, dir: String): DataFrame = {
+    neardupAdmit(spark,
+      Tables.documents(spark, dir).select("doc_id", "lang", "text"))
+      .toDF()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1).otherwise(0)).cast("bigint")
+          .as("n_admitted"),
+        coalesce(sum(when(col("admitted"), col("doc_id"))), lit(0L))
           .cast("bigint").as("id_sum"))
       .orderBy("lang")
   }

@@ -1966,6 +1966,58 @@ class StreamingSpec extends SparkSpecBase
       retainDays = Some(2), quiesced = true).isEmpty)
   }
 
+  test("streaming near-dup admission equals the batch declaration when fed in id order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val batch = ops.TextOps.neardupAdmit(spark,
+      Tables.documents(spark, sf).select("doc_id", "lang", "text"))
+      .collect().map(v => v.doc_id -> v.admitted).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val out = ops.TextOps.neardupAdmit(spark,
+      input.toDF().toDF("doc_id", "lang", "text"))
+    val q = out.writeStream.format("memory")
+      .queryName("admit_out").outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("admit_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(streamed.size == docs.length, "verdict per doc")
+      assert(streamed == batch,
+        s"stream/batch diverged on ${
+          streamed.collect { case (id, a) if batch(id) != a => id }.toSeq.sorted}")
+      // the run must actually reject something, or the gate is vacuous
+      assert(streamed.valuesIterator.exists(v => !v))
+    } finally q.stop()
+  }
+
+  test("near-dup admission state survives across micro-batches: batch-2 dup of a batch-1 doc is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val input = MemoryStream[(Long, String, String)]
+    val out = ops.TextOps.neardupAdmit(spark,
+      input.toDF().toDF("doc_id", "lang", "text"))
+    val q = out.writeStream.format("memory")
+      .queryName("admit_state_out").outputMode("append").start()
+    try {
+      input.addData((1L, "en", text))
+      q.processAllAvailable()
+      input.addData((2L, "en", text)) // exact dup, later micro-batch
+      q.processAllAvailable()
+      val rows = spark.table("admit_state_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(rows == Map(1L -> true, 2L -> false),
+        s"cross-batch state broken: $rows")
+    } finally q.stop()
+  }
+
   test("replay stream maintains per-game state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
