@@ -711,34 +711,41 @@ object VectorOps {
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (SparkSession, Array[(Int, Int, Array[Double])])]
 
+  /** Seed-and-one-Lloyd codebook training over any (vec_id, m, sub)
+    * subvector frame — shared by q125 (raw unit vectors) and q130
+    * (IVF residuals). */
+  private def trainPqCodebook(spark: SparkSession, sub: DataFrame)
+      : Array[(Int, Int, Array[Double])] = {
+    import spark.implicits._
+    val seeds = sub.filter(col("vec_id") < pqCentroids)
+      .select(col("m"), col("vec_id").cast("int").as("cid"),
+        col("sub").as("c"))
+      .withColumn("css", dot(col("c"), col("c")))
+    // one Lloyd iteration: element-wise mean per (subspace, code)
+    pqAssign(sub, seeds)
+      .join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), col("sub"))
+      .as[(Int, Int, Array[Double])]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Array[Double])]) =>
+        var sum: Array[Double] = null
+        var n = 0
+        it.foreach { t =>
+          if (sum == null) sum = new Array[Double](t._3.length)
+          var i = 0
+          while (i < t._3.length) { sum(i) += t._3(i); i += 1 }
+          n += 1
+        }
+        (key._1, key._2, sum.map(_ / n))
+      }
+      .collect()
+      .sortBy(t => (t._1, t._2))
+  }
+
   private[graft] def pqCodebook(spark: SparkSession, dir: String)
       : Array[(Int, Int, Array[Double])] =
     graft.SessionCache.getOrBuild(pqCache, spark, dir) {
-      import spark.implicits._
-      val sub = subVecs(unitVecs(normed(spark, dir)))
-      val seeds = sub.filter(col("vec_id") < pqCentroids)
-        .select(col("m"), col("vec_id").cast("int").as("cid"),
-          col("sub").as("c"))
-        .withColumn("css", dot(col("c"), col("c")))
-      // one Lloyd iteration: element-wise mean per (subspace, code)
-      pqAssign(sub, seeds)
-        .join(sub, Seq("vec_id", "m"))
-        .select(col("m"), col("code"), col("sub"))
-        .as[(Int, Int, Array[Double])]
-        .groupByKey(t => (t._1, t._2))
-        .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Array[Double])]) =>
-          var sum: Array[Double] = null
-          var n = 0
-          it.foreach { t =>
-            if (sum == null) sum = new Array[Double](t._3.length)
-            var i = 0
-            while (i < t._3.length) { sum(i) += t._3(i); i += 1 }
-            n += 1
-          }
-          (key._1, key._2, sum.map(_ / n))
-        }
-        .collect()
-        .sortBy(t => (t._1, t._2))
+      trainPqCodebook(spark, subVecs(unitVecs(normed(spark, dir))))
     }
 
   def q125PqAnn(spark: SparkSession, dir: String): DataFrame = {
@@ -768,6 +775,103 @@ object VectorOps {
       .filter(col("crank") <= pqRerank)
       .select(col("probe_id"), col("vec_id"))
     // exact re-rank of the bounded candidate pool (q15's scoring)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.join(e, "vec_id").join(broadcast(probes), "probe_id")
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"))
+      .orderBy("probe_id", "rank")
+  }
+
+  // --------------------------------------------------------------- q130
+  /** q130 — IVF-PQ (the composition deployed billion-vector indexes
+    * actually run, Jégou PAMI'11 §IV): q49's coarse quantizer routes
+    * each vector to an inverted list, q125's product quantizer encodes
+    * the RESIDUAL u − centroid(list) — residuals concentrate near the
+    * origin, so the same 16-entry-per-subspace codebook spends its
+    * resolution where the data is — and a probe scores only its
+    * nprobe=6 lists, each candidate by ADC: approx sim = probe·coarse
+    * centroid (one term per probed LIST) + Σ₈ residual-LUT lookups.
+    * Everything stays relational: codes carry their list id, the
+    * probed-lists and LUT dims broadcast, one hash agg sums the parts,
+    * and the exact re-rank touches only the top-64 ADC survivors. At
+    * 100 TB this is the full index recipe: lists as the storage
+    * partition key (q49), 8 bytes per vector in the scan (q125), float
+    * vectors fetched only for the re-rank pool. Rows-only (codebook +
+    * centroid iteration specifics); recall gated vs exact q15 at
+    * q49's nprobe-bounded bar. */
+  private val ivfpqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (SparkSession, Array[(Int, Int, Array[Double])])]
+
+  /** (vec_id, cid, r): each unit vector's coarse list and its residual
+    * against that list's centroid. */
+  private def ivfResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val unit = unitVecs(normed(spark, dir))
+    val cents = spark.createDataFrame(refinedCentroids(spark, dir).toSeq)
+      .toDF("cid", "cu")
+    assignLists(unit, cents)
+      .join(unit, "vec_id")
+      .join(broadcast(cents), "cid")
+      .withColumn("r", zip_with(col("u"), col("cu"), (a, b) => a - b))
+      .select("vec_id", "cid", "r")
+  }
+
+  private[graft] def ivfpqCodebook(spark: SparkSession, dir: String)
+      : Array[(Int, Int, Array[Double])] =
+    graft.SessionCache.getOrBuild(ivfpqCache, spark, dir) {
+      trainPqCodebook(spark,
+        subVecs(ivfResiduals(spark, dir).select(col("vec_id"),
+          col("r").as("u"))))
+    }
+
+  def q130IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(spark, dir)
+    val unit = unitVecs(e)
+    val cents = spark.createDataFrame(refinedCentroids(spark, dir).toSeq)
+      .toDF("cid", "cu")
+    val res = ivfResiduals(spark, dir)
+    val cbRows = ivfpqCodebook(spark, dir).toSeq
+    // codebook under its assignment name (cid) for pqAssign, and under
+    // pqc for the LUT join — the coarse list id keeps the name cid
+    val cbAssign = spark.createDataFrame(cbRows).toDF("m", "cid", "c")
+      .withColumn("css", dot(col("c"), col("c")))
+    val codes = pqAssign(
+        subVecs(res.select(col("vec_id"), col("r").as("u"))), cbAssign)
+      .join(res.select("vec_id", "cid"), "vec_id")
+    val probesU = unit.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("u").as("pu"))
+    val pc = probesU.crossJoin(broadcast(cents))
+      .withColumn("pcdot", dot(col("pu"), col("cu")))
+    val probeLists = pc.withColumn("crank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("pcdot").desc, col("cid"))))
+      .filter(col("crank") <= ivfNProbe)
+      .select(col("probe_id"), col("cid"), col("pcdot"))
+    val lut = subVecs(probesU.select(col("probe_id").as("vec_id"),
+        col("pu").as("u")))
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(spark.createDataFrame(cbRows).toDF("m", "pqc", "c")),
+        Seq("m"))
+      .withColumn("pdot", dot(col("sub"), col("c")))
+      .select(col("probe_id"), col("m"), col("pqc").as("code"), col("pdot"))
+    // ADC over the probed lists only: coarse term + 8 residual lookups
+    val approx = codes.join(broadcast(probeLists), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg((max(col("pcdot")) + sum(col("pdot"))).as("asim"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("asim").desc, col("vec_id"))
+    val cands = approx.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= pqRerank)
+      .select(col("probe_id"), col("vec_id"))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"))

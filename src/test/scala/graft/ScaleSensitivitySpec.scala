@@ -23,7 +23,9 @@ class ScaleSensitivitySpec extends SparkSpecBase {
   // round 13 with the sink-lifecycle I/O queries (q115/q116 were the
   // r12 bench's #1 and #3 costs with no canary; q117 is their new
   // delete sibling) — real multi-write I/O, so a super-linear write
-  // path would hide inside "it's just I/O" without these
+  // path would hide inside "it's just I/O" without these — plus q122
+  // (the round-13 bench's #2 cost: q91's banded-LSH shape feeding the
+  // dedup materialization)
   private val watched =
     Seq("q100_ctas", "q17_placement_targets", "q22_hive_connected",
       "q65_bigram_lm", "q86_funnel",
@@ -31,7 +33,8 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q27_shingle_jaccard", "q71_quantized_knn", "q85_retention_cohorts",
       "q115_stream_compaction", "q116_retention", "q117_delete_where",
       "q118_incremental_read", "q119_upsert_batch",
-      "q120_perplexity_filter", "q124_schema_evolution")
+      "q120_perplexity_filter", "q124_schema_evolution",
+      "q122_minhash_dedup")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

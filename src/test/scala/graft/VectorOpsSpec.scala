@@ -168,6 +168,29 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("q130 IVF-PQ: ranked output, recall@10 >= 0.5 vs exact q15 (q49's nprobe bound)") {
+    val rows = SparkEntry.queries("q130_ivfpq_ann")(spark, sf).collect()
+    val perProbe = rows.groupBy(_.getLong(0))
+    assert(perProbe.keySet == (0L to 4L).toSet)
+    perProbe.values.foreach { g =>
+      val ranks = g.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+    // candidates come from the SAME nprobe=6 lists as q49, so list
+    // coverage bounds recall identically; the residual-PQ ADC ordering
+    // plus exact re-rank must not lose in-list true neighbors
+    val exact = SparkEntry.queries("q15_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    // the residual codebook is a well-formed (m, cid) function
+    val cb = ops.VectorOps.ivfpqCodebook(spark, sf)
+    assert(cb.nonEmpty && cb.map(t => (t._1, t._2)).distinct.length == cb.length)
+    assert(cb.forall { case (m, cid, c) =>
+      m >= 0 && m < 8 && cid >= 0 && cid < 16 && c.length == 8 })
+  }
+
   test("q35 multimodal: per-kind stats with real byte counts") {
     val rows = SparkEntry.queries("q35_multimodal_features")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
