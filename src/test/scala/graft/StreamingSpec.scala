@@ -1997,6 +1997,20 @@ class StreamingSpec extends SparkSpecBase
     } finally q.stop()
   }
 
+  test("near-dup admission: docs too short to shingle are admitted and never enter state") {
+    import spark.implicits._
+    // two IDENTICAL 2-token docs: no 3-shingle exists, so neither can
+    // reject the other — both must come back admitted through the
+    // trivial branch (a broken fallback that bucketed empty signatures
+    // together would reject doc 2)
+    val docs = Seq((1L, "en", "only two"), (2L, "en", "only two"),
+      (3L, "en", (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val got = ops.TextOps.neardupAdmit(spark, docs).collect()
+      .map(v => v.doc_id -> v.admitted).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true), s"$got")
+  }
+
   test("near-dup admission state survives across micro-batches: batch-2 dup of a batch-1 doc is rejected") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
