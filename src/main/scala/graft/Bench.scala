@@ -219,8 +219,16 @@ object Bench {
     * pins it), and bench noise exceeds 0.1 s long before a query
     * does — the wide values pay for the registry's growth. */
   private def fmt(v: Double): String = {
-    val scale = if (math.abs(v) < 10) 2 else if (math.abs(v) < 100) 1 else 0
-    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    def scaleFor(a: Double) = if (a < 10) 2 else if (a < 100) 1 else 0
+    def at(s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    // the scale must come from the ROUNDED value, not the raw one:
+    // fmt(9.999) at the raw-derived scale would render "10.00" — one
+    // char wider than the [10, 100) class the width pin budgets for —
+    // so re-round whenever rounding crossed a class boundary
+    val first = at(scaleFor(math.abs(v)))
+    val rescale = scaleFor(first.abs.toDouble)
+    (if (rescale < first.scale) at(rescale) else first).toString
   }
 
   /** Headline semantics under a tripped verdict: each retried query

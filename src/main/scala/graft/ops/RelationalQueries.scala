@@ -249,9 +249,10 @@ object RelationalQueries {
       .filter(col("ts").isNotNull)
       .withColumn("day", to_date(col("ts")))
       .groupBy(col("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
-        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-          .as("est_daily"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      // estimate FROM the one stored sketch — a second hll_sketch_agg
+      // in the same agg would build every daily sketch twice
+      .withColumn("est_daily", hll_sketch_estimate(col("sk")))
     daily
       .withColumn("week", date_trunc("week", col("day")).cast("date"))
       .groupBy(col("week"))

@@ -748,6 +748,27 @@ object VectorOps {
       trainPqCodebook(spark, subVecs(unitVecs(normed(spark, dir))))
     }
 
+  /** Shared ADC-pipeline tail (q125/q130): exact cosine re-rank of a
+    * bounded (probe_id, vec_id) candidate pool against probes
+    * vec_id < 5, emitting (probe_id, rank, neighbor_id) top-10. */
+  private def exactRerank(spark: SparkSession, dir: String,
+      cands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.join(e, "vec_id").join(broadcast(probes), "probe_id")
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"))
+      .orderBy("probe_id", "rank")
+  }
+
   def q125PqAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normed(spark, dir)
@@ -775,18 +796,7 @@ object VectorOps {
       .filter(col("crank") <= pqRerank)
       .select(col("probe_id"), col("vec_id"))
     // exact re-rank of the bounded candidate pool (q15's scoring)
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cands.join(e, "vec_id").join(broadcast(probes), "probe_id")
-      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 10)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"))
-      .orderBy("probe_id", "rank")
+    exactRerank(spark, dir, cands)
   }
 
   // --------------------------------------------------------------- q130
@@ -872,18 +882,7 @@ object VectorOps {
     val cands = approx.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= pqRerank)
       .select(col("probe_id"), col("vec_id"))
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cands.join(e, "vec_id").join(broadcast(probes), "probe_id")
-      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 10)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"))
-      .orderBy("probe_id", "rank")
+    exactRerank(spark, dir, cands)
   }
 
   def q49IvfAnn(spark: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,20 @@ class BenchFormatSpec extends AnyFunSuite {
       """{"metric":"total","value":1.00,"unit":"sec","errors":0,"calib_before":0.50,"calib_after":0.63,"calib_mt_before":0.75,"calib_mt_after":1.00,"contended":false,"queries":{"q01":1.00},"sf":"/sf"}""")
   }
 
+  test("duration rendering never exceeds its width class at rounding boundaries") {
+    // a value that ROUNDS across a class boundary must render at the
+    // destination class's scale: 9.999 -> "10.0" (not the 5-char
+    // "10.00"), 99.99 -> "100" (not "100.0") — otherwise the
+    // worst-case width pin under-budgets the real line
+    val line = Bench.mkLine(
+      Map("q01_x" -> 9.999, "q02_y" -> 99.99, "q03_z" -> 999.99), "/sf",
+      _.takeWhile(_ != '_'))
+    assert(line.contains(""""q01":10.0,"""), line)
+    assert(line.contains(""""q02":100,"""), line)
+    assert(line.contains(""""q03":1000}"""), line)
+    assert(!line.contains("10.00") && !line.contains("100.0"), line)
+  }
+
   test("a tripped verdict reports merged-min durations plus the raw total") {
     // q01 retried faster (4.0 → 1.0: the host recovered), q02 retried
     // slower (still-degraded retry must not REPLACE a better original),
