@@ -1997,6 +1997,45 @@ class StreamingSpec extends SparkSpecBase
     } finally q.stop()
   }
 
+  test("near-dup admission state survives a query RESTART from its checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = new java.io.File(
+      "target/stream_ckpt/admit_restart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val input = MemoryStream[(Long, String, String)]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[graft.ops.AdmitVerdict]
+    def start() = ops.TextOps.neardupAdmit(spark,
+        input.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.ops.AdmitVerdict],
+         _: Long) =>
+          val rows = batch.collect()
+          results.synchronized { results ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData((1L, "en", text))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the SAME checkpoint: the bucket's signature state
+    // must be recovered, or the post-restart dup would be admitted
+    val q2 = start()
+    try {
+      input.addData((2L, "en", text))
+      q2.processAllAvailable()
+      val got = results.synchronized {
+        results.map(v => v.doc_id -> v.admitted).toMap }
+      assert(got == Map(1L -> true, 2L -> false),
+        s"state lost across restart: $got")
+    } finally q2.stop()
+  }
+
   test("near-dup admission: docs too short to shingle are admitted and never enter state") {
     import spark.implicits._
     // two IDENTICAL 2-token docs: no 3-shingle exists, so neither can
