@@ -143,7 +143,8 @@ object SparkEntry {
     "q127_sketch_rollup" -> (RelationalQueries.q127SketchRollup _),
     "q128_heavy_hitters" -> (TextOps.q128HeavyHitters _),
     "q129_streaming_admission" -> (TextOps.q129StreamingAdmission _),
-    "q130_ivfpq_ann" -> (VectorOps.q130IvfPqAnn _)
+    "q130_ivfpq_ann" -> (VectorOps.q130IvfPqAnn _),
+    "q131_audience_overlap" -> (RelationalQueries.q131AudienceOverlap _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -341,7 +342,7 @@ object SparkEntry {
     // rebuilds bucket, agreement, and greedy rejection relationally —
     // hash equality proves the state machine computes that semantics
     "q129_streaming_admission" -> OracleSql.q129
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130 (engine-specific
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

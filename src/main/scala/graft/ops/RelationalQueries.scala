@@ -263,6 +263,44 @@ object RelationalQueries {
       .orderBy("week")
   }
 
+  /** q131 — audience OVERLAP from stored sketches (the set-algebra
+    * question q127's rollup can't answer alone): how many distinct
+    * users do two event types share? Exactly requires re-scanning both
+    * raw audiences per pair; with the per-type HLL sketches already
+    * stored, inclusion–exclusion answers it at sketch cost —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    * SCALAR `hll_union` of the two stored binaries (no raw-row
+    * access). All C(types,2) pairs from one tiny self-join of the
+    * 5-row sketch dimension; output also carries the overlap
+    * coefficient in basis points (share of the smaller audience).
+    * Rows-only (sketch estimates); the spec gates every pair's
+    * estimate against the exact intersection within the compounded
+    * lgK=12 envelope. At 100 TB: audiences are billions of users per
+    * segment — the sketch dimension is KBs, and any pairwise (or
+    * k-way, by folding hll_union) overlap matrix costs nothing more
+    * than reading it. */
+  def q131AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+          .as("est_union"))
+      .withColumn("est_overlap",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("overlap_bp",
+        floor(lit(10000) * col("est_overlap")
+          / least(col("est_a"), col("est_b"))).cast("bigint"))
+      .select(col("type_a"), col("type_b"), col("est_overlap"),
+        col("overlap_bp"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q36 — as-of join (J11): for each purchase, the user's most recent
     * click at-or-before it. Implemented the scalable way: one window
     * over the per-user event timeline with a running "last click"

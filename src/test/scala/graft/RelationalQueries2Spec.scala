@@ -86,6 +86,32 @@ class RelationalQueries2Spec extends SparkSpecBase {
     }
   }
 
+  test("q131 audience overlap: inclusion-exclusion estimate tracks the exact intersections") {
+    val rows = SparkEntry.queries("q131_audience_overlap")(spark, sf).collect()
+    val types = Tables.events(spark, sf)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, "one row per pair")
+    // exact audiences, recomputed without sketches
+    val users = Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (ta, tb, est) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(ta < tb, "pairs emitted once, ordered")
+      val ua = users(ta); val ub = users(tb)
+      val exact = ua.intersect(ub).size
+      // three lgK=12 estimates compound through inclusion-exclusion:
+      // allow 5% of the UNION size (each term's error scales with its
+      // own cardinality, not the intersection's)
+      val tol = math.max(3L, ua.union(ub).size / 20)
+      assert(math.abs(est - exact) <= tol,
+        s"$ta/$tb: est $est vs exact $exact (tol $tol)")
+    }
+    // the data must actually overlap somewhere, or the gate is vacuous
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
   test("q46 session windows: partition all events, 30-min gap semantics") {
     val rows = SparkEntry.queries("q46_session_windows")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
