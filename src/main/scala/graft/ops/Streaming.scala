@@ -316,15 +316,27 @@ object Streaming {
     val writerId = "ckpt-" + java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val fence = acquireWriter(spark, path, writerId)
-    val query = events.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        writeBatchIdempotent(batch, path, id, writerId, fence)
-        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-          compactSink(batch.sparkSession, path, tsCol)
-        ()
+    def release(): Unit =
+      try releaseWriter(spark, path, writerId, fence)
+      catch { case ex: Exception =>
+        log.warn(s"writer lease release on $path failed " +
+          s"(will age out at the staleness horizon): $ex")
       }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append").start()
+    val query =
+      try events.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          writeBatchIdempotent(batch, path, id, writerId, fence)
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+            compactSink(batch.sparkSession, path, tsCol)
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").start()
+      catch { case e: Throwable =>
+        // a start() that throws (unwritable checkpoint, bad plan) must
+        // not strand the lease until the staleness horizon
+        release(); throw e
+      }
     // release on termination (async listener; releaseWriter is fenced,
     // so a successor that already took over is never un-leased)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -333,15 +345,18 @@ object Streaming {
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
-          try releaseWriter(spark, path, writerId, fence)
-          catch { case ex: Exception =>
-            log.warn(s"writer lease release on $path failed " +
-              s"(will age out at the staleness horizon): $ex")
-          }
+          release()
           spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)
+    // listeners added after an event is posted never receive it: if the
+    // query already died in the registration window, release here (a
+    // double release is harmless — releaseWriter is ownership-guarded)
+    if (!query.isActive) {
+      release()
+      spark.streams.removeListener(listener)
+    }
     query
   }
 
@@ -365,7 +380,19 @@ object Streaming {
     * fails loudly; a restart from the same checkpoint takes over at a
     * higher fence), verified before and heartbeated after every apply
     * (a fenced-off zombie predecessor fails its next apply), released
-    * at termination. */
+    * at termination (including a start() that throws, and the
+    * already-terminated-before-listener-registration window).
+    *
+    * Two deployment contracts:
+    *  - the lease heartbeats ONLY when a micro-batch applies, so
+    *    `spark.graft.writer.lockStaleMs` must exceed the feed's
+    *    longest expected silence — a quieter feed with a default 1 h
+    *    horizon reads as stale and a backfill may displace it (the
+    *    stream then fails loudly at its next apply, by design);
+    *  - an apply that meets a FRESH maintenance [[CompactLock]]
+    *    (maintainSink cron, vacuum, retention) retries with backoff
+    *    for ~30 s before surfacing — routine maintenance delays the
+    *    stream, it does not kill it. */
   def cdcSinkStream(changes: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], tsCol: String = "ts")
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -373,39 +400,71 @@ object Streaming {
     val writerId = "cdc-" + java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val fence = acquireWriter(spark, path, writerId)
-    val query = changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val f = fs(spark, path)
-        val lock = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(path), WriterLock)
-        val cur = readWriterLock(f, lock)
-        require(cur.exists(c => c._1 == writerId && c._2 == fence),
-          s"writer lease on $path displaced: this CDC stream holds " +
-            s"('$writerId', fence=$fence) but the lease carries " +
-            s"${cur.map(c => s"('${c._1}', fence=${c._2})").getOrElse("nothing")}" +
-            " - another writer took over this sink; abandoning the apply")
-        upsertBatch(spark, path, batch, keyCols, tsCol)
-        try f.setTimes(lock, System.currentTimeMillis(), -1) // heartbeat
-        catch { case _: java.io.IOException => () }
-        ()
+    def release(): Unit =
+      try releaseWriter(spark, path, writerId, fence)
+      catch { case ex: Exception =>
+        log.warn(s"writer lease release on $path failed " +
+          s"(will age out at the staleness horizon): $ex")
       }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append").start()
+    val query =
+      try changes.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val f = fs(spark, path)
+          val lock = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(path), WriterLock)
+          val cur = readWriterLock(f, lock)
+          require(cur.exists(c => c._1 == writerId && c._2 == fence),
+            s"writer lease on $path displaced: this CDC stream holds " +
+              s"('$writerId', fence=$fence) but the lease carries " +
+              s"${cur.map(c => s"('${c._1}', fence=${c._2})").getOrElse("nothing")}" +
+              " - another writer took over this sink; abandoning the apply")
+          // a maintenance op (maintainSink cron, vacuum, retention)
+          // briefly holding the compactor lock must DELAY this apply,
+          // not kill the stream: retry the fresh-lock refusal with
+          // backoff before letting it escape foreachBatch
+          var attempt = 0
+          var applied = false
+          while (!applied) {
+            try { upsertBatch(spark, path, batch, keyCols, tsCol); applied = true }
+            catch {
+              case e: IllegalStateException
+                  if e.getMessage != null &&
+                    e.getMessage.startsWith("another compactor holds") &&
+                    attempt < 5 =>
+                attempt += 1
+                Thread.sleep(math.min(2000L * attempt, 10000L))
+            }
+          }
+          try f.setTimes(lock, System.currentTimeMillis(), -1) // heartbeat
+          catch { case _: java.io.IOException => () }
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").start()
+      catch { case e: Throwable =>
+        // a start() that throws (unwritable checkpoint, bad plan) must
+        // not strand the lease until the staleness horizon
+        release(); throw e
+      }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
-          try releaseWriter(spark, path, writerId, fence)
-          catch { case ex: Exception =>
-            log.warn(s"writer lease release on $path failed " +
-              s"(will age out at the staleness horizon): $ex")
-          }
+          release()
           spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)
+    // listeners added after an event is posted never receive it: if the
+    // query already died in the registration window, release here —
+    // releaseWriter only deletes a lease this (id, fence) still owns,
+    // so a double release (listener also fired) is harmless
+    if (!query.isActive) {
+      release()
+      spark.streams.removeListener(listener)
+    }
     query
   }
 
@@ -439,9 +498,11 @@ object Streaming {
     * delete invisible to [[readSink]] and retire it unconsumed at the
     * next compaction — silent loss. Installed atomically (temp +
     * rename) so a half-written marker can never commit an epoch with
-    * a torn watermark; an EMPTY/unparsable marker falls back to the
-    * epoch id, which is exact for every epoch minted before the
-    * watermark existed. */
+    * a torn watermark; an EMPTY marker (readable, no watermark line)
+    * falls back to the epoch id, which is exact for every epoch minted
+    * before the watermark existed — but a FAILED or corrupt read
+    * refuses loudly (consumedThrough), because guessing low-by-error
+    * would retire live batches. */
   private val EpochCommit = "_EPOCH_COMMIT"
 
   /** Roll-forward manifest for the merge's move phase: lists the day
@@ -533,24 +594,54 @@ object Streaming {
   /** The consumed-batch watermark of committed epoch `epochId`: the
     * highest batch id folded into it. Batch dirs with id <= watermark
     * are durably represented in the epoch (retire on sight); ids above
-    * it are live. Falls back to the epoch id itself for markers
-    * without content (every pre-watermark epoch consumed exactly the
-    * batches up to its own id). −1 when no epoch exists. */
+    * it are live. Falls back to the epoch id itself ONLY for markers
+    * that read successfully but carry no watermark line (every
+    * pre-watermark epoch consumed exactly the batches up to its own
+    * id). −1 when no epoch exists.
+    *
+    * A FAILED read (transient I/O, corrupt content) must fail LOUDLY,
+    * never fall back: after a delete/upsert epoch the epoch id exceeds
+    * the true watermark, so a fallback taken on an I/O hiccup would
+    * let recovery retire live batches that no epoch holds — silent
+    * data loss. The marker is installed by temp-write + atomic rename
+    * (commitEpoch), so a committed epoch's marker is never legitimately
+    * unreadable; an unreadable one is an infrastructure fault the
+    * caller must surface, not paper over. */
   private def consumedThrough(f: org.apache.hadoop.fs.FileSystem,
       path: String, epochId: Long): Long =
     if (epochId < 0) -1L
     else {
       val marker = new org.apache.hadoop.fs.Path(
         s"$path/epoch=$epochId", EpochCommit)
-      try {
-        val in = f.open(marker)
-        val lines =
+      val lines =
+        try {
+          val in = f.open(marker)
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
-        lines.collectFirst {
-          case l if l.startsWith("batches=") => l.stripPrefix("batches=").toLong
-        }.getOrElse(epochId)
-      } catch { case _: Exception => epochId }
+        } catch {
+          case e: Exception => throw new IllegalStateException(
+            s"cannot read epoch commit marker $marker - refusing to " +
+              "guess the consumed-batch watermark (a wrong guess " +
+              "retires live batches); resolve the read failure and " +
+              "retry", e)
+        }
+      val content = lines.filter(_.nonEmpty)
+      content.collectFirst { case l if l.startsWith("batches=") =>
+        try l.stripPrefix("batches=").toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalStateException(
+            s"corrupt epoch commit marker $marker: '$l'", e)
+        }
+      }.getOrElse {
+        // legacy EMPTY marker: watermark = epoch id (exact for every
+        // epoch minted before the watermark existed). A marker with
+        // content but no parsable watermark line is corruption, not
+        // legacy — refuse like the unreadable case.
+        if (content.isEmpty) epochId
+        else throw new IllegalStateException(
+          s"corrupt epoch commit marker $marker: no watermark line in " +
+            s"${content.take(3).mkString("[", ", ", "]")}")
+      }
     }
 
   // -------------------------------------------------- writer lease
@@ -947,6 +1038,11 @@ object Streaming {
   private def compactLocked(spark: SparkSession, path: String,
       tsCol: String, quiesced: Boolean, fence: () => Unit): Long = {
     val f = fs(spark, path)
+    // fence BEFORE the first irreversible mutation: settleEpochs deletes
+    // uncommitted epoch attempts, and a displaced holder (stalled past
+    // staleness, lock since stolen) running it would delete the NEW
+    // holder's in-flight attempt out from under its commit
+    fence()
     settleEpochs(spark, path, f) // recovery step 1
     val before = maxEpoch(spark, path)
     // recovery step 2: older committed epochs are fully represented in
@@ -1053,6 +1149,25 @@ object Streaming {
     epoch
   }
 
+  /** Fresh per-(query, input-dir, session) scratch sink for the
+    * q115–q124 lifecycle queries (q90's convention): content-addressed
+    * by md5(dir), session-token-suffixed, rooted at
+    * `spark.graft.scratchDir` (JVM tmpdir fallback), cleared of any
+    * previous run's tree so reruns are deterministic. */
+  private def scratchSink(spark: SparkSession, dir: String,
+      prefix: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sink = new java.io.File(
+      new java.io.File(root, "graft_sink_scratch"),
+      s"${prefix}_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    sink
+  }
+
   /** q115 — the ingestion path END TO END under the oracle hash: three
     * event slices land as micro-batch `batch_id=` directories (the
     * parquetSinkStream write shape), compaction runs MID-STREAM — in
@@ -1068,14 +1183,7 @@ object Streaming {
     * spark.graft.scratchDir or the JVM tmpdir) and is rebuilt from a
     * clean slate per invocation, so reruns are deterministic. */
   def q115StreamCompaction(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
-      s"events_${key}_${graft.SessionCache.sessionToken(spark)}")
-      .getAbsolutePath
-    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val sink = scratchSink(spark, dir, "events")
     val ev = Tables.events(spark, dir)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0), sink, 0L)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1), sink, 1L)
@@ -1113,14 +1221,7 @@ object Streaming {
     * the empty frame rather than tripping readSink's loud empty-sink
     * contract (the oracle's WHERE also yields zero rows there). */
   def q116Retention(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
-      s"events_ret_${key}_${graft.SessionCache.sessionToken(spark)}")
-      .getAbsolutePath
-    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val sink = scratchSink(spark, dir, "events_ret")
     val ev = Tables.events(spark, dir)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
@@ -1167,14 +1268,7 @@ object Streaming {
     * survives in any rewritten or moved day). Scratch-sink convention
     * and determinism story are q115's. */
   def q117DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
-      s"events_del_${key}_${graft.SessionCache.sessionToken(spark)}")
-      .getAbsolutePath
-    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val sink = scratchSink(spark, dir, "events_del")
     val ev = Tables.events(spark, dir)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
@@ -1200,14 +1294,7 @@ object Streaming {
     * + distinct users; hash equality proves both directions. Scratch
     * sink convention and determinism story are q115's. */
   def q118IncrementalRead(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
-      s"events_inc_${key}_${graft.SessionCache.sessionToken(spark)}")
-      .getAbsolutePath
-    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val sink = scratchSink(spark, dir, "events_inc")
     val ev = Tables.events(spark, dir)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0), sink, 0L)
     writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1), sink, 1L)
@@ -1237,14 +1324,7 @@ object Streaming {
     * original days while inserts landed in theirs. Scratch-sink
     * convention and determinism story are q115's. */
   def q119UpsertBatch(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
-      s"events_ups_${key}_${graft.SessionCache.sessionToken(spark)}")
-      .getAbsolutePath
-    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val sink = scratchSink(spark, dir, "events_ups")
     val ev = Tables.events(spark, dir)
     writeBatchIdempotent(ev, sink, 0L)
     compactSink(spark, sink, quiesced = true)
@@ -1281,14 +1361,7 @@ object Streaming {
     * one relation. Scratch-sink convention and determinism story are
     * q115's. */
   def q124SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = spark.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val sink = new java.io.File(new java.io.File(root, "graft_sink_scratch"),
-      s"events_evo_${key}_${graft.SessionCache.sessionToken(spark)}")
-      .getAbsolutePath
-    fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
+    val sink = scratchSink(spark, dir, "events_evo")
     val ev = Tables.events(spark, dir)
     val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
       .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
@@ -1443,7 +1516,10 @@ object Streaming {
     * [[readSink]] re-read (or compact less often than it consumes —
     * the retention contract every log-compacted feed has). An
     * up-to-date cursor returns an EMPTY frame with the sink's full
-    * schema, so a poll loop needs no special casing. */
+    * schema, so a poll loop needs no special casing once the sink
+    * holds ANY committed data; a poll against a never-written sink
+    * (no committed epoch, no committed batch — nothing to derive a
+    * schema from) refuses with an actionable message instead. */
   def readSinkSince(spark: SparkSession, path: String, cursor: Long,
       tsCol: String = "ts"): DataFrame = {
     val f = fs(spark, path)
@@ -1462,7 +1538,19 @@ object Streaming {
       if (df.columns.contains(tsCol))
         df.withColumn("day", to_date(col(tsCol)))
       else df.withColumn("day", lit(null).cast("date"))
-    if (delta.isEmpty) readSink(spark, path, tsCol).limit(0)
+    // empty delta: serve readSink's schema with zero rows, so a poll
+    // loop needs no special casing ONCE THE SINK HOLDS ANY COMMITTED
+    // DATA. A never-written sink has no schema to serve — surface the
+    // poll-before-first-commit case as a distinct, actionable error
+    // instead of readSink's generic empty-sink failure.
+    if (delta.isEmpty) {
+      require(wm >= 0 || subdirs(spark, path, "batch_id=").exists {
+        case (_, p) => f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+      }, s"readSinkSince($cursor) on $path: the sink holds no committed " +
+        "data yet, so there is no schema to serve an empty delta with - " +
+        "poll again after the producer's first commit")
+      readSink(spark, path, tsCol).limit(0)
+    }
     else delta.map(d => withDay(spark.read.parquet(d)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1576,6 +1664,7 @@ object Streaming {
   private def deleteLocked(spark: SparkSession, path: String,
       predicate: Column, tsCol: String, fence: () => Unit): Long = {
     val f = fs(spark, path)
+    fence() // settleEpochs deletes attempts: fence first (compactLocked's note)
     settleEpochs(spark, path, f)
     val before = maxEpoch(spark, path)
     val wm = consumedThrough(f, path, before)
@@ -1690,6 +1779,7 @@ object Streaming {
     require(missing.isEmpty,
       s"upsert batch lacks key column(s): ${missing.mkString(", ")}")
     val f = fs(spark, path)
+    fence() // settleEpochs deletes attempts: fence first (compactLocked's note)
     settleEpochs(spark, path, f)
     val before = maxEpoch(spark, path)
     val wm = consumedThrough(f, path, before)
@@ -1754,8 +1844,20 @@ object Streaming {
     val targetBytes = spark.conf
       .getOption("spark.graft.compact.targetFileBytes")
       .map(_.toLong).getOrElse(128L << 20)
+    // size BOTH inputs: the affected epoch dirs AND the incoming batch
+    // itself — a backfill-sized upsert into an empty/small sink would
+    // otherwise derive k from ~0 epoch bytes and funnel multi-GB days
+    // through one writer each (files later compactions only MOVE,
+    // never re-split). The batch's bytes come from its optimized
+    // plan's statistics: exact for parquet-backed sources, a
+    // defensible estimate elsewhere. (deleteLocked's twin block sizes
+    // epoch dirs only — correct there: a delete's output is a strict
+    // subset of its input.)
+    val batchBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
     val inputBytes =
-      affectedDirs.map(d => f.getContentSummary(d._2).getLength).sum
+      affectedDirs.map(d => f.getContentSummary(d._2).getLength).sum +
+        batchBytes
     val k = math.min(32768L, math.max(
       math.min(affected.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
@@ -1789,6 +1891,22 @@ object Streaming {
     * yet rolled forward), `compactor_locked`, `writer_id` (current
     * lease holder, null when unleased). */
   def describeSink(spark: SparkSession, path: String): DataFrame = {
+    // lock-free by design, so the snapshot can RACE concurrent
+    // maintenance: an epoch/batch dir listed at the top may be retired
+    // (FileNotFoundException from listStatus/getContentSummary, or a
+    // marker read refusing) before its stat call lands. The
+    // post-maintenance state is itself consistent — retry the whole
+    // snapshot once; a second failure is a real fault and propagates.
+    def raced(e: Throwable): Boolean = e match {
+      case _: java.io.FileNotFoundException => true
+      case e: Exception => e.getCause != null && raced(e.getCause)
+      case _ => false
+    }
+    try describeSinkOnce(spark, path)
+    catch { case e: Exception if raced(e) => describeSinkOnce(spark, path) }
+  }
+
+  private def describeSinkOnce(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, path)
     val cut = maxEpoch(spark, path)

@@ -1966,6 +1966,94 @@ class StreamingSpec extends SparkSpecBase
       retainDays = Some(2), quiesced = true).isEmpty)
   }
 
+  test("a corrupt epoch commit marker refuses maintenance loudly instead of guessing the watermark") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_corrupt").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // a live batch the wrong watermark guess would retire unconsumed
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, 8L))
+        .toDF("ts", "event_id", "user_id"), out, 1L)
+    val marker = new java.io.File(s"$out/epoch=0/_EPOCH_COMMIT")
+    // drop hadoop's checksum sidecar when tampering out-of-band, so the
+    // read reaches the CONTENT (a checksum mismatch would also refuse,
+    // but through the unreadable branch, not the one under test)
+    def tamper(content: String): Unit = {
+      new java.io.File(s"$out/epoch=0/._EPOCH_COMMIT.crc").delete()
+      java.nio.file.Files.write(marker.toPath, content.getBytes("UTF-8"))
+    }
+    tamper("batches=notanumber\n")
+    val e1 = intercept[IllegalStateException](
+      Streaming.compactSink(spark, out, quiesced = true))
+    assert(e1.getMessage.contains("corrupt epoch commit marker"), e1)
+    // garbage content without any watermark line is corruption too,
+    // not the legacy empty-marker case
+    tamper("xyz\n")
+    val e2 = intercept[IllegalStateException](
+      Streaming.compactSink(spark, out, quiesced = true))
+    assert(e2.getMessage.contains("no watermark line"), e2)
+    // the live batch survived both refusals
+    assert(new java.io.File(s"$out/batch_id=1").exists,
+      "refusal must leave the live batch untouched")
+    // restore a sane marker: maintenance resumes and nothing was lost
+    tamper("batches=0\n")
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    val got = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"rows lost across the corrupt-marker refusals: $got")
+  }
+
+  test("readSinkSince on a never-written sink refuses with an actionable message") {
+    val root = java.nio.file.Files.createTempDirectory("sink_never").toString
+    val out = s"$root/events"
+    new java.io.File(out).mkdirs()
+    val e = intercept[IllegalArgumentException](
+      Streaming.readSinkSince(spark, out, -1L))
+    assert(e.getMessage.contains("no committed data"), e)
+  }
+
+  test("a backfill-sized upsert into an empty sink writes sized files, not one per day") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_upsize").toString
+    val out = s"$root/events"
+    spark.conf.set("spark.graft.compact.targetFileBytes", "8192")
+    try {
+      val day0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val bulk = (1 to 4000).map(i => (new Timestamp(day0 + i * 1000L),
+        i.toLong, f"evt_${i}_${i * 2654435761L}%016x"))
+      // pure insert into an EMPTY sink: k derived from epoch bytes
+      // alone would be ~0 and funnel the whole hot day into one file
+      Streaming.upsertBatch(spark, out,
+        bulk.toDF("ts", "event_id", "event_type"), Seq("event_id"))
+      val files = Option(new java.io.File(s"$out/epoch=0/day=2024-01-01")
+        .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+      assert(files.length > 1,
+        s"backfill upsert funneled the hot day into ${files.length} file(s)")
+      assert(Streaming.readSink(spark, out).count() == 4000L)
+    } finally spark.conf.unset("spark.graft.compact.targetFileBytes")
+  }
+
+  test("a cdcSinkStream whose start() fails releases the writer lease immediately") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sink_cdcfail").toString
+    val out = s"$root/events"
+    // checkpoint path is a regular FILE: start() must throw
+    val ckpt = new java.io.File(root, "ckpt_is_a_file")
+    java.nio.file.Files.write(ckpt.toPath, "x".getBytes("UTF-8"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    intercept[Exception](Streaming.cdcSinkStream(
+      input.toDF().toDF("ts", "event_id", "event_type"),
+      out, ckpt.getAbsolutePath, Seq("event_id")))
+    assert(!new java.io.File(s"$out/_WRITER_LOCK").exists,
+      "failed start stranded the writer lease")
+  }
+
   test("streaming near-dup admission equals the batch declaration when fed in id order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
