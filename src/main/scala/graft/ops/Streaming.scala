@@ -342,7 +342,14 @@ object Streaming {
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      // heartbeat on PROGRESS, not just on data: empty triggers emit
+      // progress events but never reach foreachBatch, so an idle feed
+      // would otherwise read as stale at the lockStaleMs horizon and
+      // get displaced by the first backfill. Ownership-guarded: a
+      // zombie predecessor must not refresh a lease a successor took.
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == query.id)
+          heartbeatWriter(spark, path, writerId, fence)
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
           release()
@@ -384,11 +391,11 @@ object Streaming {
     * already-terminated-before-listener-registration window).
     *
     * Two deployment contracts:
-    *  - the lease heartbeats ONLY when a micro-batch applies, so
-    *    `spark.graft.writer.lockStaleMs` must exceed the feed's
-    *    longest expected silence — a quieter feed with a default 1 h
-    *    horizon reads as stale and a backfill may displace it (the
-    *    stream then fails loudly at its next apply, by design);
+    *  - the lease heartbeats on every data apply AND on every empty
+    *    trigger's progress event (heartbeatWriter) — an idle feed
+    *    stays fresh as long as its query is alive; only a query whose
+    *    DRIVER is gone ages to the staleness horizon, which is exactly
+    *    when displacement is correct;
     *  - an apply that meets a FRESH maintenance [[CompactLock]]
     *    (maintainSink cron, vacuum, retention) retries with backoff
     *    for ~30 s before surfacing — routine maintenance delays the
@@ -449,7 +456,10 @@ object Streaming {
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      // idle-feed keep-alive: see parquetSinkStream's listener note
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == query.id)
+          heartbeatWriter(spark, path, writerId, fence)
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
           release()
@@ -731,6 +741,23 @@ object Streaming {
     if (readWriterLock(f, lock).exists(c => c._1 == writerId && c._2 == fence))
       f.delete(lock, false)
   }
+
+  /** Refresh the lease's mtime iff this (id, fence) still owns it —
+    * the keep-alive an IDLE stream sends from its progress listener
+    * (empty triggers never reach foreachBatch, so without this a quiet
+    * feed ages past the staleness horizon). Best-effort: failures are
+    * swallowed — the next data batch heartbeats through the write
+    * path, and a genuinely lost lease fails THAT apply loudly. */
+  private[graft] def heartbeatWriter(spark: SparkSession, path: String,
+      writerId: String, fence: Long): Unit =
+    try {
+      val f = fs(spark, path)
+      val lock = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path), WriterLock)
+      if (readWriterLock(f, lock)
+          .exists(c => c._1 == writerId && c._2 == fence))
+        f.setTimes(lock, System.currentTimeMillis(), -1)
+    } catch { case _: Exception => () }
 
   /** The fenced write: verify the lease is still ours, write the batch
     * dir + commit marker, heartbeat the lease. The verify-then-write

@@ -2038,6 +2038,26 @@ class StreamingSpec extends SparkSpecBase
     } finally spark.conf.unset("spark.graft.compact.targetFileBytes")
   }
 
+  test("heartbeatWriter refreshes only a lease this (id, fence) still owns") {
+    val root = java.nio.file.Files.createTempDirectory("sink_hb").toString
+    val out = s"$root/events"
+    new java.io.File(out).mkdirs()
+    val fence = Streaming.acquireWriter(spark, out, "hb-owner")
+    val lock = new java.io.File(s"$out/_WRITER_LOCK")
+    val t0 = lock.lastModified()
+    Thread.sleep(1100) // local-fs mtime granularity can be 1 s
+    Streaming.heartbeatWriter(spark, out, "hb-owner", fence)
+    assert(lock.lastModified() > t0, "owned lease not refreshed")
+    // a zombie with the WRONG fence must not keep the lease alive
+    val t1 = lock.lastModified()
+    Thread.sleep(1100)
+    Streaming.heartbeatWriter(spark, out, "hb-owner", fence + 1)
+    Streaming.heartbeatWriter(spark, out, "hb-other", fence)
+    assert(lock.lastModified() == t1,
+      "foreign heartbeat refreshed a lease it does not own")
+    Streaming.releaseWriter(spark, out, "hb-owner", fence)
+  }
+
   test("a cdcSinkStream whose start() fails releases the writer lease immediately") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
