@@ -857,6 +857,65 @@ object OracleSql {
        |FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
        |GROUP BY d.lang ORDER BY d.lang NULLS FIRST""".stripMargin
 
+  /** q132 — the hybrid-retrieval audit: both arms are engine-exact —
+    * the lexical arm counts shared DISTINCT tokens (integers), the
+    * semantic arm is q15's bit-comparable cosine — and the RRF scores
+    * 1/(60+rank) are the same IEEE divisions on integer ranks in both
+    * engines, so the fused ranking (ranks + provenance flags only, no
+    * floats in the output) hash-matches: the fusion SEMANTICS are
+    * proven, not approximated. `CAST(1 AS DOUBLE)` forces double
+    * division (a bare 1.0 is DECIMAL in DuckDB, double in Spark —
+    * the one literal the engines type differently). */
+  val q132: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), p AS (
+      |  SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5
+      |), sem AS (
+      |  SELECT p.probe_id, n.vec_id AS doc_id,
+      |    list_dot_product(p.pv, n.v) / (p.pnrm * n.nrm) AS sim
+      |  FROM p JOIN n ON n.vec_id <> p.probe_id
+      |), semr AS (
+      |  SELECT probe_id, doc_id, r_sem FROM (
+      |    SELECT probe_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS r_sem
+      |    FROM sem) t WHERE r_sem <= 20
+      |), dt AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+      |  FROM documents
+      |), pt AS (
+      |  SELECT doc_id AS probe_id, tok FROM dt WHERE doc_id < 5
+      |), lex AS (
+      |  SELECT p2.probe_id, d.doc_id, COUNT(*) AS n_shared
+      |  FROM pt p2 JOIN dt d ON d.tok = p2.tok AND d.doc_id <> p2.probe_id
+      |  GROUP BY 1, 2
+      |), lexr AS (
+      |  SELECT probe_id, doc_id, r_lex FROM (
+      |    SELECT probe_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS r_lex
+      |    FROM lex) t WHERE r_lex <= 20
+      |), fused AS (
+      |  SELECT COALESCE(l.probe_id, s.probe_id) AS probe_id,
+      |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0) +
+      |      COALESCE(CAST(1 AS DOUBLE) / (60 + s.r_sem), 0) AS score,
+      |    CASE WHEN l.r_lex IS NULL THEN 0 ELSE 1 END AS from_lex,
+      |    CASE WHEN s.r_sem IS NULL THEN 0 ELSE 1 END AS from_sem
+      |  FROM lexr l FULL JOIN semr s
+      |    ON l.probe_id = s.probe_id AND l.doc_id = s.doc_id
+      |)
+      |SELECT probe_id, rank, doc_id,
+      |  CAST(from_lex AS BIGINT) AS from_lex,
+      |  CAST(from_sem AS BIGINT) AS from_sem
+      |FROM (
+      |  SELECT probe_id, doc_id, from_lex, from_sem,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM fused) t
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** q126 — the incremental-dedup audit: the engine admits the
     * incoming slice (`doc_id % 3 = 0`) against the already-admitted
     * corpus by probing the band index with ONLY the slice's keys; the

@@ -144,7 +144,8 @@ object SparkEntry {
     "q128_heavy_hitters" -> (TextOps.q128HeavyHitters _),
     "q129_streaming_admission" -> (TextOps.q129StreamingAdmission _),
     "q130_ivfpq_ann" -> (VectorOps.q130IvfPqAnn _),
-    "q131_audience_overlap" -> (RelationalQueries.q131AudienceOverlap _)
+    "q131_audience_overlap" -> (RelationalQueries.q131AudienceOverlap _),
+    "q132_hybrid_search" -> (VectorOps.q132HybridSearch _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -341,7 +342,11 @@ object SparkEntry {
     // batch declaration; signatures are md5-portable so the oracle
     // rebuilds bucket, agreement, and greedy rejection relationally —
     // hash equality proves the state machine computes that semantics
-    "q129_streaming_admission" -> OracleSql.q129
+    "q129_streaming_admission" -> OracleSql.q129,
+    // q132 hybrid retrieval: integer lexical overlap + exact cosine,
+    // fused by RRF whose 1/(60+rank) divisions are engine-identical —
+    // the fused ranking itself hash-matches, proving fusion semantics
+    "q132_hybrid_search" -> OracleSql.q132
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -799,6 +799,65 @@ object VectorOps {
     exactRerank(spark, dir, cands)
   }
 
+  // --------------------------------------------------------------- q132
+  /** q132 — HYBRID retrieval with reciprocal-rank fusion (the query
+    * shape modern vector stores actually serve: lexical recall catches
+    * exact-term matches dense vectors blur, dense recall catches
+    * paraphrase lexical misses, RRF fuses without score calibration,
+    * Cormack SIGIR'09): each probe (doc_id < 5, its text AND its
+    * embedding) retrieves top-20 LEXICALLY — shared-distinct-token
+    * count via the inverted token join, integer-exact — and top-20
+    * SEMANTICALLY (q15's exact cosine), then candidates merge by
+    * RRF = Σ 1/(60+rank), ranks fused top-10 with provenance flags.
+    * Every arithmetic step is engine-exact (integer ranks; 1/(60+r)
+    * is the identical IEEE division in both engines), so the FUSED
+    * RANKING itself sits under the DuckDB oracle hash — the fusion
+    * semantics are proven, not approximated. At 100 TB each arm is
+    * the already-proven scale shape (inverted index join; broadcast
+    * probes over the corpus scan or its ANN index) and the fusion
+    * touches 40 candidate rows per probe. */
+  def q132HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val e = normed(spark, dir)
+    val probesV = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val wSem = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val semr = e.join(broadcast(probesV), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("sim"))
+      .withColumn("r_sem", row_number().over(wSem))
+      .filter(col("r_sem") <= k)
+      .select("probe_id", "doc_id", "r_sem")
+    val dt = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        filter(split(col("text"), " "), t => t =!= lit("")))).as("tok"))
+    val pt = dt.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("tok"))
+    val wLex = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+    val lexr = broadcast(pt).join(dt, "tok")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("n_shared"))
+      .withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= k)
+      .select("probe_id", "doc_id", "r_lex")
+    val wFused = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lexr.join(semr, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+      .withColumn("rank", row_number().over(wFused).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("doc_id"),
+        when(col("r_lex").isNotNull, 1L).otherwise(0L).as("from_lex"),
+        when(col("r_sem").isNotNull, 1L).otherwise(0L).as("from_sem"))
+      .orderBy("probe_id", "rank")
+  }
+
   // --------------------------------------------------------------- q130
   /** q130 — IVF-PQ (the composition deployed billion-vector indexes
     * actually run, Jégou PAMI'11 §IV): q49's coarse quantizer routes

