@@ -2008,7 +2008,14 @@ object Streaming {
       .filter { case (id, p) =>
         id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
       }
-    val liveBytes = live.map(b => f.getContentSummary(b._2).getLength).sum
+    // unlocked policy input, racing a concurrent compactor's batch
+    // retirement: a dir that vanishes between list and stat simply
+    // contributes 0 to the backlog (the other actor is already doing
+    // the work this threshold would trigger)
+    val liveBytes = live.map { b =>
+      try f.getContentSummary(b._2).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
     val compacted =
       if (live.size >= compactAfterBatches || liveBytes >= compactAfterBytes) {
         compactSink(spark, path, tsCol, quiesced)
