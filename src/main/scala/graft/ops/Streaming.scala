@@ -309,13 +309,24 @@ object Streaming {
     * `batch_id=` overwrites. The lease is heartbeated each batch and
     * released when the query terminates (a crashed JVM's lease goes
     * stale and is stolen by the successor). */
-  def parquetSinkStream(events: DataFrame, path: String,
-      checkpoint: String, compactEvery: Int = 0, tsCol: String = "ts")
+  /** The writer-lease LIFECYCLE around a streaming query, shared by
+    * [[parquetSinkStream]] and [[cdcSinkStream]] (one definition, or
+    * the two drift): release the lease when `start` itself throws
+    * (unwritable checkpoint, bad plan — the lease must not strand
+    * until the staleness horizon); heartbeat on IDLE triggers — an
+    * empty trigger posts QueryIdleEvent, NOT QueryProgressEvent, and
+    * never reaches foreachBatch, so without this a quiet feed ages
+    * past `lockStaleMs` and gets displaced while perfectly alive
+    * (data batches heartbeat through the write path itself); release
+    * on termination via the listener; and release directly if the
+    * query died inside the registration window (listeners added after
+    * an event is posted never receive it). Every release and
+    * heartbeat is ownership-guarded, so double release and zombie
+    * refresh are both impossible. */
+  private def leasedQuery(spark: SparkSession, path: String,
+      writerId: String, fence: Long)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = events.sparkSession
-    val writerId = "ckpt-" + java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val fence = acquireWriter(spark, path, writerId)
     def release(): Unit =
       try releaseWriter(spark, path, writerId, fence)
       catch { case ex: Exception =>
@@ -323,7 +334,37 @@ object Streaming {
           s"(will age out at the staleness horizon): $ex")
       }
     val query =
-      try events.writeStream
+      try start
+      catch { case e: Throwable => release(); throw e }
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryIdle(e: QueryIdleEvent): Unit =
+        if (e.id == query.id) heartbeatWriter(spark, path, writerId, fence)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          release()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!query.isActive) {
+      release()
+      spark.streams.removeListener(listener)
+    }
+    query
+  }
+
+  def parquetSinkStream(events: DataFrame, path: String,
+      checkpoint: String, compactEvery: Int = 0, tsCol: String = "ts")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    val writerId = "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fence = acquireWriter(spark, path, writerId)
+    leasedQuery(spark, path, writerId, fence) {
+      events.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           writeBatchIdempotent(batch, path, id, writerId, fence)
           if (compactEvery > 0 && (id + 1) % compactEvery == 0)
@@ -332,39 +373,7 @@ object Streaming {
         }
         .option("checkpointLocation", checkpoint)
         .outputMode("append").start()
-      catch { case e: Throwable =>
-        // a start() that throws (unwritable checkpoint, bad plan) must
-        // not strand the lease until the staleness horizon
-        release(); throw e
-      }
-    // release on termination (async listener; releaseWriter is fenced,
-    // so a successor that already took over is never un-leased)
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      // heartbeat on PROGRESS, not just on data: empty triggers emit
-      // progress events but never reach foreachBatch, so an idle feed
-      // would otherwise read as stale at the lockStaleMs horizon and
-      // get displaced by the first backfill. Ownership-guarded: a
-      // zombie predecessor must not refresh a lease a successor took.
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.id == query.id)
-          heartbeatWriter(spark, path, writerId, fence)
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          release()
-          spark.streams.removeListener(this)
-        }
     }
-    spark.streams.addListener(listener)
-    // listeners added after an event is posted never receive it: if the
-    // query already died in the registration window, release here (a
-    // double release is harmless — releaseWriter is ownership-guarded)
-    if (!query.isActive) {
-      release()
-      spark.streams.removeListener(listener)
-    }
-    query
   }
 
   /** Streaming CDC apply: the deployment form of [[upsertBatch]] — a
@@ -407,14 +416,8 @@ object Streaming {
     val writerId = "cdc-" + java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val fence = acquireWriter(spark, path, writerId)
-    def release(): Unit =
-      try releaseWriter(spark, path, writerId, fence)
-      catch { case ex: Exception =>
-        log.warn(s"writer lease release on $path failed " +
-          s"(will age out at the staleness horizon): $ex")
-      }
-    val query =
-      try changes.writeStream
+    leasedQuery(spark, path, writerId, fence) {
+      changes.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val f = fs(spark, path)
           val lock = new org.apache.hadoop.fs.Path(
@@ -448,34 +451,7 @@ object Streaming {
         }
         .option("checkpointLocation", checkpoint)
         .outputMode("append").start()
-      catch { case e: Throwable =>
-        // a start() that throws (unwritable checkpoint, bad plan) must
-        // not strand the lease until the staleness horizon
-        release(); throw e
-      }
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      // idle-feed keep-alive: see parquetSinkStream's listener note
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.id == query.id)
-          heartbeatWriter(spark, path, writerId, fence)
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          release()
-          spark.streams.removeListener(this)
-        }
     }
-    spark.streams.addListener(listener)
-    // listeners added after an event is posted never receive it: if the
-    // query already died in the registration window, release here —
-    // releaseWriter only deletes a lease this (id, fence) still owns,
-    // so a double release (listener also fired) is harmless
-    if (!query.isActive) {
-      release()
-      spark.streams.removeListener(listener)
-    }
-    query
   }
 
   // ------------------------------------------------------- compaction
@@ -653,6 +629,25 @@ object Streaming {
             s"${content.take(3).mkString("[", ", ", "]")}")
       }
     }
+
+  /** Watermark read for UNLOCKED callers (readers, pollers, policy
+    * inputs): a concurrent maintenance op may retire the listed max
+    * epoch between `maxEpoch` and the marker open — a benign race, and
+    * the post-race state is consistent, so retry once; a second
+    * failure (or any non-FileNotFound cause) is real corruption and
+    * propagates. LOCKED maintenance bodies call [[consumedThrough]]
+    * directly: under the lock the epoch cannot vanish, so every
+    * failure there is loud by design. */
+  private def racedWatermark(spark: SparkSession, path: String,
+      f: org.apache.hadoop.fs.FileSystem): Long = {
+    def fnf(e: Throwable): Boolean = e match {
+      case _: java.io.FileNotFoundException => true
+      case e if e.getCause != null => fnf(e.getCause)
+      case _ => false
+    }
+    def once() = consumedThrough(f, path, maxEpoch(spark, path))
+    try once() catch { case e: IllegalStateException if fnf(e) => once() }
+  }
 
   // -------------------------------------------------- writer lease
   // Lease file content: id, fence, and a per-acquisition random token
@@ -1473,8 +1468,12 @@ object Streaming {
       }
     // live = newer than the epoch's consumed-batch WATERMARK (== the
     // epoch id except after a delete, whose epoch consumed no batches
-    // — filtering on the id there would hide legitimately live rows)
-    val wm = consumedThrough(f, path, cut)
+    // — filtering on the id there would hide legitimately live rows).
+    // Raced-retried: this is an unlocked reader; if maintenance
+    // retires `cut` mid-construction the scan below fails loudly
+    // anyway (the documented reader-overlap contract), but the
+    // watermark read itself must not die on the benign window.
+    val wm = racedWatermark(spark, path, f)
     val liveDirs = subdirs(spark, path, "batch_id=")
       .filter { case (id, p) =>
         id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
@@ -1515,7 +1514,7 @@ object Streaming {
     * for everything that arrived after it. */
   def sinkWatermark(spark: SparkSession, path: String): Long = {
     val f = fs(spark, path)
-    val wm = consumedThrough(f, path, maxEpoch(spark, path))
+    val wm = racedWatermark(spark, path, f)
     subdirs(spark, path, "batch_id=")
       .filter { case (_, p) =>
         f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
@@ -1550,7 +1549,7 @@ object Streaming {
   def readSinkSince(spark: SparkSession, path: String, cursor: Long,
       tsCol: String = "ts"): DataFrame = {
     val f = fs(spark, path)
-    val wm = consumedThrough(f, path, maxEpoch(spark, path))
+    val wm = racedWatermark(spark, path, f)
     require(cursor >= wm,
       s"incremental history before batch $wm is gone from $path: " +
         s"cursor $cursor predates the compaction horizon (those batches " +
@@ -1876,12 +1875,19 @@ object Streaming {
     // otherwise derive k from ~0 epoch bytes and funnel multi-GB days
     // through one writer each (files later compactions only MOVE,
     // never re-split). The batch's bytes come from its optimized
-    // plan's statistics: exact for parquet-backed sources, a
-    // defensible estimate elsewhere. (deleteLocked's twin block sizes
-    // epoch dirs only — correct there: a delete's output is a strict
-    // subset of its input.)
-    val batchBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-      .min(BigInt(Long.MaxValue)).toLong
+    // plan's statistics: exact for parquet-backed sources (the
+    // backfill case this sizing exists for). A plan with NO real
+    // statistics — a streaming micro-batch source — reports
+    // spark.sql.defaultSizeInBytes = Long.MaxValue as its "unknown"
+    // sentinel; treating that as real bytes would clamp k to its max
+    // (32768 tiny files) on an empty sink and OVERFLOW the sum on a
+    // non-empty one, so unknown contributes zero and the day-count
+    // floor governs (micro-batches are small by construction).
+    // (deleteLocked's twin block sizes epoch dirs only — correct
+    // there: a delete's output is a strict subset of its input.)
+    val batchStat = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val batchBytes =
+      if (batchStat >= BigInt(Long.MaxValue) / 2) 0L else batchStat.toLong
     val inputBytes =
       affectedDirs.map(d => f.getContentSummary(d._2).getLength).sum +
         batchBytes
@@ -2003,7 +2009,7 @@ object Streaming {
       quiesced: Boolean = false,
       tsCol: String = "ts"): Seq[String] = {
     val f = fs(spark, path)
-    val wm = consumedThrough(f, path, maxEpoch(spark, path))
+    val wm = racedWatermark(spark, path, f)
     val live = subdirs(spark, path, "batch_id=")
       .filter { case (id, p) =>
         id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
@@ -2025,16 +2031,21 @@ object Streaming {
       case Some(n) =>
         require(n > 0, s"retainDays must be positive, got $n")
         val cut = maxEpoch(spark, path)
-        val wmNow = consumedThrough(f, path, cut)
+        val wmNow = racedWatermark(spark, path, f) // unlocked policy read
         val backlog = subdirs(spark, path, "batch_id=").exists { case (id, p) =>
           id > wmNow && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
         }
         val days =
           if (cut < 0) Seq.empty
-          else f.listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$cut"))
+          else try f
+            .listStatus(new org.apache.hadoop.fs.Path(s"$path/epoch=$cut"))
             .toSeq.map(_.getPath.getName)
             .filter(d => d.startsWith("day=") && d != NullDayDir)
             .map(d => java.sql.Date.valueOf(d.stripPrefix("day=")))
+          catch { // epoch retired by a concurrent compactor mid-policy:
+            // skip this cycle's retention, the next cron re-resolves
+            case _: java.io.FileNotFoundException => Seq.empty
+          }
         if (backlog)
           // retireDays would refuse (live rows could resurrect retired
           // days); a cron must not die on a transient backlog — defer

@@ -191,27 +191,49 @@ class VectorOpsSpec extends SparkSpecBase {
       m >= 0 && m < 8 && cid >= 0 && cid < 16 && c.length == 8 })
   }
 
-  test("q132 hybrid search: RRF ranks agree with a driver-side fusion of the two arms") {
+  test("q132 hybrid search: full result equals a driver-side re-derivation of both arms + RRF") {
     val rows = SparkEntry.queries("q132_hybrid_search")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
-    assert(rows.map(_._1).toSet == (0L to 4L).toSet)
-    rows.groupBy(_._1).values.foreach { g =>
-      assert(g.map(_._2).sorted.sameElements(1L to g.length))
+    // independent re-implementation, no Spark in the loop: exact
+    // cosine arm (sequential left-to-right dot, the engine's
+    // DotProduct order), integer lexical arm, RRF fusion
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    // a doc flagged from BOTH arms must outrank one flagged from a
-    // single arm at the same per-arm rank; weaker but assumption-free:
-    // every rank-1 result carries at least one provenance flag, and
-    // flags are never both zero
-    assert(rows.forall(r => r._4 + r._5 >= 1))
-    // re-derive the fusion on the driver from the engine's own arms:
-    // exact semantic ranks from q15's full scoring (extended to 20)
-    // would re-implement the query; instead pin INTERNAL consistency —
-    // both-arms docs score 2/(60+r) bounds, so any both-flag doc beats
-    // any single-flag doc whose arm rank is >= its worse arm rank
-    val both = rows.filter(r => r._4 == 1 && r._5 == 1)
-    assert(both.nonEmpty,
-      "no candidate surfaced from both arms - fusion gate is vacuous")
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val toks = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+    def top(xs: Seq[(Long, Double)], k: Int): Seq[(Long, Int)] =
+      xs.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+    val expected = (0L to 4L).flatMap { p =>
+      val sem = top(vecs.keys.filter(_ != p).map(d =>
+        d -> dot(vecs(p), vecs(d)) / (nrm(p) * nrm(d))).toSeq, 20).toMap
+      val lex = top(toks.keys.filter(_ != p).map(d =>
+        d -> toks(p).intersect(toks(d)).size.toDouble).toSeq
+        .filter(_._2 > 0), 20).toMap
+      val fusedAll = (sem.keySet ++ lex.keySet).toSeq.map { d =>
+        val score = lex.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          sem.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (d, score)
+      }
+      top(fusedAll, 10).map { case (d, r) =>
+        (p, r.toLong, d,
+          if (lex.contains(d)) 1L else 0L, if (sem.contains(d)) 1L else 0L)
+      }
+    }
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == expected,
+      "engine fusion diverges from the driver-side re-derivation")
+    // and the fusion must actually merge: some doc from both arms
+    assert(rows.exists(r => r._4 == 1 && r._5 == 1))
   }
 
   test("q35 multimodal: per-kind stats with real byte counts") {
