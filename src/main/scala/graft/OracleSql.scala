@@ -1083,6 +1083,45 @@ object OracleSql {
       |  array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk
       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q133 — the passage-retrieval audit: q74's deterministic chunking
+    * re-stated, each probe's distinct tokens joined against per-chunk
+    * distinct tokens, integer overlap counts, best-chunk-per-doc (max
+    * score, earliest chunk), docs ranked top-5 per probe. Integers end
+    * to end, so the whole max-passage pipeline hash-matches. */
+  val q133: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), pt AS (
+      |  SELECT doc_id AS probe_id, unnest(list_distinct(t)) AS tok
+      |  FROM toks WHERE doc_id < 3 AND len(t) >= 1
+      |), st AS (
+      |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+      |  FROM toks WHERE doc_id >= 3 AND len(t) >= 1
+      |), ct AS (
+      |  SELECT doc_id, CAST(divide(s, 24) AS BIGINT) AS chunk_id,
+      |    unnest(list_distinct(list_slice(t, s + 1, s + 32))) AS tok
+      |  FROM st
+      |), scored AS (
+      |  SELECT p.probe_id, c.doc_id, c.chunk_id, COUNT(*) AS score
+      |  FROM pt p JOIN ct c ON c.tok = p.tok
+      |  GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT probe_id, doc_id, chunk_id, score FROM (
+      |    SELECT probe_id, doc_id, chunk_id, score,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id, doc_id
+      |        ORDER BY score DESC, chunk_id) AS rn
+      |    FROM scored) t WHERE rn = 1
+      |)
+      |SELECT probe_id, rank, doc_id, chunk_id, CAST(score AS BIGINT) AS score
+      |FROM (
+      |  SELECT probe_id, doc_id, chunk_id, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM best) t
+      |WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** q75 — per-lang quota = ceil(8·√n) (α=0.5 temperature), selection =
     * quota smallest md5(doc_id); √/ceil are correctly-rounded IEEE in
     * both engines so the quotas agree exactly. */

@@ -145,7 +145,8 @@ object SparkEntry {
     "q129_streaming_admission" -> (TextOps.q129StreamingAdmission _),
     "q130_ivfpq_ann" -> (VectorOps.q130IvfPqAnn _),
     "q131_audience_overlap" -> (RelationalQueries.q131AudienceOverlap _),
-    "q132_hybrid_search" -> (VectorOps.q132HybridSearch _)
+    "q132_hybrid_search" -> (VectorOps.q132HybridSearch _),
+    "q133_passage_search" -> (TextOps.q133PassageSearch _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -346,7 +347,11 @@ object SparkEntry {
     // q132 hybrid retrieval: integer lexical overlap + exact cosine,
     // fused by RRF whose 1/(60+rank) divisions are engine-identical —
     // the fused ranking itself hash-matches, proving fusion semantics
-    "q132_hybrid_search" -> OracleSql.q132
+    "q132_hybrid_search" -> OracleSql.q132,
+    // q133 passage retrieval: q74's chunks scored by integer token
+    // overlap, best-chunk-per-doc collapse, docs ranked per probe —
+    // the max-passage RAG pipeline, integer-exact under the hash
+    "q133_passage_search" -> OracleSql.q133
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

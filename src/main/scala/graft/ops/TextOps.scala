@@ -902,6 +902,53 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // --------------------------------------------------------------- q133
+  /** q133 — PASSAGE retrieval over the chunk index (the RAG serving
+    * granularity: retrieval happens over q74's context-window chunks,
+    * because a 32-token passage about the query beats a 10k-token doc
+    * that mentions it once — then results collapse to best-passage-
+    * per-document, the max-passage aggregation every RAG stack runs):
+    * each probe doc (doc_id < 3) scores every chunk of the rest of the
+    * corpus by shared-distinct-token count (integer-exact), keeps each
+    * document's BEST chunk (max score, earliest chunk on ties), and
+    * ranks documents top-5 per probe, the winning passage's id and
+    * score riding along. All integers → fully oracle-backed. At
+    * 100 TB: the chunk inverted index is the stored artifact (q74's
+    * chunking is deterministic), probe terms broadcast, one hash agg
+    * per (probe, doc, chunk), and the per-doc collapse + top-5 move
+    * only scored candidates. */
+  def q133PassageSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (chunkSz, stride) = (32, 24)
+    val base = withToks(Tables.documents(spark, dir))
+      .filter(size(col("t")) >= 1)
+    val chunks = base.filter(col("doc_id") >= 3)
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
+      .withColumn("ctok",
+        array_distinct(slice(col("t"), col("start") + 1, lit(chunkSz))))
+      .select(col("doc_id"),
+        floor(col("start") / lit(stride)).cast("bigint").as("chunk_id"),
+        explode(col("ctok")).as("tok"))
+    val probes = base.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("probe_id"),
+        explode(array_distinct(col("t"))).as("tok"))
+    val scored = broadcast(probes).join(chunks, "tok")
+      .groupBy("probe_id", "doc_id", "chunk_id")
+      .agg(count(lit(1)).as("score"))
+    val wDoc = Window.partitionBy(col("probe_id"), col("doc_id"))
+      .orderBy(col("score").desc, col("chunk_id"))
+    val best = scored.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") === 1)
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    best.withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("chunk_id"),
+        col("score"))
+      .orderBy("probe_id", "rank")
+  }
+
   // ---------------------------------------------------------------- q75
   /** q75 — temperature-flattened mixture sampling: rebalance a
     * multilingual corpus by capping each language at

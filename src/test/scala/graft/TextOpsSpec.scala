@@ -337,6 +337,35 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q133 passage search: emitted passages are each doc's true argmax chunk with the exact overlap") {
+    val toks = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    def chunksOf(t: Array[String]): Seq[(Long, Set[String])] =
+      (0 until t.length by 24).map(s =>
+        (s / 24).toLong -> t.slice(s, s + 32).toSet)
+    val rows = SparkEntry.queries("q133_passage_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1L to g.length))
+    }
+    rows.foreach { case (p, _, doc, chunk, score) =>
+      val probe = toks(p).toSet
+      val byChunk = chunksOf(toks(doc))
+        .map { case (id, ts) => id -> probe.intersect(ts).size }
+      assert(byChunk.toMap.apply(chunk) == score,
+        s"probe $p doc $doc chunk $chunk: engine score $score != exact")
+      // the emitted chunk is the doc's argmax (earliest on ties)
+      val bestScore = byChunk.map(_._2).max
+      val bestChunk = byChunk.filter(_._2 == bestScore).map(_._1).min
+      assert(chunk == bestChunk && score == bestScore,
+        s"probe $p doc $doc: emitted ($chunk,$score) vs argmax ($bestChunk,$bestScore)")
+    }
+  }
+
   test("q32: one fingerprint per doc") {
     val n = SparkEntry.queries("q32_doc_fingerprint")(spark, sf).count()
     assert(n == Tables.documents(spark, sf).count())
