@@ -1729,4 +1729,32 @@ object OracleSql {
       |FROM evolved
       |GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** q134 — the time-travel audit: the engine compacts events into the
+    * sink under keepEpochs=2, DELETEs the `user_id % 7 = 3` cohort
+    * (minting a new epoch while the previous survives as an immutable
+    * snapshot), and reads BOTH versions — `readSink(atEpoch)`
+    * pre-delete, the current view post-delete — into one per-day
+    * before/after aggregate. The oracle re-states the two versions
+    * over `events` as a tagged UNION ALL: before = every row, after =
+    * the delete's null-safe complement (q117's `NOT COALESCE(p,
+    * FALSE)` — DELETE removes only rows where the predicate is TRUE).
+    * Hash equality proves the snapshot serves exactly the pre-delete
+    * table and the current read exactly the post-delete one,
+    * simultaneously, from one sink. NULLS FIRST pins the engines'
+    * differing null-sort defaults (null-ts rows group once on the
+    * NULL day in both versions). */
+  val q134: String =
+    """WITH tagged AS (
+      |  SELECT CAST(ts AS DATE) AS day, 'before' AS version FROM events
+      |  UNION ALL
+      |  SELECT CAST(ts AS DATE) AS day, 'after' AS version FROM events
+      |  WHERE NOT COALESCE(user_id % 7 = 3, FALSE)
+      |)
+      |SELECT day,
+      |  COUNT(CASE WHEN version = 'before' THEN 1 END) AS n_before,
+      |  COUNT(CASE WHEN version = 'after' THEN 1 END) AS n_after
+      |FROM tagged
+      |GROUP BY day
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

@@ -146,7 +146,8 @@ object SparkEntry {
     "q130_ivfpq_ann" -> (VectorOps.q130IvfPqAnn _),
     "q131_audience_overlap" -> (RelationalQueries.q131AudienceOverlap _),
     "q132_hybrid_search" -> (VectorOps.q132HybridSearch _),
-    "q133_passage_search" -> (TextOps.q133PassageSearch _)
+    "q133_passage_search" -> (TextOps.q133PassageSearch _),
+    "q134_time_travel" -> (Streaming.q134TimeTravel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -351,7 +352,14 @@ object SparkEntry {
     // q133 passage retrieval: q74's chunks scored by integer token
     // overlap, best-chunk-per-doc collapse, docs ranked per probe —
     // the max-passage RAG pipeline, integer-exact under the hash
-    "q133_passage_search" -> OracleSql.q133
+    "q133_passage_search" -> OracleSql.q133,
+    // q134 time travel: with keepEpochs=2 a delete mints a new epoch
+    // while the previous one survives as an immutable snapshot; the
+    // engine reads BOTH versions (atEpoch + current) into one per-day
+    // before/after aggregate — the oracle re-states the two versions
+    // over events, so hash equality proves the snapshot is exactly the
+    // pre-delete table and the current view exactly the post-delete one
+    "q134_time_travel" -> OracleSql.q134
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
