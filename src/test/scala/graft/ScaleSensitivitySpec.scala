@@ -25,7 +25,11 @@ class ScaleSensitivitySpec extends SparkSpecBase {
   // delete sibling) — real multi-write I/O, so a super-linear write
   // path would hide inside "it's just I/O" without these — plus q122
   // (the round-13 bench's #2 cost: q91's banded-LSH shape feeding the
-  // dedup materialization)
+  // dedup materialization), and in round 14 with the retrieval family
+  // (q132 hybrid fusion, q133 chunk-index scoring — model joins and
+  // candidate fans whose cost shape deserves the same canary the
+  // lifecycle set got) plus q134 (time travel: two full sink reads
+  // atop the delete lifecycle — the heaviest lifecycle I/O yet)
   private val watched =
     Seq("q100_ctas", "q17_placement_targets", "q22_hive_connected",
       "q65_bigram_lm", "q86_funnel",
@@ -34,7 +38,8 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q115_stream_compaction", "q116_retention", "q117_delete_where",
       "q118_incremental_read", "q119_upsert_batch",
       "q120_perplexity_filter", "q124_schema_evolution",
-      "q122_minhash_dedup")
+      "q122_minhash_dedup",
+      "q132_hybrid_search", "q133_passage_search", "q134_time_travel")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -2202,6 +2202,174 @@ class StreamingSpec extends SparkSpecBase
       assert(last.getBoolean(4) && last.getBoolean(5))
     } finally q.stop()
   }
+
+  // ------------------------------------------- snapshot grace / time travel
+
+  private def withKeepEpochs[T](k: Int)(body: => T): T = {
+    val prev = spark.conf.getOption("spark.graft.sink.keepEpochs")
+    spark.conf.set("spark.graft.sink.keepEpochs", k.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
+      case None => spark.conf.unset("spark.graft.sink.keepEpochs")
+    }
+  }
+
+  private def epochIds(out: String): Seq[Long] =
+    Option(new java.io.File(out).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toLong).sorted
+
+  test("keepEpochs=2: a delete keeps the previous epoch as a live snapshot, the next op retires it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_tt").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 10L),
+        (tsv("2024-01-01 11:00:00"), 2L, 20L),
+        (tsv("2024-01-02 10:00:00"), 3L, 30L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    withKeepEpochs(2) {
+      val snap = Streaming.compactSink(spark, out, quiesced = true)
+      // pin a reader on the snapshot BEFORE the delete: with grace its
+      // files must survive the mutation (the r13 overlap window)
+      val pinned = Streaming.readSink(spark, out, atEpoch = Some(snap))
+        .select("event_id")
+      Streaming.deleteWhere(spark, out, col("user_id") === 20L)
+      assert(epochIds(out) == Seq(snap, snap + 1),
+        s"expected both epochs retained, got ${epochIds(out)}")
+      assert(pinned.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+        "pinned pre-delete reader lost rows to the delete's rewrite")
+      assert(Streaming.readSink(spark, out)
+        .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      assert(Streaming.readSink(spark, out, atEpoch = Some(snap + 1))
+        .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      // the NEXT lifecycle op pushes the first snapshot past the depth
+      Streaming.deleteWhere(spark, out, col("user_id") === 30L)
+      assert(epochIds(out) == Seq(snap + 1, snap + 2),
+        s"grace depth not enforced: ${epochIds(out)}")
+      val e = intercept[IllegalArgumentException](
+        Streaming.readSink(spark, out, atEpoch = Some(snap)))
+      assert(e.getMessage.contains("keepEpochs"),
+        s"unhelpful time-travel refusal: ${e.getMessage}")
+    }
+  }
+
+  test("by-reference days resolve transitively across a snapshot chain and materialize on vacuum") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_chain").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L), (tsv("2024-01-01 11:00:00"), 2L),
+        (tsv("2024-01-02 10:00:00"), 3L), (tsv("2024-01-02 11:00:00"), 4L),
+        (tsv("2024-01-03 10:00:00"), 5L), (tsv("2024-01-03 11:00:00"), 6L))
+        .toDF("ts", "event_id"), out, 0L)
+    def ids = Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    withKeepEpochs(3) {
+      Streaming.compactSink(spark, out, quiesced = true) // epoch 0: 3 days
+      Streaming.deleteWhere(spark, out, col("event_id") === 1L) // epoch 1
+      Streaming.deleteWhere(spark, out, col("event_id") === 3L) // epoch 2
+      // epoch 2 rewrote only day 2; day 1 is referenced from epoch 1,
+      // day 3 resolves TRANSITIVELY through epoch 1's plan to epoch 0
+      assert(!new java.io.File(s"$out/epoch=2/day=2024-01-03").exists(),
+        "day 3 was copied instead of shared by reference")
+      assert(new java.io.File(s"$out/epoch=0/day=2024-01-03").exists())
+      assert(ids == Seq(2L, 4L, 5L, 6L), s"chain resolution broke: $ids")
+      // every retained snapshot reads as-of its own commit
+      assert(Streaming.readSink(spark, out, atEpoch = Some(0L))
+        .select("event_id").as[Long].collect().sorted.toSeq == (1L to 6L))
+      assert(Streaming.readSink(spark, out, atEpoch = Some(1L))
+        .select("event_id").as[Long].collect().sorted.toSeq ==
+        Seq(2L, 3L, 4L, 5L, 6L))
+    }
+    // lower the depth: vacuum collapses history, materializing the one
+    // survivor (day 1 pulled from epoch 1, day 3 from epoch 0)
+    val gone = Streaming.vacuumEpochs(spark, out)
+    assert(gone == Seq(0L, 1L), s"wrong epochs vacuumed: $gone")
+    assert(epochIds(out) == Seq(2L))
+    assert(new java.io.File(s"$out/epoch=2/day=2024-01-03").exists(),
+      "materialization did not pull the transitively referenced day up")
+    assert(!new java.io.File(s"$out/epoch=2/_MERGE_PLAN").exists())
+    assert(ids == Seq(2L, 4L, 5L, 6L), s"materialization lost rows: $ids")
+  }
+
+  test("snapshot-mode retention mints a retention epoch and keeps the pre-retention snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_ret_tt").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L), (tsv("2024-01-02 10:00:00"), 2L),
+        (tsv("2024-01-03 10:00:00"), 3L))
+        .toDF("ts", "event_id"), out, 0L)
+    withKeepEpochs(2) {
+      val snap = Streaming.compactSink(spark, out, quiesced = true)
+      val retired = Streaming.retireDays(spark, out,
+        java.sql.Date.valueOf("2024-01-03"))
+      assert(retired == Seq("day=2024-01-01", "day=2024-01-02"))
+      assert(Streaming.readSink(spark, out)
+        .select("event_id").as[Long].collect().toSeq == Seq(3L),
+        "retention epoch serves the wrong survivors")
+      // time travel still sees the pre-retention table: retention did
+      // not touch a single day directory, only the new epoch's plan
+      assert(Streaming.readSink(spark, out, atEpoch = Some(snap))
+        .select("event_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // the retention epoch holds its one surviving day by reference
+      assert(epochIds(out) == Seq(snap, snap + 1))
+      assert(!new java.io.File(s"$out/epoch=${snap + 1}/day=2024-01-03")
+        .exists())
+      // a second retention pass finds nothing left to retire
+      assert(Streaming.retireDays(spark, out,
+        java.sql.Date.valueOf("2024-01-03")).isEmpty)
+    }
+  }
+
+  test("maintainSink vacuums epochs after a keepEpochs decrease; describeSink reports the depth") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_keep").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 10L),
+        (tsv("2024-01-02 10:00:00"), 2L, 20L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    withKeepEpochs(3) {
+      Streaming.compactSink(spark, out, quiesced = true)
+      Streaming.deleteWhere(spark, out, col("user_id") === 10L)
+      Streaming.upsertBatch(spark, out,
+        Seq((tsv("2024-01-02 10:00:00"), 2L, 99L))
+          .toDF("ts", "event_id", "user_id"), Seq("event_id"))
+      assert(epochIds(out).size == 3)
+      val d = Streaming.describeSink(spark, out).collect()(0)
+      assert(d.getAs[Long]("epochs_kept") == 3L)
+      assert(d.getAs[Long]("oldest_epoch") == 0L)
+      assert(d.getAs[String]("last_op") == "upsert")
+      // steady state: maintenance has no epochs to vacuum
+      assert(Streaming.maintainSink(spark, out, compactAfterBatches = 99,
+        quiesced = true).isEmpty)
+    }
+    // operator lowers the depth: the cron's epoch vacuum collapses it
+    val actions = Streaming.maintainSink(spark, out,
+      compactAfterBatches = 99, quiesced = true)
+    assert(actions == Seq("epochs_vacuumed=2"), s"wrong actions: $actions")
+    assert(epochIds(out).size == 1)
+    assert(Streaming.readSink(spark, out)
+      .select("user_id").as[Long].collect().toSeq == Seq(99L),
+      "epoch vacuum changed the current table's content")
+  }
+
+  test("readSink atEpoch refuses an unknown or uncommitted epoch loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_at").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L)).toDF("ts", "event_id"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    val e = intercept[IllegalArgumentException](
+      Streaming.readSink(spark, out, atEpoch = Some(42L)))
+    assert(e.getMessage.contains("retained: [0]"),
+      s"refusal should list what IS retained: ${e.getMessage}")
+  }
 }
 
 /** A local filesystem whose rename ALWAYS fails — the test stand-in for
