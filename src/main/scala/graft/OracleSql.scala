@@ -1730,6 +1730,83 @@ object OracleSql {
       |GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** q135 — the BM25 df-capped hybrid-retrieval audit: the engine
+    * retrieves per probe through a df ≤ 64 inverted index with the
+    * integer-exact BM25-shaped score
+    * `floor(10000·n·tf·L / (df·(tf·L + 2·len·n)))` (rational idf =
+    * n/df, saturating length-normalized tf — q59's log-free
+    * basis-point discipline, floored per term BEFORE the per-pair sum
+    * so the aggregate is integer and partition-order independent) and
+    * fuses with q132's exact-cosine arm by RRF. Every product stays
+    * exact in BIGINT and under 2^53, so the one double division is
+    * the identical IEEE op in both engines and the FUSED ranking
+    * itself sits under the hash. CAST(SUM(len) AS BIGINT) pins
+    * DuckDB's HUGEINT widening back to the engine's long before the
+    * arithmetic. */
+  val q135: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), p AS (
+      |  SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5
+      |), sem AS (
+      |  SELECT p.probe_id, n.vec_id AS doc_id,
+      |    list_dot_product(p.pv, n.v) / (p.pnrm * n.nrm) AS sim
+      |  FROM p JOIN n ON n.vec_id <> p.probe_id
+      |), semr AS (
+      |  SELECT probe_id, doc_id, r_sem FROM (
+      |    SELECT probe_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS r_sem
+      |    FROM sem) t WHERE r_sem <= 20
+      |), tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1
+      |), corpus AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_len FROM dl
+      |), dft AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok HAVING COUNT(*) <= 64
+      |), pterms AS (
+      |  SELECT DISTINCT doc_id AS probe_id, tok FROM tok WHERE doc_id < 5
+      |), scored AS (
+      |  SELECT p2.probe_id, t.doc_id,
+      |    SUM(CAST(FLOOR(10000 * c.n_docs * t.tf * c.total_len /
+      |      (d.df * (t.tf * c.total_len + 2 * l.len * c.n_docs))) AS BIGINT)) AS score_bp
+      |  FROM tf t
+      |  JOIN dft d ON d.tok = t.tok
+      |  JOIN pterms p2 ON p2.tok = t.tok AND t.doc_id <> p2.probe_id
+      |  JOIN dl l ON l.doc_id = t.doc_id
+      |  CROSS JOIN corpus c
+      |  GROUP BY 1, 2
+      |), lexr AS (
+      |  SELECT probe_id, doc_id, r_lex FROM (
+      |    SELECT probe_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score_bp DESC, doc_id) AS r_lex
+      |    FROM scored) t WHERE r_lex <= 20
+      |), fused AS (
+      |  SELECT COALESCE(l.probe_id, s.probe_id) AS probe_id,
+      |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0) +
+      |      COALESCE(CAST(1 AS DOUBLE) / (60 + s.r_sem), 0) AS score,
+      |    CASE WHEN l.r_lex IS NULL THEN 0 ELSE 1 END AS from_lex,
+      |    CASE WHEN s.r_sem IS NULL THEN 0 ELSE 1 END AS from_sem
+      |  FROM lexr l FULL JOIN semr s
+      |    ON l.probe_id = s.probe_id AND l.doc_id = s.doc_id
+      |)
+      |SELECT probe_id, rank, doc_id,
+      |  CAST(from_lex AS BIGINT) AS from_lex,
+      |  CAST(from_sem AS BIGINT) AS from_sem
+      |FROM (
+      |  SELECT probe_id, doc_id, from_lex, from_sem,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM fused) t
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** q134 — the time-travel audit: the engine compacts events into the
     * sink under keepEpochs=2, DELETEs the `user_id % 7 = 3` cohort
     * (minting a new epoch while the previous survives as an immutable

@@ -147,7 +147,8 @@ object SparkEntry {
     "q131_audience_overlap" -> (RelationalQueries.q131AudienceOverlap _),
     "q132_hybrid_search" -> (VectorOps.q132HybridSearch _),
     "q133_passage_search" -> (TextOps.q133PassageSearch _),
-    "q134_time_travel" -> (Streaming.q134TimeTravel _)
+    "q134_time_travel" -> (Streaming.q134TimeTravel _),
+    "q135_bm25_hybrid" -> (VectorOps.q135Bm25Hybrid _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -359,7 +360,13 @@ object SparkEntry {
     // before/after aggregate — the oracle re-states the two versions
     // over events, so hash equality proves the snapshot is exactly the
     // pre-delete table and the current view exactly the post-delete one
-    "q134_time_travel" -> OracleSql.q134
+    "q134_time_travel" -> OracleSql.q134,
+    // q135 BM25 df-capped hybrid: the production respelling of q132's
+    // lexical arm — df<=64 inverted index, integer-exact BM25-shaped
+    // basis-point score floored per term before the sum, q132's cosine
+    // arm and RRF fusion — hash equality proves the capped, weighted
+    // ranking end to end
+    "q135_bm25_hybrid" -> OracleSql.q135
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

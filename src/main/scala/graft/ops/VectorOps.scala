@@ -799,6 +799,96 @@ object VectorOps {
     exactRerank(spark, dir, cands)
   }
 
+  // --------------------------------------------------------------- q135
+  /** q135 — BM25-weighted, DF-CAPPED hybrid retrieval (the production
+    * respelling of q132's lexical arm, closing its named watch item:
+    * the shared-token-count arm joined an UNCAPPED inverted index, so
+    * at web scale a stopword shared by every document generates a
+    * candidate row per (probe, doc) pair — near-O(corpus) per probe —
+    * and weights 'the' equal to a rare term). This arm is the deployed
+    * retrieval shape:
+    *
+    *  - the inverted index keeps only postings with df ≤ 64 (q72's
+    *    df-cap discipline): boilerplate terms never enter the
+    *    candidate join, bounding per-term fan-out by the cap instead
+    *    of the corpus;
+    *  - scoring is BM25-shaped — saturating tf, doc-length
+    *    normalization, rational idf — spelled INTEGER-EXACT in q59's
+    *    log-free basis-point discipline so it sits under the oracle
+    *    hash: per (probe, doc, term),
+    *    `score_bp = floor(10000·n·tf·L / (df·(tf·L + 2·len·n)))`
+    *    (n = corpus size, L = total token count, len = doc length —
+    *    i.e. idf = n/df, tf-saturation tf/(tf + 2·len/avgLen); every
+    *    product is exact in BIGINT and < 2^53, so the single double
+    *    division is the identical IEEE op in both engines), floored
+    *    to bp BEFORE the per-pair sum so the aggregate is integer and
+    *    partition-order independent;
+    *  - the semantic arm and the RRF fusion are exactly q132's, so
+    *    the FUSED ranking stays hash-proven end to end.
+    *
+    * At 100 TB the capped index is the stored artifact (rebuilt
+    * incrementally like q126's band index), candidate fan-out is
+    * ≤ 64 docs per probe term by construction, and the corpus stats
+    * (n, L) are one broadcast row. The bp scale bounds exact
+    * arithmetic to ~2^50 at petabyte corpora; past that the same
+    * expression moves to DECIMAL with the floor unchanged. */
+  def q135Bm25Hybrid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val dfCap = 64
+    val e = normed(spark, dir)
+    val probesV = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val wSem = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val semr = e.join(broadcast(probesV), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("sim"))
+      .withColumn("r_sem", row_number().over(wSem))
+      .filter(col("r_sem") <= k)
+      .select("probe_id", "doc_id", "r_sem")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(
+        filter(split(col("text"), " "), t => t =!= lit(""))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // doc length re-derives from tf (one shuffle feeds tf, dl, df)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_len"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap) // the cap: boilerplate never joins
+    val pterms = toks.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("tok")).distinct()
+    val scored = tf.join(dfTab, "tok")
+      .join(broadcast(pterms), "tok")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("score_t", floor(
+        (lit(10000L) * col("n_docs") * col("tf") * col("total_len")) /
+          (col("df") * (col("tf") * col("total_len") +
+            lit(2L) * col("len") * col("n_docs")))))
+      .groupBy("probe_id", "doc_id").agg(sum("score_t").as("score_bp"))
+    val wLex = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_bp").desc, col("doc_id"))
+    val lexr = scored.withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= k)
+      .select("probe_id", "doc_id", "r_lex")
+    val wFused = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lexr.join(semr, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+      .withColumn("rank", row_number().over(wFused).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("doc_id"),
+        when(col("r_lex").isNotNull, 1L).otherwise(0L).as("from_lex"),
+        when(col("r_sem").isNotNull, 1L).otherwise(0L).as("from_sem"))
+      .orderBy("probe_id", "rank")
+  }
+
   // --------------------------------------------------------------- q132
   /** q132 — HYBRID retrieval with reciprocal-rank fusion (the query
     * shape modern vector stores actually serve: lexical recall catches

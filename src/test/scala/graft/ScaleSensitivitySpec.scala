@@ -39,7 +39,8 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q118_incremental_read", "q119_upsert_batch",
       "q120_perplexity_filter", "q124_schema_evolution",
       "q122_minhash_dedup",
-      "q132_hybrid_search", "q133_passage_search", "q134_time_travel")
+      "q132_hybrid_search", "q133_passage_search", "q134_time_travel",
+      "q135_bm25_hybrid")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
