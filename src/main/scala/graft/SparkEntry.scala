@@ -148,7 +148,8 @@ object SparkEntry {
     "q132_hybrid_search" -> (VectorOps.q132HybridSearch _),
     "q133_passage_search" -> (TextOps.q133PassageSearch _),
     "q134_time_travel" -> (Streaming.q134TimeTravel _),
-    "q135_bm25_hybrid" -> (VectorOps.q135Bm25Hybrid _)
+    "q135_bm25_hybrid" -> (VectorOps.q135Bm25Hybrid _),
+    "q136_stored_ann" -> (VectorOps.q136StoredAnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -367,7 +368,7 @@ object SparkEntry {
     // arm and RRF fusion — hash equality proves the capped, weighted
     // ranking end to end
     "q135_bm25_hybrid" -> OracleSql.q135
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131 (engine-specific
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

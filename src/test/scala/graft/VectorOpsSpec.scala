@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-class VectorOpsSpec extends SparkSpecBase {
+class VectorOpsSpec extends SparkSpecBase
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("q15: 10 ranked neighbors per probe, no self-matches") {
     val rows = SparkEntry.queries("q15_knn_bruteforce")(spark, sf).collect()
@@ -359,5 +360,73 @@ class VectorOpsSpec extends SparkSpecBase {
       assert(jobs.get() == 0,
         s"cache hit launched ${jobs.get()} Spark job(s) — rebuild leaked")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q136 stored ANN equals the session-trained q130 and passes its recall gate") {
+    // the stored index persists exactly the session-trained artifacts
+    // (parquet round-trips doubles losslessly), so searching the
+    // RE-READ index must reproduce q130 row for row — the strongest
+    // possible statement that nothing was lost in the serving story
+    val stored = SparkEntry.queries("q136_stored_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val session = SparkEntry.queries("q130_ivfpq_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored == session,
+      "stored-index search diverged from the session-trained path")
+    val exact = SparkEntry.queries("q15_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = stored.map(t => (t._1, t._3)).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall") // q130's nprobe bound
+  }
+
+  test("stored-index search prunes the codes scan to exactly the probed list directories") {
+    val out = java.nio.file.Files
+      .createTempDirectory("vec_index").toString + "/ivfpq"
+    ops.VectorOps.writeVectorIndex(spark, sf, out)
+    val res = ops.VectorOps.searchVectorIndex(spark, sf, out)
+    res.collect()
+    // the probed cids are a static IN filter, so they land in the
+    // codes scan's PartitionFilters and its numFiles must equal the
+    // files physically under the probed list directories — the
+    // "one probed list reads exactly its directory" contract
+    // scans hide inside AQE query-stage leaves: traverse adaptively
+    val scans = collect(res.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val codesScan = scans.filter(_.metadata.get("Location")
+      .exists(_.contains("codes"))).head
+    assert(codesScan.metadata.get("PartitionFilters")
+      .exists(_.contains("cid")), "probed lists not a partition filter")
+    val probed = "cid IN \\(([0-9,]+)\\)".r
+      .findFirstMatchIn(codesScan.metadata("PartitionFilters"))
+    val scanned = codesScan.metrics("numFiles").value
+    val listDirs = Option(new java.io.File(s"$out/codes").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    val allFiles = listDirs
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scanned > 0 && scanned < allFiles,
+      s"codes scan not pruned: $scanned of $allFiles files " +
+        s"(filters: ${codesScan.metadata.get("PartitionFilters")})")
+    probed.foreach { m =>
+      val ids = m.group(1).split(",").map(_.trim.toInt).toSet
+      val expected = listDirs.filter(d =>
+          ids.contains(d.getName.stripPrefix("cid=").toInt))
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet")).toLong)
+        .sum
+      assert(scanned == expected,
+        s"scan read $scanned files, probed dirs hold $expected")
+    }
+  }
+
+  test("readVectorIndex refuses a torn index without its commit marker") {
+    val out = java.nio.file.Files
+      .createTempDirectory("vec_torn").toString + "/ivfpq"
+    ops.VectorOps.writeVectorIndex(spark, sf, out)
+    assert(new java.io.File(out, "_INDEX_COMMIT").delete())
+    val e = intercept[IllegalArgumentException](
+      ops.VectorOps.readVectorIndex(spark, out))
+    assert(e.getMessage.contains("no committed vector index"))
   }
 }
