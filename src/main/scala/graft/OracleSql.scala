@@ -1807,6 +1807,33 @@ object OracleSql {
       |WHERE rank <= 10
       |ORDER BY probe_id, rank""".stripMargin
 
+  /** q137 — the type-widening audit: the engine ingests `value_cents`
+    * as INT in the v1 generation (even ids) and as BIGINT with an
+    * over-int-range +3·10⁹ offset in v2 (odd ids), and compaction
+    * must NORMALIZE the mixed footers to one BIGINT column (parquet's
+    * mergeSchema refuses them outright). The oracle re-states the two
+    * generations as a CASE; max_cents can only match if the over-int
+    * values survived a real widening, sum_cents pins that no row was
+    * dropped or double-cast. Fixed-point per row BEFORE the SUM
+    * (q124's discipline); BIGINT casts pin DuckDB's HUGEINT widening
+    * back to the engine's long. */
+  val q137: String =
+    """WITH evolved AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 2 = 0
+      |              THEN CAST(FLOOR(value * 100) AS BIGINT)
+      |              ELSE CAST(FLOOR(value * 100) AS BIGINT) + 3000000000
+      |              END AS value_cents
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(value_cents) AS n_cents,
+      |  CAST(COALESCE(SUM(value_cents), 0) AS BIGINT) AS sum_cents,
+      |  CAST(COALESCE(MAX(value_cents), 0) AS BIGINT) AS max_cents
+      |FROM evolved
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   /** q134 — the time-travel audit: the engine compacts events into the
     * sink under keepEpochs=2, DELETEs the `user_id % 7 = 3` cohort
     * (minting a new epoch while the previous survives as an immutable

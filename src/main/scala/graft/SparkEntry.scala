@@ -149,7 +149,8 @@ object SparkEntry {
     "q133_passage_search" -> (TextOps.q133PassageSearch _),
     "q134_time_travel" -> (Streaming.q134TimeTravel _),
     "q135_bm25_hybrid" -> (VectorOps.q135Bm25Hybrid _),
-    "q136_stored_ann" -> (VectorOps.q136StoredAnn _)
+    "q136_stored_ann" -> (VectorOps.q136StoredAnn _),
+    "q137_type_widening" -> (Streaming.q137TypeWidening _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -367,7 +368,12 @@ object SparkEntry {
     // basis-point score floored per term before the sum, q132's cosine
     // arm and RRF fusion — hash equality proves the capped, weighted
     // ranking end to end
-    "q135_bm25_hybrid" -> OracleSql.q135
+    "q135_bm25_hybrid" -> OracleSql.q135,
+    // q137 type widening: v1 lands value_cents as INT, v2 as BIGINT
+    // above int range; compaction normalizes the mixed footers to one
+    // BIGINT column — the oracle's CASE re-states both generations and
+    // max_cents can only match if the widening really happened
+    "q137_type_widening" -> OracleSql.q137
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -1021,6 +1021,85 @@ object Streaming {
     f.delete(plan, false)
   }
 
+  // ------------------------------------------------ type widening
+  // Additive schema drift (new columns) rides parquet's mergeSchema,
+  // but TYPE drift — int→long, float→double — does not: mergeSchema
+  // refuses mixed footers outright. Compaction therefore NORMALIZES:
+  // it computes the widened target schema over its inputs and the
+  // previous epoch, casts every input read to it, and when the
+  // previous epoch's footers are narrower it rewrites EVERY previous
+  // day through the cast instead of moving any — a one-time migration
+  // cost the O(1) rename cannot dodge, because a moved file keeps its
+  // narrow footer and poisons every later single-scan read.
+
+  /** The widened type two footer types normalize to, when widening is
+    * lossless (integral family upward, float→double, integral+
+    * fractional → double); None marks an un-widenable conflict. */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def irank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => 0
+    }
+    def frank(t: DataType): Int = t match {
+      case FloatType => 1; case DoubleType => 2; case _ => 0
+    }
+    if (a == b) Some(a)
+    else if (irank(a) > 0 && irank(b) > 0)
+      Some(if (irank(a) >= irank(b)) a else b)
+    else if (frank(a) > 0 && frank(b) > 0)
+      Some(if (frank(a) >= frank(b)) a else b)
+    else if ((irank(a) > 0 && frank(b) > 0) || (frank(a) > 0 && irank(b) > 0))
+      Some(DoubleType)
+    else None
+  }
+
+  /** Widened union of footer schemas by column name (first-seen order;
+    * later-only columns append — the additive case). An un-widenable
+    * conflict refuses loudly, naming the column: silently picking a
+    * side would corrupt whichever generation loses. */
+  private def widenedSchema(
+      schemas: Seq[org.apache.spark.sql.types.StructType],
+      context: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    schemas.foreach(_.foreach { fld =>
+      order.get(fld.name) match {
+        case None => order(fld.name) = fld
+        case Some(prev) =>
+          val t = widen(prev.dataType, fld.dataType).getOrElse(
+            throw new IllegalStateException(
+              s"$context: column '${fld.name}' cannot evolve from " +
+                s"${prev.dataType.simpleString} to " +
+                s"${fld.dataType.simpleString} - only lossless widenings " +
+                "(integral family, float->double) are supported; rewrite " +
+                "the producer or rename the column"))
+          order(fld.name) =
+            StructField(fld.name, t, prev.nullable || fld.nullable)
+      }
+    })
+    StructType(order.values.toSeq)
+  }
+
+  /** `df` with every column cast to the target's widened type; a frame
+    * already at the target passes through untouched, so the
+    * no-drift fast path stays cast-free. Columns outside the target
+    * (the derived `day`) pass through. */
+  private def conform(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val tm = target.map(f => f.name -> f.dataType).toMap
+    val needs = df.schema.exists(f => tm.get(f.name).exists(_ != f.dataType))
+    if (!needs) df
+    else df.select(df.schema.map { f =>
+      tm.get(f.name) match {
+        case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
   /** Every day of committed epoch `epochId` paired with the directory
     * that PHYSICALLY holds it: the epoch's own `day=` children plus —
     * when a durable [[MergePlan]] is present (snapshot mode,
@@ -1295,15 +1374,37 @@ object Streaming {
     // batch counter may lag the epoch counter
     val epoch = math.max(consumed, before + 1)
     val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
-    val fresh = spark.read.option("mergeSchema", "true")
-      .parquet(withData.map(_._2.toString): _*)
-      .withColumn("day", to_date(col(tsCol)))
     // previous-epoch days by RESOLVED physical location: identical to
     // a directory listing in classic mode (no plan), and in snapshot
     // mode it sees the days the epoch holds by reference too
     val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
       if (before < 0) Seq.empty
       else resolvedDays(f, path, before)
+    // type-widening normalization (see the widen/widenedSchema block):
+    // the target schema spans the batches AND the previous epoch, every
+    // read conforms to it (no-op without drift), and a narrower
+    // previous epoch forces the all-days rewrite below
+    val batchSchemas = withData.map(d =>
+      spark.read.parquet(d._2.toString).schema)
+    val prevSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (prevDays.isEmpty) None
+      else Some(org.apache.spark.sql.types.StructType(
+        readDays(spark, prevDays).schema.filterNot(_.name == "day")))
+    val target = widenedSchema(batchSchemas ++ prevSchema,
+      s"compaction over $path")
+    val batchesUniform = batchSchemas.forall(s =>
+      s.forall(fld => target(fld.name).dataType == fld.dataType))
+    val fresh0 =
+      if (batchesUniform)
+        spark.read.option("mergeSchema", "true")
+          .parquet(withData.map(_._2.toString): _*)
+      else withData
+        .map(d => conform(spark.read.parquet(d._2.toString), target))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    val fresh = conform(fresh0, target)
+      .withColumn("day", to_date(col(tsCol)))
+    val prevNarrow = prevSchema.exists(s =>
+      s.exists(fld => target(fld.name).dataType != fld.dataType))
     // the day list is driver-side but bounded by the CALENDAR (days
     // touched since the last compaction), not by the data volume.
     // Null days normalize to hive's directory name, NOT "day=null" —
@@ -1313,10 +1414,16 @@ object Streaming {
       .map(r => Option(r.get(0)).map(d => s"day=$d").getOrElse(NullDayDir))
       .toSet
     if (freshDays.isEmpty) return retireLive()
-    val overlap = prevDays.filter(d => freshDays.contains(d._1))
+    // a narrower previous epoch makes EVERY previous day "overlap":
+    // all are read through the widening cast and rewritten — the
+    // one-time type-migration pass; untouched-day moves resume on the
+    // next compaction once footers agree
+    val overlap =
+      if (prevNarrow) prevDays
+      else prevDays.filter(d => freshDays.contains(d._1))
     val merged =
       if (overlap.isEmpty) fresh
-      else fresh.unionByName(readDays(spark, overlap),
+      else fresh.unionByName(conform(readDays(spark, overlap), target),
         allowMissingColumns = true)
     // size-aware writer count: enough range partitions that each writes
     // ~targetFileBytes, floored at the (capped) day count so quiet days
@@ -1583,6 +1690,44 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
         count(col("value_cents")).as("n_cents"),
         coalesce(sum(col("value_cents")), lit(0L)).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  /** q137 — TYPE-WIDENING schema evolution END TO END under the oracle
+    * hash (q124 proved the ADDITIVE case; this is the other drift
+    * class a long-lived table meets — a counter outgrowing int, a
+    * float column promoted to double — which parquet's mergeSchema
+    * refuses outright): a v1 generation lands `value_cents` as INT, a
+    * v2 generation lands it as BIGINT with values ABOVE int range (the
+    * +3·10⁹ offset makes narrow storage impossible, so the hash can
+    * only match if widening really happened), and a QUIESCED
+    * [[compactSink]] normalizes — the widened target schema spans both
+    * generations, every read conforms through an explicit cast, and
+    * the epoch lands uniformly BIGINT, single-scan readable. The
+    * oracle re-states the generations as a CASE over `events` (even
+    * ids plain cents, odd ids offset cents); max_cents pins that the
+    * over-int values survived exactly, sum_cents that no row was
+    * dropped or double-cast. Fixed-point per-row BEFORE any aggregate
+    * (q124's discipline); scratch-sink convention is q115's. */
+  def q137TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val sink = scratchSink(spark, dir, "events_wide")
+    val ev = Tables.events(spark, dir)
+    val base = Seq("ts", "event_id", "user_id", "event_type").map(col)
+    val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(base :+ floor(col("value") * 100).cast("int")
+        .as("value_cents"): _*)
+    val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(base :+ (floor(col("value") * 100).cast("bigint") +
+        lit(3000000000L)).as("value_cents"): _*)
+    writeBatchIdempotent(v1, sink, 0L)
+    writeBatchIdempotent(v2, sink, 1L)
+    compactSink(spark, sink, quiesced = true)
+    readSink(spark, sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("value_cents")).as("n_cents"),
+        coalesce(sum(col("value_cents")), lit(0L)).as("sum_cents"),
+        coalesce(max(col("value_cents")), lit(0L)).as("max_cents"))
       .orderBy("event_type")
   }
 
@@ -2095,12 +2240,33 @@ object Streaming {
     val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
       if (before < 0) Seq.empty
       else resolvedDays(f, path, before)
+    val prevFrame: Option[DataFrame] =
+      if (prevDays.isEmpty) None
+      else Some(readEpochFrame(spark, f, path, before).get)
+    // type drift arrives via ingest + compactSink, whose widening
+    // rewrite normalizes EVERY previous day; a CDC batch widening a
+    // column HERE would land wide footers beside narrow moved days and
+    // poison every later single-scan epoch read — refuse loudly.
+    // (Additive columns remain fine: mergeSchema handles missing.)
+    prevFrame.foreach { pf =>
+      val es = pf.schema
+      incoming.schema.foreach { fld =>
+        es.find(_.name == fld.name).foreach { p =>
+          require(p.dataType == fld.dataType,
+            s"upsertBatch over $path: column '${fld.name}' is " +
+              s"${p.dataType.simpleString} in the sink but " +
+              s"${fld.dataType.simpleString} in the batch - type " +
+              "widening must arrive via ingest + compactSink (whose " +
+              "rewrite normalizes every day); align the batch's type")
+        }
+      }
+    }
     // match scan: ONE column-pruned semi-join pass over the epoch finds
     // the day partitions holding a matching key (bounded by the
     // calendar, like compaction's day list)
     val matchDays: Set[String] =
       if (prevDays.isEmpty) Set.empty
-      else readEpochFrame(spark, f, path, before).get
+      else prevFrame.get
         .select((keyCols :+ "day").map(col): _*)
         .join(keys, keyCols, "left_semi")
         .select("day").distinct().collect()

@@ -85,4 +85,116 @@ class SchemaEvolutionSpec extends SparkSpecBase {
         s"sum_cents diverged for ${r.getString(0)}")
     }
   }
+
+  // ---------------------------------------------------- type widening
+
+  private def tsv(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("widening compaction normalizes MOVED days too, not just touched ones") {
+    import graft.ops.Streaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("widen_moved").toString
+    val out = s"$root/events"
+    // epoch 0: two int days
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7),
+        (tsv("2024-01-02 10:00:00"), 2L, 8))
+        .toDF("ts", "event_id", "v"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // a long batch touching ONLY day 1: without normalization day 2
+    // would MOVE with its int footer and poison the epoch scan
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 11:00:00"), 3L, 5000000000L))
+        .toDF("ts", "event_id", "v"), out, 1L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    // the untouched day's files were REWRITTEN to the widened type
+    val day2 = spark.read.parquet(s"$out/epoch=1/day=2024-01-02").schema
+    assert(day2("v").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"moved day kept its narrow footer: $day2")
+    val got = Streaming.readSink(spark, out)
+    assert(got.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(7L, 8L, 5000000000L))
+  }
+
+  test("float widens to double and integral+fractional widens to double") {
+    import graft.ops.Streaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("widen_fd").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 1.5f))
+        .toDF("ts", "event_id", "x"), out, 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, 2.25))
+        .toDF("ts", "event_id", "x"), out, 1L)
+    // a third generation regresses x to int: still widenable (double)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 10:00:00"), 3L, 4))
+        .toDF("ts", "event_id", "x"), out, 2L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    val got = Streaming.readSink(spark, out)
+    assert(got.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(got.select("x").as[Double].collect().sorted.toSeq ==
+      Seq(1.5, 2.25, 4.0))
+  }
+
+  test("an un-widenable type conflict refuses compaction loudly, naming the column") {
+    import graft.ops.Streaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("widen_bad").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L))
+        .toDF("ts", "event_id", "v"), out, 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L, "seven"))
+        .toDF("ts", "event_id", "v"), out, 1L)
+    val e = intercept[IllegalStateException](
+      Streaming.compactSink(spark, out, quiesced = true))
+    assert(e.getMessage.contains("'v'") &&
+      e.getMessage.contains("cannot evolve"), e.getMessage)
+  }
+
+  test("an upsert batch that widens a column refuses loudly (widening is compaction's job)") {
+    import graft.ops.Streaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("widen_ups").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7))
+        .toDF("ts", "event_id", "v"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    val e = intercept[IllegalArgumentException](
+      Streaming.upsertBatch(spark, out,
+        Seq((tsv("2024-01-01 11:00:00"), 1L, 5000000000L))
+          .toDF("ts", "event_id", "v"), Seq("event_id")))
+    assert(e.getMessage.contains("'v'") &&
+      e.getMessage.contains("compactSink"), e.getMessage)
+  }
+
+  test("q137 widens the sink's cents column: over-int values survive, sums exact") {
+    import graft.ops.Streaming
+    val ev = Tables.events(spark, sf)
+    val out = Streaming.q137TypeWidening(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == ev.count())
+    // max_cents must exceed int range somewhere — the proof the values
+    // could not have survived in narrow storage
+    assert(out.map(_.getLong(4)).max > Int.MaxValue.toLong)
+    val direct = ev
+      .withColumn("cents",
+        when(pmod(col("event_id"), lit(2)) === 0,
+          floor(col("value") * 100).cast("bigint"))
+          .otherwise(floor(col("value") * 100).cast("bigint")
+            + lit(3000000000L)))
+      .groupBy("event_type").agg(sum("cents").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(3) == direct(r.getString(0)),
+        s"sum_cents diverged for ${r.getString(0)}")
+    }
+  }
 }
