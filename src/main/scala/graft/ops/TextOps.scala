@@ -1307,7 +1307,24 @@ object TextOps {
     * At 100 TB: state is partitioned by bucket key (Spark's state
     * store shards it), per-bucket occupancy follows the LSH bucket
     * distribution (the q73 analysis), and each arrival touches exactly
-    * its own bucket's state — no corpus-wide lookup anywhere. */
+    * its own bucket's state — no corpus-wide lookup anywhere.
+    *
+    * DEPLOYMENT CAVEAT — state grows WITHOUT BOUND by default, by
+    * design: dedup means remembering every signature ever seen
+    * (`GroupStateTimeout.NoTimeout`, 8 longs + an id per doc, one
+    * `Seq` per bucket scanned linearly per arrival). LSH keeps
+    * per-bucket occupancy small in expectation, but a forever-running
+    * admitter's total state is proportional to everything it ever
+    * admitted — an operator must size the state store for the corpus,
+    * not the traffic. For feeds where bounded state matters more than
+    * perfect recall of ancient duplicates, set
+    * `spark.graft.admit.bucketCap = N` (default 0 = unbounded): each
+    * bucket then retains only its N newest signatures,
+    * oldest-first eviction, making state O(cap) per bucket at the
+    * documented cost that a near-dup of an EVICTED document is
+    * admitted again — a recall horizon, exactly the trade a TTL'd
+    * dedup cache makes. The default path's semantics (and q129's
+    * oracle) are unchanged. */
   def neardupAdmit(spark: SparkSession, docs: DataFrame)
       : Dataset[AdmitVerdict] = {
     import spark.implicits._
@@ -1325,38 +1342,49 @@ object TextOps {
     val trivial = sig.filter(size(col("sh")) === 0)
       .select(col("doc_id"), col("lang")).as[(Long, String)]
       .map { case (id, lang) => AdmitVerdict(id, lang, admitted = true) }
-    def agree(a: Seq[Long], b: Seq[Long]): Int =
-      a.iterator.zip(b.iterator).count(p => p._1 == p._2)
-    // arrival-order greedy fold: reject iff ANY earlier-seen bucket-mate
-    // agrees >= 6/8; every arrival enters state (q126's convention —
-    // rejection compares against all seen, not only the admitted)
-    def fold(prior: Seq[(Long, Seq[Long])], arrivals: Seq[SigDoc])
-        : (Seq[AdmitVerdict], Seq[(Long, Seq[Long])]) = {
-      var seen = prior
-      val out = arrivals.map { d =>
-        val rejected = seen.exists { case (_, s) => agree(s, d.sig) >= 6 }
-        seen = seen :+ (d.doc_id -> d.sig)
-        AdmitVerdict(d.doc_id, d.lang, !rejected)
-      }
-      (out, seen)
-    }
+    val cap = spark.conf.getOption("spark.graft.admit.bucketCap")
+      .map(_.toInt).getOrElse(0)
     val verdicts =
       if (keyed.isStreaming)
         keyed.groupByKey(_.bk).flatMapGroupsWithState(
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (_: String, it: Iterator[SigDoc],
               state: GroupState[Seq[(Long, Seq[Long])]]) =>
-            val (out, seen) = fold(state.getOption.getOrElse(Seq.empty),
-              it.toSeq.sortBy(_.doc_id))
+            val (out, seen) = admitFold(
+              state.getOption.getOrElse(Seq.empty),
+              it.toSeq.sortBy(_.doc_id), cap)
             state.update(seen)
             out.iterator
         }
       else
         keyed.groupByKey(_.bk).flatMapGroups {
           (_: String, it: Iterator[SigDoc]) =>
-            fold(Seq.empty, it.toSeq.sortBy(_.doc_id))._1.iterator
+            admitFold(Seq.empty, it.toSeq.sortBy(_.doc_id), cap)._1.iterator
         }
     verdicts.union(trivial)
+  }
+
+  /** [[neardupAdmit]]'s per-bucket greedy fold, factored out so the
+    * eviction semantics are unit-testable on synthetic signatures:
+    * reject an arrival iff ANY retained bucket-mate agrees ≥ 6/8;
+    * every arrival enters state (q126's convention — rejection
+    * compares against all seen, not only the admitted); with
+    * `cap > 0` the state retains only the `cap` NEWEST entries
+    * (oldest-first eviction — the bounded-state mode, applied as
+    * arrivals land so batch and stream evict identically). */
+  private[graft] def admitFold(prior: Seq[(Long, Seq[Long])],
+      arrivals: Seq[SigDoc], cap: Int)
+      : (Seq[AdmitVerdict], Seq[(Long, Seq[Long])]) = {
+    def agree(a: Seq[Long], b: Seq[Long]): Int =
+      a.iterator.zip(b.iterator).count(p => p._1 == p._2)
+    var seen = prior
+    val out = arrivals.map { d =>
+      val rejected = seen.exists { case (_, s) => agree(s, d.sig) >= 6 }
+      seen = seen :+ (d.doc_id -> d.sig)
+      if (cap > 0 && seen.size > cap) seen = seen.takeRight(cap)
+      AdmitVerdict(d.doc_id, d.lang, !rejected)
+    }
+    (out, seen)
   }
 
   /** q129 — the batch declaration of [[neardupAdmit]] under the oracle

@@ -2158,6 +2158,45 @@ class StreamingSpec extends SparkSpecBase
     assert(got == Map(1L -> true, 2L -> true, 3L -> true), s"$got")
   }
 
+  test("admitter bucket cap evicts oldest-first: a dup of an evicted doc re-admits, default stays unbounded") {
+    import graft.ops.{TextOps, SigDoc}
+    // synthetic signatures, no hashing: X and Z are near-dups (8/8
+    // agreement), Y shares X's bucket half (4/8 — same first-4 minima,
+    // which is what co-bucketing means) but is no dup of either
+    val x = SigDoc(1L, "en", "b", Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    val y = SigDoc(2L, "en", "b", Seq(1L, 2L, 3L, 4L, 90L, 91L, 92L, 93L))
+    val z = SigDoc(3L, "en", "b", Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    // unbounded (cap=0): Z is rejected as X's dup — remembered forever
+    val (unbounded, seen0) = TextOps.admitFold(Seq.empty, Seq(x, y, z), 0)
+    assert(unbounded.map(v => v.doc_id -> v.admitted) ==
+      Seq(1L -> true, 2L -> true, 3L -> false))
+    assert(seen0.size == 3, "unbounded state must retain every arrival")
+    // cap=1: Y's arrival evicts X, so Z — X's near-dup — is ADMITTED:
+    // the documented recall horizon of the bounded-state mode
+    val (capped, seen1) = TextOps.admitFold(Seq.empty, Seq(x, y, z), 1)
+    assert(capped.map(v => v.doc_id -> v.admitted) ==
+      Seq(1L -> true, 2L -> true, 3L -> true),
+      s"eviction did not open the recall horizon: $capped")
+    assert(seen1.size == 1, s"cap=1 state grew to ${seen1.size}")
+    assert(seen1.head._1 == 3L, "eviction must drop OLDEST first")
+    // the conf plumbs through without changing small-corpus semantics:
+    // a cap far above any bucket's occupancy reproduces the default
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "en", text), (2L, "en", text),
+      (3L, "en", (1 to 10).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val default = TextOps.neardupAdmit(spark, docs).collect()
+      .map(v => v.doc_id -> v.admitted).toMap
+    spark.conf.set("spark.graft.admit.bucketCap", "1000")
+    try {
+      val cappedRun = TextOps.neardupAdmit(spark, docs).collect()
+        .map(v => v.doc_id -> v.admitted).toMap
+      assert(cappedRun == default)
+      assert(default == Map(1L -> true, 2L -> false, 3L -> true))
+    } finally spark.conf.unset("spark.graft.admit.bucketCap")
+  }
+
   test("near-dup admission state survives across micro-batches: batch-2 dup of a batch-1 doc is rejected") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
