@@ -2531,6 +2531,45 @@ object Streaming {
       retireEpochsLocked(spark, path, fs(spark, path))
     }
 
+  /** The time-travel catalog: one row per RETAINED committed epoch —
+    * `epoch`, `op` (the lifecycle op that minted it; null pre-tag),
+    * `watermark`, `physical_days` / `referenced_days` (how much of the
+    * snapshot lives in its own directory vs shared by reference
+    * down-chain), `bytes` (its own directory), `is_current`. What an
+    * operator consults before a `readSink(atEpoch = …)` — the
+    * `VERSION AS OF` listing. Lock-free metadata listings only, with
+    * [[describeSink]]'s one-retry race posture. */
+  def listSinkEpochs(spark: SparkSession, path: String): DataFrame = {
+    def raced(e: Throwable): Boolean = e match {
+      case _: java.io.FileNotFoundException => true
+      case e: Exception => e.getCause != null && raced(e.getCause)
+      case _ => false
+    }
+    def once(): DataFrame = {
+      import spark.implicits._
+      val f = fs(spark, path)
+      val cut = maxEpoch(spark, path)
+      val committed = subdirs(spark, path, "epoch=").filter { case (_, p) =>
+        f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit))
+      }.sortBy(_._1)
+      committed.map { case (id, p) =>
+        val phys = f.listStatus(p).toSeq.count(s =>
+          s.isDirectory && s.getPath.getName.startsWith("day="))
+        val refd = {
+          val plan = new org.apache.hadoop.fs.Path(p, MergePlan)
+          if (!f.exists(plan)) 0L
+          else readPlan(f, plan)._2
+            .count(d => !f.exists(new org.apache.hadoop.fs.Path(p, d))).toLong
+        }
+        (id, commitOpOf(f, path, id).orNull,
+          consumedThrough(f, path, id), phys.toLong, refd,
+          f.getContentSummary(p).getLength, id == cut)
+      }.toDF("epoch", "op", "watermark", "physical_days",
+        "referenced_days", "bytes", "is_current")
+    }
+    try once() catch { case e: Exception if raced(e) => once() }
+  }
+
   /** Orphan sweep: remove the sink's uncommitted leftovers — epoch
     * attempts without [[EpochCommit]] (a compactor died mid-write;
     * also swept by the next compaction, but a vacuum should not need

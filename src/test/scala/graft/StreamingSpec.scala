@@ -2397,6 +2397,31 @@ class StreamingSpec extends SparkSpecBase
       "epoch vacuum changed the current table's content")
   }
 
+  test("listSinkEpochs catalogs retained snapshots with op tags and reference counts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_list").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 10L),
+        (tsv("2024-01-02 10:00:00"), 2L, 20L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    withKeepEpochs(2) {
+      Streaming.compactSink(spark, out, quiesced = true)
+      Streaming.deleteWhere(spark, out, col("user_id") === 10L)
+      val eps = Streaming.listSinkEpochs(spark, out).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+          r.getLong(4), r.getBoolean(6)))
+      assert(eps.length == 2, s"expected 2 retained epochs: ${eps.toSeq}")
+      assert(eps(0) == ((0L, "compact", 2L, 0L, false)),
+        s"wrong snapshot row: ${eps(0)}")
+      // the delete EMPTIED day 1 (its only row matched, so the day was
+      // legitimately not written) and references day 2 from the
+      // snapshot below — 0 physical, 1 referenced, current
+      assert(eps(1) == ((1L, "delete", 0L, 1L, true)),
+        s"wrong current row: ${eps(1)}")
+    }
+  }
+
   test("readSink atEpoch refuses an unknown or uncommitted epoch loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_at").toString
