@@ -1111,7 +1111,22 @@ object VectorOps {
       .join(res.select("vec_id", "cid"), "vec_id")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
-    codes.repartition(col("cid")) // one sized writer per list directory
+    // size-aware sized writers, the sink-compaction discipline: a
+    // coarse list holds ~1/nLists of the corpus — at billions of
+    // vectors that is a hot partition, and keying the write shuffle on
+    // cid alone would funnel it through ONE task (the shape
+    // WriteShapeLintSpec exists to reject). Range-keying on
+    // (cid, vec_id) lets a hot list span several sized writers while
+    // cid= directory pruning stays exact.
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val stat = codes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val codeBytes =
+      if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
+    val k = math.min(32768L, math.max(ivfCentroids.toLong,
+      (codeBytes + targetBytes - 1) / targetBytes)).toInt
+    codes.repartitionByRange(k, col("cid"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$out/codes")
     val marker = new org.apache.hadoop.fs.Path(out, IndexCommit)
     val tmp = new org.apache.hadoop.fs.Path(out, s".$IndexCommit.tmp")
