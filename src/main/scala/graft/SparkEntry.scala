@@ -150,7 +150,8 @@ object SparkEntry {
     "q134_time_travel" -> (Streaming.q134TimeTravel _),
     "q135_bm25_hybrid" -> (VectorOps.q135Bm25Hybrid _),
     "q136_stored_ann" -> (VectorOps.q136StoredAnn _),
-    "q137_type_widening" -> (Streaming.q137TypeWidening _)
+    "q137_type_widening" -> (Streaming.q137TypeWidening _),
+    "q138_stored_lexical" -> (TextOps.q138StoredLexical _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -373,7 +374,12 @@ object SparkEntry {
     // above int range; compaction normalizes the mixed footers to one
     // BIGINT column — the oracle's CASE re-states both generations and
     // max_cents can only match if the widening really happened
-    "q137_type_widening" -> OracleSql.q137
+    "q137_type_widening" -> OracleSql.q137,
+    // q138 stored lexical index: build on 2/3 of the corpus, append
+    // the rest as a marker-committed generation, search the stored
+    // merged index; the oracle re-derives the ranking from scratch —
+    // hash equality proves append-equivalence and the BM25 scoring
+    "q138_stored_lexical" -> OracleSql.q138
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

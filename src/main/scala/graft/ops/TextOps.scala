@@ -1616,6 +1616,185 @@ object TextOps {
           "DIV greatest((ns*n) DIV 10000, 1)) AS BIGINT)").as("max_token_bp"))
       .orderBy("source")
   }
+  // ------------------------------------------- stored lexical index
+  // q135's BM25 arm rebuilds its df-capped inverted index per query;
+  // the production search tier maintains it as a STORED artifact that
+  // ingest batches APPEND to — the text-side twin of the q136 vector
+  // index. Layout under `out`, all hive-partitioned and generational:
+  //
+  //   postings/gen=N/b=K/  (tok, doc_id, tf, len)  token-hash buckets
+  //   df/gen=N/b=K/        (tok, df)               per-gen df DELTAS
+  //   stats/gen=N/         (n_docs, total_len)     per-gen deltas
+  //   _GEN_COMMIT_N        marker, touched LAST per generation
+  //
+  // Every append is one new generation: data lands first, the marker
+  // last, and readers take ONLY marker-committed generations — a torn
+  // append is invisible (crash-safe by the sink's marker discipline,
+  // without rename-overwrite). Per-doc length is denormalized into the
+  // postings row, so scoring never joins a doc-length table. df is
+  // stored as per-generation deltas and merged at read — the reader
+  // only ever reads its PROBE TOKENS' df rows (bucket-pruned +
+  // token-pushdown), so the merge is O(probe vocab × generations), and
+  // the cap decision uses corpus-level df no matter how many appends
+  // built the index. Scoring is q135's integer-exact BM25 shape, so a
+  // stored-index search is hash-provable against the from-scratch
+  // oracle — which is exactly what q138 does: build on ⅔ of the
+  // corpus, append the rest, and hash-match the full-corpus ranking
+  // (append-equivalence: A then B ≡ A ∪ B).
+
+  private val lexBuckets = 64
+  private val lexDfCap = 64
+
+  private def lexFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def lexCommittedGens(spark: SparkSession, out: String): Seq[Long] = {
+    val f = lexFs(spark, out)
+    val root = new org.apache.hadoop.fs.Path(out)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_GEN_COMMIT_"))
+      .map(_.stripPrefix("_GEN_COMMIT_").toLong).sorted
+  }
+
+  /** Space-split tokens per doc (q135's tokenizer — the index and the
+    * from-scratch oracle must agree on token identity). */
+  private def lexToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      filter(split(col("text"), " "), t => t =!= lit(""))).as("tok"))
+
+  private def lexAppendGen(spark: SparkSession, docs: DataFrame,
+      out: String, gen: Long): Unit = {
+    val tf = lexToks(docs).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val postings = tf.join(dl, "doc_id")
+      .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
+    // size-aware range writers (the sink discipline): keys ⊃ {b}, so a
+    // hot bucket spans several sized files and b= pruning stays exact
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val stat = postings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pBytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
+    val k = math.min(32768L, math.max(lexBuckets.toLong,
+      (pBytes + targetBytes - 1) / targetBytes)).toInt
+    postings.repartitionByRange(k, col("b"), col("tok"))
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"$out/postings/gen=$gen")
+    tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
+      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
+    dl.agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
+    // marker LAST: the generation becomes visible atomically
+    val f = lexFs(spark, out)
+    f.create(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true)
+      .close()
+  }
+
+  /** Build the stored lexical index from scratch (generation 0). */
+  def writeLexicalIndex(spark: SparkSession, docs: DataFrame,
+      out: String): Unit = {
+    lexFs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
+    lexAppendGen(spark, docs, out, 0L)
+  }
+
+  /** Append an ingest batch as the next generation — O(batch) work,
+    * never a corpus rewrite: the batch's postings/df/stats land in
+    * their own gen= directories and the commit marker flips them
+    * visible. The batch must be NEW doc_ids (an inverted index has no
+    * in-place update; re-ingest = dedup upstream, q126's admission). */
+  def appendLexicalIndex(spark: SparkSession, docs: DataFrame,
+      out: String): Unit = {
+    val gens = lexCommittedGens(spark, out)
+    require(gens.nonEmpty,
+      s"no committed lexical index at $out - writeLexicalIndex first")
+    lexAppendGen(spark, docs, out, gens.max + 1)
+  }
+
+  /** BM25 top-k per probe against the STORED index: the probe's
+    * distinct tokens become static pushdown filters (bucket dirs +
+    * token predicate — two bounded collects of the probe's own vocab),
+    * their corpus df merges from the per-gen deltas, tokens over the
+    * df-cap never generate candidates, and q135's integer-exact score
+    * ranks. Only marker-committed generations are read, so a torn
+    * append is invisible. Probes frame: (probe_id, text). */
+  def searchLexicalIndex(spark: SparkSession, probes: DataFrame,
+      out: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gens = lexCommittedGens(spark, out)
+    require(gens.nonEmpty, s"no committed lexical index at $out")
+    val genF = col("gen").isin(gens: _*)
+    val ptoks = lexToks(probes
+        .select(col("probe_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("probe_id"), col("tok")).distinct()
+    // the probe's vocabulary — bounded by the probe docs themselves
+    val ptokRows = ptoks
+      .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
+      .select("tok", "b").distinct().collect()
+    val tokList = ptokRows.map(_.getString(0)).toSeq
+    val bList = ptokRows.map(_.getLong(1)).distinct.toSeq
+    val dfTab = spark.read.parquet(s"$out/df")
+      .filter(genF && col("b").isin(bList: _*) &&
+        col("tok").isin(tokList: _*))
+      .groupBy("tok").agg(sum("df").as("df"))
+      .filter(col("df") <= lexDfCap)
+    val stats = spark.read.parquet(s"$out/stats").filter(genF)
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+    val postings = spark.read.parquet(s"$out/postings")
+      .filter(genF && col("b").isin(bList: _*) &&
+        col("tok").isin(tokList: _*))
+    val scored = postings.join(broadcast(dfTab), "tok")
+      .join(broadcast(ptoks), "tok")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_t", floor(
+        (lit(10000L) * col("n_docs") * col("tf") * col("total_len")) /
+          (col("df") * (col("tf") * col("total_len") +
+            lit(2L) * col("len") * col("n_docs")))))
+      .groupBy("probe_id", "doc_id").agg(sum("score_t").as("score_bp"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_bp").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("score_bp"))
+  }
+
+  /** q138 — the stored lexical index's SERVING + MAINTENANCE lifecycle
+    * under the oracle hash: build the index on two-thirds of the
+    * corpus ([[writeLexicalIndex]]), APPEND the remaining third as a
+    * second generation ([[appendLexicalIndex]] — O(batch), no corpus
+    * rewrite), and search the probes (docs 0–4) against the stored,
+    * merged index. The oracle re-derives the SAME BM25 ranking from
+    * the full documents table from scratch, so hash equality proves
+    * APPEND-EQUIVALENCE — an index built on A then appended B ranks
+    * identically to one built on A ∪ B: per-gen df deltas merge to
+    * corpus df, stats deltas to corpus stats, and the cap decision is
+    * corpus-level — plus the search semantics themselves (q135's
+    * integer-exact scoring, so both engines agree to the bit). */
+  def q138StoredLexical(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val out = new java.io.File(
+      new java.io.File(root, "graft_lex_index"),
+      s"bm25_${key}_${graft.SessionCache.sessionToken(spark)}")
+      .getAbsolutePath
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), out)
+    appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), out)
+    searchLexicalIndex(spark,
+      docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("text")), out)
+      .orderBy("probe_id", "rank")
+  }
+
 }
 
 /** Deterministic 64-bit hashing used by the Spark-only text ops

@@ -441,4 +441,41 @@ class TextOpsSpec extends SparkSpecBase {
       assert(scores.forall(_ > 0))
     }
   }
+
+  test("stored lexical index: append-equivalence, torn-append invisibility, bucket pruning") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    def result(out: String): Seq[(Long, Long, Long, Long)] =
+      ops.TextOps.searchLexicalIndex(spark, probes, out)
+        .orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val root = java.nio.file.Files.createTempDirectory("lex_idx").toString
+    // one-shot build vs build-then-append: identical rankings
+    val whole = s"$root/whole"
+    ops.TextOps.writeLexicalIndex(spark, docs, whole)
+    val incr = s"$root/incr"
+    ops.TextOps.writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), incr)
+    val before = result(incr)
+    ops.TextOps.appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), incr)
+    assert(result(incr) == result(whole),
+      "append-built index ranked differently from the one-shot build")
+    // a torn append (data landed, marker did not) must be invisible:
+    // the reader serves exactly the pre-append generations
+    assert(new java.io.File(incr, "_GEN_COMMIT_1").delete())
+    assert(result(incr) == before,
+      "uncommitted generation leaked into the search")
+    // the probe's buckets and the committed gens are PARTITION filters
+    // on the postings scan — directory pruning, not row filtering
+    val res = ops.TextOps.searchLexicalIndex(spark, probes, whole)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(("PartitionFilters: \\[[^\\]]*\\bb\\b[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined ||
+      plan.contains("b#")) && plan.contains("gen"),
+      s"bucket/gen pruning missing from scan:\n${plan.take(2000)}")
+  }
 }
