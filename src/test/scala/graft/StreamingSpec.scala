@@ -2419,7 +2419,40 @@ class StreamingSpec extends SparkSpecBase
       // snapshot below — 0 physical, 1 referenced, current
       assert(eps(1) == ((1L, "delete", 0L, 1L, true)),
         s"wrong current row: ${eps(1)}")
+      // an epoch with ZERO physical days and a plan still serves its
+      // referenced days (the pre-round-14 reader silently dropped them
+      // when roll-forward was unavailable)
+      assert(Streaming.readSink(spark, out)
+        .select("event_id").as[Long].collect().toSeq == Seq(2L))
     }
+  }
+
+  test("a crash mid-materialization is finished by the next vacuum, losslessly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_midmat").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 10L),
+        (tsv("2024-01-02 10:00:00"), 2L, 20L),
+        (tsv("2024-01-03 10:00:00"), 3L, 30L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    withKeepEpochs(2) {
+      Streaming.compactSink(spark, out, quiesced = true) // epoch 0
+      Streaming.deleteWhere(spark, out, col("user_id") === 10L) // epoch 1
+      // simulate a vacuum that died mid-materialize: ONE of epoch 1's
+      // referenced days already moved in, the plan still present, the
+      // source epoch still on disk
+      assert(new java.io.File(s"$out/epoch=0/day=2024-01-02")
+        .renameTo(new java.io.File(s"$out/epoch=1/day=2024-01-02")))
+    }
+    // next vacuum at depth 1: re-derives the remaining moves from the
+    // plan (idempotent), finishes, retires epoch 0
+    val gone = Streaming.vacuumEpochs(spark, out)
+    assert(gone == Seq(0L), s"wrong epochs vacuumed: $gone")
+    assert(!new java.io.File(s"$out/epoch=1/_MERGE_PLAN").exists())
+    assert(Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L),
+      "mid-materialization recovery lost rows")
   }
 
   test("readSink atEpoch refuses an unknown or uncommitted epoch loudly") {
