@@ -1081,43 +1081,38 @@ object VectorOps {
 
   /** Geometry/commit marker: a torn or half-written index must refuse
     * loudly, never serve partial lists. Written LAST (centroids →
-    * codebook → codes → marker), so its presence certifies all three. */
+    * codebook → codes → marker), so its presence certifies all three
+    * and the base (gen 0) codes. */
   private val IndexCommit = "_INDEX_COMMIT"
 
   private def hfs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Persist the IVF-PQ index trained on `dir`'s embeddings under
-    * `out`: `centroids/` (16 × 64-dim coarse quantizer), `codebook/`
-    * (8 subspaces × 16 residual centroids), and `codes/` — one row per
-    * (vec_id, subspace) holding the half-byte code — PARTITIONED BY
-    * the coarse list id, one sized writer per list. At 100 TB the
-    * codes layout is the 64×-compressed scan target and each list is
-    * an independently readable directory; training cost is paid here
-    * ONCE, not per serving session. The commit marker records the
-    * geometry (M, K, nLists) and lands last. */
-  def writeVectorIndex(spark: SparkSession, dir: String, out: String): Unit = {
+  /** The committed code GENERATIONS of a stored index: 0 certified by
+    * [[IndexCommit]], appended generations by their `_GEN_COMMIT_N`
+    * markers (touched last per append, q138's discipline — a torn
+    * append is invisible). Empty = no committed index. */
+  private def vecCommittedGens(spark: SparkSession, out: String): Seq[Long] = {
     val f = hfs(spark, out)
-    f.delete(new org.apache.hadoop.fs.Path(out), true)
-    val cents = spark.createDataFrame(refinedCentroids(spark, dir).toSeq)
-      .toDF("cid", "cu")
-    val cb = spark.createDataFrame(ivfpqCodebook(spark, dir).toSeq)
-      .toDF("m", "cid", "c")
-    val res = ivfResiduals(spark, dir)
-    val codes = pqAssign(
-        subVecs(res.select(col("vec_id"), col("r").as("u"))),
-        cb.withColumn("css", dot(col("c"), col("c"))))
-      .join(res.select("vec_id", "cid"), "vec_id")
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
-    // size-aware sized writers, the sink-compaction discipline: a
-    // coarse list holds ~1/nLists of the corpus — at billions of
-    // vectors that is a hot partition, and keying the write shuffle on
-    // cid alone would funnel it through ONE task (the shape
-    // WriteShapeLintSpec exists to reject). Range-keying on
-    // (cid, vec_id) lets a hot list span several sized writers while
-    // cid= directory pruning stays exact.
+    val root = new org.apache.hadoop.fs.Path(out)
+    if (!f.exists(root)) Seq.empty
+    else {
+      val names = f.listStatus(root).toSeq.map(_.getPath.getName)
+      val base = if (names.contains(IndexCommit)) Seq(0L) else Seq.empty
+      base ++ names.filter(_.startsWith("_GEN_COMMIT_"))
+        .map(_.stripPrefix("_GEN_COMMIT_").toLong).sorted
+    }
+  }
+
+  /** Size-aware range write of a codes frame into
+    * `out/codes/gen=N/cid=K/` — the sink-compaction discipline: a
+    * coarse list holds ~1/nLists of the corpus, and keying the write
+    * shuffle on cid alone would funnel a hot list through ONE task
+    * (the shape WriteShapeLintSpec rejects). Range keys (cid, vec_id)
+    * let a hot list span several sized writers; cid= pruning exact. */
+  private def writeCodes(spark: SparkSession, codes: DataFrame,
+      out: String, gen: Long): Unit = {
     val targetBytes = spark.conf
       .getOption("spark.graft.compact.targetFileBytes")
       .map(_.toLong).getOrElse(128L << 20)
@@ -1127,7 +1122,37 @@ object VectorOps {
     val k = math.min(32768L, math.max(ivfCentroids.toLong,
       (codeBytes + targetBytes - 1) / targetBytes)).toInt
     codes.repartitionByRange(k, col("cid"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$out/codes")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$out/codes/gen=$gen")
+  }
+
+  /** Persist the IVF-PQ index trained on `dir`'s embeddings under
+    * `out`: `centroids/` (16 × 64-dim coarse quantizer), `codebook/`
+    * (8 subspaces × 16 residual centroids), and `codes/gen=0/cid=K/` —
+    * one row per (vec_id, subspace) holding the half-byte code. At
+    * 100 TB the codes layout is the 64×-compressed scan target and
+    * each list an independently readable directory; training cost is
+    * paid here ONCE, not per serving session. `encodeFilter` bounds
+    * which vectors are ENCODED (training always sees the corpus — the
+    * deployed convention: train on history, encode the snapshot,
+    * [[appendVectorIndex]] the rest as it arrives). The commit marker
+    * records the geometry (M, K, nLists) and lands last. */
+  def writeVectorIndex(spark: SparkSession, dir: String, out: String,
+      encodeFilter: Column = lit(true)): Unit = {
+    val f = hfs(spark, out)
+    f.delete(new org.apache.hadoop.fs.Path(out), true)
+    val cents = spark.createDataFrame(refinedCentroids(spark, dir).toSeq)
+      .toDF("cid", "cu")
+    val cb = spark.createDataFrame(ivfpqCodebook(spark, dir).toSeq)
+      .toDF("m", "cid", "c")
+    val res = ivfResiduals(spark, dir).filter(encodeFilter)
+    val codes = pqAssign(
+        subVecs(res.select(col("vec_id"), col("r").as("u"))),
+        cb.withColumn("css", dot(col("c"), col("c"))))
+      .join(res.select("vec_id", "cid"), "vec_id")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
+    writeCodes(spark, codes, out, 0L)
     val marker = new org.apache.hadoop.fs.Path(out, IndexCommit)
     val tmp = new org.apache.hadoop.fs.Path(out, s".$IndexCommit.tmp")
     val o = f.create(tmp, true)
@@ -1137,17 +1162,53 @@ object VectorOps {
     require(f.rename(tmp, marker), s"could not commit vector index at $out")
   }
 
-  /** The stored index's three relations (centroids, codebook, codes).
-    * Refuses an uncommitted/torn index loudly. */
+  /** Ingest new vectors into the STORED index without retraining — the
+    * standard IVF-PQ serving ingest (codebooks are trained artifacts;
+    * drift beyond them means a new index build): each vector of `dir`'s
+    * embeddings matching `vecFilter` routes to its coarse list and
+    * encodes its residual against the STORED centroids + codebook
+    * (read from `out`, never the session caches — this is the path a
+    * fresh serving session runs), landing as code generation N under
+    * its own commit marker. O(batch) work; a torn append is invisible
+    * to [[searchVectorIndex]]. Because codes depend only on the stored
+    * artifacts, an index built on a slice and appended with the rest
+    * is BYTE-IDENTICAL in search behavior to one that encoded
+    * everything up front — the spec pins that equality. */
+  def appendVectorIndex(spark: SparkSession, dir: String, out: String,
+      vecFilter: Column): Unit = {
+    val gens = vecCommittedGens(spark, out)
+    require(gens.nonEmpty,
+      s"no committed vector index at $out - writeVectorIndex first")
+    val cents = spark.read.parquet(s"$out/centroids")
+    val cb = spark.read.parquet(s"$out/codebook")
+    val unit = unitVecs(normed(spark, dir)).filter(vecFilter)
+    val assigned = assignLists(unit, cents)
+      .join(unit, "vec_id")
+      .join(broadcast(cents), "cid")
+      .withColumn("r", zip_with(col("u"), col("cu"), (a, b) => a - b))
+      .select("vec_id", "cid", "r")
+    val codes = pqAssign(
+        subVecs(assigned.select(col("vec_id"), col("r").as("u"))),
+        cb.withColumn("css", dot(col("c"), col("c"))))
+      .join(assigned.select("vec_id", "cid"), "vec_id")
+    val gen = gens.max + 1
+    writeCodes(spark, codes, out, gen)
+    hfs(spark, out).create(
+      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true).close()
+  }
+
+  /** The stored index's three relations (centroids, codebook, codes —
+    * the codes restricted to marker-COMMITTED generations, so a torn
+    * append never serves). Refuses an uncommitted index loudly. */
   def readVectorIndex(spark: SparkSession, out: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    require(hfs(spark, out).exists(
-      new org.apache.hadoop.fs.Path(out, IndexCommit)),
+    val gens = vecCommittedGens(spark, out)
+    require(gens.contains(0L),
       s"no committed vector index at $out - writeVectorIndex did not " +
         "finish (torn indexes must refuse, not serve partial lists)")
     (spark.read.parquet(s"$out/centroids"),
       spark.read.parquet(s"$out/codebook"),
-      spark.read.parquet(s"$out/codes"))
+      spark.read.parquet(s"$out/codes").filter(col("gen").isin(gens: _*)))
   }
 
   /** q130's IVF-PQ search planned against the STORED index at `out`

@@ -403,6 +403,8 @@ class VectorOpsSpec extends SparkSpecBase
     val scanned = codesScan.metrics("numFiles").value
     val listDirs = Option(new java.io.File(s"$out/codes").listFiles())
       .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .flatMap(g => Option(g.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
       .filter(f => f.isDirectory && f.getName.startsWith("cid="))
     val allFiles = listDirs
       .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
@@ -418,6 +420,36 @@ class VectorOpsSpec extends SparkSpecBase
       assert(scanned == expected,
         s"scan read $scanned files, probed dirs hold $expected")
     }
+  }
+
+  test("appendVectorIndex: stored-codebook encoding makes append-then-search equal the one-shot build") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("vec_append").toString
+    def rows(out: String): Seq[(Long, Long, Long)] =
+      ops.VectorOps.searchVectorIndex(spark, sf, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // one-shot: every vector encoded at build time
+    val whole = s"$root/whole"
+    ops.VectorOps.writeVectorIndex(spark, sf, whole)
+    // incremental: build encodes 2/3, the rest arrives as an append
+    // encoded with the STORED artifacts (no session cache, no retrain)
+    val incr = s"$root/incr"
+    ops.VectorOps.writeVectorIndex(spark, sf, incr,
+      pmod(col("vec_id"), lit(3)) =!= 0)
+    val partial = rows(incr)
+    ops.VectorOps.appendVectorIndex(spark, sf, incr,
+      pmod(col("vec_id"), lit(3)) === 0)
+    // codes depend only on the stored centroids+codebook, so the
+    // appended index must search IDENTICALLY to the one-shot build
+    assert(rows(incr) == rows(whole),
+      "append-built index diverged from the one-shot encoding")
+    // a torn append (codes landed, marker did not) is invisible
+    val gens = Option(new java.io.File(incr).listFiles()).get
+      .map(_.getName).filter(_.startsWith("_GEN_COMMIT_"))
+    assert(gens.length == 1)
+    assert(new java.io.File(incr, gens.head).delete())
+    assert(rows(incr) == partial,
+      "uncommitted code generation leaked into the search")
   }
 
   test("readVectorIndex refuses a torn index without its commit marker") {
