@@ -151,7 +151,8 @@ object SparkEntry {
     "q135_bm25_hybrid" -> (VectorOps.q135Bm25Hybrid _),
     "q136_stored_ann" -> (VectorOps.q136StoredAnn _),
     "q137_type_widening" -> (Streaming.q137TypeWidening _),
-    "q138_stored_lexical" -> (TextOps.q138StoredLexical _)
+    "q138_stored_lexical" -> (TextOps.q138StoredLexical _),
+    "q139_lexical_compaction" -> (TextOps.q139LexicalCompaction _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -379,7 +380,13 @@ object SparkEntry {
     // the rest as a marker-committed generation, search the stored
     // merged index; the oracle re-derives the ranking from scratch —
     // hash equality proves append-equivalence and the BM25 scoring
-    "q138_stored_lexical" -> OracleSql.q138
+    "q138_stored_lexical" -> OracleSql.q138,
+    // q139 lexical-index compaction: three generations fold into one
+    // (merged postings, collapsed df deltas, atomic replaces-marker
+    // flip) and the compacted index's search still hash-matches the
+    // SAME from-scratch oracle as q138 — the merge lost nothing and
+    // double-counted nothing
+    "q139_lexical_compaction" -> OracleSql.q138
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

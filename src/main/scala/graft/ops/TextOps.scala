@@ -1649,13 +1649,40 @@ object TextOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def lexCommittedGens(spark: SparkSession, out: String): Seq[Long] = {
+  /** Every generation marker with the generations it supersedes (a
+    * compaction's marker carries `replaces=…`; append markers are
+    * empty). Unreadable content never guesses: a marker installed by
+    * atomic rename is never legitimately torn. */
+  private def lexMarkers(spark: SparkSession, out: String)
+      : Seq[(Long, Seq[Long])] = {
     val f = lexFs(spark, out)
     val root = new org.apache.hadoop.fs.Path(out)
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("_GEN_COMMIT_"))
-      .map(_.stripPrefix("_GEN_COMMIT_").toLong).sorted
+      .map { name =>
+        val gen = name.stripPrefix("_GEN_COMMIT_").toLong
+        val in = f.open(new org.apache.hadoop.fs.Path(root, name))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val replaced = lines.collectFirst {
+          case l if l.startsWith("replaces=") =>
+            l.stripPrefix("replaces=").split(",").toSeq
+              .filter(_.nonEmpty).map(_.toLong)
+        }.getOrElse(Seq.empty)
+        gen -> replaced
+      }.sortBy(_._1)
+  }
+
+  /** The generations a reader serves: marker-committed minus those a
+    * later compaction superseded (the replaces list makes the flip
+    * ATOMIC — the crash window between a compaction's marker and its
+    * cleanup double-counts nothing). */
+  private def lexCommittedGens(spark: SparkSession, out: String): Seq[Long] = {
+    val marks = lexMarkers(spark, out)
+    val replaced = marks.flatMap(_._2).toSet
+    marks.map(_._1).filterNot(replaced).sorted
   }
 
   /** Space-split tokens per doc (q135's tokenizer — the index and the
@@ -1713,6 +1740,75 @@ object TextOps {
     require(gens.nonEmpty,
       s"no committed lexical index at $out - writeLexicalIndex first")
     lexAppendGen(spark, docs, out, gens.max + 1)
+  }
+
+  /** Fold every active generation of the stored lexical index into ONE
+    * (Lucene's segment merge, the maintenance that bounds the
+    * reader's gens factor after many appends): merged postings
+    * rewrite through the sized bucket writers, df deltas collapse to
+    * one per-bucket table, stats to one row — all under a NEW
+    * generation, invisible until its marker lands. The marker carries
+    * `replaces=<old gens>`, so visibility flips ATOMICALLY: readers in
+    * the crash window between marker and cleanup see exactly the new
+    * generation, never both sides. Cleanup (idempotent, re-swept by
+    * the next compaction) then drops the superseded directories and
+    * markers. Cost is O(index) — an index compaction is a rewrite by
+    * nature; appends stay O(batch). Returns the surviving generation
+    * id; a single-generation index is a no-op. */
+  def compactLexicalIndex(spark: SparkSession, out: String): Long = {
+    val f = lexFs(spark, out)
+    // sweep any prior compaction's unfinished cleanup first
+    lexSweepReplaced(spark, out)
+    val marks = lexMarkers(spark, out)
+    val active = lexCommittedGens(spark, out)
+    require(active.nonEmpty, s"no committed lexical index at $out")
+    if (active.size == 1) return active.head
+    val gen = marks.map(_._1).max + 1
+    val genF = col("gen").isin(active: _*)
+    val postings = spark.read.parquet(s"$out/postings").filter(genF)
+      .select("tok", "doc_id", "tf", "len", "b")
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val stat = postings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pBytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
+    val k = math.min(32768L, math.max(lexBuckets.toLong,
+      (pBytes + targetBytes - 1) / targetBytes)).toInt
+    postings.repartitionByRange(k, col("b"), col("tok"))
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"$out/postings/gen=$gen")
+    spark.read.parquet(s"$out/df").filter(genF)
+      .groupBy("b", "tok").agg(sum("df").as("df"))
+      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
+    spark.read.parquet(s"$out/stats").filter(genF)
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
+    // atomic flip: temp + rename, content superseding the old gens
+    val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
+    val o = f.create(tmp, true)
+    try o.write(s"replaces=${active.mkString(",")}".getBytes("UTF-8"))
+    finally o.close()
+    require(f.rename(tmp,
+      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),
+      s"could not commit lexical-index compaction at $out")
+    lexSweepReplaced(spark, out)
+    gen
+  }
+
+  /** Drop every generation some marker's replaces-list supersedes —
+    * data dirs first, markers last, idempotent (the cleanup half of
+    * [[compactLexicalIndex]], re-run at its next invocation so a crash
+    * mid-sweep only defers garbage, never correctness). */
+  private def lexSweepReplaced(spark: SparkSession, out: String): Unit = {
+    val f = lexFs(spark, out)
+    val replaced = lexMarkers(spark, out).flatMap(_._2).distinct
+    replaced.foreach { g =>
+      Seq("postings", "df", "stats").foreach { part =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$out/$part/gen=$g"), true)
+      }
+      f.delete(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$g"), false)
+    }
   }
 
   /** BM25 top-k per probe against the STORED index: the probe's
@@ -1775,20 +1871,51 @@ object TextOps {
     * corpus df, stats deltas to corpus stats, and the cap decision is
     * corpus-level — plus the search semantics themselves (q135's
     * integer-exact scoring, so both engines agree to the bit). */
-  def q138StoredLexical(spark: SparkSession, dir: String): DataFrame = {
+  private def lexScratch(spark: SparkSession, dir: String,
+      prefix: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val root = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    val out = new java.io.File(
+    new java.io.File(
       new java.io.File(root, "graft_lex_index"),
-      s"bm25_${key}_${graft.SessionCache.sessionToken(spark)}")
+      s"${prefix}_${key}_${graft.SessionCache.sessionToken(spark)}")
       .getAbsolutePath
+  }
+
+  def q138StoredLexical(spark: SparkSession, dir: String): DataFrame = {
+    val out = lexScratch(spark, dir, "bm25")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     writeLexicalIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), out)
     appendLexicalIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(3)) === 0), out)
+    searchLexicalIndex(spark,
+      docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("text")), out)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q139 — the stored lexical index's COMPACTION lifecycle under the
+    * oracle hash (q138 proved append-equivalence; this proves the
+    * maintenance op that keeps appends cheap forever): three
+    * generations land (build + two appends), [[compactLexicalIndex]]
+    * folds them into one — merged postings rewrite, df deltas
+    * collapsed, atomic replaces-marker flip, superseded generations
+    * swept — and the search against the COMPACTED index must still
+    * hash-match the oracle's from-scratch full-corpus ranking: the
+    * merge lost no posting, double-counted no df delta, and left the
+    * reader exactly one generation to plan over. */
+  def q139LexicalCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val out = lexScratch(spark, dir, "bm25c")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), out)
+    appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), out)
+    appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), out)
+    compactLexicalIndex(spark, out)
     searchLexicalIndex(spark,
       docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("probe_id"), col("text")), out)

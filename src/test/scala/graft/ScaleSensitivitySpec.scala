@@ -40,7 +40,8 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q120_perplexity_filter", "q124_schema_evolution",
       "q122_minhash_dedup",
       "q132_hybrid_search", "q133_passage_search", "q134_time_travel",
-      "q135_bm25_hybrid", "q137_type_widening", "q138_stored_lexical")
+      "q135_bm25_hybrid", "q137_type_widening", "q138_stored_lexical",
+      "q139_lexical_compaction")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -478,4 +478,45 @@ class TextOpsSpec extends SparkSpecBase {
       plan.contains("b#")) && plan.contains("gen"),
       s"bucket/gen pruning missing from scan:\n${plan.take(2000)}")
   }
+
+  test("lexical-index compaction folds generations, sweeps the old ones, and appends keep working") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    def result(out: String) =
+      ops.TextOps.searchLexicalIndex(spark, probes, out)
+        .orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val out = java.nio.file.Files.createTempDirectory("lex_cmp").toString + "/i"
+    ops.TextOps.writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), out)
+    ops.TextOps.appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), out)
+    val before = result(out)
+    val gen = ops.TextOps.compactLexicalIndex(spark, out)
+    assert(gen == 2L, s"compaction minted gen $gen")
+    // ranking identical; superseded generations physically gone
+    assert(result(out) == before, "compaction changed the ranking")
+    Seq("postings", "df", "stats").foreach { part =>
+      val gens = Option(new java.io.File(s"$out/$part").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty).map(_.getName).sorted
+      assert(gens == Seq("gen=2"), s"$part holds $gens after compaction")
+    }
+    assert(!new java.io.File(out, "_GEN_COMMIT_0").exists())
+    // a compaction of one generation is a no-op, and the generation
+    // counter keeps climbing for appends after a compaction
+    assert(ops.TextOps.compactLexicalIndex(spark, out) == 2L)
+    ops.TextOps.appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), out)
+    assert(new java.io.File(out, "_GEN_COMMIT_3").exists())
+    // the full index (compacted 2 gens + fresh append) ranks exactly
+    // like a one-shot build over everything
+    val whole = java.nio.file.Files.createTempDirectory("lex_cmp2")
+      .toString + "/w"
+    ops.TextOps.writeLexicalIndex(spark, docs, whole)
+    assert(result(out) == result(whole),
+      "compact+append diverged from the one-shot build")
+  }
 }
