@@ -381,7 +381,7 @@ object SparkEntry {
     // merged index; the oracle re-derives the ranking from scratch —
     // hash equality proves append-equivalence and the BM25 scoring
     "q138_stored_lexical" -> OracleSql.q138,
-    // q139 lexical-index compaction: three generations fold into one
+    // q139 lexical-index compaction: the landed generations fold into one
     // (merged postings, collapsed df deltas, atomic replaces-marker
     // flip) and the compacted index's search still hash-matches the
     // SAME from-scratch oracle as q138 — the merge lost nothing and

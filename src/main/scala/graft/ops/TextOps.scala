@@ -1693,8 +1693,12 @@ object TextOps {
 
   private def lexAppendGen(spark: SparkSession, docs: DataFrame,
       out: String, gen: Long): Unit = {
+    // one tokenize+count pass feeds all three writes (postings, df,
+    // stats) — without the lineage cut each write job would re-scan
+    // and re-tokenize the batch (q57's localCheckpoint discipline)
     val tf = lexToks(docs).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val postings = tf.join(dl, "doc_id")
       .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
@@ -1898,8 +1902,8 @@ object TextOps {
 
   /** q139 — the stored lexical index's COMPACTION lifecycle under the
     * oracle hash (q138 proved append-equivalence; this proves the
-    * maintenance op that keeps appends cheap forever): three
-    * generations land (build + two appends), [[compactLexicalIndex]]
+    * maintenance op that keeps appends cheap forever): two
+    * generations land (build + append), [[compactLexicalIndex]]
     * folds them into one — merged postings rewrite, df deltas
     * collapsed, atomic replaces-marker flip, superseded generations
     * swept — and the search against the COMPACTED index must still
@@ -1910,11 +1914,9 @@ object TextOps {
     val out = lexScratch(spark, dir, "bm25c")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     writeLexicalIndex(spark,
-      docs.filter(pmod(col("doc_id"), lit(3)) === 0), out)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), out)
     appendLexicalIndex(spark,
-      docs.filter(pmod(col("doc_id"), lit(3)) === 1), out)
-    appendLexicalIndex(spark,
-      docs.filter(pmod(col("doc_id"), lit(3)) === 2), out)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), out)
     compactLexicalIndex(spark, out)
     searchLexicalIndex(spark,
       docs.filter(col("doc_id") < 5)
