@@ -1876,6 +1876,51 @@ object OracleSql {
       |WHERE rank <= 10
       |ORDER BY probe_id, rank""".stripMargin
 
+  /** q140 — the stored-index DELETE twin of [[q138]]: the corpus CTE
+    * keeps only the docs surviving the engine's tombstone delete
+    * (`doc_id % 7 <> 3`), while the probes still tokenize from the
+    * FULL table (probe 3's own doc is deleted — scoring its text is
+    * an ordinary query). Every downstream statistic — tf, dl, df, the
+    * df-cap, n_docs, total_len — derives from the survivor corpus
+    * alone, so a hash match proves the engine's negative-delta merge
+    * and tombstone anti-join reproduce a from-scratch index on the
+    * survivors to the bit. */
+  val q140: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1
+      |), corpus AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_len FROM dl
+      |), dft AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok HAVING COUNT(*) <= 64
+      |), ptok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents WHERE doc_id < 5
+      |), pterms AS (
+      |  SELECT DISTINCT doc_id AS probe_id, tok FROM ptok
+      |), scored AS (
+      |  SELECT p2.probe_id, t.doc_id,
+      |    SUM(CAST(FLOOR(10000 * c.n_docs * t.tf * c.total_len /
+      |      (d.df * (t.tf * c.total_len + 2 * l.len * c.n_docs))) AS BIGINT)) AS score_bp
+      |  FROM tf t
+      |  JOIN dft d ON d.tok = t.tok
+      |  JOIN pterms p2 ON p2.tok = t.tok AND t.doc_id <> p2.probe_id
+      |  JOIN dl l ON l.doc_id = t.doc_id
+      |  CROSS JOIN corpus c
+      |  GROUP BY 1, 2
+      |)
+      |SELECT probe_id, rank, doc_id, CAST(score_bp AS BIGINT) AS score_bp
+      |FROM (
+      |  SELECT probe_id, doc_id, score_bp,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** q134 — the time-travel audit: the engine compacts events into the
     * sink under keepEpochs=2, DELETEs the `user_id % 7 = 3` cohort
     * (minting a new epoch while the previous survives as an immutable

@@ -152,7 +152,8 @@ object SparkEntry {
     "q136_stored_ann" -> (VectorOps.q136StoredAnn _),
     "q137_type_widening" -> (Streaming.q137TypeWidening _),
     "q138_stored_lexical" -> (TextOps.q138StoredLexical _),
-    "q139_lexical_compaction" -> (TextOps.q139LexicalCompaction _)
+    "q139_lexical_compaction" -> (TextOps.q139LexicalCompaction _),
+    "q140_lexical_delete" -> (TextOps.q140LexicalDelete _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -386,7 +387,12 @@ object SparkEntry {
     // flip) and the compacted index's search still hash-matches the
     // SAME from-scratch oracle as q138 — the merge lost nothing and
     // double-counted nothing
-    "q139_lexical_compaction" -> OracleSql.q138
+    "q139_lexical_compaction" -> OracleSql.q138,
+    // q140 stored-index delete: a tombstone generation (negative
+    // df/stats deltas) removes the doc_id%7=3 cohort; the oracle
+    // re-derives the ranking from scratch over ONLY the survivors —
+    // hash equality proves delete-equivalence of the tombstone read
+    "q140_lexical_delete" -> OracleSql.q140
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

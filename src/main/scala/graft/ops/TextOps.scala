@@ -1746,6 +1746,74 @@ object TextOps {
     lexAppendGen(spark, docs, out, gens.max + 1)
   }
 
+  /** The union of every active generation's tombstones, or None when
+    * the index has never seen a delete (the common case pays no read).
+    * Listed manually because a compaction sweep can leave `tomb/`
+    * empty, which `spark.read.parquet` refuses to infer a schema for. */
+  private def lexTomb(spark: SparkSession, out: String,
+      gens: Seq[Long]): Option[DataFrame] = {
+    val f = lexFs(spark, out)
+    val root = new org.apache.hadoop.fs.Path(s"$out/tomb")
+    if (!f.exists(root)) None
+    else if (!f.listStatus(root).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("gen="))) None
+    else Some(spark.read.parquet(s"$out/tomb")
+      .filter(col("gen").isin(gens: _*)).select("doc_id"))
+  }
+
+  /** DELETE docs from the stored lexical index — Lucene's deleted-docs
+    * model as a relational dataflow, the op a takedown or upstream
+    * dedup decision forces on a serving index. A delete is O(victim
+    * postings), never a corpus rewrite: it lands as one new GENERATION
+    * holding (a) a `tomb/` doc_id list, (b) NEGATIVE df deltas — one
+    * −1 per (token, victim) pair, computed from a single column-pruned
+    * scan of the victims' own postings — and (c) negative n_docs /
+    * total_len stats deltas, all flipped visible by the same
+    * marker-last discipline as appends. Readers anti-join postings
+    * against the tombstones and the existing delta-merge arithmetic
+    * absorbs the negatives, so df, the df-cap decision, and the BM25
+    * corpus statistics all score exactly the SURVIVOR corpus (q140
+    * proves this to the bit against a from-scratch oracle).
+    * Already-tombstoned and never-indexed doc_ids contribute nothing —
+    * a replayed delete batch is idempotent, never a double-decrement.
+    * [[compactLexicalIndex]] later folds tombstones away physically.
+    * Returns the minted generation id (or the current max when the
+    * batch matched nothing and no generation was minted). */
+  def deleteFromLexicalIndex(spark: SparkSession, deletes: DataFrame,
+      out: String): Long = {
+    val gens = lexCommittedGens(spark, out)
+    require(gens.nonEmpty,
+      s"no committed lexical index at $out - writeLexicalIndex first")
+    val gen = lexMarkers(spark, out).map(_._1).max + 1
+    val genF = col("gen").isin(gens: _*)
+    val ids = deletes.select("doc_id").distinct()
+    val fresh = lexTomb(spark, out, gens) match {
+      case Some(t) => ids.join(t, Seq("doc_id"), "left_anti")
+      case None => ids
+    }
+    // one pruned scan of the victims' postings feeds all three delta
+    // writes (df, stats, tomb) — the localCheckpoint cuts the lineage
+    // so each write job reuses it instead of re-scanning the index
+    val hit = spark.read.parquet(s"$out/postings").filter(genF)
+      .select("b", "tok", "doc_id", "len")
+      .join(fresh, "doc_id")
+      .localCheckpoint()
+    if (hit.isEmpty) return gens.max
+    hit.groupBy("b", "tok").agg((count(lit(1)) * -1L).as("df"))
+      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
+    hit.select("doc_id", "len").distinct()
+      .agg((count(lit(1)) * -1L).as("n_docs"),
+        (sum("len") * -1L).as("total_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
+    hit.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    val f = lexFs(spark, out)
+    f.create(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true)
+      .close()
+    gen
+  }
+
   /** Fold every active generation of the stored lexical index into ONE
     * (Lucene's segment merge, the maintenance that bounds the
     * reader's gens factor after many appends): merged postings
@@ -1769,8 +1837,17 @@ object TextOps {
     if (active.size == 1) return active.head
     val gen = marks.map(_._1).max + 1
     val genF = col("gen").isin(active: _*)
-    val postings = spark.read.parquet(s"$out/postings").filter(genF)
+    // fold tombstones away physically: the merged generation carries
+    // neither the victims' postings nor any tomb rows, and the df sum
+    // (positive deltas minus the deletes' negatives) is exactly the
+    // survivor df — fully-deleted tokens drop out of the df table
+    val tomb = lexTomb(spark, out, active)
+    val basePostings = spark.read.parquet(s"$out/postings").filter(genF)
       .select("tok", "doc_id", "tf", "len", "b")
+    val postings = tomb match {
+      case Some(t) => basePostings.join(t, Seq("doc_id"), "left_anti")
+      case None => basePostings
+    }
     val targetBytes = spark.conf
       .getOption("spark.graft.compact.targetFileBytes")
       .map(_.toLong).getOrElse(128L << 20)
@@ -1783,6 +1860,7 @@ object TextOps {
       .parquet(s"$out/postings/gen=$gen")
     spark.read.parquet(s"$out/df").filter(genF)
       .groupBy("b", "tok").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
       .repartitionByRange(lexBuckets, col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
     spark.read.parquet(s"$out/stats").filter(genF)
@@ -1808,7 +1886,7 @@ object TextOps {
     val f = lexFs(spark, out)
     val replaced = lexMarkers(spark, out).flatMap(_._2).distinct
     replaced.foreach { g =>
-      Seq("postings", "df", "stats").foreach { part =>
+      Seq("postings", "df", "stats", "tomb").foreach { part =>
         f.delete(new org.apache.hadoop.fs.Path(s"$out/$part/gen=$g"), true)
       }
       f.delete(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$g"), false)
@@ -1844,9 +1922,17 @@ object TextOps {
       .filter(col("df") <= lexDfCap)
     val stats = spark.read.parquet(s"$out/stats").filter(genF)
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-    val postings = spark.read.parquet(s"$out/postings")
+    val candidates = spark.read.parquet(s"$out/postings")
       .filter(genF && col("b").isin(bList: _*) &&
         col("tok").isin(tokList: _*))
+    // deleted docs never become candidates: anti-join the tombstones
+    // AFTER the token pushdown, so the probe-bounded candidate set —
+    // not the whole index — pays the check (no-delete indexes have no
+    // tomb/ directory and skip the join entirely)
+    val postings = lexTomb(spark, out, gens) match {
+      case Some(t) => candidates.join(t, Seq("doc_id"), "left_anti")
+      case None => candidates
+    }
     val scored = postings.join(broadcast(dfTab), "tok")
       .join(broadcast(ptoks), "tok")
       .filter(col("doc_id") =!= col("probe_id"))
@@ -1918,6 +2004,34 @@ object TextOps {
     appendLexicalIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(2)) === 1), out)
     compactLexicalIndex(spark, out)
+    searchLexicalIndex(spark,
+      docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("text")), out)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q140 — DELETE from the stored lexical index under the oracle
+    * hash, completing the index lifecycle (build/append q138, compact
+    * q139, delete here): build on the even docs, append the odd, then
+    * [[deleteFromLexicalIndex]] the `doc_id % 7 = 3` cohort — one
+    * tombstone generation carrying negative df/stats deltas, O(victim
+    * postings), no corpus rewrite — and search the same five probes
+    * against the stored index. The oracle re-derives the BM25 ranking
+    * from scratch over ONLY the surviving docs (probes still come
+    * from the full table: probing with a deleted doc's text is an
+    * ordinary query, and doc 3 is exactly that), so hash equality
+    * proves DELETE-EQUIVALENCE to the bit: tombstoned docs never
+    * surface as candidates, merged df and the df-cap decision score
+    * the survivor corpus, and n_docs/total_len shrink exactly. */
+  def q140LexicalDelete(spark: SparkSession, dir: String): DataFrame = {
+    val out = lexScratch(spark, dir, "bm25x")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), out)
+    appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), out)
+    deleteFromLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), out)
     searchLexicalIndex(spark,
       docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("probe_id"), col("text")), out)

@@ -519,4 +519,56 @@ class TextOpsSpec extends SparkSpecBase {
     assert(result(out) == result(whole),
       "compact+append diverged from the one-shot build")
   }
+
+  test("lexical-index delete: tombstone read, idempotent replay, compaction fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    def result(out: String) =
+      ops.TextOps.searchLexicalIndex(spark, probes, out)
+        .orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val root = java.nio.file.Files.createTempDirectory("lex_del").toString
+    val out = s"$root/i"
+    ops.TextOps.writeLexicalIndex(spark, docs, out)
+    val victims = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select("doc_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    assert(ops.TextOps.deleteFromLexicalIndex(spark, victims, out) == 1L)
+    // the tombstone read ranks exactly like an index built on the
+    // survivors from scratch, and no victim ever surfaces
+    val surv = s"$root/s"
+    ops.TextOps.writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 3), surv)
+    val afterDelete = result(out)
+    assert(afterDelete == result(surv),
+      "tombstone read diverged from the survivor-built index")
+    assert(afterDelete.forall(r => !victimIds.contains(r._3)))
+    // replaying the same delete batch — and deleting a never-indexed
+    // id — mints no generation and double-decrements nothing
+    assert(ops.TextOps.deleteFromLexicalIndex(spark, victims, out) == 1L)
+    assert(ops.TextOps.deleteFromLexicalIndex(spark,
+      Seq(Long.MaxValue - 1).toDF("doc_id"), out) == 1L)
+    assert(result(out) == afterDelete, "delete replay changed the ranking")
+    // compaction folds the tombstones away physically: ranking stable,
+    // victims' postings gone from the files, tomb/ generations swept
+    val cg = ops.TextOps.compactLexicalIndex(spark, out)
+    assert(result(out) == afterDelete,
+      "compacting a tombstoned index changed the ranking")
+    Seq("postings", "df", "stats").foreach { part =>
+      val gens = Option(new java.io.File(s"$out/$part").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty).map(_.getName).sorted
+      assert(gens == Seq(s"gen=$cg"), s"$part holds $gens after compaction")
+    }
+    val tombGens = Option(new java.io.File(s"$out/tomb").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName).filter(_.startsWith("gen="))
+    assert(tombGens.isEmpty, "tombstones survived the compaction")
+    assert(spark.read.parquet(s"$out/postings")
+      .filter(col("doc_id").isInCollection(victimIds)).count() == 0L,
+      "victim postings survived the compaction rewrite")
+  }
 }
