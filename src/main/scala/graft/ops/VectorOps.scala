@@ -1089,20 +1089,62 @@ object VectorOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed code GENERATIONS of a stored index: 0 certified by
-    * [[IndexCommit]], appended generations by their `_GEN_COMMIT_N`
-    * markers (touched last per append, q138's discipline — a torn
-    * append is invisible). Empty = no committed index. */
-  private def vecCommittedGens(spark: SparkSession, out: String): Seq[Long] = {
+  /** Every committed code generation with the generations it
+    * supersedes: 0 certified by [[IndexCommit]] (geometry content, no
+    * replaces), appends/deletes by their `_GEN_COMMIT_N` markers
+    * (touched last, q138's discipline — a torn write is invisible),
+    * compactions by a `replaces=…`-carrying marker installed via
+    * atomic rename. */
+  private def vecMarkers(spark: SparkSession, out: String)
+      : Seq[(Long, Seq[Long])] = {
     val f = hfs(spark, out)
     val root = new org.apache.hadoop.fs.Path(out)
     if (!f.exists(root)) Seq.empty
     else {
       val names = f.listStatus(root).toSeq.map(_.getPath.getName)
-      val base = if (names.contains(IndexCommit)) Seq(0L) else Seq.empty
-      base ++ names.filter(_.startsWith("_GEN_COMMIT_"))
-        .map(_.stripPrefix("_GEN_COMMIT_").toLong).sorted
+      val base =
+        if (names.contains(IndexCommit)) Seq(0L -> Seq.empty[Long])
+        else Seq.empty
+      base ++ names.filter(_.startsWith("_GEN_COMMIT_")).map { name =>
+        val gen = name.stripPrefix("_GEN_COMMIT_").toLong
+        val in = f.open(new org.apache.hadoop.fs.Path(root, name))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val replaced = lines.collectFirst {
+          case l if l.startsWith("replaces=") =>
+            l.stripPrefix("replaces=").split(",").toSeq
+              .filter(_.nonEmpty).map(_.toLong)
+        }.getOrElse(Seq.empty)
+        gen -> replaced
+      }.sortBy(_._1)
     }
+  }
+
+  /** The code generations a reader serves: marker-committed minus
+    * those a later compaction's replaces-list superseded. (After a
+    * compacted-away marker is itself swept by a LATER compaction,
+    * generation 0 can reappear here as a phantom — [[IndexCommit]] is
+    * never deleted because it certifies centroids + codebook — but a
+    * phantom gen has no codes/ or tomb/ directory, so every read
+    * through it is vacuously empty.) */
+  private def vecCommittedGens(spark: SparkSession, out: String): Seq[Long] = {
+    val marks = vecMarkers(spark, out)
+    val replaced = marks.flatMap(_._2).toSet
+    marks.map(_._1).filterNot(replaced).sorted
+  }
+
+  /** The union of active tombstones, or None when the index has never
+    * seen a delete (the common case pays no read). */
+  private def vecTomb(spark: SparkSession, out: String,
+      gens: Seq[Long]): Option[DataFrame] = {
+    val f = hfs(spark, out)
+    val root = new org.apache.hadoop.fs.Path(s"$out/tomb")
+    if (!f.exists(root)) None
+    else if (!f.listStatus(root).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("gen="))) None
+    else Some(spark.read.parquet(s"$out/tomb")
+      .filter(col("gen").isin(gens: _*)).select("vec_id"))
   }
 
   /** Size-aware range write of a codes frame into
@@ -1197,13 +1239,108 @@ object VectorOps {
       new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true).close()
   }
 
+  /** DELETE vectors from the stored index — the op an upstream dedup
+    * decision or takedown forces on a serving tier (q140's tombstone
+    * model; here even cheaper, because ANN scoring carries no corpus
+    * statistics to decrement): the batch lands as one marker-committed
+    * generation holding only a `tomb/` vec_id list, O(batch) with no
+    * index scan at all. [[searchVectorIndex]] anti-joins the ADC
+    * candidates against the tombstones BEFORE ranking, so victims
+    * neither surface nor occupy re-rank slots; [[compactVectorIndex]]
+    * later drops their codes physically. Replayed batches are
+    * idempotent (already-tombstoned ids are filtered out; a fully
+    * replayed batch mints nothing); never-indexed ids land as
+    * harmless tombstones that match nothing and are reclaimed at the
+    * next compaction — presence is deliberately NOT verified, keeping
+    * the delete free of any index scan. Returns the minted generation
+    * id (or the current max when the whole batch was already
+    * tombstoned). */
+  def deleteFromVectorIndex(spark: SparkSession, out: String,
+      deletes: DataFrame): Long = {
+    val gens = vecCommittedGens(spark, out)
+    require(gens.nonEmpty,
+      s"no committed vector index at $out - writeVectorIndex first")
+    val gen = vecMarkers(spark, out).map(_._1).max + 1
+    val ids = deletes.select("vec_id").distinct()
+    val fresh = vecTomb(spark, out, gens) match {
+      case Some(t) => ids.join(t, Seq("vec_id"), "left_anti")
+      case None => ids
+    }
+    if (fresh.isEmpty) return gens.max
+    fresh.write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    hfs(spark, out).create(
+      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true).close()
+    gen
+  }
+
+  /** Fold every active code generation into ONE, dropping tombstoned
+    * vectors' codes physically (the vector-side twin of
+    * [[graft.ops.TextOps.compactLexicalIndex]] — the maintenance that
+    * bounds the reader's gens factor and reclaims deleted space):
+    * surviving codes rewrite through the sized list writers under a
+    * NEW generation, invisible until its marker lands carrying
+    * `replaces=<old gens>` via atomic rename — readers in the crash
+    * window between marker and cleanup see exactly one side, never
+    * both. Cleanup (idempotent, re-swept next invocation) drops the
+    * superseded code/tomb directories and their markers; gen 0's
+    * certificate [[IndexCommit]] is never deleted — it vouches for
+    * centroids + codebook, and a phantom gen 0 with no directories
+    * reads as empty. Returns the surviving generation id; an index
+    * with one generation and no tombstones is a no-op. */
+  def compactVectorIndex(spark: SparkSession, out: String): Long = {
+    val f = hfs(spark, out)
+    vecSweepReplaced(spark, out)
+    val active = vecCommittedGens(spark, out)
+    require(active.nonEmpty, s"no committed vector index at $out")
+    val tomb = vecTomb(spark, out, active)
+    if (active.size == 1 && tomb.isEmpty) return active.head
+    val gen = vecMarkers(spark, out).map(_._1).max + 1
+    val base = spark.read.parquet(s"$out/codes")
+      .filter(col("gen").isin(active: _*))
+      .select("vec_id", "m", "code", "cid")
+    val survivors = tomb match {
+      case Some(t) => base.join(t, Seq("vec_id"), "left_anti")
+      case None => base
+    }
+    writeCodes(spark, survivors, out, gen)
+    val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
+    val o = f.create(tmp, true)
+    try o.write(s"replaces=${active.mkString(",")}".getBytes("UTF-8"))
+    finally o.close()
+    require(f.rename(tmp,
+      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),
+      s"could not commit vector-index compaction at $out")
+    vecSweepReplaced(spark, out)
+    gen
+  }
+
+  /** Drop every generation some marker's replaces-list supersedes —
+    * data dirs first, markers last, idempotent (the cleanup half of
+    * [[compactVectorIndex]]; a crash mid-sweep defers garbage, never
+    * correctness). [[IndexCommit]] survives even when gen 0 is
+    * replaced: it certifies the trained artifacts, not the codes. */
+  private def vecSweepReplaced(spark: SparkSession, out: String): Unit = {
+    val f = hfs(spark, out)
+    val replaced = vecMarkers(spark, out).flatMap(_._2).distinct
+    replaced.foreach { g =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$out/codes/gen=$g"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$out/tomb/gen=$g"), true)
+      if (g != 0L)
+        f.delete(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$g"), false)
+    }
+  }
+
   /** The stored index's three relations (centroids, codebook, codes —
     * the codes restricted to marker-COMMITTED generations, so a torn
     * append never serves). Refuses an uncommitted index loudly. */
   def readVectorIndex(spark: SparkSession, out: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val gens = vecCommittedGens(spark, out)
-    require(gens.contains(0L),
+    // the geometry marker certifies centroids + codebook (gen 0 itself
+    // may since have been compacted away — that's fine; its SUCCESSOR
+    // is in gens)
+    require(hfs(spark, out).exists(
+        new org.apache.hadoop.fs.Path(out, IndexCommit)) && gens.nonEmpty,
       s"no committed vector index at $out - writeVectorIndex did not " +
         "finish (torn indexes must refuse, not serve partial lists)")
     (spark.read.parquet(s"$out/centroids"),
@@ -1225,6 +1362,7 @@ object VectorOps {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, cb, codes) = readVectorIndex(spark, out)
+    val gens = vecCommittedGens(spark, out)
     val unit = unitVecs(normed(spark, dir))
     val probesU = unit.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("u").as("pu"))
@@ -1248,12 +1386,20 @@ object VectorOps {
       .select(col("probe_id"), col("m"), col("pqc").as("code"), col("pdot"))
     // static partition pruning: the scan plans against ONLY the probed
     // list directories
-    val approx = codes.filter(col("cid").isin(probedIds: _*))
+    val adc = codes.filter(col("cid").isin(probedIds: _*))
       .join(probeListsDf, Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .join(broadcast(lut), Seq("probe_id", "m", "code"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg((max(col("pcdot")) + sum(col("pdot"))).as("asim"))
+    // deleted vectors neither surface nor occupy re-rank slots: the
+    // tombstone anti-join lands on the per-(probe, vec) ADC rows —
+    // the probed-list candidate set pays the check, not the index
+    // (no-delete indexes have no tomb/ directory and skip the join)
+    val approx = vecTomb(spark, out, gens) match {
+      case Some(t) => adc.join(t, Seq("vec_id"), "left_anti")
+      case None => adc
+    }
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("asim").desc, col("vec_id"))
     val cands = approx.withColumn("crank", row_number().over(wc))
@@ -1276,15 +1422,45 @@ object VectorOps {
     * scan's numFiles). Rows-only by design: the trained artifacts are
     * iteration-order-specific (q49/q130's caveat). */
   def q136StoredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val out = vecScratch(spark, dir, "ivfpq")
+    writeVectorIndex(spark, dir, out)
+    searchVectorIndex(spark, dir, out)
+  }
+
+  private def vecScratch(spark: SparkSession, dir: String,
+      prefix: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val root = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    val out = new java.io.File(
+    new java.io.File(
       new java.io.File(root, "graft_vector_index"),
-      s"ivfpq_${key}_${graft.SessionCache.sessionToken(spark)}")
+      s"${prefix}_${key}_${graft.SessionCache.sessionToken(spark)}")
       .getAbsolutePath
-    writeVectorIndex(spark, dir, out)
+  }
+
+  /** q141 — the stored vector index's DELETE lifecycle (q140's
+    * tombstone discipline on the vector side, completing the serving
+    * story q136 opened: write/append there, delete here, compaction
+    * spec-pinned): build on two-thirds of the vectors, append the
+    * rest against the stored artifacts, [[deleteFromVectorIndex]] the
+    * `vec_id % 7 = 3` cohort — one tombstone generation, O(batch),
+    * no index scan — and search. The serving read anti-joins the ADC
+    * candidates against the tombstones BEFORE ranking, so victims
+    * neither surface nor hold re-rank slots. Rows-only by design
+    * (stored artifacts are iteration-specific, q136's caveat); the
+    * spec pins the strong equivalence — delete-then-search is
+    * BYTE-IDENTICAL to an index that never encoded the victims
+    * (codes depend only on the stored centroids + codebook) — plus
+    * compaction-fold equality, physical code removal, idempotent
+    * replay, and torn-delete invisibility. */
+  def q141VectorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val out = vecScratch(spark, dir, "ivfpq_del")
+    writeVectorIndex(spark, dir, out, pmod(col("vec_id"), lit(3)) =!= 0)
+    appendVectorIndex(spark, dir, out, pmod(col("vec_id"), lit(3)) === 0)
+    deleteFromVectorIndex(spark, out,
+      normed(spark, dir).filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select("vec_id"))
     searchVectorIndex(spark, dir, out)
   }
 }

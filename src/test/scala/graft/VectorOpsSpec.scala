@@ -461,4 +461,68 @@ class VectorOpsSpec extends SparkSpecBase
       ops.VectorOps.readVectorIndex(spark, out))
     assert(e.getMessage.contains("no committed vector index"))
   }
+
+  test("vector-index delete: tombstone read, compaction fold, idempotent replay, torn delete invisible") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vec_del").toString
+    def rows(out: String): Seq[(Long, Long, Long)] =
+      ops.VectorOps.searchVectorIndex(spark, sf, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val victims = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    // delete-then-search must be BYTE-IDENTICAL to an index that never
+    // encoded the victims: codes depend only on the stored artifacts,
+    // and the tombstone anti-join removes exactly the victims' codes
+    val never = s"$root/never"
+    ops.VectorOps.writeVectorIndex(spark, sf, never,
+      pmod(col("vec_id"), lit(7)) =!= 3)
+    val del = s"$root/del"
+    ops.VectorOps.writeVectorIndex(spark, sf, del)
+    val delGen = ops.VectorOps.deleteFromVectorIndex(spark, del, victims)
+    assert(delGen == 1L, s"delete minted gen $delGen")
+    val afterDelete = rows(del)
+    assert(afterDelete == rows(never),
+      "delete-then-search diverged from the never-encoded index")
+    assert(afterDelete.forall(r => !victimIds.contains(r._3)))
+    // replaying the delete mints no generation and changes nothing; a
+    // never-indexed id lands as a harmless tombstone (deletes verify
+    // nothing on purpose — no index scan) that matches no candidate
+    assert(ops.VectorOps.deleteFromVectorIndex(spark, del, victims) == 1L)
+    assert(ops.VectorOps.deleteFromVectorIndex(spark,
+      del, Seq(Long.MaxValue - 1).toDF("vec_id")) == 2L)
+    assert(rows(del) == afterDelete)
+    // compaction folds codes + tombstones into one generation under
+    // the replaces-marker flip: ranking stable, victims' codes gone
+    // physically, superseded dirs + tomb swept, geometry marker kept
+    val cg = ops.VectorOps.compactVectorIndex(spark, del)
+    assert(cg == 3L, s"compaction minted gen $cg")
+    assert(rows(del) == afterDelete,
+      "compacting a tombstoned index changed the ranking")
+    val codeGens = Option(new java.io.File(s"$del/codes").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).map(_.getName).sorted
+    assert(codeGens == Seq(s"gen=$cg"), s"codes holds $codeGens")
+    val tombGens = Option(new java.io.File(s"$del/tomb").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName).filter(_.startsWith("gen="))
+    assert(tombGens.isEmpty, "tombstones survived the compaction")
+    assert(new java.io.File(del, "_INDEX_COMMIT").exists(),
+      "compaction deleted the geometry certificate")
+    assert(spark.read.parquet(s"$del/codes")
+      .filter(col("vec_id").isInCollection(victimIds)).count() == 0L,
+      "victim codes survived the compaction rewrite")
+    // a compaction of a compacted, tombstone-free index is a no-op,
+    // and searching still serves (phantom gen 0 reads as empty)
+    assert(ops.VectorOps.compactVectorIndex(spark, del) == cg)
+    assert(rows(del) == afterDelete)
+    // a torn delete (tomb landed, marker did not) is invisible: the
+    // victims keep serving until the marker flips
+    val torn = s"$root/torn"
+    ops.VectorOps.writeVectorIndex(spark, sf, torn)
+    val full = rows(torn)
+    ops.VectorOps.deleteFromVectorIndex(spark, torn, victims)
+    assert(new java.io.File(torn, "_GEN_COMMIT_1").delete())
+    assert(rows(torn) == full, "uncommitted tombstones leaked into the search")
+  }
 }
