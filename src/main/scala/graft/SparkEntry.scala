@@ -154,7 +154,8 @@ object SparkEntry {
     "q138_stored_lexical" -> (TextOps.q138StoredLexical _),
     "q139_lexical_compaction" -> (TextOps.q139LexicalCompaction _),
     "q140_lexical_delete" -> (TextOps.q140LexicalDelete _),
-    "q141_vector_delete" -> (VectorOps.q141VectorDelete _)
+    "q141_vector_delete" -> (VectorOps.q141VectorDelete _),
+    "q142_quantile_rollup" -> (RelationalQueries.q142QuantileRollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,7 +395,7 @@ object SparkEntry {
     // re-derives the ranking from scratch over ONLY the survivors —
     // hash equality proves delete-equivalence of the tombstone read
     "q140_lexical_delete" -> OracleSql.q140
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141 (engine-specific
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

@@ -301,6 +301,50 @@ object RelationalQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** q142 — mergeable QUANTILE rollup (the third member of the
+    * warehouse sketch trio: HLL distincts q127, Misra–Gries heavy
+    * hitters q128, quantiles here), via a q-digest
+    * ([[graft.functions.QDigestAgg]] — Shrivastava SenSys'04, merged
+    * per Agarwal PODS'12): event values in integer cents stream into a
+    * k=2048 digest PER DAY — the materialization a warehouse stores
+    * next to each partition — and weekly p50/p95/p99 are answered by
+    * UNIONING the daily digests, never re-scanning raw rows. That is
+    * the entire point: quantiles don't average (mean of daily medians
+    * ≠ weekly median), but q-digests union losslessly, so ANY date
+    * range's tail latencies cost sketch-size work — the exact twin
+    * q43 needs a per-group sort of every raw value instead. The
+    * estimates fall out of the union aggregation's own finish (no
+    * scalar UDF anywhere). Rows-only (compression timing is
+    * partitioning-dependent); the spec pins the rank-error contract
+    * |rank(est) − q·n| ≤ levels·n/k on the corpus under two different
+    * partitionings, and the O(k) size bound of the stored digests. */
+  def q142QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val build = new graft.functions.QDigestAgg(2048, 32)
+    val union = new graft.functions.QDigestUnionQuantiles(2048, 32)
+    val daily = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .as[(java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(build.toColumn.name("sk"))
+      .toDF("day", "sk")
+    daily
+      .select(date_trunc("week", col("day")).cast("date").as("week"),
+        col("sk"))
+      .as[(java.sql.Date, graft.functions.QDBuf)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(union.toColumn.name("u"))
+      .toDF("week", "u")
+      .select(col("week"), col("u._4").as("n"),
+        col("u._1").as("p50_cents"), col("u._2").as("p95_cents"),
+        col("u._3").as("p99_cents"))
+      .orderBy("week")
+  }
+
   /** q36 — as-of join (J11): for each purchase, the user's most recent
     * click at-or-before it. Implemented the scalable way: one window
     * over the per-user event timeline with a running "last click"
