@@ -1948,4 +1948,25 @@ object OracleSql {
       |FROM tagged
       |GROUP BY day
       |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q143 — the incremental-materialized-view audit: the engine
+    * ingests two event slices, compacts, materializes a
+    * per-(day, event_type) rollup view recording its sink cursor,
+    * ingests the third slice, and refreshes the view by merging ONLY
+    * the delta's partial aggregates into the stored ones
+    * (Views.q143IncrementalView — which asserts the incremental path
+    * actually ran). The oracle states the same rollup as ONE aggregate
+    * over all of `events`; hash equality proves the partial-merge
+    * algebra (counts and sums merge by SUM, max by MAX) recombines to
+    * exactly the one-shot aggregate. Fixed-point cents are floored per
+    * row BEFORE the sum (q124's discipline) so both engines aggregate
+    * exact integers; BIGINT casts pin DuckDB's HUGEINT widening. */
+  val q143: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events
+      |GROUP BY CAST(ts AS DATE), event_type
+      |ORDER BY day NULLS FIRST, event_type""".stripMargin
 }

@@ -155,7 +155,8 @@ object SparkEntry {
     "q139_lexical_compaction" -> (TextOps.q139LexicalCompaction _),
     "q140_lexical_delete" -> (TextOps.q140LexicalDelete _),
     "q141_vector_delete" -> (VectorOps.q141VectorDelete _),
-    "q142_quantile_rollup" -> (RelationalQueries.q142QuantileRollup _)
+    "q142_quantile_rollup" -> (RelationalQueries.q142QuantileRollup _),
+    "q143_incremental_view" -> (Views.q143IncrementalView _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,7 +395,12 @@ object SparkEntry {
     // df/stats deltas) removes the doc_id%7=3 cohort; the oracle
     // re-derives the ranking from scratch over ONLY the survivors —
     // hash equality proves delete-equivalence of the tombstone read
-    "q140_lexical_delete" -> OracleSql.q140
+    "q140_lexical_delete" -> OracleSql.q140,
+    // q143 incremental materialized view: create on 2/3 of the
+    // corpus, refresh with the last third's delta (the query asserts
+    // the O(delta) path ran); the oracle is the one-shot rollup over
+    // all of events — hash equality proves merge ≡ recompute
+    "q143_incremental_view" -> OracleSql.q143
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -504,7 +504,7 @@ object Streaming {
     * itself (see its scaladoc for why `_SUCCESS` is not trusted). A
     * `batch_id=` directory without it is a write in flight — invisible
     * to [[readSink]] and never consumed by [[compactSink]]. */
-  private val BatchCommit = "_BATCH_COMMIT"
+  private[ops] val BatchCommit = "_BATCH_COMMIT"
 
   /** Hive's directory name for a null partition value: rows whose
     * `tsCol` is null land here. Handled explicitly throughout the
@@ -585,7 +585,7 @@ object Streaming {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def subdirs(spark: SparkSession, path: String, prefix: String)
+  private[ops] def subdirs(spark: SparkSession, path: String, prefix: String)
       : Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val f = fs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1158,7 +1158,7 @@ object Streaming {
     * physical epoch (no plan — the K=1 steady state) is ONE scan of
     * the epoch directory; an epoch holding days by reference reads
     * through [[readDays]]' grouped resolution. */
-  private def readEpochFrame(spark: SparkSession,
+  private[ops] def readEpochFrame(spark: SparkSession,
       f: org.apache.hadoop.fs.FileSystem, path: String,
       epochId: Long): Option[DataFrame] = {
     val eDir = s"$path/epoch=$epochId"
@@ -1468,7 +1468,7 @@ object Streaming {
     * by md5(dir), session-token-suffixed, rooted at
     * `spark.graft.scratchDir` (JVM tmpdir fallback), cleared of any
     * previous run's tree so reruns are deterministic. */
-  private def scratchSink(spark: SparkSession, dir: String,
+  private[ops] def scratchSink(spark: SparkSession, dir: String,
       prefix: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString

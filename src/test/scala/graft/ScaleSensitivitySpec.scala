@@ -29,7 +29,9 @@ class ScaleSensitivitySpec extends SparkSpecBase {
   // (q132 hybrid fusion, q133 chunk-index scoring — model joins and
   // candidate fans whose cost shape deserves the same canary the
   // lifecycle set got) plus q134 (time travel: two full sink reads
-  // atop the delete lifecycle — the heaviest lifecycle I/O yet)
+  // atop the delete lifecycle — the heaviest lifecycle I/O yet) and
+  // q143 (incremental view: ingest + compact + create/refresh writes —
+  // the O(delta) claim is exactly a scale-sensitivity claim)
   private val watched =
     Seq("q100_ctas", "q17_placement_targets", "q22_hive_connected",
       "q65_bigram_lm", "q86_funnel",
@@ -42,7 +44,7 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q132_hybrid_search", "q133_passage_search", "q134_time_travel",
       "q135_bm25_hybrid", "q137_type_widening", "q138_stored_lexical",
       "q139_lexical_compaction", "q140_lexical_delete",
-      "q141_vector_delete")
+      "q141_vector_delete", "q143_incremental_view")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
