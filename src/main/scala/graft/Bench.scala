@@ -45,6 +45,13 @@ object Bench {
     * be degraded. */
   private[graft] val RetryWorstN = 10
 
+  /** Stdout short id: the query's registry number ("q143_…" → "143",
+    * "q11b_…" → "11b") — unique by construction (BenchFormatSpec), and
+    * the "q" prefix carried zero information at one char × the whole
+    * registry against a fixed ~2,000-char capture tail. */
+  private[graft] val shortId: String => String =
+    s => s.takeWhile(_ != '_').stripPrefix("q")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -113,7 +120,13 @@ object Bench {
         Some(Retry(worst.map(n => n -> rep(n)).toMap,
           calibRetry, calibMtRetry))
       }
-    println(mkLine(results, sfDir, _.takeWhile(_ != '_'), Some(probes), retry))
+    // stdout rides the driver's ~2,000-char capture tail: numeric
+    // short ids (the registry's unambiguous "q"-less numbers) and the
+    // sf basename keep the line inside it at the current registry size
+    // (BenchFormatSpec pins the worst-case width); the on-disk copy
+    // below keeps full names and the full path
+    println(mkLine(results, new java.io.File(sfDir).getName, shortId,
+      Some(probes), retry))
     // a clean full-name copy on disk preserves the signal regardless
     // of how stdout is interleaved or truncated (BENCH_r02/r04 parsed
     // as null from stdout alone)

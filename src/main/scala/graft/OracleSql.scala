@@ -1969,4 +1969,27 @@ object OracleSql {
       |FROM events
       |GROUP BY CAST(ts AS DATE), event_type
       |ORDER BY day NULLS FIRST, event_type""".stripMargin
+
+  /** q144 — the zone-map data-skipping audit: the engine clusters the
+    * sink's compaction on `user_id`, manifests per-file min/max from
+    * the parquet footers, and serves a one-eighth id band reading only
+    * the overlapping files (asserting skips happened) with the exact
+    * predicate re-applied. The oracle is the same band as a plain
+    * WHERE: hash equality proves the pruned files held no matching row
+    * and the kept files filter to exactly the band. The band's edges
+    * are data-derived the same way on both engines (the one double
+    * division is the identical IEEE op; FLOOR + BIGINT casts keep it
+    * exact); cents are floored per row before the sum (q124). */
+  val q144: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |WHERE user_id >= (SELECT MIN(user_id) FROM events)
+      |  AND user_id <= (SELECT MIN(user_id) +
+      |    CAST(FLOOR((MAX(user_id) - MIN(user_id)) / 8.0) AS BIGINT)
+      |    FROM events)
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

@@ -156,7 +156,9 @@ object SparkEntry {
     "q140_lexical_delete" -> (TextOps.q140LexicalDelete _),
     "q141_vector_delete" -> (VectorOps.q141VectorDelete _),
     "q142_quantile_rollup" -> (RelationalQueries.q142QuantileRollup _),
-    "q143_incremental_view" -> (Views.q143IncrementalView _)
+    "q143_incremental_view" -> (Views.q143IncrementalView _),
+    "q144_zone_map" -> (SinkStats.q144ZoneMap _),
+    "q145_pipeline_index" -> (TextOps.q145PipelineIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,7 +402,18 @@ object SparkEntry {
     // corpus, refresh with the last third's delta (the query asserts
     // the O(delta) path ran); the oracle is the one-shot rollup over
     // all of events — hash equality proves merge ≡ recompute
-    "q143_incremental_view" -> OracleSql.q143
+    "q143_incremental_view" -> OracleSql.q143,
+    // q144 zone-map skipping: cluster + compact + footer-stats
+    // manifest + pruned band read (the query asserts files were
+    // skipped); the oracle is the plain WHERE over events — hash
+    // equality proves the skipped files held no matching row
+    "q144_zone_map" -> OracleSql.q144,
+    // q145 sink→index pipeline: the synced index (full build from the
+    // sink, then exactly the batch delta appended, cursor carried in
+    // the generation marker) serves the SAME from-scratch full-corpus
+    // ranking as q138 — hash equality proves the pipeline lost no
+    // document and double-indexed none
+    "q145_pipeline_index" -> OracleSql.q138
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

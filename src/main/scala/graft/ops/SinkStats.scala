@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping (zone maps) for the sink — the metadata
+  * layer that makes a selective query on a NON-partition column cheap:
+  * `day=` pruning already serves time predicates, but a 100 TB table
+  * asked for one user's (or one id-band's) rows still scans every file
+  * of every matching day unless something remembers what each file
+  * holds. Every lakehouse keeps exactly this manifest (Delta's
+  * per-file stats, Iceberg's column bounds); here it is two ops over
+  * the sink's own layout:
+  *
+  *  - [[indexSinkStats]] reads the current epoch's parquet FOOTERS —
+  *    metadata only, O(files), zero data pages — and writes a
+  *    `_file_stats` manifest under the epoch dir: one row per
+  *    (day, file, column) with the column's min/max merged across the
+  *    file's row groups. Files are named RELATIVE to their day dir, so
+  *    the manifest survives the O(1) day-dir renames the epoch
+  *    lifecycle performs (a by-reference day resolves through
+  *    [[Streaming.resolvedDays]] at read time, before AND after its
+  *    move lands).
+  *  - [[readSinkPruned]] serves a range predicate by keeping exactly
+  *    the files whose recorded range overlaps it (plus every live
+  *    batch, conservatively — stats cover the compacted zone), then
+  *    RE-APPLIES the exact predicate: the manifest only ever SKIPS, it
+  *    never decides a row, so a conservative bound (or a file the
+  *    stats can't speak for) costs I/O, never correctness.
+  *
+  * Skipping only bites if a file's values are NEAR each other, so
+  * [[Streaming.compactSink]] grew `spark.graft.compact.clusterBy`:
+  * extra range-partitioning columns between `day` and the ts
+  * tie-breaker, giving each sized file a narrow slice of the clustered
+  * column — one conf line turns the existing size-aware writer into a
+  * zone-map-friendly layout (single-dimension clustering; the
+  * multi-column interleave is a curve away but the manifest is the
+  * same). The manifest is pinned to its epoch: any lifecycle op mints
+  * a new epoch and the stale manifest REFUSES loudly rather than
+  * serving bounds for files that may have been rewritten — re-index
+  * after maintenance (an `indexSinkStats` call is O(files) footer
+  * reads; a cron policy can chain it after compaction).
+  *
+  * Long bounds are widened one ulp around their double image, so ids
+  * above 2^53 (where double loses integer exactness) stay conservative
+  * — again: skip less, never lie.
+  *
+  * q144 puts the cycle under the DuckDB oracle hash: ingest → cluster
+  * + compact → index → pruned band read (the query asserts files were
+  * actually skipped) → aggregate, hash-equal to a plain WHERE over the
+  * source table. SinkStatsSpec pins pruning safety under schema drift
+  * (a file without the column yields only nulls — prunable for a range
+  * predicate), the stale-manifest refusal, and the missing-manifest
+  * refusal. */
+object SinkStats {
+
+  private val StatsDir = "_file_stats"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentEpoch(spark: SparkSession, sink: String): Long =
+    Streaming.listSinkEpochs(spark, sink).collect()
+      .map(_.getLong(0)).foldLeft(-1L)(math.max)
+
+  /** min/max of one column chunk as a conservative double range.
+    * None = the chunk holds no non-null value (all-null or missing —
+    * a range predicate can never match it). Unsupported physical
+    * types throw at INDEX time, not silently at read time. */
+  private def chunkRange(
+      s: org.apache.parquet.column.statistics.Statistics[_],
+      colName: String, file: String): Option[(Double, Double)] = {
+    import org.apache.parquet.column.statistics._
+    if (s == null || s.isEmpty || !s.hasNonNullValue) None
+    else s match {
+      case i: IntStatistics => Some((i.getMin.toDouble, i.getMax.toDouble))
+      case l: LongStatistics => Some((
+        math.nextDown(l.getMin.toDouble), math.nextUp(l.getMax.toDouble)))
+      case f: FloatStatistics =>
+        Some((f.getMin.toDouble, f.getMax.toDouble))
+      case d: DoubleStatistics => Some((d.getMin, d.getMax))
+      case other => throw new IllegalArgumentException(
+        s"zone maps support numeric columns; $colName in $file has " +
+          s"${other.getClass.getSimpleName} - pick an int/long/float/" +
+          "double column (timestamps: index the epoch's numeric " +
+          "derivative instead)")
+    }
+  }
+
+  /** Build (or rebuild) the current epoch's `_file_stats` manifest for
+    * `cols`: one footer read per data file — metadata only — merged
+    * across row groups. Every (file, col) gets a row: a file whose
+    * schema lacks the column (drift) or holds only nulls records an
+    * empty range (`all_null`), which a range read safely prunes.
+    * Returns the number of data files indexed. */
+  def indexSinkStats(spark: SparkSession, sink: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "index at least one column")
+    import spark.implicits._
+    val f = fsOf(spark, sink)
+    val e = currentEpoch(spark, sink)
+    require(e >= 0, s"no committed epoch at $sink - compact before indexing")
+    val days = Streaming.resolvedDays(f, sink, e)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Option[Double], Option[Double])]
+    var files = 0L
+    days.foreach { case (dayName, dayDir) =>
+      f.listStatus(dayDir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .foreach { st =>
+          files += 1
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          val byCol =
+            try {
+              import scala.jdk.CollectionConverters._
+              val chunks = reader.getFooter.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+              cols.map { c =>
+                // missing chunks (schema drift) == all-null: reading
+                // this file yields only nulls for c, so an empty range
+                // is the truth and a range predicate prunes it
+                val merged = chunks
+                  .filter(_.getPath.toDotString == c)
+                  .flatMap(cc => chunkRange(cc.getStatistics, c,
+                    st.getPath.getName))
+                  .reduceOption((a, b) =>
+                    (math.min(a._1, b._1), math.max(a._2, b._2)))
+                c -> merged
+              }
+            } finally reader.close()
+          byCol.foreach { case (c, r) =>
+            rows += ((dayName, st.getPath.getName, c, r.map(_._1),
+              r.map(_._2)))
+          }
+        }
+    }
+    require(files > 0, s"epoch $e of $sink holds no data files")
+    val manifest = s"$sink/epoch=$e/$StatsDir"
+    rows.toSeq.toDF("day", "file", "column", "lo", "hi")
+      .repartition(1).write.mode("overwrite").parquet(manifest)
+    files
+  }
+
+
+  /** Serve `lo <= column <= hi` reading only the epoch files whose
+    * recorded range overlaps — plus every committed live batch,
+    * conservatively — with the exact predicate re-applied on top. The
+    * manifest must exist and belong to the CURRENT epoch ([[indexSinkStats]]
+    * after every lifecycle op); a stale or absent manifest refuses
+    * loudly instead of guessing bounds for rewritten files. */
+  def readSinkPruned(spark: SparkSession, sink: String, column: String,
+      lo: Double, hi: Double, tsCol: String = "ts"): DataFrame = {
+    require(lo <= hi, s"empty band: $lo > $hi")
+    val f = fsOf(spark, sink)
+    val e = currentEpoch(spark, sink)
+    require(e >= 0, s"no committed epoch at $sink")
+    val manifest = s"$sink/epoch=$e/$StatsDir"
+    require(f.exists(new org.apache.hadoop.fs.Path(manifest)), {
+      s"no _file_stats manifest for the current epoch $e of $sink - " +
+        "every lifecycle op mints a new epoch whose files the previous " +
+        "manifest cannot describe; run indexSinkStats after maintenance"
+    })
+    val man = spark.read.parquet(manifest)
+    val kept = man
+      .filter(col("column") === column &&
+        col("lo").isNotNull && col("lo") <= hi && col("hi") >= lo)
+      .select("day", "file").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    val dayMap = Streaming.resolvedDays(f, sink, e).toMap
+    // a manifest day the epoch no longer resolves = stale by rename
+    // drift; refuse rather than silently drop its rows
+    kept.foreach { case (d, _) => require(dayMap.contains(d),
+      s"manifest names $d but epoch $e does not hold it - re-run " +
+        "indexSinkStats") }
+    // one reader per PHYSICAL BASE (the epoch dir holding each day —
+    // ≤ retention depth many, 1 in steady state), not one per day:
+    // `basePath` keeps the hive `day=` inference, and a 30-day band
+    // read costs one DataFrame construction instead of thirty
+    val epochParts = kept
+      .groupBy { case (d, _) => dayMap(d).getParent.toString }
+      .toSeq.map { case (basePath, entries) =>
+        spark.read.option("basePath", basePath)
+          .parquet(entries.map { case (d, fn) => s"${dayMap(d)}/$fn" }: _*)
+      }
+    def withDay(df: DataFrame): DataFrame =
+      if (df.columns.contains(tsCol))
+        df.withColumn("day", to_date(col(tsCol)))
+      else df.withColumn("day", lit(null).cast("date"))
+    val wmRow = Streaming.listSinkEpochs(spark, sink).collect()
+      .filter(_.getLong(0) == e)
+    val wm = wmRow.headOption.map(_.getLong(2)).getOrElse(-1L)
+    val liveParts = Streaming.subdirs(spark, sink, "batch_id=")
+      .filter { case (id, p) =>
+        id > wm &&
+          f.exists(new org.apache.hadoop.fs.Path(p, Streaming.BatchCommit))
+      }.sortBy(_._1)
+      .map(d => withDay(spark.read.parquet(d._2.toString)))
+    val parts = epochParts ++ liveParts
+    val base =
+      if (parts.nonEmpty) parts.reduce(_.unionByName(_,
+        allowMissingColumns = true))
+      else Streaming.readSink(spark, sink, tsCol).limit(0)
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** q144 — zone-map data skipping END TO END under the oracle hash:
+    * two event slices land as micro-batches, a QUIESCED compaction
+    * writes the epoch CLUSTERED on `user_id`
+    * (`spark.graft.compact.clusterBy` between the day key and the ts
+    * tie-breaker; the sized-writer count pinned at ~64 files via
+    * `targetFileBytes` = input/64 so every SF produces a layout with
+    * something to skip), [[indexSinkStats]] manifests each file's
+    * `user_id` bounds from its footer, and a one-eighth id band is
+    * read through [[readSinkPruned]] — the query ASSERTS files were
+    * actually skipped (a correct answer from a full scan would prove
+    * nothing) — then aggregates per day. The oracle is the same band
+    * stated as a plain WHERE over `events`: hash equality proves the
+    * skipped files held no matching row — pruning lost nothing — and
+    * the kept files' rows filter to exactly the band. Scratch-sink
+    * convention and determinism story are q115's; the conf overrides
+    * restore in `finally` (the session is shared). */
+  def q144ZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "events_zone")
+    val ev = graft.Tables.events(spark, dir)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    val f = fsOf(spark, sink)
+    val inputBytes = Streaming.subdirs(spark, sink, "batch_id=")
+      .map(d => f.getContentSummary(d._2).getLength).sum
+    val prevTarget = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+    val prevCluster = spark.conf.getOption("spark.graft.compact.clusterBy")
+    try {
+      spark.conf.set("spark.graft.compact.targetFileBytes",
+        math.max(1L, inputBytes / 64).toString)
+      spark.conf.set("spark.graft.compact.clusterBy", "user_id")
+      Streaming.compactSink(spark, sink, quiesced = true)
+    } finally {
+      prevTarget.fold(spark.conf
+        .unset("spark.graft.compact.targetFileBytes"))(v =>
+        spark.conf.set("spark.graft.compact.targetFileBytes", v))
+      prevCluster.fold(spark.conf.unset("spark.graft.compact.clusterBy"))(v =>
+        spark.conf.set("spark.graft.compact.clusterBy", v))
+    }
+    val total = indexSinkStats(spark, sink, Seq("user_id"))
+    val b = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+    val uMin = b.getLong(0)
+    val uHi = uMin + math.floor((b.getLong(1) - uMin) / 8.0).toLong
+    val pruned = readSinkPruned(spark, sink, "user_id",
+      uMin.toDouble, uHi.toDouble)
+    require(pruned.inputFiles.length < total,
+      s"q144 must exercise the skip path: read ${pruned.inputFiles.length}" +
+        s" of $total files - the clustered layout failed to prune")
+    pruned.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("day")
+  }
+}

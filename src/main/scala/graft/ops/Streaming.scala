@@ -513,7 +513,7 @@ object Streaming {
     * null-day rows on re-compaction (they would be classified as an
     * untouched day to MOVE, find the destination already written by the
     * fresh null rows, and be dropped with the retired source epoch). */
-  private val NullDayDir = "day=__HIVE_DEFAULT_PARTITION__"
+  private[ops] val NullDayDir = "day=__HIVE_DEFAULT_PARTITION__"
 
   /** Snapshot-retention depth: the number of most-recent committed
     * epochs kept on disk (`spark.graft.sink.keepEpochs`, default 1 =
@@ -1111,7 +1111,7 @@ object Streaming {
     * its depth is bounded by the retained count). A referenced day no
     * epoch holds physically is an invariant violation — the retention
     * protocol materializes before it deletes — and refuses loudly. */
-  private def resolvedDays(f: org.apache.hadoop.fs.FileSystem,
+  private[ops] def resolvedDays(f: org.apache.hadoop.fs.FileSystem,
       path: String, epochId: Long)
       : Seq[(String, org.apache.hadoop.fs.Path)] = {
     val eDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epochId")
@@ -1440,7 +1440,19 @@ object Streaming {
     val k = math.min(32768L, math.max(
       math.min(freshDays.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
-    merged.repartitionByRange(k, col("day"), col(tsCol))
+    // optional zone-map clustering (`spark.graft.compact.clusterBy`,
+    // comma-separated columns): inserted between the partition key and
+    // the ts tie-breaker, so each sized file covers a narrow range of
+    // the clustered columns and SinkStats' per-file min/max manifest
+    // can actually skip files. Default empty = the (day, ts) shape;
+    // either way the shuffle keys on MORE than the partition columns
+    // (WriteShapeLintSpec's no-funnel invariant).
+    val clusterCols = spark.conf
+      .getOption("spark.graft.compact.clusterBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(merged.columns.contains(_)).map(col)
+    merged.repartitionByRange(k,
+      (col("day") +: clusterCols :+ col(tsCol)): _*)
       .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
     // the owed-day plan derives from the day dirs the write ACTUALLY
     // produced, not from the collected day strings — any naming drift

@@ -1675,6 +1675,28 @@ object TextOps {
       }.sortBy(_._1)
   }
 
+  /** Generic `key=value` lines of every generation marker —
+    * [[lexMarkers]] reads only the replaces list; the sync lineage
+    * ([[syncLexicalIndex]]'s cursor/epoch) reads the rest. */
+  private def lexMarkerMeta(spark: SparkSession, out: String)
+      : Seq[(Long, Map[String, String])] = {
+    val f = lexFs(spark, out)
+    val root = new org.apache.hadoop.fs.Path(out)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_GEN_COMMIT_"))
+      .map { name =>
+        val gen = name.stripPrefix("_GEN_COMMIT_").toLong
+        val in = f.open(new org.apache.hadoop.fs.Path(root, name))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        gen -> lines.filter(_.contains("="))
+          .map { l => val i = l.indexOf('=')
+            l.substring(0, i) -> l.substring(i + 1) }.toMap
+      }.sortBy(_._1)
+  }
+
   /** The generations a reader serves: marker-committed minus those a
     * later compaction superseded (the replaces list makes the flip
     * ATOMIC — the crash window between a compaction's marker and its
@@ -1692,7 +1714,7 @@ object TextOps {
       filter(split(col("text"), " "), t => t =!= lit(""))).as("tok"))
 
   private def lexAppendGen(spark: SparkSession, docs: DataFrame,
-      out: String, gen: Long): Unit = {
+      out: String, gen: Long, meta: Seq[String] = Seq.empty): Unit = {
     // one tokenize+count pass feeds all three writes (postings, df,
     // stats) — without the lineage cut each write job would re-scan
     // and re-tokenize the batch (q57's localCheckpoint discipline)
@@ -1721,16 +1743,24 @@ object TextOps {
     dl.agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
     // marker LAST: the generation becomes visible atomically
+    // (temp+rename so a marker carrying metadata lines — e.g.
+    // syncLexicalIndex's sink cursor — is never torn)
     val f = lexFs(spark, out)
-    f.create(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true)
-      .close()
+    val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
+    val o = f.create(tmp, true)
+    try o.write(meta.mkString("\n").getBytes("UTF-8")) finally o.close()
+    require(f.rename(tmp,
+      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),
+      s"could not commit lexical-index generation $gen at $out")
   }
 
-  /** Build the stored lexical index from scratch (generation 0). */
+  /** Build the stored lexical index from scratch (generation 0).
+    * `meta` lines land in the commit marker (cursor/epoch lineage for
+    * [[syncLexicalIndex]]) — atomic with the generation itself. */
   def writeLexicalIndex(spark: SparkSession, docs: DataFrame,
-      out: String): Unit = {
+      out: String, meta: Seq[String] = Seq.empty): Unit = {
     lexFs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
-    lexAppendGen(spark, docs, out, 0L)
+    lexAppendGen(spark, docs, out, 0L, meta)
   }
 
   /** Append an ingest batch as the next generation — O(batch) work,
@@ -1739,11 +1769,11 @@ object TextOps {
     * visible. The batch must be NEW doc_ids (an inverted index has no
     * in-place update; re-ingest = dedup upstream, q126's admission). */
   def appendLexicalIndex(spark: SparkSession, docs: DataFrame,
-      out: String): Unit = {
+      out: String, meta: Seq[String] = Seq.empty): Unit = {
     val gens = lexCommittedGens(spark, out)
     require(gens.nonEmpty,
       s"no committed lexical index at $out - writeLexicalIndex first")
-    lexAppendGen(spark, docs, out, gens.max + 1)
+    lexAppendGen(spark, docs, out, gens.max + 1, meta)
   }
 
   /** The union of every active generation's tombstones, or None when
@@ -1866,10 +1896,22 @@ object TextOps {
     spark.read.parquet(s"$out/stats").filter(genF)
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
-    // atomic flip: temp + rename, content superseding the old gens
+    // atomic flip: temp + rename, content superseding the old gens.
+    // Sync lineage CARRIES FORWARD: the folded generations' max
+    // cursor/epoch move into the compaction's marker — without this a
+    // compaction would amnesia the indexer's position and the next
+    // syncLexicalIndex would re-append already-indexed batches
+    val carried = {
+      val metas = lexMarkerMeta(spark, out).filter(m => active.contains(m._1))
+      val cur = metas.flatMap(_._2.get("cursor")).map(_.toLong)
+      val ep = metas.flatMap(_._2.get("epoch")).map(_.toLong)
+      (if (cur.nonEmpty) Seq(s"cursor=${cur.max}") else Seq.empty) ++
+        (if (ep.nonEmpty) Seq(s"epoch=${ep.max}") else Seq.empty)
+    }
     val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
     val o = f.create(tmp, true)
-    try o.write(s"replaces=${active.mkString(",")}".getBytes("UTF-8"))
+    try o.write((s"replaces=${active.mkString(",")}" +: carried)
+      .mkString("\n").getBytes("UTF-8"))
     finally o.close()
     require(f.rename(tmp,
       new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),
@@ -2032,6 +2074,110 @@ object TextOps {
       docs.filter(pmod(col("doc_id"), lit(2)) === 1), out)
     deleteFromLexicalIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), out)
+    searchLexicalIndex(spark,
+      docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("text")), out)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** The indexer's recorded position over its source sink: max
+    * `cursor=`/`epoch=` across COMMITTED generation markers (−1/−1
+    * before the first sync). Max, not latest-gen: a delete generation
+    * carries no lineage and must not reset the position. */
+  private def lexSyncState(spark: SparkSession, out: String): (Long, Long) = {
+    val committed = lexCommittedGens(spark, out).toSet
+    val metas = lexMarkerMeta(spark, out).filter(m => committed(m._1))
+    (metas.flatMap(_._2.get("cursor")).map(_.toLong).foldLeft(-1L)(math.max),
+      metas.flatMap(_._2.get("epoch")).map(_.toLong).foldLeft(-1L)(math.max))
+  }
+
+  /** Keep the stored lexical index in step with a document SINK — the
+    * op a pipeline runs every ingest cycle, closing the loop between
+    * the warehouse lifecycle (q115–q119) and the stored index
+    * (q138–q140): consume exactly the sink's committed batch delta
+    * past the index's recorded cursor and [[appendLexicalIndex]] it as
+    * one generation whose marker carries the new cursor ATOMICALLY
+    * (the cursor travels in the generation's own commit — a crash
+    * between "append" and "record position" cannot exist, so a re-run
+    * never double-indexes a batch; [[compactLexicalIndex]] carries the
+    * lineage forward when it folds generations). First sync on a
+    * missing index is a FULL BUILD from a pinned read of the sink's
+    * current content (epoch + committed live batches — one driver
+    * listing fixes both the docs read and the cursor recorded, the
+    * Views discipline).
+    *
+    * Soundness is REFUSED, not guessed, in the two states an append
+    * stream cannot express (same lattice as [[Views.refreshView]], but
+    * an index rebuild is expensive, so the caller decides):
+    *  - the cursor fell behind the sink's compaction horizon (batch
+    *    boundaries gone — sync more often than the sink compacts);
+    *  - a non-compact epoch landed since the last sync (delete/upsert
+    *    /retire mutate content; rebuild, or apply
+    *    [[deleteFromLexicalIndex]] for the affected ids and advance
+    *    with a fresh sink).
+    *
+    * Returns (current max generation, mode ∈ build|append|noop). */
+  def syncLexicalIndex(spark: SparkSession, sink: String, out: String)
+      : (Long, String) = {
+    val gens = lexCommittedGens(spark, out)
+    val catalog = Views.epochCatalog(spark, sink)
+    val e1 = catalog.lastOption.map(_._1).getOrElse(-1L)
+    if (gens.isEmpty) {
+      val (rows, cursor, epoch) = Views.pinnedFullRead(spark, sink, "ts")
+      writeLexicalIndex(spark, rows.select("doc_id", "text"), out,
+        Seq(s"cursor=$cursor", s"epoch=$epoch"))
+      (0L, "build")
+    } else {
+      val (c, e0) = lexSyncState(spark, out)
+      require(Views.incrementalSound(catalog, e0, c),
+        s"cannot sync $out from $sink: the sink compacted past cursor " +
+          s"$c or mutated content (delete/upsert/retire) since epoch " +
+          s"$e0 - an append stream cannot express either; rebuild the " +
+          "index, or deleteFromLexicalIndex the affected ids and " +
+          "restart the cursor from a fresh build")
+      val (deltaOpt, newCursor) = Views.pinnedDelta(spark, sink, c, "ts")
+      deltaOpt match {
+        case None => (gens.max, "noop")
+        case Some(delta) =>
+          appendLexicalIndex(spark, delta.select("doc_id", "text"), out,
+            Seq(s"cursor=$newCursor", s"epoch=$e1"))
+          (gens.max + 1, "append")
+      }
+    }
+  }
+
+  /** q145 — the SINK→INDEX incremental pipeline END TO END under the
+    * oracle hash (the composition op of the round: q118 proved the
+    * sink serves O(delta) increments, q138 proved the index absorbs
+    * O(batch) appends — this proves the loop that connects them, run
+    * every ingest cycle): two document slices land as committed
+    * micro-batches, the FIRST [[syncLexicalIndex]] full-builds the
+    * stored index and records its cursor, the third slice arrives,
+    * and the SECOND sync appends EXACTLY that delta (the query asserts
+    * the build/append modes and that a third, immediate sync is a
+    * noop — an indexer that silently re-reads the corpus would be a
+    * correct answer proving nothing). The search against the synced
+    * index hash-matches q138's from-scratch full-corpus BM25 ranking:
+    * the pipeline lost no document, double-indexed none, and the
+    * stored scoring is bit-equal to the one-shot build's. */
+  def q145PipelineIndex(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "docs_pipe")
+    val out = lexScratch(spark, dir, "bm25p")
+    // the sink scratch self-clears; the index must too, or a rerun's
+    // first sync would see last run's cursor and declare itself a noop
+    lexFs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    Streaming.writeBatchIdempotent(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), sink, 0L)
+    Streaming.writeBatchIdempotent(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), sink, 1L)
+    val (_, m1) = syncLexicalIndex(spark, sink, out)
+    Streaming.writeBatchIdempotent(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), sink, 2L)
+    val (_, m2) = syncLexicalIndex(spark, sink, out)
+    val (_, m3) = syncLexicalIndex(spark, sink, out)
+    require(m1 == "build" && m2 == "append" && m3 == "noop",
+      s"q145 must exercise the build->append->noop cycle, got $m1/$m2/$m3")
     searchLexicalIndex(spark,
       docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("probe_id"), col("text")), out)

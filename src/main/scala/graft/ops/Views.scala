@@ -127,7 +127,7 @@ object Views {
 
   /** The sink's retained-epoch catalog, collected — bounded by the
     * retention depth (`keepEpochs`+1 rows), never data I/O. */
-  private def epochCatalog(spark: SparkSession, sink: String)
+  private[ops] def epochCatalog(spark: SparkSession, sink: String)
       : Seq[(Long, String, Long)] =
     Streaming.listSinkEpochs(spark, sink).collect().toSeq
       .map(r => (r.getLong(0), Option(r.getString(1)).orNull, r.getLong(2)))
@@ -139,7 +139,7 @@ object Views {
     * batch log) and the view's cursor has not fallen behind the
     * compaction horizon. A missing (vacuumed) intermediate epoch or a
     * legacy untagged marker is UNPROVABLE, not assumed. */
-  private def incrementalSound(catalog: Seq[(Long, String, Long)],
+  private[ops] def incrementalSound(catalog: Seq[(Long, String, Long)],
       e0: Long, cursor: Long): Boolean = {
     val e1 = catalog.lastOption.map(_._1).getOrElse(-1L)
     if (e1 == e0) true
@@ -156,7 +156,7 @@ object Views {
     * reads and the cursor it records: the current committed epoch's
     * relation plus exactly the committed live batch dirs above its
     * watermark. */
-  private def pinnedFullRead(spark: SparkSession, sink: String,
+  private[ops] def pinnedFullRead(spark: SparkSession, sink: String,
       tsCol: String): (DataFrame, Long, Long) = {
     val f = fsOf(spark, sink)
     val catalog = epochCatalog(spark, sink)
@@ -180,7 +180,7 @@ object Views {
   /** One driver-side listing pinning the delta: committed batch dirs
     * strictly above the view's cursor, and the cursor those dirs
     * advance it to. None when the view is already current. */
-  private def pinnedDelta(spark: SparkSession, sink: String, cursor: Long,
+  private[ops] def pinnedDelta(spark: SparkSession, sink: String, cursor: Long,
       tsCol: String): (Option[DataFrame], Long) = {
     val f = fsOf(spark, sink)
     val delta = Streaming.subdirs(spark, sink, "batch_id=")

@@ -12,9 +12,11 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("short-id stdout line stays under the capture tail with headroom") {
     // worst case includes a TRIPPED verdict: the retry fields ride on
-    // the same line and must fit the tail too
-    val line = Bench.mkLine(worstCase, "/root/testdata/sf0.1",
-      _.takeWhile(_ != '_'),
+    // the same line and must fit the tail too. The key function and
+    // the sf BASENAME are the ones main() actually prints with — a
+    // spec-only shortener would leave the real line unpinned.
+    val line = Bench.mkLine(worstCase, "sf0.1",
+      Bench.shortId,
       Some(Bench.Probes(999.99, 999.99, 999.99, 999.99)),
       Some(Bench.Retry(
         worstCase.toSeq.take(Bench.RetryWorstN).toMap, 999.99, 999.99)))
@@ -23,7 +25,7 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("short ids are unique (collisions would merge JSON keys)") {
-    val ids = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    val ids = SparkEntry.queries.keys.map(Bench.shortId).toSeq
     assert(ids.distinct.length == ids.length,
       ids.groupBy(identity).filter(_._2.length > 1).keys.mkString(","))
   }

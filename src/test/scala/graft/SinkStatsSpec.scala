@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SinkStats, Streaming}
+
+/** Zone-map data skipping (SinkStats): pruned read ≡ full filter with
+  * files actually skipped, pruning safety under all-null/drifted
+  * columns, stale- and missing-manifest refusals, unsupported-type
+  * refusal, and conservative inclusion of live batches. */
+class SinkStatsSpec extends SparkSpecBase {
+
+  private def scratch(name: String): String = {
+    val d = new java.io.File(s"target/sinkstats_spec/$name").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  /** Compact with the clustered, many-files layout q144 uses. */
+  private def clusteredCompact(sink: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = f.getContentSummary(new org.apache.hadoop.fs.Path(sink))
+      .getLength
+    val prevT = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+    val prevC = spark.conf.getOption("spark.graft.compact.clusterBy")
+    try {
+      spark.conf.set("spark.graft.compact.targetFileBytes",
+        math.max(1L, bytes / 64).toString)
+      spark.conf.set("spark.graft.compact.clusterBy", "user_id")
+      Streaming.compactSink(spark, sink, quiesced = true)
+    } finally {
+      prevT.fold(spark.conf.unset("spark.graft.compact.targetFileBytes"))(
+        v => spark.conf.set("spark.graft.compact.targetFileBytes", v))
+      prevC.fold(spark.conf.unset("spark.graft.compact.clusterBy"))(
+        v => spark.conf.set("spark.graft.compact.clusterBy", v))
+    }
+  }
+
+  test("pruned band read equals the full filter and actually skips files") {
+    val sink = scratch("band")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink)
+    val total = SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    assert(total > 30, s"clustered layout should write many files, got $total")
+    val b = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+    val lo = b.getLong(0).toDouble
+    val hi = (b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8).toDouble
+    val pruned = SinkStats.readSinkPruned(spark, sink, "user_id", lo, hi)
+    assert(pruned.inputFiles.length < total,
+      s"read ${pruned.inputFiles.length} of $total files - nothing skipped")
+    val full = Streaming.readSink(spark, sink)
+      .filter(col("user_id") >= lo && col("user_id") <= hi)
+    assert(rowsOf(pruned) == rowsOf(full))
+  }
+
+  test("all-null files prune safely: a range predicate cannot match them") {
+    val sink = scratch("nulls")
+    // value is NULL for the even user cohort - whole files of the
+    // user_id-clustered layout carry only nulls in `value`
+    val ev = Tables.events(spark, sf).withColumn("value",
+      when(col("user_id") % 2 === 0, lit(null)).otherwise(col("value")))
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkStats(spark, sink, Seq("value"))
+    val pruned = SinkStats.readSinkPruned(spark, sink, "value", 0.0, 1e18)
+    val full = Streaming.readSink(spark, sink)
+      .filter(col("value") >= 0.0 && col("value") <= 1e18)
+    assert(rowsOf(pruned) == rowsOf(full),
+      "null-valued rows must be excluded by the predicate on both paths")
+  }
+
+  test("a lifecycle op stales the manifest: pruned read refuses loudly") {
+    val sink = scratch("stale")
+    Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+    val e = intercept[IllegalArgumentException] {
+      SinkStats.readSinkPruned(spark, sink, "user_id", 0.0, 10.0)
+    }
+    assert(e.getMessage.contains("indexSinkStats"))
+    // re-index against the new epoch and the read serves again
+    val total = SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    val pruned = SinkStats.readSinkPruned(spark, sink, "user_id", 0.0, 10.0)
+    assert(pruned.inputFiles.length < total)
+    assert(rowsOf(pruned) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("user_id") >= 0.0 && col("user_id") <= 10.0)))
+  }
+
+  test("missing manifest refuses; unsupported column type refuses at index time") {
+    val sink = scratch("missing")
+    Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
+    Streaming.compactSink(spark, sink, quiesced = true)
+    val e = intercept[IllegalArgumentException] {
+      SinkStats.readSinkPruned(spark, sink, "user_id", 0.0, 10.0)
+    }
+    assert(e.getMessage.contains("indexSinkStats"))
+    val t = intercept[IllegalArgumentException] {
+      SinkStats.indexSinkStats(spark, sink, Seq("event_type"))
+    }
+    assert(t.getMessage.contains("numeric"))
+  }
+
+  test("live batches are included conservatively, unstatted") {
+    val sink = scratch("live")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    // a batch lands AFTER indexing - stats don't cover it, the read must
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    val pruned = SinkStats.readSinkPruned(spark, sink, "user_id", 0.0, 50.0)
+    val full = Streaming.readSink(spark, sink)
+      .filter(col("user_id") >= 0.0 && col("user_id") <= 50.0)
+    assert(rowsOf(pruned) == rowsOf(full))
+  }
+}
