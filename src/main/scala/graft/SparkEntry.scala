@@ -158,7 +158,8 @@ object SparkEntry {
     "q142_quantile_rollup" -> (RelationalQueries.q142QuantileRollup _),
     "q143_incremental_view" -> (Views.q143IncrementalView _),
     "q144_zone_map" -> (SinkStats.q144ZoneMap _),
-    "q145_pipeline_index" -> (TextOps.q145PipelineIndex _)
+    "q145_pipeline_index" -> (TextOps.q145PipelineIndex _),
+    "q146_sketch_view" -> (Views.q146SketchView _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -414,7 +415,7 @@ object SparkEntry {
     // ranking as q138 — hash equality proves the pipeline lost no
     // document and double-indexed none
     "q145_pipeline_index" -> OracleSql.q138
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142 (engine-specific
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

@@ -2442,7 +2442,13 @@ object Streaming {
     *     [[vacuumSink]]);
     *  4. VACUUM EPOCHS past the snapshot-retention depth (the
     *     keepEpochs-was-lowered case; see [[vacuumEpochs]] — gated on
-    *     a lock-free listing, so the steady-state cron pays nothing).
+    *     a lock-free listing, so the steady-state cron pays nothing);
+    *  5. RE-INDEX ZONE MAPS (only with
+    *     `spark.graft.maintain.statsColumns` set): every lifecycle op
+    *     mints a new epoch and stales the previous `_file_stats`
+    *     manifest, so "current epoch has no manifest" is exactly the
+    *     re-index signal — [[SinkStats.indexSinkStats]] runs then, and
+    *     a steady-state cron pays one existence check.
     *
     * Each step takes the maintenance lock itself; between steps
     * another actor may interleave (every op is standalone-safe, so
@@ -2527,7 +2533,28 @@ object Streaming {
         else Seq(s"epochs_vacuumed=${gone.size}")
       }
     }
-    compacted ++ retired ++ vacuumed ++ epochsVacuumed
+    // 5. ZONE-MAP REFRESH: with `spark.graft.maintain.statsColumns`
+    // set (comma-separated), re-derive the `_file_stats` manifest
+    // whenever the CURRENT epoch lacks one — every lifecycle op mints
+    // a new epoch and stales the old manifest (SinkStats refuses stale
+    // reads), so "manifest missing on the current epoch" is exactly
+    // the re-index signal, and a steady-state cron with nothing to do
+    // pays one existence check
+    val statsIndexed = spark.conf
+      .getOption("spark.graft.maintain.statsColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty) match {
+      case Nil => Seq.empty
+      case statCols =>
+        val cut = maxEpoch(spark, path)
+        val fresh = cut >= 0 && f.exists(new org.apache.hadoop.fs.Path(
+          s"$path/epoch=$cut/_file_stats"))
+        if (cut < 0 || fresh) Seq.empty
+        else {
+          val n = SinkStats.indexSinkStats(spark, path, statCols)
+          Seq(s"stats_indexed=$n")
+        }
+    }
+    compacted ++ retired ++ vacuumed ++ epochsVacuumed ++ statsIndexed
   }
 
   /** Enforce the snapshot-retention depth on demand: keep the

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *
   *  - a view is DEFINED by a keyed partial aggregate whose measures
   *    are MERGEABLE ([[ViewDef]]: count/sum/min/max — the abelian
-  *    combiners; a non-mergeable measure like an exact distinct count
-  *    belongs in a sketch column, q127's discipline, not here);
+  *    combiners — plus `hll` for the non-abelian measure a rollup
+  *    actually needs: distinct counts ride as HLL sketch columns,
+  *    q127's discipline, merged by lossless union and estimated at
+  *    read time);
   *  - each committed view GENERATION records the sink cursor
   *    ([[Streaming.sinkWatermark]] semantics) and the sink EPOCH it
   *    materializes, in a marker written temp+rename so a torn refresh
@@ -76,9 +78,21 @@ object Views {
     require(keys.nonEmpty, "a view needs at least one group key")
     require(combiners.nonEmpty, "a view needs at least one measure")
     combiners.foreach { case (c, how) =>
-      require(Set("sum", "min", "max").contains(how),
-        s"measure $c: combiner must be sum|min|max, got $how")
+      require(Set("sum", "min", "max", "hll").contains(how),
+        s"measure $c: combiner must be sum|min|max|hll, got $how")
     }
+
+    /** Shape fingerprint recorded in every generation marker and
+      * validated at refresh: merging stored partials under a DIFFERENT
+      * key set or combiner algebra would be silently wrong (a renamed
+      * measure or a sum→max drift corrupts every later merge), so the
+      * mismatch refuses instead. Guards the declared shape — the
+      * `partial` function's internal expressions are the caller's
+      * contract (the same discipline as supplying the definition
+      * itself). */
+    def fingerprint: String =
+      keys.mkString(",") + "|" +
+        combiners.map { case (c, how) => s"$c:$how" }.mkString(",")
   }
 
   private val ViewLock = "_VIEW_LOCK"
@@ -204,6 +218,11 @@ object Views {
     val aggs: Seq[Column] = vd.combiners.map {
       case (c, "sum") => sum(col(c)).as(c)
       case (c, "min") => min(col(c)).as(c)
+      // the non-abelian measure a rollup actually needs — distinct
+      // counts — rides as an HLL sketch column (q127's discipline):
+      // partials are hll_sketch_agg binaries, merge is the lossless
+      // register-max union, estimate at READ time
+      case (c, "hll") => hll_union_agg(col(c)).as(c)
       case (c, _)     => max(col(c)).as(c)
     }
     stored.unionByName(delta, allowMissingColumns = true)
@@ -213,7 +232,7 @@ object Views {
 
   private def writeGen(spark: SparkSession, viewPath: String,
       rows: DataFrame, gen: Long, cursor: Long, epoch: Long, mode: String,
-      replaces: Seq[Long]): Long = {
+      replaces: Seq[Long], fp: String): Long = {
     val f = fsOf(spark, viewPath)
     val root = new org.apache.hadoop.fs.Path(viewPath)
     val dir = new org.apache.hadoop.fs.Path(root, s"gen=$gen")
@@ -228,7 +247,7 @@ object Views {
     val tmp = new org.apache.hadoop.fs.Path(root, s".$MarkerPrefix$gen.tmp")
     val out = f.create(tmp, true)
     try out.write((s"cursor=$cursor\nepoch=$epoch\nmode=$mode\n" +
-      s"replaces=${replaces.mkString(",")}").getBytes("UTF-8"))
+      s"def=$fp\nreplaces=${replaces.mkString(",")}").getBytes("UTF-8"))
     finally out.close()
     require(f.rename(tmp,
       new org.apache.hadoop.fs.Path(root, s"$MarkerPrefix$gen")),
@@ -291,7 +310,7 @@ object Views {
         s"view already exists at $viewPath - refreshView maintains it")
       val (rows, cursor, e1) = pinnedFullRead(spark, sink, tsCol)
       writeGen(spark, viewPath, vd.partial(rows), 0L, cursor, e1, "full",
-        Seq.empty)
+        Seq.empty, vd.fingerprint)
     }
 
   /** Bring the view up to date with the sink. Returns the committed
@@ -308,6 +327,13 @@ object Views {
         s"no committed view at $viewPath - createView first")
       val cur = committed.max
       val meta = marks.find(_._1 == cur).get._2
+      // the stored partials only merge correctly under the SHAPE they
+      // were built with — a drifted key set or combiner algebra would
+      // corrupt every later merge silently, so it refuses instead
+      require(meta.getOrElse("def", "") == vd.fingerprint,
+        s"view $viewPath was built as '${meta.getOrElse("def", "?")}' " +
+          s"but this refresh supplies '${vd.fingerprint}' - a view has " +
+          "one definition; create a new path for a new shape")
       val c = meta("cursor").toLong
       val e0 = meta("epoch").toLong
       val catalog = epochCatalog(spark, sink)
@@ -320,12 +346,12 @@ object Views {
             val merged = mergePartials(stored, vd.partial(delta), vd)
             val e1 = catalog.lastOption.map(_._1).getOrElse(-1L)
             (writeGen(spark, viewPath, merged, cur + 1, newCursor, e1,
-              "incremental", committed), "incremental")
+              "incremental", committed, vd.fingerprint), "incremental")
         }
       } else {
         val (rows, cursor, e1) = pinnedFullRead(spark, sink, tsCol)
         (writeGen(spark, viewPath, vd.partial(rows), cur + 1, cursor, e1,
-          "full", committed), "full")
+          "full", committed, vd.fingerprint), "full")
       }
     }
 
@@ -347,8 +373,10 @@ object Views {
     require(gens.nonEmpty, s"no committed view at $viewPath")
     val meta = marks.find(_._1 == gens.max).get._2
     Seq((gens.max, meta("cursor").toLong, meta("epoch").toLong,
-      meta.getOrElse("mode", null), gens.size.toLong))
-      .toDF("gen", "cursor", "epoch", "last_mode", "gens_kept")
+      meta.getOrElse("mode", null), meta.getOrElse("def", null),
+      gens.size.toLong))
+      .toDF("gen", "cursor", "epoch", "last_mode", "definition",
+        "gens_kept")
   }
 
   /** q143 — incremental materialized-view maintenance END TO END under
@@ -394,5 +422,46 @@ object Views {
       .select(col("day"), col("event_type"), col("n_events"),
         col("sum_cents"), col("max_cents"))
       .orderBy("day", "event_type")
+  }
+
+  /** q146 — the SKETCH-AUGMENTED incremental view (q143 × q127: the
+    * rollup a warehouse actually stores, because the first question
+    * every dashboard asks — distinct users — is the one measure the
+    * abelian combiners can't carry): the per-day view holds an exact
+    * row count AND an HLL sketch of user ids; [[refreshView]] merges
+    * the delta's sketches into the stored ones by LOSSLESS register
+    * union (sketch-size work, never a raw-row rescan of consumed
+    * batches — at 100 TB the alternative is re-reading the table to
+    * re-count distincts per refresh), and the read estimates uniques
+    * from the stored binaries. The query asserts the incremental path
+    * ran. Rows-only by nature (sketch estimates are engine-specific);
+    * ViewsSpec gates every day's estimate against the exact
+    * countDistinct inside the lgK=12 error envelope AND pins that the
+    * incrementally-merged estimate equals the one-shot sketch's. */
+  def q146SketchView(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "events_skv")
+    val view = Streaming.scratchSink(spark, dir, "events_skv_view")
+    val ev = graft.Tables.events(spark, dir)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(3)) === 0), sink, 0L)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(3)) === 1), sink, 1L)
+    Streaming.compactSink(spark, sink, quiesced = true)
+    val vd = ViewDef(
+      Seq("day"),
+      df => df.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          hll_sketch_agg(col("user_id")).as("users_sk")),
+      Seq("n_events" -> "sum", "users_sk" -> "hll"))
+    createView(spark, sink, view, vd)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(3)) === 2), sink, 2L)
+    val (_, mode) = refreshView(spark, sink, view, vd)
+    require(mode == "incremental",
+      s"q146 must exercise the sketch-union path, refresh took: $mode")
+    readView(spark, view)
+      .select(col("day"), col("n_events"),
+        hll_sketch_estimate(col("users_sk")).as("est_users"))
+      .orderBy("day")
   }
 }

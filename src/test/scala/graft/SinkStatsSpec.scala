@@ -108,6 +108,29 @@ class SinkStatsSpec extends SparkSpecBase {
     assert(t.getMessage.contains("numeric"))
   }
 
+  test("maintainSink re-indexes a staled manifest when statsColumns is set") {
+    val sink = scratch("cron")
+    Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+    val prev = spark.conf.getOption("spark.graft.maintain.statsColumns")
+    try {
+      spark.conf.set("spark.graft.maintain.statsColumns", "user_id")
+      val actions = Streaming.maintainSink(spark, sink)
+      assert(actions.exists(_.startsWith("stats_indexed=")), actions)
+      // the re-index restored the pruned-read path on the new epoch
+      val pruned = SinkStats.readSinkPruned(spark, sink, "user_id", 0.0, 50.0)
+      assert(rowsOf(pruned) == rowsOf(Streaming.readSink(spark, sink)
+        .filter(col("user_id") >= 0.0 && col("user_id") <= 50.0)))
+      // and the next cron pays only the existence check - no action
+      assert(!Streaming.maintainSink(spark, sink)
+        .exists(_.startsWith("stats_indexed=")))
+    } finally prev.fold(spark.conf
+      .unset("spark.graft.maintain.statsColumns"))(v =>
+      spark.conf.set("spark.graft.maintain.statsColumns", v))
+  }
+
   test("live batches are included conservatively, unstatted") {
     val sink = scratch("live")
     val ev = Tables.events(spark, sf)

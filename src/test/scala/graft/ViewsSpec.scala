@@ -102,7 +102,7 @@ class ViewsSpec extends SparkSpecBase {
     // and the status row tells the operator exactly that
     val st = Views.viewStatus(spark, view).collect()(0)
     assert(st.getLong(0) == 1L && st.getLong(1) == 2L &&
-      st.getString(3) == "incremental" && st.getLong(4) == 1L)
+      st.getString(3) == "incremental" && st.getLong(5) == 1L)
   }
 
   test("empty delta is a noop: no generation minted, replay-idempotent") {
@@ -151,7 +151,7 @@ class ViewsSpec extends SparkSpecBase {
       .map(_.getPath.getName).toSet
     assert(names.count(_.startsWith("_VIEW_COMMIT_")) == 1)
     assert(names.count(_.startsWith("gen=")) == 1)
-    assert(Views.viewStatus(spark, view).collect()(0).getLong(4) == 1L)
+    assert(Views.viewStatus(spark, view).collect()(0).getLong(5) == 1L)
   }
 
   test("concurrent refresh refuses on the lock; breakViewLock releases it") {
@@ -170,6 +170,61 @@ class ViewsSpec extends SparkSpecBase {
     assert(Views.breakViewLock(spark, view))
     val (_, mode) = Views.refreshView(spark, sink, view, vd)
     assert(mode == "noop")
+  }
+
+  test("q146: sketch view estimates track exact uniques inside the lgK=12 envelope") {
+    val rows = Views.q146SketchView(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("nu"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull ->
+        (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val day = Option(r.get(0)).map(_.toString).orNull
+      val (nu, n) = exact(day)
+      // lgK=12 HLL: ~0.8% RSE dense, exact in sparse — 2% headroom
+      // (q127's pinned envelope)
+      assert(math.abs(r.getLong(2) - nu) <= math.max(1.0, 0.02 * nu),
+        s"day $day: est ${r.getLong(2)} vs exact $nu")
+      assert(r.getLong(1) == n, s"day $day: exact count drifted")
+    }
+    // the incrementally-merged sketch estimates like a one-shot one:
+    // HLL union is register-max, so the merged registers equal the
+    // single-pass registers and the estimates agree exactly
+    val oneShot = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("est"))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
+      .toMap
+    rows.foreach { r =>
+      val day = Option(r.get(0)).map(_.toString).orNull
+      assert(r.getLong(2) == oneShot(day),
+        s"day $day: merged estimate diverged from one-shot")
+    }
+  }
+
+  test("a drifted definition refuses: stored partials merge only under their own shape") {
+    val sink = scratch("def_sink"); val view = scratch("def_view")
+    Streaming.writeBatchIdempotent(slice(0), sink, 0L)
+    Streaming.compactSink(spark, sink, quiesced = true)
+    Views.createView(spark, sink, view, vd)
+    val drifted = vd.copy(combiners =
+      vd.combiners.map { case (c, how) =>
+        if (c == "max_cents") (c, "sum") else (c, how) })
+    val e = intercept[IllegalArgumentException] {
+      Views.refreshView(spark, sink, view, drifted)
+    }
+    assert(e.getMessage.contains("one definition"))
+    // the status row surfaces the recorded shape for the operator
+    assert(Views.viewStatus(spark, view).collect()(0)
+      .getString(4) == vd.fingerprint)
   }
 
   test("createView refuses an existing view; readView refuses a missing one") {
