@@ -2080,6 +2080,27 @@ object TextOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** Policy-driven index maintenance — [[Streaming.maintainSink]]'s
+    * cron discipline for the stored lexical index: COMPACT when the
+    * committed generation count (appends AND tombstone deletes — every
+    * lifecycle op mints one) reaches `compactAfterGens`, folding them
+    * into a single generation (merged postings, collapsed df deltas,
+    * tombstones dropped physically, sync lineage carried forward).
+    * Below the threshold the only work is one marker listing, so a
+    * steady-state cron costs nothing. Returns the actions taken. */
+  def maintainLexicalIndex(spark: SparkSession, out: String,
+      compactAfterGens: Int = 8): Seq[String] = {
+    require(compactAfterGens > 1,
+      s"compactAfterGens must be > 1, got $compactAfterGens")
+    val gens = lexCommittedGens(spark, out)
+    require(gens.nonEmpty, s"no committed lexical index at $out")
+    if (gens.size < compactAfterGens) Seq.empty
+    else {
+      val g = compactLexicalIndex(spark, out)
+      Seq(s"compacted=${gens.size}->gen=$g")
+    }
+  }
+
   /** The indexer's recorded position over its source sink: max
     * `cursor=`/`epoch=` across COMMITTED generation markers (−1/−1
     * before the first sync). Max, not latest-gen: a delete generation

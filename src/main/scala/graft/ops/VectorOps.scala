@@ -1287,6 +1287,28 @@ object VectorOps {
     * centroids + codebook, and a phantom gen 0 with no directories
     * reads as empty. Returns the surviving generation id; an index
     * with one generation and no tombstones is a no-op. */
+  /** Policy-driven index maintenance — [[graft.ops.Streaming.maintainSink]]'s
+    * cron discipline for the stored vector index: COMPACT when the
+    * committed code-generation count (appends AND tombstone deletes)
+    * reaches `compactAfterGens`, folding every active generation into
+    * one (tombstoned codes dropped physically, superseded dirs swept,
+    * the gen-0 geometry certificate untouched — it vouches for the
+    * stored centroids and codebook, which a compaction never retrains).
+    * Below the threshold the only work is one marker listing. Returns
+    * the actions taken. */
+  def maintainVectorIndex(spark: SparkSession, out: String,
+      compactAfterGens: Int = 8): Seq[String] = {
+    require(compactAfterGens > 1,
+      s"compactAfterGens must be > 1, got $compactAfterGens")
+    val gens = vecCommittedGens(spark, out)
+    require(gens.nonEmpty, s"no committed vector index at $out")
+    if (gens.size < compactAfterGens) Seq.empty
+    else {
+      val g = compactVectorIndex(spark, out)
+      Seq(s"compacted=${gens.size}->gen=$g")
+    }
+  }
+
   def compactVectorIndex(spark: SparkSession, out: String): Long = {
     val f = hfs(spark, out)
     vecSweepReplaced(spark, out)

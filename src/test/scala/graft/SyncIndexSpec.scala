@@ -100,6 +100,31 @@ class SyncIndexSpec extends SparkSpecBase {
       e.getMessage.contains("cannot sync"))
   }
 
+  test("maintainLexicalIndex compacts at the generation threshold, noop below") {
+    val sink = scratch("pol_sink"); val idx = scratch("pol_idx")
+    Streaming.writeBatchIdempotent(slice(0), sink, 0L)
+    TextOps.syncLexicalIndex(spark, sink, idx)
+    Streaming.writeBatchIdempotent(slice(1), sink, 1L)
+    TextOps.syncLexicalIndex(spark, sink, idx) // 2 committed gens
+    assert(TextOps.maintainLexicalIndex(spark, idx,
+      compactAfterGens = 3).isEmpty, "below threshold = noop")
+    Streaming.writeBatchIdempotent(slice(2), sink, 2L)
+    TextOps.syncLexicalIndex(spark, sink, idx) // 3 gens: threshold
+    val actions = TextOps.maintainLexicalIndex(spark, idx,
+      compactAfterGens = 3)
+    assert(actions.exists(_.startsWith("compacted=")), actions)
+    // the fold kept the ranking and the cursor (policy-run compaction
+    // must be as lossless as a manual one)
+    val oneShot = scratch("pol_oneshot")
+    TextOps.writeLexicalIndex(spark, docs, oneShot)
+    assert(rowsOf(TextOps.searchLexicalIndex(spark, probes, idx)
+      .orderBy("probe_id", "rank")) ==
+      rowsOf(TextOps.searchLexicalIndex(spark, probes, oneShot)
+        .orderBy("probe_id", "rank")))
+    val (_, m) = TextOps.syncLexicalIndex(spark, sink, idx)
+    assert(m == "noop")
+  }
+
   test("a sink mutation (delete epoch) refuses loudly") {
     val sink = scratch("mut_sink"); val idx = scratch("mut_idx")
     val dated = docs.withColumn("ts",

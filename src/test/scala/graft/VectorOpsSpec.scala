@@ -452,6 +452,31 @@ class VectorOpsSpec extends SparkSpecBase
       "uncommitted code generation leaked into the search")
   }
 
+  test("maintainVectorIndex compacts at the generation threshold, noop below") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vec_policy").toString
+    val idx = s"$root/idx"
+    ops.VectorOps.writeVectorIndex(spark, sf, idx,
+      pmod(col("vec_id"), lit(3)) =!= 0)
+    ops.VectorOps.appendVectorIndex(spark, sf, idx,
+      pmod(col("vec_id"), lit(3)) === 0) // 2 committed code gens
+    val before = ops.VectorOps.searchVectorIndex(spark, sf, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ops.VectorOps.maintainVectorIndex(spark, idx,
+      compactAfterGens = 3).isEmpty, "below threshold = noop")
+    ops.VectorOps.deleteFromVectorIndex(spark, idx,
+      Seq(Long.MaxValue - 5).toDF("vec_id")) // 3rd gen: threshold
+    val actions = ops.VectorOps.maintainVectorIndex(spark, idx,
+      compactAfterGens = 3)
+    assert(actions.exists(_.startsWith("compacted=")), actions)
+    // policy-run compaction preserves the ranking (the tombstone named
+    // a never-indexed id, so nothing real dropped)
+    val after = ops.VectorOps.searchVectorIndex(spark, sf, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(after == before, "policy compaction changed the ranking")
+  }
+
   test("readVectorIndex refuses a torn index without its commit marker") {
     val out = java.nio.file.Files
       .createTempDirectory("vec_torn").toString + "/ivfpq"
