@@ -1992,4 +1992,33 @@ object OracleSql {
       |    FROM events)
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q147 — the z-order audit: the engine clusters the compaction on
+    * the Morton interleave of (user_id, value) quantile ranks and
+    * serves TWO independent band reads through the pruned path
+    * (asserting each actually skipped files); the oracle re-states the
+    * bands as a tagged UNION ALL of plain WHEREs. Band edges derive
+    * identically on both engines: the id band's arithmetic is q144's
+    * FLOOR + BIGINT discipline, the value band's is one subtraction,
+    * one division, one addition on doubles — the same IEEE ops in the
+    * same order. Cents floored per row before the sum (q124). */
+  val q147: String =
+    """WITH bands AS (
+      |  SELECT 'u' AS band, user_id, value FROM events
+      |  WHERE user_id >= (SELECT MIN(user_id) FROM events)
+      |    AND user_id <= (SELECT MIN(user_id) +
+      |      CAST(FLOOR((MAX(user_id) - MIN(user_id)) / 8.0) AS BIGINT)
+      |      FROM events)
+      |  UNION ALL
+      |  SELECT 'v' AS band, user_id, value FROM events
+      |  WHERE value >= (SELECT MIN(value) FROM events)
+      |    AND value <= (SELECT MIN(value) + (MAX(value) - MIN(value)) / 8.0
+      |      FROM events)
+      |)
+      |SELECT band, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM bands
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
 }

@@ -159,7 +159,8 @@ object SparkEntry {
     "q143_incremental_view" -> (Views.q143IncrementalView _),
     "q144_zone_map" -> (SinkStats.q144ZoneMap _),
     "q145_pipeline_index" -> (TextOps.q145PipelineIndex _),
-    "q146_sketch_view" -> (Views.q146SketchView _)
+    "q146_sketch_view" -> (Views.q146SketchView _),
+    "q147_zorder" -> (SinkStats.q147ZOrder _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -414,7 +415,13 @@ object SparkEntry {
     // the generation marker) serves the SAME from-scratch full-corpus
     // ranking as q138 — hash equality proves the pipeline lost no
     // document and double-indexed none
-    "q145_pipeline_index" -> OracleSql.q138
+    "q145_pipeline_index" -> OracleSql.q138,
+    // q147 z-order skipping: Morton-clustered compaction + the same
+    // footer manifest pruning TWO independent band reads (the query
+    // asserts each skipped files); the oracle is the tagged UNION ALL
+    // of plain WHEREs — hash equality proves neither pruned read lost
+    // a matching row
+    "q147_zorder" -> OracleSql.q147
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

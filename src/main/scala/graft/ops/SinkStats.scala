@@ -56,6 +56,38 @@ object SinkStats {
 
   private val StatsDir = "_file_stats"
 
+  /** Z-ORDER clustering key for N columns (Morton interleave — the
+    * multi-column completion of `clusterBy`'s single-dimension sort):
+    * each column is bucketized into 2^`bits` quantile ranks (cuts from
+    * one approximate-quantile pass, skew-proof where raw-value scaling
+    * is not), and bucket bit j of column i lands at z-bit `j·n + i`,
+    * so a CONTIGUOUS z range — which is what one range-partitioned
+    * file covers — spans an ~√-sized rectangle in every clustered
+    * dimension at once. Single-column range clustering gives perfect
+    * min/max locality on that column and none on the others; the
+    * z-curve trades a little of the first for usable locality on ALL
+    * of them, which is exactly what the `_file_stats` manifest needs
+    * to prune on any clustered column. Pure integer Column arithmetic
+    * (compare/add/shift/and) — codegen end to end, no UDF. */
+  private[ops] def zOrderKey(df: DataFrame, cols: Seq[String],
+      bits: Int = 4): Column = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    val n = cols.size
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    // one approximate pass computes every column's cuts (bounded
+    // driver result: (2^bits − 1) · n doubles)
+    val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+    cols.zip(cuts).zipWithIndex.map { case ((c, bs), i) =>
+      // quantile rank: how many cuts the value clears (nulls clear
+      // none and land in bucket 0 — clustered together, prunable)
+      val bucket = bs.toSeq.map(b =>
+        when(col(c) >= lit(b), 1).otherwise(0)).reduce(_ + _)
+      (0 until bits).map { j =>
+        shiftleft(shiftright(bucket, j).bitwiseAND(lit(1)), j * n + i)
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -262,5 +294,72 @@ object SinkStats {
         countDistinct(col("user_id")).as("n_users"),
         sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
       .orderBy("day")
+  }
+
+  /** q147 — Z-ORDER multi-column data skipping END TO END under the
+    * oracle hash (q144 proved the manifest + single-column clustering;
+    * this proves the curve that makes the SAME manifest prune on TWO
+    * columns at once — `OPTIMIZE ZORDER` as conf + existing writers):
+    * the compaction clusters on the Morton interleave of
+    * (user_id, value) quantile ranks (~256 sized files so each covers
+    * a small rectangle), [[indexSinkStats]] manifests BOTH columns
+    * from the same footers, and TWO independent band reads — an
+    * eighth of the id space, an eighth of the value space — each go
+    * through [[readSinkPruned]] with the query ASSERTING each skipped
+    * files (single-column clustering would prune one band and scan
+    * everything for the other). The two bands aggregate as one tagged
+    * relation; the oracle re-states them as a tagged UNION ALL of
+    * plain WHEREs over events — hash equality proves neither pruned
+    * read lost a matching row. The value band's edges are derived
+    * with the identical IEEE ops on both engines (one subtraction,
+    * one division, one addition on doubles). */
+  def q147ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "events_zord")
+    val ev = graft.Tables.events(spark, dir)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    val f = fsOf(spark, sink)
+    val inputBytes = Streaming.subdirs(spark, sink, "batch_id=")
+      .map(d => f.getContentSummary(d._2).getLength).sum
+    val prevTarget = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+    val prevZ = spark.conf.getOption("spark.graft.compact.zorderBy")
+    try {
+      // ~256 files: enough z refinement per day that each file's
+      // rectangle is a few cells in BOTH dimensions
+      spark.conf.set("spark.graft.compact.targetFileBytes",
+        math.max(1L, inputBytes / 256).toString)
+      spark.conf.set("spark.graft.compact.zorderBy", "user_id,value")
+      Streaming.compactSink(spark, sink, quiesced = true)
+    } finally {
+      prevTarget.fold(spark.conf
+        .unset("spark.graft.compact.targetFileBytes"))(v =>
+        spark.conf.set("spark.graft.compact.targetFileBytes", v))
+      prevZ.fold(spark.conf.unset("spark.graft.compact.zorderBy"))(v =>
+        spark.conf.set("spark.graft.compact.zorderBy", v))
+    }
+    val total = indexSinkStats(spark, sink, Seq("user_id", "value"))
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("value")), max(col("value"))).head()
+    val uMin = b.getLong(0)
+    val uHi = uMin + math.floor((b.getLong(1) - uMin) / 8.0).toLong
+    val vMin = b.getDouble(2)
+    val vHi = vMin + (b.getDouble(3) - vMin) / 8.0
+    val uBand = readSinkPruned(spark, sink, "user_id",
+      uMin.toDouble, uHi.toDouble)
+    require(uBand.inputFiles.length < total,
+      s"q147 id band read ${uBand.inputFiles.length} of $total files - " +
+        "the z-layout failed to prune dimension 1")
+    val vBand = readSinkPruned(spark, sink, "value", vMin, vHi)
+    require(vBand.inputFiles.length < total,
+      s"q147 value band read ${vBand.inputFiles.length} of $total files - " +
+        "the z-layout failed to prune dimension 2")
+    def agg(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(lit(tag).as("band"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    agg(uBand, "u").unionByName(agg(vBand, "v")).orderBy("band")
   }
 }

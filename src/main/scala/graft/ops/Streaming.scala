@@ -1451,8 +1451,21 @@ object Streaming {
       .getOption("spark.graft.compact.clusterBy").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .filter(merged.columns.contains(_)).map(col)
+    // multi-column variant (`spark.graft.compact.zorderBy`, ≥ 2
+    // columns): a Morton-interleaved quantile-rank key so each sized
+    // file covers a small RECTANGLE across all named columns — zone
+    // maps then prune on any of them. Costs one approximate-quantile
+    // pass over the rewrite's own input (column-pruned, driver-bounded
+    // cuts) — the same trade every OPTIMIZE ZORDER pays.
+    val zKey = spark.conf
+      .getOption("spark.graft.compact.zorderBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(merged.columns.contains(_)) match {
+      case zc if zc.size >= 2 => Seq(SinkStats.zOrderKey(merged, zc))
+      case _ => Seq.empty
+    }
     merged.repartitionByRange(k,
-      (col("day") +: clusterCols :+ col(tsCol)): _*)
+      (col("day") +: zKey ++: clusterCols :+ col(tsCol)): _*)
       .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
     // the owed-day plan derives from the day dirs the write ACTUALLY
     // produced, not from the collected day strings — any naming drift

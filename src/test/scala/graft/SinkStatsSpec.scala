@@ -108,6 +108,56 @@ class SinkStatsSpec extends SparkSpecBase {
     assert(t.getMessage.contains("numeric"))
   }
 
+  test("z-order clustering prunes on the second dimension where single-column clustering cannot") {
+    val ev = Tables.events(spark, sf)
+    val b = ev.agg(min(col("value")), max(col("value"))).head()
+    val vLo = b.getDouble(0)
+    val vHi = vLo + (b.getDouble(1) - vLo) / 8.0
+    def build(name: String, zorder: Boolean): (String, Long) = {
+      val sink = scratch(name)
+      Streaming.writeBatchIdempotent(ev, sink, 0L)
+      val f = new org.apache.hadoop.fs.Path(sink)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = f.getContentSummary(
+        new org.apache.hadoop.fs.Path(sink)).getLength
+      val prevT = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+      val prevC = spark.conf.getOption("spark.graft.compact.clusterBy")
+      val prevZ = spark.conf.getOption("spark.graft.compact.zorderBy")
+      try {
+        spark.conf.set("spark.graft.compact.targetFileBytes",
+          math.max(1L, bytes / 256).toString)
+        if (zorder)
+          spark.conf.set("spark.graft.compact.zorderBy", "user_id,value")
+        else spark.conf.set("spark.graft.compact.clusterBy", "user_id")
+        Streaming.compactSink(spark, sink, quiesced = true)
+      } finally {
+        prevT.fold(spark.conf.unset("spark.graft.compact.targetFileBytes"))(
+          v => spark.conf.set("spark.graft.compact.targetFileBytes", v))
+        prevC.fold(spark.conf.unset("spark.graft.compact.clusterBy"))(
+          v => spark.conf.set("spark.graft.compact.clusterBy", v))
+        prevZ.fold(spark.conf.unset("spark.graft.compact.zorderBy"))(
+          v => spark.conf.set("spark.graft.compact.zorderBy", v))
+      }
+      (sink, SinkStats.indexSinkStats(spark, sink, Seq("user_id", "value")))
+    }
+    val (zSink, zTotal) = build("z_both", zorder = true)
+    val (sSink, sTotal) = build("z_single", zorder = false)
+    def frac(sink: String, total: Long): Double =
+      SinkStats.readSinkPruned(spark, sink, "value", vLo, vHi)
+        .inputFiles.length.toDouble / total
+    // user_id-only clustering scatters `value` across every file; the
+    // z-curve gives each file a small rectangle in BOTH dimensions
+    assert(frac(zSink, zTotal) < frac(sSink, sTotal),
+      s"z ${frac(zSink, zTotal)} !< single ${frac(sSink, sTotal)}")
+    // and correctness is pruning-independent on both layouts
+    val expect = rowsOf(Streaming.readSink(spark, zSink)
+      .filter(col("value") >= vLo && col("value") <= vHi))
+    assert(rowsOf(SinkStats.readSinkPruned(spark, zSink, "value",
+      vLo, vHi)) == expect)
+    assert(rowsOf(SinkStats.readSinkPruned(spark, sSink, "value",
+      vLo, vHi)) == expect)
+  }
+
   test("maintainSink re-indexes a staled manifest when statsColumns is set") {
     val sink = scratch("cron")
     Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
