@@ -160,7 +160,8 @@ object SparkEntry {
     "q144_zone_map" -> (SinkStats.q144ZoneMap _),
     "q145_pipeline_index" -> (TextOps.q145PipelineIndex _),
     "q146_sketch_view" -> (Views.q146SketchView _),
-    "q147_zorder" -> (SinkStats.q147ZOrder _)
+    "q147_zorder" -> (SinkStats.q147ZOrder _),
+    "q148_vector_pipeline" -> (VectorOps.q148VectorPipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,7 +423,7 @@ object SparkEntry {
     // of plain WHEREs — hash equality proves neither pruned read lost
     // a matching row
     "q147_zorder" -> OracleSql.q147
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146 (engine-specific
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

@@ -27,10 +27,14 @@ object VectorOps {
     graft.functions.GraftFunctions.dotProduct(a, b)
 
   /** embeddings with v = array<double> embedding and its L2 norm. */
-  private def normed(spark: SparkSession, dir: String): DataFrame = {
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    normedRows(spark, Tables.embeddings(spark, dir))
+
+  /** [[normed]] over caller-supplied rows with the embeddings schema
+    * (vec_id, label, embedding) — the sink-fed ingest path. */
+  private def normedRows(spark: SparkSession, e0: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("v", col("embedding").cast("array<double>"))
+    val e = e0.withColumn("v", col("embedding").cast("array<double>"))
     e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
   }
@@ -1134,6 +1138,45 @@ object VectorOps {
     marks.map(_._1).filterNot(replaced).sorted
   }
 
+  /** Generic `key=value` lines of every generation marker (gen 0's
+    * lines live in [[IndexCommit]]) — the sync lineage reads
+    * cursor/epoch from here. */
+  private def vecMarkerMeta(spark: SparkSession, out: String)
+      : Seq[(Long, Map[String, String])] = {
+    val f = hfs(spark, out)
+    val root = new org.apache.hadoop.fs.Path(out)
+    if (!f.exists(root)) Seq.empty
+    else {
+      def parse(name: String): Map[String, String] = {
+        val in = f.open(new org.apache.hadoop.fs.Path(root, name))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.filter(_.contains("=")).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      }
+      val names = f.listStatus(root).toSeq.map(_.getPath.getName)
+      val base =
+        if (names.contains(IndexCommit)) Seq(0L -> parse(IndexCommit))
+        else Seq.empty
+      base ++ names.filter(_.startsWith("_GEN_COMMIT_")).map { n =>
+        n.stripPrefix("_GEN_COMMIT_").toLong -> parse(n)
+      }.sortBy(_._1)
+    }
+  }
+
+  /** The indexer's recorded position over its source sink: max
+    * cursor/epoch across committed generation markers (−1/−1 before
+    * the first sync). Max, not latest-gen: delete generations carry
+    * no lineage and must not reset the position. */
+  private def vecSyncState(spark: SparkSession, out: String): (Long, Long) = {
+    val committed = vecCommittedGens(spark, out).toSet
+    val metas = vecMarkerMeta(spark, out).filter(m => committed(m._1))
+    (metas.flatMap(_._2.get("cursor")).map(_.toLong).foldLeft(-1L)(math.max),
+      metas.flatMap(_._2.get("epoch")).map(_.toLong).foldLeft(-1L)(math.max))
+  }
+
   /** The union of active tombstones, or None when the index has never
     * seen a delete (the common case pays no read). */
   private def vecTomb(spark: SparkSession, out: String,
@@ -1217,13 +1260,22 @@ object VectorOps {
     * is BYTE-IDENTICAL in search behavior to one that encoded
     * everything up front — the spec pins that equality. */
   def appendVectorIndex(spark: SparkSession, dir: String, out: String,
-      vecFilter: Column): Unit = {
+      vecFilter: Column): Unit =
+    appendVectorIndexRows(spark,
+      Tables.embeddings(spark, dir).filter(vecFilter), out)
+
+  /** [[appendVectorIndex]] over caller-supplied rows (the sink-fed
+    * ingest path [[syncVectorIndex]] runs); `meta` lines land in the
+    * generation's commit marker ATOMICALLY with its visibility — the
+    * sync cursor discipline. */
+  def appendVectorIndexRows(spark: SparkSession, rows: DataFrame,
+      out: String, meta: Seq[String] = Seq.empty): Unit = {
     val gens = vecCommittedGens(spark, out)
     require(gens.nonEmpty,
       s"no committed vector index at $out - writeVectorIndex first")
     val cents = spark.read.parquet(s"$out/centroids")
     val cb = spark.read.parquet(s"$out/codebook")
-    val unit = unitVecs(normed(spark, dir)).filter(vecFilter)
+    val unit = unitVecs(normedRows(spark, rows))
     val assigned = assignLists(unit, cents)
       .join(unit, "vec_id")
       .join(broadcast(cents), "cid")
@@ -1235,8 +1287,13 @@ object VectorOps {
       .join(assigned.select("vec_id", "cid"), "vec_id")
     val gen = gens.max + 1
     writeCodes(spark, codes, out, gen)
-    hfs(spark, out).create(
-      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true).close()
+    val f = hfs(spark, out)
+    val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
+    val o = f.create(tmp, true)
+    try o.write(meta.mkString("\n").getBytes("UTF-8")) finally o.close()
+    require(f.rename(tmp,
+      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),
+      s"could not commit vector-index generation $gen at $out")
   }
 
   /** DELETE vectors from the stored index — the op an upstream dedup
@@ -1309,6 +1366,82 @@ object VectorOps {
     }
   }
 
+  /** Keep the stored vector index's CODES in step with an embeddings
+    * SINK — [[graft.ops.TextOps.syncLexicalIndex]]'s cycle for the
+    * vector side, completing the serving loop for both modalities:
+    * consume exactly the sink's committed batch delta past the index's
+    * recorded cursor and [[appendVectorIndexRows]] it as one
+    * generation whose marker carries the new cursor ATOMICALLY (a
+    * re-run never re-encodes a batch; [[compactVectorIndex]] carries
+    * the lineage forward). Unlike the lexical sync there is no
+    * full-build mode: IVF-PQ artifacts are TRAINED once
+    * ([[writeVectorIndex]] — a modeling decision, typically on corpus
+    * history with `encodeFilter = lit(false)` when every serving
+    * vector arrives through the sink) and the sync loop only routes +
+    * residual-encodes arrivals against them. The horizon and mutation
+    * (delete/upsert/retire) states REFUSE loudly — an append stream
+    * cannot express either; rebuild, or [[deleteFromVectorIndex]] the
+    * affected ids and restart from a fresh sink.
+    *
+    * Returns (current max code generation, mode ∈ append|noop). */
+  def syncVectorIndex(spark: SparkSession, sink: String, out: String)
+      : (Long, String) = {
+    val gens = vecCommittedGens(spark, out)
+    require(gens.nonEmpty,
+      s"no committed vector index at $out - writeVectorIndex first " +
+        "(train the artifacts; encodeFilter = lit(false) starts empty)")
+    val catalog = Views.epochCatalog(spark, sink)
+    val e1 = catalog.lastOption.map(_._1).getOrElse(-1L)
+    val (c, e0) = vecSyncState(spark, out)
+    require(Views.incrementalSound(catalog, e0, c),
+      s"cannot sync $out from $sink: the sink compacted past cursor " +
+        s"$c or mutated content (delete/upsert/retire) since epoch " +
+        s"$e0 - an append stream cannot express either; rebuild the " +
+        "index, or deleteFromVectorIndex the affected ids and restart " +
+        "the cursor from a fresh sink")
+    val (deltaOpt, newCursor) = Views.pinnedDelta(spark, sink, c, "ts")
+    deltaOpt match {
+      case None => (gens.max, "noop")
+      case Some(delta) =>
+        appendVectorIndexRows(spark,
+          delta.select("vec_id", "label", "embedding"), out,
+          Seq(s"cursor=$newCursor", s"epoch=$e1"))
+        (gens.max + 1, "append")
+    }
+  }
+
+  /** q148 — the SINK→VECTOR-INDEX pipeline (q145's twin for the
+    * embedding side — together they close the serving loop a
+    * multimodal retrieval stack runs every ingest cycle): embeddings
+    * land as committed micro-batches, [[writeVectorIndex]] trains the
+    * IVF-PQ artifacts ONCE with zero codes encoded, and two
+    * [[syncVectorIndex]] cycles route + residual-encode exactly the
+    * batch deltas (the query asserts append→append→noop — a sync that
+    * silently re-encoded the corpus would be a correct answer proving
+    * nothing). The search against the synced index is BYTE-IDENTICAL
+    * to a one-shot build's (codes depend only on the stored
+    * artifacts) — spec-pinned; rows-only by nature (stored artifacts
+    * are iteration-specific). */
+  def q148VectorPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "vec_pipe")
+    val out = vecScratch(spark, dir, "ivfpq_pipe")
+    hfs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
+    val emb = Tables.embeddings(spark, dir)
+    Streaming.writeBatchIdempotent(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0), sink, 0L)
+    Streaming.writeBatchIdempotent(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1), sink, 1L)
+    writeVectorIndex(spark, dir, out, encodeFilter = lit(false))
+    val (_, m1) = syncVectorIndex(spark, sink, out)
+    Streaming.writeBatchIdempotent(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 2), sink, 2L)
+    val (_, m2) = syncVectorIndex(spark, sink, out)
+    val (_, m3) = syncVectorIndex(spark, sink, out)
+    require(m1 == "append" && m2 == "append" && m3 == "noop",
+      s"q148 must exercise the append->append->noop cycle, got $m1/$m2/$m3")
+    searchVectorIndex(spark, dir, out).orderBy("probe_id", "rank")
+  }
+
   def compactVectorIndex(spark: SparkSession, out: String): Long = {
     val f = hfs(spark, out)
     vecSweepReplaced(spark, out)
@@ -1325,9 +1458,20 @@ object VectorOps {
       case None => base
     }
     writeCodes(spark, survivors, out, gen)
+    // sync lineage CARRIES FORWARD (the lexical index's discipline):
+    // without this a compaction would amnesia the indexer's cursor and
+    // the next syncVectorIndex would re-encode already-indexed batches
+    val carried = {
+      val metas = vecMarkerMeta(spark, out).filter(m => active.contains(m._1))
+      val cur = metas.flatMap(_._2.get("cursor")).map(_.toLong)
+      val ep = metas.flatMap(_._2.get("epoch")).map(_.toLong)
+      (if (cur.nonEmpty) Seq(s"cursor=${cur.max}") else Seq.empty) ++
+        (if (ep.nonEmpty) Seq(s"epoch=${ep.max}") else Seq.empty)
+    }
     val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
     val o = f.create(tmp, true)
-    try o.write(s"replaces=${active.mkString(",")}".getBytes("UTF-8"))
+    try o.write((s"replaces=${active.mkString(",")}" +: carried)
+      .mkString("\n").getBytes("UTF-8"))
     finally o.close()
     require(f.rename(tmp,
       new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),

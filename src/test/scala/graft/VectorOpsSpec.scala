@@ -452,6 +452,50 @@ class VectorOpsSpec extends SparkSpecBase
       "uncommitted code generation leaked into the search")
   }
 
+  test("syncVectorIndex: sink-fed encode cycle equals the one-shot build; compaction keeps the cursor") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("vec_sync").toString
+    def rows(out: String): Seq[(Long, Long, Long)] =
+      ops.VectorOps.searchVectorIndex(spark, sf, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sink = s"$root/sink"
+    // dated so the mutation scenario below can compact + deleteWhere
+    // (the sync itself ignores ts; appendVectorIndexRows projects the
+    // embeddings columns)
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    ops.Streaming.writeBatchIdempotent(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0), sink, 0L)
+    val idx = s"$root/idx"
+    ops.VectorOps.writeVectorIndex(spark, sf, idx, lit(false))
+    val (g1, m1) = ops.VectorOps.syncVectorIndex(spark, sink, idx)
+    assert(m1 == "append" && g1 == 1L)
+    ops.Streaming.writeBatchIdempotent(
+      emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), sink, 1L)
+    val (g2, m2) = ops.VectorOps.syncVectorIndex(spark, sink, idx)
+    val (g3, m3) = ops.VectorOps.syncVectorIndex(spark, sink, idx)
+    assert(m2 == "append" && g2 == 2L && m3 == "noop" && g3 == 2L)
+    // codes depend only on the stored artifacts: the synced index
+    // must search byte-identically to a one-shot full encode
+    val whole = s"$root/whole"
+    ops.VectorOps.writeVectorIndex(spark, sf, whole)
+    assert(rows(idx) == rows(whole),
+      "sink-fed encoding diverged from the one-shot build")
+    // compaction folds the code generations and carries the cursor -
+    // the next sync must not re-encode consumed batches
+    ops.VectorOps.compactVectorIndex(spark, idx)
+    val (_, m4) = ops.VectorOps.syncVectorIndex(spark, sink, idx)
+    assert(m4 == "noop", "compaction must not amnesia the sync cursor")
+    assert(rows(idx) == rows(whole))
+    // a sink mutation refuses: the append stream cannot express it
+    ops.Streaming.compactSink(spark, sink, quiesced = true)
+    ops.Streaming.deleteWhere(spark, sink, pmod(col("vec_id"), lit(7)) === 3)
+    val e = intercept[IllegalArgumentException] {
+      ops.VectorOps.syncVectorIndex(spark, sink, idx)
+    }
+    assert(e.getMessage.contains("cannot sync"))
+  }
+
   test("maintainVectorIndex compacts at the generation threshold, noop below") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
