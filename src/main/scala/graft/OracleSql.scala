@@ -2021,4 +2021,22 @@ object OracleSql {
       |FROM bands
       |GROUP BY band
       |ORDER BY band""".stripMargin
+
+  /** q149 — the metadata-count audit: the engine serves a mid-half id
+    * band's per-day counts answering interior files from the manifest
+    * (`nrows − n_nulls`, zero data pages) and scanning only the
+    * boundary files; the oracle is the plain WHERE + GROUP BY. Band
+    * edges derive identically on both engines (exact BIGINT span, one
+    * double division, FLOOR, BIGINT cast — q144's discipline). */
+  val q149: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |FROM events
+      |WHERE user_id >= (SELECT MIN(user_id) +
+      |    CAST(FLOOR((MAX(user_id) - MIN(user_id)) / 4.0) AS BIGINT)
+      |    FROM events)
+      |  AND user_id <= (SELECT MIN(user_id) +
+      |    CAST(FLOOR(3 * (MAX(user_id) - MIN(user_id)) / 4.0) AS BIGINT)
+      |    FROM events)
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

@@ -161,7 +161,8 @@ object SparkEntry {
     "q145_pipeline_index" -> (TextOps.q145PipelineIndex _),
     "q146_sketch_view" -> (Views.q146SketchView _),
     "q147_zorder" -> (SinkStats.q147ZOrder _),
-    "q148_vector_pipeline" -> (VectorOps.q148VectorPipeline _)
+    "q148_vector_pipeline" -> (VectorOps.q148VectorPipeline _),
+    "q149_metadata_count" -> (SinkStats.q149MetadataCount _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,7 +423,13 @@ object SparkEntry {
     // asserts each skipped files); the oracle is the tagged UNION ALL
     // of plain WHEREs — hash equality proves neither pruned read lost
     // a matching row
-    "q147_zorder" -> OracleSql.q147
+    "q147_zorder" -> OracleSql.q147,
+    // q149 metadata count: interior files answer from the manifest's
+    // nrows − n_nulls without being opened (the query asserts most
+    // did), boundary files scan; the oracle is the plain WHERE +
+    // GROUP BY — hash equality proves the metadata arithmetic counted
+    // exactly the band
+    "q149_metadata_count" -> OracleSql.q149
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

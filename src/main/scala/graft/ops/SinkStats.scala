@@ -135,8 +135,9 @@ object SinkStats {
     require(e >= 0, s"no committed epoch at $sink - compact before indexing")
     val days = Streaming.resolvedDays(f, sink, e)
     val conf = spark.sparkContext.hadoopConfiguration
-    val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String, Option[Double], Option[Double])]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String, String, Option[Double], Option[Double], Long,
+        Option[Long])]
     var files = 0L
     days.foreach { case (dayName, dayDir) =>
       f.listStatus(dayDir).toSeq
@@ -150,30 +151,41 @@ object SinkStats {
           val byCol =
             try {
               import scala.jdk.CollectionConverters._
-              val chunks = reader.getFooter.getBlocks.asScala
-                .flatMap(_.getColumns.asScala)
+              val blocks = reader.getFooter.getBlocks.asScala
+              val nrows = blocks.map(_.getRowCount).sum
+              val chunks = blocks.flatMap(_.getColumns.asScala)
               cols.map { c =>
                 // missing chunks (schema drift) == all-null: reading
                 // this file yields only nulls for c, so an empty range
                 // is the truth and a range predicate prunes it
-                val merged = chunks
-                  .filter(_.getPath.toDotString == c)
+                val mine = chunks.filter(_.getPath.toDotString == c)
+                val merged = mine
                   .flatMap(cc => chunkRange(cc.getStatistics, c,
                     st.getPath.getName))
                   .reduceOption((a, b) =>
                     (math.min(a._1, b._1), math.max(a._2, b._2)))
-                c -> merged
+                // null count: known only when EVERY chunk reports it
+                // (an unset count anywhere makes the file's non-null
+                // total unknowable — metadata answers must then fall
+                // back to scanning, never guess)
+                val nulls =
+                  if (mine.isEmpty) Some(nrows) // no chunk = all null
+                  else if (mine.forall(cc => cc.getStatistics != null &&
+                    !cc.getStatistics.isEmpty))
+                    Some(mine.map(_.getStatistics.getNumNulls).sum)
+                  else None
+                (c, merged, nrows, nulls)
               }
             } finally reader.close()
-          byCol.foreach { case (c, r) =>
+          byCol.foreach { case (c, r, nrows, nulls) =>
             rows += ((dayName, st.getPath.getName, c, r.map(_._1),
-              r.map(_._2)))
+              r.map(_._2), nrows, nulls))
           }
         }
     }
     require(files > 0, s"epoch $e of $sink holds no data files")
     val manifest = s"$sink/epoch=$e/$StatsDir"
-    rows.toSeq.toDF("day", "file", "column", "lo", "hi")
+    rows.toSeq.toDF("day", "file", "column", "lo", "hi", "nrows", "n_nulls")
       .repartition(1).write.mode("overwrite").parquet(manifest)
     files
   }
@@ -296,6 +308,95 @@ object SinkStats {
       .orderBy("day")
   }
 
+  /** Serve a per-day COUNT under `lo <= column <= hi` answering
+    * fully-covered files FROM THE MANIFEST — zero data pages — and
+    * scanning only the band-boundary files (plus live batches,
+    * conservatively): the classic warehouse stats-only aggregate. A
+    * file whose recorded range sits entirely inside the band
+    * contributes `nrows − n_nulls` without being opened (nulls never
+    * match a range predicate; a file whose null count any chunk failed
+    * to record is demoted to the scan side — metadata answers are
+    * never guessed). Long bounds were widened one ulp at index time,
+    * which is conservative for BOTH decisions: a widened range that
+    * still fits inside the band proves the true range does, and a
+    * widened overlap can only demote a file from skip to scan.
+    * Same staleness rails as [[readSinkPruned]].
+    *
+    * Returns (per-day counts, boundary files scanned, files answered
+    * from metadata alone) — the last two are the receipt that the scan
+    * actually shrank. */
+  def countSinkPruned(spark: SparkSession, sink: String, column: String,
+      lo: Double, hi: Double, tsCol: String = "ts")
+      : (DataFrame, Long, Long) = {
+    require(lo <= hi, s"empty band: $lo > $hi")
+    import spark.implicits._
+    val f = fsOf(spark, sink)
+    val e = currentEpoch(spark, sink)
+    require(e >= 0, s"no committed epoch at $sink")
+    val manifest = s"$sink/epoch=$e/$StatsDir"
+    require(f.exists(new org.apache.hadoop.fs.Path(manifest)),
+      s"no _file_stats manifest for the current epoch $e of $sink - " +
+        "run indexSinkStats after maintenance")
+    val man = spark.read.parquet(manifest)
+      .filter(col("column") === column).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val overlap = man.filter { case (_, _, fLo, fHi, _, _) =>
+      fLo.exists(_ <= hi) && fHi.exists(_ >= lo)
+    }
+    val (inside, straddle) = overlap.partition {
+      case (_, _, fLo, fHi, _, nNulls) =>
+        fLo.exists(_ >= lo) && fHi.exists(_ <= hi) && nNulls.isDefined
+    }
+    val dayMap = Streaming.resolvedDays(f, sink, e).toMap
+    (inside ++ straddle).foreach { case (d, _, _, _, _, _) =>
+      require(dayMap.contains(d),
+        s"manifest names $d but epoch $e does not hold it - re-run " +
+          "indexSinkStats")
+    }
+    def dayVal(d: String): java.sql.Date =
+      if (d == Streaming.NullDayDir) null
+      else java.sql.Date.valueOf(d.stripPrefix("day="))
+    val metaDF = inside
+      .groupBy(_._1).toSeq
+      .map { case (d, fs0) =>
+        (dayVal(d), fs0.map(x => x._5 - x._6.get).sum)
+      }.toDF("day", "n")
+    val scanDF = straddle
+      .groupBy { case (d, _, _, _, _, _) => dayMap(d).getParent.toString }
+      .toSeq.map { case (basePath, entries) =>
+        spark.read.option("basePath", basePath)
+          .parquet(entries.map { case (d, fn, _, _, _, _) =>
+            s"${dayMap(d)}/$fn" }: _*)
+      }
+      .map(_.filter(col(column) >= lo && col(column) <= hi)
+        .groupBy(col("day")).agg(count(lit(1)).as("n")))
+    val wm = Streaming.listSinkEpochs(spark, sink).collect()
+      .filter(_.getLong(0) == e).headOption.map(_.getLong(2)).getOrElse(-1L)
+    val liveDF = Streaming.subdirs(spark, sink, "batch_id=")
+      .filter { case (id, p) =>
+        id > wm &&
+          f.exists(new org.apache.hadoop.fs.Path(p, Streaming.BatchCommit))
+      }.sortBy(_._1)
+      .map { d =>
+        val raw = spark.read.parquet(d._2.toString)
+        val dated =
+          if (raw.columns.contains(tsCol))
+            raw.withColumn("day", to_date(col(tsCol)))
+          else raw.withColumn("day", lit(null).cast("date"))
+        dated.filter(col(column) >= lo && col(column) <= hi)
+          .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      }
+    val parts = Seq(metaDF) ++ scanDF ++ liveDF
+    val counts = parts.reduce(_.unionByName(_))
+      .groupBy(col("day")).agg(sum(col("n")).as("n_events"))
+      .filter(col("n_events") > 0)
+    (counts, straddle.size.toLong, inside.size.toLong)
+  }
+
   /** q147 — Z-ORDER multi-column data skipping END TO END under the
     * oracle hash (q144 proved the manifest + single-column clustering;
     * this proves the curve that makes the SAME manifest prune on TWO
@@ -361,5 +462,59 @@ object SinkStats {
         countDistinct(col("user_id")).as("n_users"),
         sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
     agg(uBand, "u").unionByName(agg(vBand, "v")).orderBy("band")
+  }
+
+  /** q149 — METADATA-ONLY aggregation END TO END under the oracle hash
+    * (the stats-only COUNT every warehouse serves without touching
+    * data — q144 made selective reads cheap; this makes the covered
+    * part of a count FREE): the sink compacts clustered on `user_id`
+    * (q144's layout), the manifest records per-file row and null
+    * counts alongside the bounds, and a mid-HALF id band's per-day
+    * counts are served by [[countSinkPruned]] — interior files answer
+    * from `nrows − n_nulls` without being opened, only the two
+    * band-boundary file classes scan, and the query ASSERTS both that
+    * some files answered from metadata alone and that fewer files
+    * scanned than overlapped (a correct count from a full scan would
+    * prove nothing). The oracle is the plain WHERE + GROUP BY over
+    * events: hash equality proves the metadata arithmetic counted
+    * exactly the band — no boundary row double-counted, no interior
+    * row missed, nulls never miscounted as matches. */
+  def q149MetadataCount(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "events_meta")
+    val ev = graft.Tables.events(spark, dir)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    val f = fsOf(spark, sink)
+    val inputBytes = Streaming.subdirs(spark, sink, "batch_id=")
+      .map(d => f.getContentSummary(d._2).getLength).sum
+    val prevTarget = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+    val prevCluster = spark.conf.getOption("spark.graft.compact.clusterBy")
+    try {
+      spark.conf.set("spark.graft.compact.targetFileBytes",
+        math.max(1L, inputBytes / 256).toString)
+      spark.conf.set("spark.graft.compact.clusterBy", "user_id")
+      Streaming.compactSink(spark, sink, quiesced = true)
+    } finally {
+      prevTarget.fold(spark.conf
+        .unset("spark.graft.compact.targetFileBytes"))(v =>
+        spark.conf.set("spark.graft.compact.targetFileBytes", v))
+      prevCluster.fold(spark.conf.unset("spark.graft.compact.clusterBy"))(v =>
+        spark.conf.set("spark.graft.compact.clusterBy", v))
+    }
+    indexSinkStats(spark, sink, Seq("user_id"))
+    val b = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+    val uMin = b.getLong(0)
+    val span = b.getLong(1) - uMin
+    val lo = uMin + math.floor(span.toDouble / 4.0).toLong
+    val hi = uMin + math.floor((3L * span).toDouble / 4.0).toLong
+    val (counts, scanned, answered) = countSinkPruned(spark, sink,
+      "user_id", lo.toDouble, hi.toDouble)
+    require(answered > scanned,
+      s"q149 must answer MOST overlap files from metadata alone, got " +
+        s"$answered metadata vs $scanned scanned - the clustered " +
+        "layout left no interior files")
+    counts.orderBy("day")
   }
 }

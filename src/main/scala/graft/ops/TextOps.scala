@@ -2080,6 +2080,29 @@ object TextOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** One metadata row for operators ([[Streaming.describeSink]]'s
+    * convention for the stored lexical index): committed generation
+    * count and max id, the sync lineage (cursor/epoch, −1 before the
+    * first [[syncLexicalIndex]]), tombstone presence, and total bytes
+    * on disk. Listings and content summaries only — no data I/O. */
+  def describeLexicalIndex(spark: SparkSession, out: String): DataFrame = {
+    import spark.implicits._
+    val gens = lexCommittedGens(spark, out)
+    require(gens.nonEmpty, s"no committed lexical index at $out")
+    val (cursor, epoch) = lexSyncState(spark, out)
+    val f = lexFs(spark, out)
+    val tombs = {
+      val root = new org.apache.hadoop.fs.Path(s"$out/tomb")
+      f.exists(root) && f.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("gen="))
+    }
+    val bytes = f.getContentSummary(
+      new org.apache.hadoop.fs.Path(out)).getLength
+    Seq((gens.size.toLong, gens.max, cursor, epoch, tombs, bytes))
+      .toDF("gens_kept", "current_gen", "cursor", "epoch",
+        "has_tombstones", "bytes")
+  }
+
   /** Policy-driven index maintenance — [[Streaming.maintainSink]]'s
     * cron discipline for the stored lexical index: COMPACT when the
     * committed generation count (appends AND tombstone deletes — every

@@ -1344,6 +1344,34 @@ object VectorOps {
     * centroids + codebook, and a phantom gen 0 with no directories
     * reads as empty. Returns the surviving generation id; an index
     * with one generation and no tombstones is a no-op. */
+  /** One metadata row for operators ([[graft.ops.Streaming.describeSink]]'s
+    * convention for the stored vector index): committed code-generation
+    * count and max id, the sync lineage (cursor/epoch, −1 before the
+    * first [[syncVectorIndex]]), the trained geometry from the index
+    * certificate, tombstone presence, and total bytes on disk.
+    * Listings and content summaries only — no data I/O. */
+  def describeVectorIndex(spark: SparkSession, out: String): DataFrame = {
+    import spark.implicits._
+    val gens = vecCommittedGens(spark, out)
+    require(gens.nonEmpty, s"no committed vector index at $out")
+    val (cursor, epoch) = vecSyncState(spark, out)
+    val geom = vecMarkerMeta(spark, out).find(_._1 == 0L).map(_._2)
+      .getOrElse(Map.empty[String, String])
+    val f = hfs(spark, out)
+    val tombs = {
+      val root = new org.apache.hadoop.fs.Path(s"$out/tomb")
+      f.exists(root) && f.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("gen="))
+    }
+    val bytes = f.getContentSummary(
+      new org.apache.hadoop.fs.Path(out)).getLength
+    Seq((gens.size.toLong, gens.max, cursor, epoch,
+      geom.getOrElse("m", null), geom.getOrElse("k", null),
+      geom.getOrElse("lists", null), tombs, bytes))
+      .toDF("gens_kept", "current_gen", "cursor", "epoch",
+        "m", "k", "lists", "has_tombstones", "bytes")
+  }
+
   /** Policy-driven index maintenance — [[graft.ops.Streaming.maintainSink]]'s
     * cron discipline for the stored vector index: COMPACT when the
     * committed code-generation count (appends AND tombstone deletes)

@@ -46,7 +46,7 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q139_lexical_compaction", "q140_lexical_delete",
       "q141_vector_delete", "q143_incremental_view", "q144_zone_map",
       "q145_pipeline_index", "q146_sketch_view", "q147_zorder",
-      "q148_vector_pipeline")
+      "q148_vector_pipeline", "q149_metadata_count")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -181,6 +181,45 @@ class SinkStatsSpec extends SparkSpecBase {
       spark.conf.set("spark.graft.maintain.statsColumns", v))
   }
 
+  test("metadata count subtracts nulls, scans only boundaries, and counts live batches") {
+    val sink = scratch("metacount")
+    // nulls in the counted column: interior files' nrows include null
+    // rows the band must NOT count — the manifest's n_nulls carries it
+    val ev = Tables.events(spark, sf).withColumn("value",
+      when(col("user_id") % 3 === 0, lit(null)).otherwise(col("value")))
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    clusteredCompact(sink) // clustered on user_id: value scattered
+    SinkStats.indexSinkStats(spark, sink, Seq("value", "user_id"))
+    // a live batch lands after indexing - stats don't cover it
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    val b = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+    val span = b.getLong(1) - b.getLong(0)
+    val lo = b.getLong(0) + math.floor(span.toDouble / 4.0).toLong
+    val hi = b.getLong(0) + math.floor((3L * span).toDouble / 4.0).toLong
+    val (counts, scanned, answered) = SinkStats.countSinkPruned(spark,
+      sink, "user_id", lo.toDouble, hi.toDouble)
+    assert(answered > 0, "no interior file answered from metadata")
+    assert(scanned < scanned + answered)
+    val expect = Streaming.readSink(spark, sink)
+      .filter(col("user_id") >= lo && col("user_id") <= hi)
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    assert(rowsOf(counts) == rowsOf(expect))
+    // the nullable column's band: every interior file's nulls must be
+    // subtracted, or the metadata count overcounts
+    val vb = ev.agg(min(col("value")), max(col("value"))).head()
+    val vSpan = vb.getDouble(1) - vb.getDouble(0)
+    val (vCounts, _, _) = SinkStats.countSinkPruned(spark, sink,
+      "value", vb.getDouble(0), vb.getDouble(0) + vSpan)
+    val vExpect = Streaming.readSink(spark, sink)
+      .filter(col("value") >= vb.getDouble(0) &&
+        col("value") <= vb.getDouble(0) + vSpan)
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    assert(rowsOf(vCounts) == rowsOf(vExpect),
+      "null rows leaked into the metadata count")
+  }
+
   test("live batches are included conservatively, unstatted") {
     val sink = scratch("live")
     val ev = Tables.events(spark, sf)

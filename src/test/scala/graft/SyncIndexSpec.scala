@@ -123,6 +123,10 @@ class SyncIndexSpec extends SparkSpecBase {
         .orderBy("probe_id", "rank")))
     val (_, m) = TextOps.syncLexicalIndex(spark, sink, idx)
     assert(m == "noop")
+    // the operator's one-row view of all of the above
+    val st = TextOps.describeLexicalIndex(spark, idx).collect()(0)
+    assert(st.getLong(0) == 1L && st.getLong(2) == 2L &&
+      !st.getBoolean(4) && st.getLong(5) > 0L)
   }
 
   test("a sink mutation (delete epoch) refuses loudly") {

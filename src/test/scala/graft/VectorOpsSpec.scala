@@ -487,6 +487,12 @@ class VectorOpsSpec extends SparkSpecBase
     val (_, m4) = ops.VectorOps.syncVectorIndex(spark, sink, idx)
     assert(m4 == "noop", "compaction must not amnesia the sync cursor")
     assert(rows(idx) == rows(whole))
+    // the operator's one-row view: one folded generation, cursor 1,
+    // the trained geometry surfaced from the certificate
+    val st = ops.VectorOps.describeVectorIndex(spark, idx).collect()(0)
+    assert(st.getLong(0) == 1L && st.getLong(2) == 1L &&
+      st.getString(4) == "8" && st.getString(6) == "16" &&
+      !st.getBoolean(7) && st.getLong(8) > 0L)
     // a sink mutation refuses: the append stream cannot express it
     ops.Streaming.compactSink(spark, sink, quiesced = true)
     ops.Streaming.deleteWhere(spark, sink, pmod(col("vec_id"), lit(7)) === 3)
