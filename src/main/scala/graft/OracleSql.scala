@@ -2039,4 +2039,134 @@ object OracleSql {
       |    FROM events)
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q150 — the snapshot-CDC audit: the engine compacts events into
+    * snapshot epoch A, DELETEs the `user_id % 7 = 3` cohort, CDC-
+    * upserts an update cohort (`event_id % 3 = 0`, user_id +1 000 000)
+    * plus an insert cohort (`event_id % 10 = 1`, re-keyed
+    * +1 000 000 000), and diffs the first and last retained epochs
+    * with `readSinkChanges`. The oracle re-derives the NET change
+    * sets directly from `events`: every touched key with a VISIBLE
+    * content change is an update (a null user_id shifts to null —
+    * touched but identical, so no row); a deleted key the upsert
+    * re-created nets to an update, so deletes keep only the
+    * not-re-touched cohort; inserts are the re-keyed rows. Hash
+    * equality proves the engine's full-outer content diff of the two
+    * STORED snapshots reconstructs exactly this set. Integer deltas
+    * only — no IEEE arithmetic anywhere in the compare. */
+  val q150: String =
+    """WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day
+      |            FROM events)
+      |SELECT 'update' AS change, event_id, user_id + 1000000 AS user_id, day
+      |FROM ev WHERE event_id % 3 = 0 AND user_id IS NOT NULL
+      |UNION ALL
+      |SELECT 'insert' AS change, event_id + 1000000000 AS event_id,
+      |  user_id, day
+      |FROM ev WHERE event_id % 10 = 1
+      |UNION ALL
+      |SELECT 'delete' AS change, event_id, user_id, day
+      |FROM ev WHERE COALESCE(user_id % 7 = 3, FALSE)
+      |  AND NOT (event_id % 3 = 0 AND user_id IS NOT NULL)
+      |ORDER BY change, event_id""".stripMargin
+
+  /** q151 — the bloom point-lookup audit: the engine clusters the
+    * compaction on `user_id` (scattering event_id so a range manifest
+    * could skip nothing), fingerprints each file's event_id set into
+    * a per-file bloom, and serves three point probes — min id, max
+    * id, and the possibly-absent integer midpoint — reading only the
+    * files the bloom cannot rule out (asserting each probe skipped).
+    * The oracle restates the probes as a plain IN over events with
+    * the identical midpoint arithmetic (exact BIGINT span, one double
+    * division, FLOOR — q144's discipline): hash equality proves the
+    * pruned files held no probed row and the bloom surfaced no
+    * phantom. */
+  val q151: String =
+    """SELECT event_id, user_id, CAST(ts AS DATE) AS day
+      |FROM events
+      |WHERE event_id IN (
+      |  (SELECT MIN(event_id) FROM events),
+      |  (SELECT MIN(event_id) +
+      |     CAST(FLOOR((MAX(event_id) - MIN(event_id)) / 2.0) AS BIGINT)
+      |   FROM events),
+      |  (SELECT MAX(event_id) FROM events))
+      |ORDER BY event_id""".stripMargin
+
+  /** q152 — the rename/drop evolution audit: the engine serves the
+    * sink's per-day aggregate TWICE — phase `logical` through the
+    * pending alter (old-name epoch + new-name batch conformed on the
+    * fly, zero data rewritten) and phase `physical` after the
+    * normalizing all-days rewrite (footers verified to carry the new
+    * name only). The oracle states the same aggregate over `events`
+    * (where `amount` is still called `value`) twice, tagged: hash
+    * equality proves both views serve exactly the original rows under
+    * the new name, the drop costing no row. Cents floored per row
+    * before the sum (q124's discipline); NULLS FIRST pins the null-ts
+    * day group. */
+  val q152: String =
+    """WITH a AS (SELECT CAST(ts AS DATE) AS day,
+      |                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |g AS (SELECT day, COUNT(*) AS n_events,
+      |             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |      FROM a GROUP BY day)
+      |SELECT 'logical' AS phase, day, n_events, sum_cents FROM g
+      |UNION ALL
+      |SELECT 'physical' AS phase, day, n_events, sum_cents FROM g
+      |ORDER BY phase, day NULLS FIRST""".stripMargin
+
+  /** q153 — the lexical-upsert audit: the engine builds the stored
+    * index on the full corpus (build + append), then one atomic
+    * upsert generation REPLACES the `doc_id % 5 = 2` cohort's text
+    * and INSERTS a re-keyed cohort, and the probes search the stored
+    * index. The oracle re-derives q140's from-scratch BM25 ranking
+    * over the POST-UPSERT corpus — survivors with original text, the
+    * replaced cohort with the appended `zq zq`, and the inserts under
+    * their new ids — with probes from the ORIGINAL docs (probing with
+    * a replaced doc's old text is an ordinary query). Hash equality
+    * proves upsert-equivalence to the bit: netted df (including the
+    * cap decision on the new token), netted corpus stats, no old
+    * version surfacing, no insert missing. */
+  val q153: String =
+    """WITH corpus_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2
+      |  UNION ALL
+      |  SELECT doc_id, text || ' zq zq' AS text FROM documents
+      |  WHERE doc_id % 5 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 9 = 4
+      |), tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM corpus_docs
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1
+      |), corpus AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_len FROM dl
+      |), dft AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok HAVING COUNT(*) <= 64
+      |), ptok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents WHERE doc_id < 5
+      |), pterms AS (
+      |  SELECT DISTINCT doc_id AS probe_id, tok FROM ptok
+      |), scored AS (
+      |  SELECT p2.probe_id, t.doc_id,
+      |    SUM(CAST(FLOOR(10000 * c.n_docs * t.tf * c.total_len /
+      |      (d.df * (t.tf * c.total_len + 2 * l.len * c.n_docs))) AS BIGINT)) AS score_bp
+      |  FROM tf t
+      |  JOIN dft d ON d.tok = t.tok
+      |  JOIN pterms p2 ON p2.tok = t.tok AND t.doc_id <> p2.probe_id
+      |  JOIN dl l ON l.doc_id = t.doc_id
+      |  CROSS JOIN corpus c
+      |  GROUP BY 1, 2
+      |)
+      |SELECT probe_id, rank, doc_id, CAST(score_bp AS BIGINT) AS score_bp
+      |FROM (
+      |  SELECT probe_id, doc_id, score_bp,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
 }

@@ -162,7 +162,12 @@ object SparkEntry {
     "q146_sketch_view" -> (Views.q146SketchView _),
     "q147_zorder" -> (SinkStats.q147ZOrder _),
     "q148_vector_pipeline" -> (VectorOps.q148VectorPipeline _),
-    "q149_metadata_count" -> (SinkStats.q149MetadataCount _)
+    "q149_metadata_count" -> (SinkStats.q149MetadataCount _),
+    "q150_snapshot_diff" -> (SnapshotDiff.q150SnapshotDiff _),
+    "q151_bloom_lookup" -> (SinkStats.q151BloomLookup _),
+    "q152_rename_drop" -> (Streaming.q152RenameDrop _),
+    "q153_lexical_upsert" -> (TextOps.q153LexicalUpsert _),
+    "q154_vector_upsert" -> (VectorOps.q154VectorUpsert _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -429,8 +434,31 @@ object SparkEntry {
     // did), boundary files scan; the oracle is the plain WHERE +
     // GROUP BY — hash equality proves the metadata arithmetic counted
     // exactly the band
-    "q149_metadata_count" -> OracleSql.q149
-    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148 (engine-specific
+    "q149_metadata_count" -> OracleSql.q149,
+    // q150 snapshot CDC: the engine's full-outer content diff of two
+    // STORED retained epochs (across a delete + a CDC upsert) must
+    // reconstruct exactly the net insert/update/delete sets the oracle
+    // derives directly from events — delete-then-reinsert nets to an
+    // update, content-identical touches stay silent
+    "q150_snapshot_diff" -> OracleSql.q150,
+    // q151 bloom point lookup: three equality probes on the UNclustered
+    // unique id (where min/max manifests are structurally blind) read
+    // only the files the per-file bloom cannot rule out (the query
+    // asserts each probe skipped); the oracle is the plain IN — hash
+    // equality proves no pruned file held a probed row and no phantom
+    // surfaced
+    "q151_bloom_lookup" -> OracleSql.q151,
+    // q152 rename/drop evolution: the logical (pending-alter, zero-copy)
+    // and physical (normalized-rewrite) views must BOTH serve the
+    // original rows under the new column name; the oracle states the
+    // same per-day aggregate twice, tagged
+    "q152_rename_drop" -> OracleSql.q152,
+    // q153 lexical upsert: one atomic generation replaces a cohort's
+    // text and inserts a fresh cohort; the stored-index search must
+    // hash-match the from-scratch BM25 ranking over the POST-UPSERT
+    // corpus (netted df and stats, no old version surfacing)
+    "q153_lexical_upsert" -> OracleSql.q153
+    // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx
     // sketch), q89 (iterative argmax loop, not SQL-expressible) — driver

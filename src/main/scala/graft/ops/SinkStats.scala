@@ -96,6 +96,17 @@ object SinkStats {
     Streaming.listSinkEpochs(spark, sink).collect()
       .map(_.getLong(0)).foldLeft(-1L)(math.max)
 
+  /** File-level manifests speak the PHYSICAL schema; a pending
+    * rename/drop would make the indexed names diverge from the logical
+    * view readSink serves — refuse loudly until compaction normalizes. */
+  private def requireNoAlter(spark: SparkSession, sink: String,
+      op: String): Unit = {
+    val (r, d) = Streaming.readAlter(fsOf(spark, sink), sink)
+    require(r.isEmpty && d.isEmpty,
+      s"$op over $sink: a schema alter is pending - run compactSink to " +
+        "normalize it first (file manifests index physical column names)")
+  }
+
   /** min/max of one column chunk as a conservative double range.
     * None = the chunk holds no non-null value (all-null or missing —
     * a range predicate can never match it). Unsupported physical
@@ -129,6 +140,7 @@ object SinkStats {
   def indexSinkStats(spark: SparkSession, sink: String,
       cols: Seq[String]): Long = {
     require(cols.nonEmpty, "index at least one column")
+    requireNoAlter(spark, sink, "indexSinkStats")
     import spark.implicits._
     val f = fsOf(spark, sink)
     val e = currentEpoch(spark, sink)
@@ -200,6 +212,7 @@ object SinkStats {
   def readSinkPruned(spark: SparkSession, sink: String, column: String,
       lo: Double, hi: Double, tsCol: String = "ts"): DataFrame = {
     require(lo <= hi, s"empty band: $lo > $hi")
+    requireNoAlter(spark, sink, "readSinkPruned")
     val f = fsOf(spark, sink)
     val e = currentEpoch(spark, sink)
     require(e >= 0, s"no committed epoch at $sink")
@@ -329,6 +342,7 @@ object SinkStats {
       lo: Double, hi: Double, tsCol: String = "ts")
       : (DataFrame, Long, Long) = {
     require(lo <= hi, s"empty band: $lo > $hi")
+    requireNoAlter(spark, sink, "countSinkPruned")
     import spark.implicits._
     val f = fsOf(spark, sink)
     val e = currentEpoch(spark, sink)
@@ -395,6 +409,209 @@ object SinkStats {
       .groupBy(col("day")).agg(sum(col("n")).as("n_events"))
       .filter(col("n_events") > 0)
     (counts, straddle.size.toLong, inside.size.toLong)
+  }
+
+  private val BloomDir = "_file_bloom"
+
+  /** Build the current epoch's per-file BLOOM manifest for `column` —
+    * the equality-predicate complement of [[indexSinkStats]]'s range
+    * manifest (Delta's bloom filter index, Parquet's column bloom, as
+    * an op over the sink's own layout): zone maps prune a range on a
+    * CLUSTERED column, but a point lookup on a column the layout does
+    * NOT cluster (the unique id, the request key) sees near-full-range
+    * min/max in every file and skips nothing. A per-file bloom of the
+    * column's value hashes skips every file that provably does not
+    * hold the probe value, regardless of layout.
+    *
+    * One column-pruned scan of the epoch (O(data), once — the price
+    * every bloom index pays at write time), distributed end to end:
+    * each value sets `seeds` bit positions (`pmod(xxhash64(v, seed),
+    * bits)` — codegen'd, engine-portable), per-file positions collapse
+    * by `collect_set` (bounded by `bits` = 16 Ki entries ≈ 64 KiB per
+    * file worst-case, far under the file itself), and the manifest
+    * lands one row per (day, file) with the sorted position array plus
+    * the (column, type, bits, seeds) recipe a reader must re-derive
+    * probes with. Files are named relative to their day dir and days
+    * resolve through [[Streaming.resolvedDays]], so the manifest
+    * survives the lifecycle's O(1) renames; it is epoch-pinned like
+    * the stats manifest — any lifecycle op stales it and the read
+    * refuses loudly. Unlike zone maps, ANY hashable type works —
+    * string keys included. Null values set no bits (equality never
+    * matches null); probing null refuses (that is an IS NULL scan,
+    * not a point lookup). Returns the number of files indexed. */
+  def indexSinkBloom(spark: SparkSession, sink: String, column: String,
+      bits: Int = 1 << 14, seeds: Int = 4): Long = {
+    require(bits > 0 && seeds > 0, "bloom needs positive bits and seeds")
+    requireNoAlter(spark, sink, "indexSinkBloom")
+    val f = fsOf(spark, sink)
+    val e = currentEpoch(spark, sink)
+    require(e >= 0, s"no committed epoch at $sink - compact before indexing")
+    val days = Streaming.resolvedDays(f, sink, e)
+    require(days.nonEmpty, s"epoch $e of $sink holds no day partitions")
+    val parts = days.groupBy(_._2.getParent.toString).toSeq
+      .map { case (base, entries) =>
+        spark.read.option("basePath", base)
+          .parquet(entries.map(_._2.toString): _*)
+      }
+    val colType = parts.head.schema(column).dataType
+    val all = parts
+      .map(_.select(col("day"), input_file_name().as("path"),
+        col(column).as("v")))
+      .reduce(_.unionByName(_))
+    val dayDir = when(col("day").isNull, lit(Streaming.NullDayDir))
+      .otherwise(concat(lit("day="), date_format(col("day"), "yyyy-MM-dd")))
+    val manifest = all
+      .select(dayDir.as("day"),
+        regexp_extract(col("path"), "[^/]+$", 0).as("file"), col("v"))
+      .filter(col("v").isNotNull)
+      .select(col("day"), col("file"),
+        explode(sequence(lit(0), lit(seeds - 1))).as("seed"), col("v"))
+      .select(col("day"), col("file"),
+        pmod(xxhash64(col("v"), col("seed")), lit(bits.toLong))
+          .cast("int").as("pos"))
+      .groupBy("day", "file")
+      .agg(sort_array(collect_set(col("pos"))).as("bloom"))
+      .withColumn("column", lit(column))
+      .withColumn("col_type", lit(colType.catalogString))
+      .withColumn("bits", lit(bits))
+      .withColumn("seeds", lit(seeds))
+    val out = s"$sink/epoch=$e/$BloomDir"
+    manifest.repartition(1).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  /** Serve `column = value` reading only the epoch files whose bloom
+    * cannot rule the value out — plus every committed live batch,
+    * conservatively — with the exact predicate re-applied on top (a
+    * bloom false positive costs I/O, never a phantom row). Probe
+    * positions are derived by the ENGINE with the manifest's own
+    * recipe (type cast, bits, seeds), so build and probe hash
+    * identically by construction. Same staleness rails as
+    * [[readSinkPruned]]: the manifest must exist for the CURRENT
+    * epoch and cover `column`, else refuse loudly. */
+  def readSinkPoint(spark: SparkSession, sink: String, column: String,
+      value: Any, tsCol: String = "ts"): DataFrame = {
+    requireNoAlter(spark, sink, "readSinkPoint")
+    require(value != null,
+      "point lookup on NULL is an IS NULL scan, not an equality probe")
+    val f = fsOf(spark, sink)
+    val e = currentEpoch(spark, sink)
+    require(e >= 0, s"no committed epoch at $sink")
+    val manPath = s"$sink/epoch=$e/$BloomDir"
+    require(f.exists(new org.apache.hadoop.fs.Path(manPath)),
+      s"no $BloomDir manifest for the current epoch $e of $sink - every " +
+        "lifecycle op mints a new epoch whose files the previous bloom " +
+        "cannot describe; run indexSinkBloom after maintenance")
+    val man = spark.read.parquet(manPath).cache()
+    try {
+      val head = man.limit(1).collect()
+      require(head.nonEmpty, s"empty bloom manifest at $manPath")
+      val h = head.head
+      require(h.getAs[String]("column") == column,
+        s"bloom manifest at $manPath indexes column " +
+          s"'${h.getAs[String]("column")}', not '$column' - run " +
+          s"indexSinkBloom(_, _, \"$column\")")
+      val (colType, bits, seeds) = (h.getAs[String]("col_type"),
+        h.getAs[Int]("bits"), h.getAs[Int]("seeds"))
+      // probe positions via the engine's own hash - identical to build
+      val probe = spark.range(1).select((0 until seeds).map(s =>
+        pmod(xxhash64(lit(value).cast(colType), lit(s)), lit(bits.toLong))
+          .cast("int").as(s"p$s")): _*).head()
+      val positions = (0 until seeds).map(probe.getInt)
+      val kept = man
+        .filter(positions.distinct.map(p =>
+          array_contains(col("bloom"), p)).reduce(_ && _))
+        .select("day", "file").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSeq
+      val dayMap = Streaming.resolvedDays(f, sink, e).toMap
+      kept.foreach { case (d, _) => require(dayMap.contains(d),
+        s"bloom manifest names $d but epoch $e does not hold it - re-run " +
+          "indexSinkBloom") }
+      val epochParts = kept
+        .groupBy { case (d, _) => dayMap(d).getParent.toString }
+        .toSeq.map { case (basePath, entries) =>
+          spark.read.option("basePath", basePath)
+            .parquet(entries.map { case (d, fn) => s"${dayMap(d)}/$fn" }: _*)
+        }
+      def withDay(df: DataFrame): DataFrame =
+        if (df.columns.contains(tsCol))
+          df.withColumn("day", to_date(col(tsCol)))
+        else df.withColumn("day", lit(null).cast("date"))
+      val wm = Streaming.listSinkEpochs(spark, sink).collect()
+        .filter(_.getLong(0) == e).headOption.map(_.getLong(2)).getOrElse(-1L)
+      val liveParts = Streaming.subdirs(spark, sink, "batch_id=")
+        .filter { case (id, p) =>
+          id > wm &&
+            f.exists(new org.apache.hadoop.fs.Path(p, Streaming.BatchCommit))
+        }.sortBy(_._1)
+        .map(d => withDay(spark.read.parquet(d._2.toString)))
+      val parts = epochParts ++ liveParts
+      val base =
+        if (parts.nonEmpty) parts.reduce(_.unionByName(_,
+          allowMissingColumns = true))
+        // a fully-pruned probe must yield a frame with ZERO input files
+        // (a limit(0) over readSink would still report every sink file
+        // and defeat the caller's skip accounting) - materialize the
+        // schema-only empty frame instead
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Streaming.readSink(spark, sink, tsCol).schema)
+      base.filter(col(column) === lit(value).cast(colType))
+    } finally man.unpersist()
+  }
+
+  /** q151 — BLOOM point-lookup skipping END TO END under the oracle
+    * hash (the equality complement of q144's range story, and the
+    * lookup shape zone maps are STRUCTURALLY blind to): the sink
+    * compacts clustered on `user_id` — which scatters `event_id`
+    * near-uniformly, so every file's event_id min/max spans the whole
+    * domain and a range manifest would skip NOTHING — then
+    * [[indexSinkBloom]] fingerprints each file's event_id set and
+    * three point probes (the min id, the max id, and the possibly-
+    * absent midpoint) are served through [[readSinkPoint]], each
+    * ASSERTED to read fewer files than the epoch holds (with ~150
+    * ids per file in 16 Ki bits, the expected false-positive rate is
+    * ~1e-6 — the probe reads ~1 file). The oracle restates the three
+    * probes as `event_id IN (min, mid, max)` over events with the
+    * identical integer midpoint arithmetic: hash equality proves the
+    * pruned files held no probed row and the bloom surfaced no
+    * phantom. */
+  def q151BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "events_bloom")
+    val ev = graft.Tables.events(spark, dir)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    val f = fsOf(spark, sink)
+    val inputBytes = Streaming.subdirs(spark, sink, "batch_id=")
+      .map(d => f.getContentSummary(d._2).getLength).sum
+    val prevTarget = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+    val prevCluster = spark.conf.getOption("spark.graft.compact.clusterBy")
+    try {
+      spark.conf.set("spark.graft.compact.targetFileBytes",
+        math.max(1L, inputBytes / 64).toString)
+      spark.conf.set("spark.graft.compact.clusterBy", "user_id")
+      Streaming.compactSink(spark, sink, quiesced = true)
+    } finally {
+      prevTarget.fold(spark.conf
+        .unset("spark.graft.compact.targetFileBytes"))(v =>
+        spark.conf.set("spark.graft.compact.targetFileBytes", v))
+      prevCluster.fold(spark.conf.unset("spark.graft.compact.clusterBy"))(v =>
+        spark.conf.set("spark.graft.compact.clusterBy", v))
+    }
+    val total = indexSinkBloom(spark, sink, "event_id")
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (idMin, idMax) = (b.getLong(0), b.getLong(1))
+    val idMid = idMin + (idMax - idMin) / 2L
+    val probes = Seq(idMin, idMid, idMax).distinct.map { id =>
+      val hit = readSinkPoint(spark, sink, "event_id", id)
+      require(hit.inputFiles.length < total,
+        s"q151 probe $id read ${hit.inputFiles.length} of $total files - " +
+          "the bloom manifest failed to prune")
+      hit.select(col("event_id"), col("user_id"), col("day"))
+    }
+    probes.reduce(_.unionByName(_)).orderBy("event_id")
   }
 
   /** q147 — Z-ORDER multi-column data skipping END TO END under the

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** CHANGE DATA CAPTURE between retained sink snapshots — the read-side
+  * payoff of the epoch-grace/time-travel work (q134): once
+  * `spark.graft.sink.keepEpochs` retains history, "what changed
+  * between version A and version B" becomes a first-class relational
+  * question instead of a full-table re-diff a consumer hand-rolls.
+  * Every lakehouse serves exactly this (Delta's `table_changes`,
+  * Iceberg's `changelog` scan); here it is one op over the sink's own
+  * retained epochs:
+  *
+  *  - [[readSinkChanges]] full-outer-joins the two snapshots on the
+  *    row key and classifies each key: present only after → `insert`;
+  *    present only before → `delete`; present in both with any compare
+  *    column differing (null-safe) → `update`. Unchanged keys emit
+  *    nothing, so the result is O(churn), not O(table) — at 100 TB the
+  *    difference between "ship the day's changes downstream" and
+  *    "re-ship the table".
+  *
+  * The diff is CONTENT-based and END-TO-END: it reads the two stored
+  * snapshots, not the lifecycle ops between them, so a row deleted and
+  * re-upserted with identical content emits nothing (no net change),
+  * and a row touched twice emits its NET change — exactly the
+  * semantics a downstream sync wants. One shuffle join keyed on the
+  * diff key; both snapshot scans are column-pruned to key + compare +
+  * day before the join, so the exchange ships only the diffed columns.
+  *
+  * Contract: `keyCols` must identify a row uniquely within each
+  * snapshot (the sink's upsert key — the same uniqueness MERGE itself
+  * relies on); duplicate or null keys make the join fan out and are
+  * the caller's modeling bug, not a diff mode. Additive schema drift
+  * between the snapshots is first-class: a requested column missing
+  * from one side conforms as NULL of the other side's type, so "column
+  * added between versions" surfaces as updates on the rows that
+  * populated it.
+  *
+  * q150 proves the cycle under the DuckDB oracle hash: snapshot →
+  * delete cohort → CDC upsert (updates + inserts) → diff the first
+  * and last retained epochs; the oracle re-derives the insert/update/
+  * delete sets directly from `events`, so hash equality proves the
+  * diff reconstructs exactly the net mutation set — nothing missed,
+  * nothing phantom, net-no-op rows silent. SnapshotDiffSpec pins the
+  * classification lattice, null transitions, drift conformance,
+  * identical-snapshot emptiness, and the non-retained-epoch refusal
+  * (inherited loudly from [[Streaming.readSink]]'s atEpoch rail). */
+object SnapshotDiff {
+
+  private def currentEpoch(spark: SparkSession, sink: String): Long =
+    Streaming.listSinkEpochs(spark, sink).collect()
+      .map(_.getLong(0)).foldLeft(-1L)(math.max)
+
+  /** The rows that changed between retained committed epochs
+    * `fromEpoch` and `toEpoch` (both served through
+    * [[Streaming.readSink]]`(atEpoch)`, so a vacuumed epoch refuses
+    * loudly): one row per inserted / deleted / content-changed key,
+    * columns `change, <keyCols>, <compareCols>, day` — post-image
+    * values for inserts and updates, pre-image for deletes. Keys equal
+    * under null-safe comparison match; a key present in both with
+    * every compare column null-safe-equal emits nothing. */
+  def readSinkChanges(spark: SparkSession, path: String,
+      fromEpoch: Long, toEpoch: Long, keyCols: Seq[String],
+      compareCols: Seq[String], tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "readSinkChanges needs at least one key column")
+    require(fromEpoch < toEpoch,
+      s"readSinkChanges diffs an older snapshot against a newer one: " +
+        s"fromEpoch $fromEpoch must be < toEpoch $toEpoch (equal epochs " +
+        "have an empty diff by definition; swap the arguments for the " +
+        "reverse direction)")
+    val pre = Streaming.readSink(spark, path, tsCol, atEpoch = Some(fromEpoch))
+    val post = Streaming.readSink(spark, path, tsCol, atEpoch = Some(toEpoch))
+    val valueCols = (compareCols :+ "day").distinct.filterNot(keyCols.contains)
+    val cols = keyCols ++ valueCols
+    // additive drift between versions: a requested column missing from
+    // one snapshot conforms as NULL of the other's type (missing from
+    // BOTH is a caller error - refuse with the column named)
+    def side(df: DataFrame, tag: String, other: DataFrame): DataFrame = {
+      val conformed = cols.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else {
+          require(other.columns.contains(c),
+            s"column '$c' exists in neither snapshot of $path")
+          d.withColumn(c, lit(null).cast(other.schema(c).dataType))
+        }
+      }
+      conformed.select(cols.map(c => col(c).as(s"${tag}_$c")) :+
+        lit(true).as(s"${tag}_present"): _*)
+    }
+    val joined = side(pre, "pre", post).join(side(post, "post", pre),
+      keyCols.map(k => col(s"pre_$k") <=> col(s"post_$k")).reduce(_ && _),
+      "full_outer")
+    val changed =
+      if (compareCols.isEmpty) lit(false)
+      else compareCols.map(c => !(col(s"pre_$c") <=> col(s"post_$c")))
+        .reduce(_ || _)
+    joined
+      .withColumn("change",
+        when(col("pre_present").isNull, lit("insert"))
+          .when(col("post_present").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("change") +:
+        (keyCols.map(k => coalesce(col(s"post_$k"), col(s"pre_$k")).as(k)) ++
+          valueCols.map(c => when(col("change") === "delete", col(s"pre_$c"))
+            .otherwise(col(s"post_$c")).as(c))): _*)
+  }
+
+  /** q150 — snapshot CDC END TO END under the oracle hash: events land
+    * as one batch and compact into snapshot epoch A under
+    * `keepEpochs = 3`; a [[Streaming.deleteWhere]] removes the
+    * `user_id % 7 = 3` cohort (epoch A+1); a CDC
+    * [[Streaming.upsertBatch]] then UPDATES every `event_id % 3 = 0`
+    * key (user_id shifted by +1 000 000 — an exact integer delta, so
+    * the diff's compare is IEEE-free) and INSERTS a fresh key cohort
+    * (`event_id % 10 = 1` re-keyed +1 000 000 000), minting epoch A+2;
+    * [[readSinkChanges]] diffs A against A+2. The oracle re-derives
+    * the three change sets directly from `events`:
+    * updates = every touched key whose content visibly changed (a null
+    * user_id shifts to null — touched but content-identical, so the
+    * diff rightly stays silent); deletes = the deleted cohort MINUS
+    * the keys the upsert re-created (their net change is an update);
+    * inserts = the re-keyed cohort. Hash equality proves the diff
+    * reconstructs exactly the net mutation set across TWO lifecycle
+    * ops — including the delete-then-reinsert keys surfacing as
+    * updates, not delete+insert pairs. */
+  def q150SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Streaming.scratchSink(spark, dir, "events_cdf")
+    val ev = Tables.events(spark, dir)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
+    spark.conf.set("spark.graft.sink.keepEpochs", "3")
+    try {
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val snap = currentEpoch(spark, sink)
+      Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+      val upd = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("user_id", col("user_id") + 1000000L)
+      val ins = ev.filter(col("event_id") % 10 === 1)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+      Streaming.upsertBatch(spark, sink, upd.unionByName(ins), Seq("event_id"))
+      val cur = currentEpoch(spark, sink)
+      readSinkChanges(spark, sink, snap, cur,
+        Seq("event_id"), Seq("user_id"))
+        .orderBy("change", "event_id")
+    } finally prevKeep match {
+      case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
+      case None => spark.conf.unset("spark.graft.sink.keepEpochs")
+    }
+  }
+}

@@ -1100,6 +1100,115 @@ object Streaming {
     }: _*)
   }
 
+  // ------------------------------------------------ rename / drop
+  // The OTHER two schema-drift classes after additive (q124) and
+  // widening (q137): RENAME and DROP. Same discipline as widening —
+  // the alter is METADATA first (a durable marker; readers conform the
+  // logical view on the fly, so the rename is visible instantly at
+  // zero data cost), and the next compaction NORMALIZES it physically
+  // through a one-time all-days rewrite (a moved file would keep the
+  // old column name in its footer and poison every later read), after
+  // which the marker clears and the steady state is marker-free.
+  // Mutating ops (deleteWhere / upsertBatch) refuse while an alter is
+  // pending — their rewrite would have to re-implement the conform
+  // logic per day; normalizing first keeps one code path correct.
+
+  private val PendingAlter = "_PENDING_ALTER"
+
+  private[ops] def readAlter(f: org.apache.hadoop.fs.FileSystem,
+      path: String): (Map[String, String], Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(path, PendingAlter)
+    if (!f.exists(p)) (Map.empty, Seq.empty)
+    else {
+      val in = f.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val renames = lines.collect { case l if l.startsWith("rename ") =>
+        val Array(_, o, n) = l.split(" "); o -> n
+      }.toMap
+      val drops = lines.collect { case l if l.startsWith("drop ") =>
+        l.split(" ")(1)
+      }
+      (renames, drops)
+    }
+  }
+
+  /** The logical view of `df` under a pending alter: drops first, then
+    * renames — each GUARDED on the physical column being present, so
+    * the same alter applies cleanly to an old-schema epoch, a
+    * new-schema batch (a producer already writing the new name), and
+    * a half-normalized sink after a crash between commit and marker
+    * clear (idempotence is what makes the crash window safe). A part
+    * carrying BOTH names is ambiguous and refuses loudly. */
+  private def applyAlter(df: DataFrame, renames: Map[String, String],
+      drops: Seq[String]): DataFrame = {
+    val dropped = drops.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d.drop(c) else d)
+    renames.foldLeft(dropped) { case (d, (o, n)) =>
+      if (!d.columns.contains(o)) d
+      else {
+        require(!d.columns.contains(n),
+          s"alter rename $o -> $n is ambiguous: a part carries BOTH " +
+            "columns - the producer wrote the old and new name side by " +
+            "side; fix the producer and rewrite that batch")
+        d.withColumnRenamed(o, n)
+      }
+    }
+  }
+
+  /** Record a RENAME / DROP schema alter on the sink — metadata only,
+    * O(1), visible to every reader immediately (the logical view
+    * conforms on the fly); the next [[compactSink]] normalizes it
+    * physically via a one-time all-days rewrite and clears the marker.
+    * One alter may be pending at a time (normalize before stacking
+    * another); the reserved columns (`tsCol`, `day`) and the sink's
+    * current logical schema are validated loudly. New batches may
+    * land in EITHER schema while the alter is pending — a producer
+    * already writing the new name conforms as a no-op. */
+  def alterSink(spark: SparkSession, path: String,
+      renames: Map[String, String] = Map.empty,
+      drops: Seq[String] = Seq.empty, tsCol: String = "ts"): Unit =
+    withFencedCompactorLock(spark, path) { fence =>
+      require(renames.nonEmpty || drops.nonEmpty,
+        "alterSink needs at least one rename or drop")
+      val f = fs(spark, path)
+      val (er, ed) = readAlter(f, path)
+      require(er.isEmpty && ed.isEmpty,
+        s"an alter is already pending on $path - run compactSink to " +
+          "normalize it before recording another")
+      val reserved = Set(tsCol, "day")
+      (renames.keys ++ renames.values ++ drops).foreach { c =>
+        require(!reserved.contains(c),
+          s"cannot alter reserved column '$c' (the sink's time/partition " +
+            "derivation depends on it)")
+      }
+      require((renames.keySet & drops.toSet).isEmpty,
+        "a column cannot be both renamed and dropped in one alter")
+      require(renames.values.toSeq.distinct.size == renames.size,
+        "two renames target the same new name")
+      val cur = readSink(spark, path, tsCol).columns.toSet
+      renames.foreach { case (o, n) =>
+        require(cur.contains(o), s"rename source '$o' is not in the " +
+          s"sink schema (${cur.toSeq.sorted.mkString(", ")})")
+        require(!cur.contains(n),
+          s"rename target '$n' already exists in the sink schema")
+      }
+      drops.foreach(c => require(cur.contains(c),
+        s"drop target '$c' is not in the sink schema"))
+      val lines = renames.toSeq.sortBy(_._1).map { case (o, n) =>
+        s"rename $o $n"
+      } ++ drops.sorted.map(c => s"drop $c")
+      fence()
+      val tmp = new org.apache.hadoop.fs.Path(path, s".$PendingAlter.tmp")
+      val out = f.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      require(f.rename(tmp,
+        new org.apache.hadoop.fs.Path(path, PendingAlter)),
+        s"could not install alter marker under $path")
+    }
+
   /** Every day of committed epoch `epochId` paired with the directory
     * that PHYSICALLY holds it: the epoch's own `day=` children plus —
     * when a durable [[MergePlan]] is present (snapshot mode,
@@ -1346,6 +1455,43 @@ object Streaming {
     subdirs(spark, path, "batch_id=").foreach { case (id, p) =>
       if (id <= wm) f.delete(p, true)
     }
+    // pending rename/drop: normalize it PHYSICALLY in this rewrite -
+    // every input (batches and previous epoch) conforms to the logical
+    // schema before widening, and the all-days rewrite below is forced
+    // so no moved file can keep an old-name footer
+    val (alterRen, alterDrop) = readAlter(f, path)
+    val alterPending = alterRen.nonEmpty || alterDrop.nonEmpty
+    def alterOf(df: DataFrame): DataFrame =
+      if (!alterPending) df else applyAlter(df, alterRen, alterDrop)
+    // an alter with NOTHING fresh to fold still needs its normalize
+    // pass: rewrite every previous day through the conform and mint
+    // the epoch that clears the marker
+    def normalizeOnly(): Long = {
+      if (!alterPending || before < 0) return before
+      val prevDays = resolvedDays(f, path, before)
+      if (prevDays.isEmpty) {
+        f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
+        return before
+      }
+      val src = applyAlter(readDays(spark, prevDays), alterRen, alterDrop)
+      val epoch = before + 1
+      val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
+      val targetBytes = spark.conf
+        .getOption("spark.graft.compact.targetFileBytes")
+        .map(_.toLong).getOrElse(128L << 20)
+      val inputBytes =
+        prevDays.map(d => f.getContentSummary(d._2).getLength).sum
+      val k = math.min(32768L, math.max(
+        math.min(prevDays.size.toLong, 1024L),
+        (inputBytes + targetBytes - 1) / targetBytes)).toInt
+      src.repartitionByRange(k, col("day"), col(tsCol))
+        .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+      fence()
+      commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact")
+      f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
+      retireEpochsLocked(spark, path, f)
+      epoch
+    }
     // input selection: committed batches only, max live id held back
     // unless the writer is quiesced (see scaladoc)
     val candidates = subdirs(spark, path, "batch_id=")
@@ -1356,13 +1502,16 @@ object Streaming {
     val live =
       if (quiesced) committed
       else committed.filterNot { case (id, _) => maxLiveId.contains(id) }
-    if (live.isEmpty) return before
+    if (live.isEmpty) return normalizeOnly()
     // a committed batch dir can hold zero data files (an empty
     // micro-batch); reading an all-empty set would fail schema
     // inference, and WRITING an epoch from zero rows would leave a
     // dataless epoch dir that breaks readSink the same way — so
     // rowless inputs are retired without minting an epoch
-    def retireLive(): Long = { live.foreach { case (_, p) => f.delete(p, true) }; before }
+    def retireLive(): Long = {
+      live.foreach { case (_, p) => f.delete(p, true) }
+      normalizeOnly()
+    }
     val withData = live.filter { case (_, p) =>
       f.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
     }
@@ -1385,21 +1534,21 @@ object Streaming {
     // read conforms to it (no-op without drift), and a narrower
     // previous epoch forces the all-days rewrite below
     val batchSchemas = withData.map(d =>
-      spark.read.parquet(d._2.toString).schema)
+      alterOf(spark.read.parquet(d._2.toString)).schema)
     val prevSchema: Option[org.apache.spark.sql.types.StructType] =
       if (prevDays.isEmpty) None
       else Some(org.apache.spark.sql.types.StructType(
-        readDays(spark, prevDays).schema.filterNot(_.name == "day")))
+        alterOf(readDays(spark, prevDays)).schema.filterNot(_.name == "day")))
     val target = widenedSchema(batchSchemas ++ prevSchema,
       s"compaction over $path")
     val batchesUniform = batchSchemas.forall(s =>
       s.forall(fld => target(fld.name).dataType == fld.dataType))
     val fresh0 =
-      if (batchesUniform)
+      if (batchesUniform && !alterPending)
         spark.read.option("mergeSchema", "true")
           .parquet(withData.map(_._2.toString): _*)
       else withData
-        .map(d => conform(spark.read.parquet(d._2.toString), target))
+        .map(d => conform(alterOf(spark.read.parquet(d._2.toString)), target))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     val fresh = conform(fresh0, target)
       .withColumn("day", to_date(col(tsCol)))
@@ -1417,13 +1566,15 @@ object Streaming {
     // a narrower previous epoch makes EVERY previous day "overlap":
     // all are read through the widening cast and rewritten — the
     // one-time type-migration pass; untouched-day moves resume on the
-    // next compaction once footers agree
+    // next compaction once footers agree. A pending rename/drop forces
+    // the same all-days pass for the same reason (old-name footers).
     val overlap =
-      if (prevNarrow) prevDays
+      if (prevNarrow || alterPending) prevDays
       else prevDays.filter(d => freshDays.contains(d._1))
     val merged =
       if (overlap.isEmpty) fresh
-      else fresh.unionByName(conform(readDays(spark, overlap), target),
+      else fresh.unionByName(
+        conform(alterOf(readDays(spark, overlap)), target),
         allowMissingColumns = true)
     // size-aware writer count: enough range partitions that each writes
     // ~targetFileBytes, floored at the (capped) day count so quiet days
@@ -1480,6 +1631,12 @@ object Streaming {
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the epoch visible: last exit
     commitEpoch(f, epochDir, consumed, "compact")
+    // the alter is now physical: clear the marker. A crash between the
+    // commit and this delete leaves a stale marker whose re-application
+    // is a guarded no-op everywhere (applyAlter's idempotence) and
+    // which the next compaction clears.
+    if (alterPending)
+      f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
     // classic mode: materialize the new epoch (transitive finishMoves)
     // and retire the source; snapshot mode: the plan stays durable and
     // only epochs past the retention depth retire
@@ -1756,6 +1913,65 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** q152 — RENAME + DROP schema evolution END TO END under the oracle
+    * hash (the remaining drift classes after additive q124 and
+    * widening q137): events ingest under the ORIGINAL schema and
+    * compact; [[alterSink]] renames `value -> amount` and drops
+    * `props` — metadata only, O(1); a NEW-schema batch (a producer
+    * already writing `amount`, no `props`) lands beside the old-name
+    * epoch; phase `logical` reads the mixed sink through the pending
+    * alter — old epoch and new batch conform under ONE logical schema
+    * with zero data rewritten (the query ASSERTS the served schema) —
+    * and is eagerly materialized; the next compaction NORMALIZES
+    * physically (all-days rewrite; the query asserts the epoch
+    * footers carry `amount`, carry neither `value` nor `props`, and
+    * the marker cleared) and phase `physical` re-aggregates from the
+    * normalized files. The oracle states the same per-day aggregate
+    * over `events` twice, tagged: hash equality proves BOTH views —
+    * the zero-copy logical one and the rewritten physical one — serve
+    * exactly the original rows under the new name, with the dropped
+    * column's disappearance costing no row anywhere. */
+  def q152RenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    val sink = scratchSink(spark, dir, "events_alter")
+    val ev = Tables.events(spark, dir)
+    writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    compactSink(spark, sink, quiesced = true)
+    alterSink(spark, sink,
+      renames = Map("value" -> "amount"), drops = Seq("props"))
+    writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumnRenamed("value", "amount").drop("props"), sink, 1L)
+    def agg(tag: String): DataFrame = {
+      val r = readSink(spark, sink)
+      require(r.columns.contains("amount") &&
+        !r.columns.contains("value") && !r.columns.contains("props"),
+        s"q152: the $tag view must serve the ALTERED schema, got " +
+          r.columns.mkString(","))
+      r.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("amount") * 100).cast("long")).as("sum_cents"))
+        .withColumn("phase", lit(tag))
+    }
+    // LOGICAL phase: mixed-schema sink served under the pending alter,
+    // zero data rewritten. Materialized eagerly - the normalizing
+    // compaction below retires the directories this frame reads.
+    val logical = agg("logical").localCheckpoint(true)
+    compactSink(spark, sink, quiesced = true)
+    val f = fs(spark, sink)
+    require(!f.exists(new org.apache.hadoop.fs.Path(sink, PendingAlter)),
+      "q152: the normalizing compaction must clear the alter marker")
+    val eSchema = spark.read
+      .parquet(s"$sink/epoch=${maxEpoch(spark, sink)}").schema.fieldNames
+    require(eSchema.contains("amount") && !eSchema.contains("value") &&
+      !eSchema.contains("props"),
+      s"q152: normalized epoch footers must carry the altered schema, " +
+        s"got ${eSchema.mkString(",")}")
+    logical.unionByName(agg("physical"))
+      .select("phase", "day", "n_events", "sum_cents")
+      .orderBy("phase", "day")
+  }
+
   /** q134 — SNAPSHOT GRACE + TIME TRAVEL on the sink END TO END under
     * the oracle hash (closing the r13 verdict's top gap: until now
     * every lifecycle op retired its source epoch at commit, so a
@@ -1849,6 +2065,15 @@ object Streaming {
   def readSink(spark: SparkSession, path: String,
       tsCol: String = "ts", atEpoch: Option[Long] = None): DataFrame = {
     val f = fs(spark, path)
+    // pending rename/drop: every view this reader serves — current,
+    // time-travel, each live batch — conforms to the LOGICAL schema
+    // (per part, so old-name epochs and new-name batches meet under
+    // one name; column-mapping semantics: history shows the current
+    // logical schema, like every mapping-based lakehouse)
+    val (alterRen, alterDrop) = readAlter(f, path)
+    def altered(df: DataFrame): DataFrame =
+      if (alterRen.isEmpty && alterDrop.isEmpty) df
+      else applyAlter(df, alterRen, alterDrop)
     atEpoch.foreach { id =>
       require(f.exists(new org.apache.hadoop.fs.Path(
         s"$path/epoch=$id", EpochCommit)), {
@@ -1863,7 +2088,7 @@ object Streaming {
       })
       val frame = readEpochFrame(spark, f, path, id)
       require(frame.nonEmpty, s"epoch $id of $path holds no data")
-      return frame.get
+      return altered(frame.get)
     }
     val cut = maxEpoch(spark, path)
     def withDay(df: DataFrame): DataFrame =
@@ -1906,7 +2131,8 @@ object Streaming {
         id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
       }
       .sortBy(_._1).map(_._2.toString)
-    val parts = epochParts ++ liveDirs.map(d => withDay(spark.read.parquet(d)))
+    val parts = (epochParts ++
+      liveDirs.map(d => withDay(spark.read.parquet(d)))).map(altered)
     require(parts.nonEmpty, s"empty sink at $path")
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1983,8 +2209,16 @@ object Streaming {
         "poll again after the producer's first commit")
       readSink(spark, path, tsCol).limit(0)
     }
-    else delta.map(d => withDay(spark.read.parquet(d)))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // the delta conforms to the same logical schema as readSink (a
+      // pending rename/drop applies per batch, guarded - see readSink)
+      val (alterRen, alterDrop) = readAlter(f, path)
+      delta.map(d => withDay(spark.read.parquet(d)))
+        .map(df =>
+          if (alterRen.isEmpty && alterDrop.isEmpty) df
+          else applyAlter(df, alterRen, alterDrop))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Warehouse retention: drop the committed epoch's `day=` directories
@@ -2124,6 +2358,11 @@ object Streaming {
     val f = fs(spark, path)
     fence() // settleEpochs deletes attempts: fence first (compactLocked's note)
     settleEpochs(spark, path, f)
+    val pendingAlter = readAlter(f, path)
+    require(pendingAlter._1.isEmpty && pendingAlter._2.isEmpty,
+      s"deleteWhere over $path: a schema alter is pending - run " +
+        "compactSink to normalize it first (the delete's per-day " +
+        "rewrite must see one physical schema)")
     val before = maxEpoch(spark, path)
     val wm = consumedThrough(f, path, before)
     val liveCommitted = subdirs(spark, path, "batch_id=")
@@ -2234,6 +2473,11 @@ object Streaming {
     val f = fs(spark, path)
     fence() // settleEpochs deletes attempts: fence first (compactLocked's note)
     settleEpochs(spark, path, f)
+    val pendingAlter = readAlter(f, path)
+    require(pendingAlter._1.isEmpty && pendingAlter._2.isEmpty,
+      s"upsertBatch over $path: a schema alter is pending - run " +
+        "compactSink to normalize it first (the merge must see one " +
+        "physical schema)")
     val before = maxEpoch(spark, path)
     val wm = consumedThrough(f, path, before)
     val liveCommitted = subdirs(spark, path, "batch_id=")
@@ -2461,7 +2705,12 @@ object Streaming {
     *     mints a new epoch and stales the previous `_file_stats`
     *     manifest, so "current epoch has no manifest" is exactly the
     *     re-index signal — [[SinkStats.indexSinkStats]] runs then, and
-    *     a steady-state cron pays one existence check.
+    *     a steady-state cron pays one existence check;
+    *  6. RE-INDEX THE BLOOM (only with
+    *     `spark.graft.maintain.bloomColumn` set): the same staleness
+    *     signal for the `_file_bloom` point-lookup manifest —
+    *     [[SinkStats.indexSinkBloom]]'s one data pass, the price every
+    *     bloom index pays at write time.
     *
     * Each step takes the maintenance lock itself; between steps
     * another actor may interleave (every op is standalone-safe, so
@@ -2567,7 +2816,26 @@ object Streaming {
           Seq(s"stats_indexed=$n")
         }
     }
-    compacted ++ retired ++ vacuumed ++ epochsVacuumed ++ statsIndexed
+    // 6. BLOOM REFRESH: the equality-skipping twin of step 5 —
+    // `spark.graft.maintain.bloomColumn` names the point-lookup key,
+    // and "no _file_bloom on the current epoch" is the re-index signal
+    // (one data pass, the price every bloom index pays at write time)
+    val bloomIndexed = spark.conf
+      .getOption("spark.graft.maintain.bloomColumn").map(_.trim)
+      .filter(_.nonEmpty) match {
+      case None => Seq.empty
+      case Some(bloomCol) =>
+        val cut = maxEpoch(spark, path)
+        val fresh = cut >= 0 && f.exists(new org.apache.hadoop.fs.Path(
+          s"$path/epoch=$cut/_file_bloom"))
+        if (cut < 0 || fresh) Seq.empty
+        else {
+          val n = SinkStats.indexSinkBloom(spark, path, bloomCol)
+          Seq(s"bloom_indexed=$n")
+        }
+    }
+    compacted ++ retired ++ vacuumed ++ epochsVacuumed ++ statsIndexed ++
+      bloomIndexed
   }
 
   /** Enforce the snapshot-retention depth on demand: keep the

@@ -1707,6 +1707,22 @@ object TextOps {
     marks.map(_._1).filterNot(replaced).sorted
   }
 
+  /** Clear any orphan data a TORN write left under generation id
+    * `gen` before minting it anew: a crash after data landed but
+    * before the marker leaves uncommitted `gen=` dirs, and the next
+    * mint REUSES the id (markers drive the counter) — without this
+    * sweep, an orphan `tomb/gen=N` from a torn upsert/delete would be
+    * resurrected into the new generation the moment its marker lands
+    * (overwrite-mode writes cover postings/df/stats, but ops that
+    * write no tomb would adopt the stale one). */
+  private def lexClearGen(spark: SparkSession, out: String,
+      gen: Long): Unit = {
+    val f = lexFs(spark, out)
+    Seq("postings", "df", "stats", "tomb").foreach { part =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$out/$part/gen=$gen"), true)
+    }
+  }
+
   /** Space-split tokens per doc (q135's tokenizer — the index and the
     * from-scratch oracle must agree on token identity). */
   private def lexToks(docs: DataFrame): DataFrame =
@@ -1715,6 +1731,7 @@ object TextOps {
 
   private def lexAppendGen(spark: SparkSession, docs: DataFrame,
       out: String, gen: Long, meta: Seq[String] = Seq.empty): Unit = {
+    lexClearGen(spark, out, gen)
     // one tokenize+count pass feeds all three writes (postings, df,
     // stats) — without the lineage cut each write job would re-scan
     // and re-tokenize the batch (q57's localCheckpoint discipline)
@@ -1788,7 +1805,21 @@ object TextOps {
     else if (!f.listStatus(root).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("gen="))) None
     else Some(spark.read.parquet(s"$out/tomb")
-      .filter(col("gen").isin(gens: _*)).select("doc_id"))
+      .filter(col("gen").isin(gens: _*))
+      .select(col("doc_id"), col("gen").as("tomb_gen")))
+  }
+
+  /** `p` minus tombstone-killed rows. A tombstone minted at generation
+    * M kills the victim's postings from generations STRICTLY BEFORE M
+    * and nothing newer — so a re-add after a delete, and the upsert's
+    * own replacement postings (which land in the tombstone's very
+    * generation), survive by construction. `p` must carry the `gen`
+    * partition column. */
+  private def lexSurvivors(p: DataFrame,
+      tomb: Option[DataFrame]): DataFrame = tomb match {
+    case None => p
+    case Some(t) => p.join(t,
+      p("doc_id") === t("doc_id") && p("gen") < t("tomb_gen"), "left_anti")
   }
 
   /** DELETE docs from the stored lexical index — Lucene's deleted-docs
@@ -1815,18 +1846,20 @@ object TextOps {
     require(gens.nonEmpty,
       s"no committed lexical index at $out - writeLexicalIndex first")
     val gen = lexMarkers(spark, out).map(_._1).max + 1
+    lexClearGen(spark, out, gen)
     val genF = col("gen").isin(gens: _*)
     val ids = deletes.select("doc_id").distinct()
-    val fresh = lexTomb(spark, out, gens) match {
-      case Some(t) => ids.join(t, Seq("doc_id"), "left_anti")
-      case None => ids
-    }
-    // one pruned scan of the victims' postings feeds all three delta
-    // writes (df, stats, tomb) — the localCheckpoint cuts the lineage
-    // so each write job reuses it instead of re-scanning the index
-    val hit = spark.read.parquet(s"$out/postings").filter(genF)
+    // one pruned scan of the victims' LIVE postings (the gen-scoped
+    // tombstone rule already excludes earlier victims, so a replayed
+    // delete batch and a never-indexed id both fall out here) feeds
+    // all three delta writes (df, stats, tomb) — the localCheckpoint
+    // cuts the lineage so each write job reuses it
+    val hit = lexSurvivors(
+        spark.read.parquet(s"$out/postings").filter(genF)
+          .select("b", "tok", "doc_id", "len", "gen"),
+        lexTomb(spark, out, gens))
       .select("b", "tok", "doc_id", "len")
-      .join(fresh, "doc_id")
+      .join(ids, "doc_id")
       .localCheckpoint()
     if (hit.isEmpty) return gens.max
     hit.groupBy("b", "tok").agg((count(lit(1)) * -1L).as("df"))
@@ -1841,6 +1874,98 @@ object TextOps {
     val f = lexFs(spark, out)
     f.create(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true)
       .close()
+    gen
+  }
+
+  /** UPSERT docs into the stored lexical index — Lucene's update-
+    * document (delete + add under one sequence point) as a relational
+    * dataflow: the op a content refresh or re-crawl forces on a
+    * serving index, where "replace doc 7's text" must never leave a
+    * window with doc 7 missing or doubled. ONE generation carries the
+    * whole mutation atomically: (a) the batch's NEW postings/df/stats,
+    * (b) a `tomb/` list of the REPLACED doc_ids (only those currently
+    * live — never-indexed and already-deleted ids take the pure-insert
+    * path), and (c) df/stats deltas NETTED across both sides (new
+    * positives + victim negatives collapse per token; identical
+    * re-upserts net to zero and drop out). The gen-scoped tombstone
+    * rule ([[lexSurvivors]] — a tomb at generation M kills postings
+    * from generations < M only) is what makes this sound: the victims'
+    * old postings die while the replacements, landing in the
+    * tombstone's own generation, survive. Marker lands LAST, so a torn
+    * upsert is invisible; a REPLAYED upsert re-replaces the committed
+    * content with itself — every df/stats delta nets to zero and the
+    * search result is identical (TextOpsSpec pins it). Cost is
+    * O(batch + victim postings), never a corpus rewrite. Returns the
+    * minted generation id (or the current max on an empty batch). */
+  def upsertLexicalIndex(spark: SparkSession, docs: DataFrame,
+      out: String, meta: Seq[String] = Seq.empty): Long = {
+    import spark.implicits._
+    val gens = lexCommittedGens(spark, out)
+    require(gens.nonEmpty,
+      s"no committed lexical index at $out - writeLexicalIndex first")
+    val batch = docs.select("doc_id", "text")
+    if (batch.isEmpty) return gens.max
+    val gen = lexMarkers(spark, out).map(_._1).max + 1
+    lexClearGen(spark, out, gen)
+    val genF = col("gen").isin(gens: _*)
+    val ids = batch.select("doc_id").distinct()
+    // victims: the batch ids' currently-LIVE postings, one pruned scan
+    val victims = lexSurvivors(
+        spark.read.parquet(s"$out/postings").filter(genF)
+          .select("b", "tok", "doc_id", "len", "gen"),
+        lexTomb(spark, out, gens))
+      .select("b", "tok", "doc_id", "len")
+      .join(ids, "doc_id")
+      .localCheckpoint()
+    // new content: one tokenize+count pass feeds every write
+    // (lexAppendGen's lineage discipline)
+    val tf = lexToks(batch).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val postings = tf.join(dl, "doc_id")
+      .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val stat = postings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pBytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
+    val k = math.min(32768L, math.max(lexBuckets.toLong,
+      (pBytes + targetBytes - 1) / targetBytes)).toInt
+    postings.repartitionByRange(k, col("b"), col("tok"))
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"$out/postings/gen=$gen")
+    // df: new positives and victim negatives net per (bucket, token);
+    // exact zero nets drop — identical content re-upserts leave df
+    // untouched and fully-swapped tokens carry both signs correctly
+    postings.groupBy("b", "tok").agg(count(lit(1)).as("df"))
+      .unionByName(victims.groupBy("b", "tok")
+        .agg((count(lit(1)) * -1L).as("df")))
+      .groupBy("b", "tok").agg(sum("df").as("df"))
+      .filter(col("df") =!= 0)
+      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
+    // stats: net deltas — n_docs grows only by the true inserts,
+    // total_len by (new lengths − replaced lengths)
+    val vs = victims.select("doc_id", "len").distinct()
+      .agg(count(lit(1)).as("vn"), coalesce(sum("len"), lit(0L)).as("vl"))
+      .head()
+    val ns = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum("len"), lit(0L)).as("l")).head()
+    Seq((ns.getLong(0) - vs.getLong(0), ns.getLong(1) - vs.getLong(1)))
+      .toDF("n_docs", "total_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
+    // tombstones for the replaced docs only (pure inserts mint none)
+    victims.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    // marker LAST: the delete side and the add side flip visible as one
+    val f = lexFs(spark, out)
+    val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
+    val o = f.create(tmp, true)
+    try o.write(meta.mkString("\n").getBytes("UTF-8")) finally o.close()
+    require(f.rename(tmp,
+      new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),
+      s"could not commit lexical-index upsert generation $gen at $out")
     gen
   }
 
@@ -1866,6 +1991,7 @@ object TextOps {
     require(active.nonEmpty, s"no committed lexical index at $out")
     if (active.size == 1) return active.head
     val gen = marks.map(_._1).max + 1
+    lexClearGen(spark, out, gen)
     val genF = col("gen").isin(active: _*)
     // fold tombstones away physically: the merged generation carries
     // neither the victims' postings nor any tomb rows, and the df sum
@@ -1873,11 +1999,8 @@ object TextOps {
     // survivor df — fully-deleted tokens drop out of the df table
     val tomb = lexTomb(spark, out, active)
     val basePostings = spark.read.parquet(s"$out/postings").filter(genF)
-      .select("tok", "doc_id", "tf", "len", "b")
-    val postings = tomb match {
-      case Some(t) => basePostings.join(t, Seq("doc_id"), "left_anti")
-      case None => basePostings
-    }
+      .select("tok", "doc_id", "tf", "len", "b", "gen")
+    val postings = lexSurvivors(basePostings, tomb).drop("gen")
     val targetBytes = spark.conf
       .getOption("spark.graft.compact.targetFileBytes")
       .map(_.toLong).getOrElse(128L << 20)
@@ -1971,10 +2094,7 @@ object TextOps {
     // AFTER the token pushdown, so the probe-bounded candidate set —
     // not the whole index — pays the check (no-delete indexes have no
     // tomb/ directory and skip the join entirely)
-    val postings = lexTomb(spark, out, gens) match {
-      case Some(t) => candidates.join(t, Seq("doc_id"), "left_anti")
-      case None => candidates
-    }
+    val postings = lexSurvivors(candidates, lexTomb(spark, out, gens))
     val scored = postings.join(broadcast(dfTab), "tok")
       .join(broadcast(ptoks), "tok")
       .filter(col("doc_id") =!= col("probe_id"))
@@ -2074,6 +2194,38 @@ object TextOps {
       docs.filter(pmod(col("doc_id"), lit(2)) === 1), out)
     deleteFromLexicalIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), out)
+    searchLexicalIndex(spark,
+      docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("text")), out)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q153 — UPSERT into the stored lexical index under the oracle
+    * hash, completing the index lifecycle (build/append q138, compact
+    * q139, delete q140, update-document here): build on the even docs,
+    * append the odd, then [[upsertLexicalIndex]] one batch that
+    * REPLACES the `doc_id % 5 = 2` cohort's text (two appended `zq`
+    * tokens — at corpus scale the new token's df crosses the cap and
+    * must be capped identically on both engines) and INSERTS a
+    * re-keyed fresh cohort (`doc_id % 9 = 4`, +1 000 000), one marker,
+    * and search the five probes. The oracle re-derives the BM25
+    * ranking from scratch over the POST-UPSERT corpus (survivors ∪
+    * replaced-content ∪ inserts): hash equality proves
+    * UPSERT-EQUIVALENCE to the bit — old versions never surface, new
+    * versions score with netted df and corpus stats, inserts rank as
+    * if always present. */
+  def q153LexicalUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = lexScratch(spark, dir, "bm25u")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), out)
+    appendLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), out)
+    val updated = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" zq zq")).as("text"))
+    val inserted = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    upsertLexicalIndex(spark, updated.unionByName(inserted), out)
     searchLexicalIndex(spark,
       docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("probe_id"), col("text")), out)

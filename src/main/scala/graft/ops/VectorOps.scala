@@ -1177,8 +1177,15 @@ object VectorOps {
       metas.flatMap(_._2.get("epoch")).map(_.toLong).foldLeft(-1L)(math.max))
   }
 
-  /** The union of active tombstones, or None when the index has never
-    * seen a delete (the common case pays no read). */
+  /** The LATEST active tombstone per vec_id, or None when the index
+    * has never seen a delete/upsert (the common case pays no read).
+    * Tombstones are GEN-SCOPED: a tomb minted at generation M kills
+    * codes from generations STRICTLY BEFORE M — so an upsert's
+    * replacement codes (same generation as its tomb) and a re-add
+    * after a delete both survive by construction. `tomb_final` marks
+    * a DELETE tombstone (its generation holds no codes for the id);
+    * an upsert's tombstone is non-final. Legacy tomb rows (pre-upsert
+    * indexes, no `final` column) read as final — they were deletes. */
   private def vecTomb(spark: SparkSession, out: String,
       gens: Seq[Long]): Option[DataFrame] = {
     val f = hfs(spark, out)
@@ -1186,8 +1193,42 @@ object VectorOps {
     if (!f.exists(root)) None
     else if (!f.listStatus(root).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("gen="))) None
-    else Some(spark.read.parquet(s"$out/tomb")
-      .filter(col("gen").isin(gens: _*)).select("vec_id"))
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(s"$out/tomb").filter(col("gen").isin(gens: _*))
+      val withFinal =
+        if (raw.columns.contains("final"))
+          raw.withColumn("final", coalesce(col("final"), lit(true)))
+        else raw.withColumn("final", lit(true))
+      Some(withFinal
+        .groupBy("vec_id")
+        .agg(max(struct(col("gen"), col("final"))).as("s"))
+        .select(col("vec_id"), col("s.gen").as("tomb_gen"),
+          col("s.final").as("tomb_final")))
+    }
+  }
+
+  /** `p` minus tombstone-killed code rows (see [[vecTomb]]'s
+    * gen-scoped rule). `p` must carry the `gen` partition column.
+    * Applied BEFORE the ADC aggregate: after an upsert a vec_id holds
+    * codes in two generations, and summing both would corrupt the
+    * distance — the kill must happen at the codes scan. */
+  private def vecSurvivors(p: DataFrame,
+      tomb: Option[DataFrame]): DataFrame = tomb match {
+    case None => p
+    case Some(t) => p.join(t,
+      p("vec_id") === t("vec_id") && p("gen") < t("tomb_gen"), "left_anti")
+  }
+
+  /** Clear any orphan data a TORN write left under generation id
+    * `gen` before minting it anew (the id counter is marker-driven and
+    * REUSES a torn generation's id; without this sweep an orphan
+    * `tomb/gen=N` would be adopted by the new generation's marker). */
+  private def vecClearGen(spark: SparkSession, out: String,
+      gen: Long): Unit = {
+    val f = hfs(spark, out)
+    f.delete(new org.apache.hadoop.fs.Path(s"$out/codes/gen=$gen"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$out/tomb/gen=$gen"), true)
   }
 
   /** Size-aware range write of a codes frame into
@@ -1273,6 +1314,18 @@ object VectorOps {
     val gens = vecCommittedGens(spark, out)
     require(gens.nonEmpty,
       s"no committed vector index at $out - writeVectorIndex first")
+    val codes = encodeAgainstStored(spark, rows, out)
+    val gen = gens.max + 1
+    vecClearGen(spark, out, gen)
+    writeCodes(spark, codes, out, gen)
+    commitVecGen(spark, out, gen, meta)
+  }
+
+  /** Route + residual-encode `rows` against the STORED artifacts (the
+    * shared encode step of append, upsert and sync — never the session
+    * caches). */
+  private def encodeAgainstStored(spark: SparkSession, rows: DataFrame,
+      out: String): DataFrame = {
     val cents = spark.read.parquet(s"$out/centroids")
     val cb = spark.read.parquet(s"$out/codebook")
     val unit = unitVecs(normedRows(spark, rows))
@@ -1281,12 +1334,14 @@ object VectorOps {
       .join(broadcast(cents), "cid")
       .withColumn("r", zip_with(col("u"), col("cu"), (a, b) => a - b))
       .select("vec_id", "cid", "r")
-    val codes = pqAssign(
+    pqAssign(
         subVecs(assigned.select(col("vec_id"), col("r").as("u"))),
         cb.withColumn("css", dot(col("c"), col("c"))))
       .join(assigned.select("vec_id", "cid"), "vec_id")
-    val gen = gens.max + 1
-    writeCodes(spark, codes, out, gen)
+  }
+
+  private def commitVecGen(spark: SparkSession, out: String, gen: Long,
+      meta: Seq[String]): Unit = {
     val f = hfs(spark, out)
     val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
     val o = f.create(tmp, true)
@@ -1294,6 +1349,41 @@ object VectorOps {
     require(f.rename(tmp,
       new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen")),
       s"could not commit vector-index generation $gen at $out")
+  }
+
+  /** UPSERT vectors into the stored index — the embedding-side
+    * update-document (a re-embedded doc, a refreshed crawl): ONE
+    * marker-committed generation atomically carries (a) the batch
+    * re-encoded against the STORED artifacts and (b) a NON-final
+    * tombstone for every batch id, which under the gen-scoped rule
+    * ([[vecTomb]]) kills any OLDER codes for those ids while the
+    * replacements — landing in the tombstone's own generation —
+    * survive. Pure inserts' tombstones match nothing; a replayed
+    * upsert re-replaces content with itself (search-identical); a
+    * torn upsert is invisible and its orphan dirs are swept before
+    * the generation id is reused. O(batch) — no index scan at all
+    * (cheaper than the lexical twin: ANN scoring carries no corpus
+    * statistics to net). NOTE: the exact re-rank reads live floats
+    * from the CORPUS table — the index serves the updated routing and
+    * codes; keeping the float table in step is the ingest pipeline's
+    * contract ([[syncVectorIndex]]'s sink is the source of truth).
+    * Returns the minted generation id (or the current max on an
+    * empty batch). */
+  def upsertVectorIndexRows(spark: SparkSession, rows: DataFrame,
+      out: String, meta: Seq[String] = Seq.empty): Long = {
+    val gens = vecCommittedGens(spark, out)
+    require(gens.nonEmpty,
+      s"no committed vector index at $out - writeVectorIndex first")
+    if (rows.isEmpty) return gens.max
+    val codes = encodeAgainstStored(spark, rows, out)
+    val gen = vecMarkers(spark, out).map(_._1).max + 1
+    vecClearGen(spark, out, gen)
+    writeCodes(spark, codes, out, gen)
+    rows.select("vec_id").distinct()
+      .withColumn("final", lit(false))
+      .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    commitVecGen(spark, out, gen, meta)
+    gen
   }
 
   /** DELETE vectors from the stored index — the op an upstream dedup
@@ -1319,12 +1409,18 @@ object VectorOps {
       s"no committed vector index at $out - writeVectorIndex first")
     val gen = vecMarkers(spark, out).map(_._1).max + 1
     val ids = deletes.select("vec_id").distinct()
+    // skip ids whose LATEST tombstone is already a final (delete)
+    // tomb: fully dead, nothing to re-kill. A non-final latest tomb
+    // means the id was since UPSERTED (live again) - delete proceeds.
     val fresh = vecTomb(spark, out, gens) match {
-      case Some(t) => ids.join(t, Seq("vec_id"), "left_anti")
+      case Some(t) => ids.join(t.filter(col("tomb_final")),
+        Seq("vec_id"), "left_anti")
       case None => ids
     }
     if (fresh.isEmpty) return gens.max
-    fresh.write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    vecClearGen(spark, out, gen)
+    fresh.withColumn("final", lit(true))
+      .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
     hfs(spark, out).create(
       new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true).close()
     gen
@@ -1478,13 +1574,11 @@ object VectorOps {
     val tomb = vecTomb(spark, out, active)
     if (active.size == 1 && tomb.isEmpty) return active.head
     val gen = vecMarkers(spark, out).map(_._1).max + 1
+    vecClearGen(spark, out, gen)
     val base = spark.read.parquet(s"$out/codes")
       .filter(col("gen").isin(active: _*))
-      .select("vec_id", "m", "code", "cid")
-    val survivors = tomb match {
-      case Some(t) => base.join(t, Seq("vec_id"), "left_anti")
-      case None => base
-    }
+      .select("vec_id", "m", "code", "cid", "gen")
+    val survivors = vecSurvivors(base, tomb).drop("gen")
     writeCodes(spark, survivors, out, gen)
     // sync lineage CARRIES FORWARD (the lexical index's discipline):
     // without this a compaction would amnesia the indexer's cursor and
@@ -1580,20 +1674,20 @@ object VectorOps {
       .select(col("probe_id"), col("m"), col("pqc").as("code"), col("pdot"))
     // static partition pruning: the scan plans against ONLY the probed
     // list directories
-    val adc = codes.filter(col("cid").isin(probedIds: _*))
+    // deleted/replaced codes die BEFORE the ADC aggregate: after an
+    // upsert a vec_id holds codes in two generations, and summing both
+    // would corrupt the distance — the gen-scoped kill lands on the
+    // probed-list scan rows (still candidate-bounded: the cid pruning
+    // has already run; no-delete indexes have no tomb/ and skip it)
+    val liveCodes = vecSurvivors(
+      codes.filter(col("cid").isin(probedIds: _*)),
+      vecTomb(spark, out, gens))
+    val approx = liveCodes
       .join(probeListsDf, Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .join(broadcast(lut), Seq("probe_id", "m", "code"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg((max(col("pcdot")) + sum(col("pdot"))).as("asim"))
-    // deleted vectors neither surface nor occupy re-rank slots: the
-    // tombstone anti-join lands on the per-(probe, vec) ADC rows —
-    // the probed-list candidate set pays the check, not the index
-    // (no-delete indexes have no tomb/ directory and skip the join)
-    val approx = vecTomb(spark, out, gens) match {
-      case Some(t) => adc.join(t, Seq("vec_id"), "left_anti")
-      case None => adc
-    }
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("asim").desc, col("vec_id"))
     val cands = approx.withColumn("crank", row_number().over(wc))
@@ -1656,5 +1750,46 @@ object VectorOps {
       normed(spark, dir).filter(pmod(col("vec_id"), lit(7)) === 3)
         .select("vec_id"))
     searchVectorIndex(spark, dir, out)
+  }
+
+  /** q154 — UPSERT on the stored vector index (the embedding-side
+    * update-document, completing the vector lifecycle: build q136,
+    * append, delete q141, compact, sync q148, update here — the op a
+    * re-embedding run forces on a serving tier): one
+    * [[upsertVectorIndexRows]] generation atomically REPLACES the
+    * `vec_id % 10 = 3` cohort (re-embedded as the reversed vector — a
+    * deterministic, genuinely different embedding) and INSERTS a
+    * re-keyed cohort. The query itself asserts the STRONG equivalence:
+    * search after build→upsert is row-identical to a reference index
+    * with the SAME trained artifacts whose initial encode EXCLUDED the
+    * replaced cohort and which then plainly APPENDED the identical
+    * batch — an index that never held the old versions. Equality can
+    * only hold if the upsert's gen-scoped tombstones killed exactly
+    * the old codes (a surviving stale code row would corrupt that
+    * vec_id's ADC sum) and the replacements encoded byte-identically
+    * against the stored artifacts. Rows-only by design (iteration-
+    * specific trained artifacts, q136's caveat). */
+  def q154VectorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = vecScratch(spark, dir, "ivfpq_ups")
+    val emb = Tables.embeddings(spark, dir)
+    val updated = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .withColumn("embedding", reverse(col("embedding")))
+    val inserted = emb.filter(pmod(col("vec_id"), lit(17)) === 5)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val batch = updated.unionByName(inserted)
+    writeVectorIndex(spark, dir, out)
+    upsertVectorIndexRows(spark, batch, out)
+    val got = searchVectorIndex(spark, dir, out)
+    // reference: same trained artifacts, old versions NEVER encoded
+    val ref = vecScratch(spark, dir, "ivfpq_upsref")
+    writeVectorIndex(spark, dir, ref, pmod(col("vec_id"), lit(10)) =!= 3)
+    appendVectorIndexRows(spark, batch, ref)
+    val want = searchVectorIndex(spark, dir, ref)
+    val gotRows = got.collect().map(_.toString).toSeq
+    val wantRows = want.collect().map(_.toString).toSeq
+    require(gotRows == wantRows,
+      s"q154: upserted index diverged from the never-held-old-versions " +
+        s"reference (${gotRows.size} vs ${wantRows.size} rows)")
+    got
   }
 }

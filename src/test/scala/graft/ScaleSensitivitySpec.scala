@@ -46,7 +46,16 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q139_lexical_compaction", "q140_lexical_delete",
       "q141_vector_delete", "q143_incremental_view", "q144_zone_map",
       "q145_pipeline_index", "q146_sketch_view", "q147_zorder",
-      "q148_vector_pipeline", "q149_metadata_count")
+      "q148_vector_pipeline", "q149_metadata_count",
+      // round-14 second tranche: snapshot CDC (two full snapshot reads
+      // over a delete + upsert lifecycle), bloom build (one full data
+      // pass at index time), rename/drop (an all-days normalize
+      // rewrite), lexical upsert (victim-postings scan + BM25 search)
+      "q150_snapshot_diff", "q151_bloom_lookup", "q152_rename_drop",
+      "q153_lexical_upsert",
+      // q154 trains two indexes and searches both (the in-query
+      // reference equality) - the heaviest vector-lifecycle query
+      "q154_vector_upsert")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

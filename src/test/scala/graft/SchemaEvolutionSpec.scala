@@ -197,4 +197,111 @@ class SchemaEvolutionSpec extends SparkSpecBase {
         s"sum_cents diverged for ${r.getString(0)}")
     }
   }
+
+  test("alterSink rename+drop: logical view conforms mixed schemas, compaction normalizes, marker clears") {
+    import graft.ops.Streaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("alter_cycle").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 10L, "x"),
+        (tsv("2024-01-02 10:00:00"), 2L, 20L, "y"))
+        .toDF("ts", "event_id", "v", "junk"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    Streaming.alterSink(spark, out,
+      renames = Map("v" -> "val2"), drops = Seq("junk"))
+    // a producer already on the NEW schema lands beside the old epoch
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 10:00:00"), 3L, 30L))
+        .toDF("ts", "event_id", "val2"), out, 1L)
+    val logical = Streaming.readSink(spark, out)
+    assert(logical.columns.toSet == Set("ts", "event_id", "val2", "day"))
+    assert(logical.select("val2").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+    // normalize physically
+    Streaming.compactSink(spark, out, quiesced = true)
+    val f = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(out, "_PENDING_ALTER")),
+      "normalizing compaction must clear the alter marker")
+    // every day footer carries the new name only - including the
+    // UNTOUCHED days, which must have been rewritten, not moved
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
+      val sch = spark.read.parquet(s"$out/epoch=1/day=$d").schema.fieldNames
+      assert(sch.contains("val2") && !sch.contains("v") &&
+        !sch.contains("junk"), s"day $d footers: ${sch.mkString(",")}")
+    }
+    val physical = Streaming.readSink(spark, out)
+    assert(physical.select("val2").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+  }
+
+  test("alterSink with no fresh batches still normalizes via the alter-only pass") {
+    import graft.ops.Streaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("alter_only").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-02-01 10:00:00"), 1L, 5L))
+        .toDF("ts", "event_id", "v"), out, 0L)
+    val e0 = Streaming.compactSink(spark, out, quiesced = true)
+    Streaming.alterSink(spark, out, renames = Map("v" -> "w"))
+    val e1 = Streaming.compactSink(spark, out, quiesced = true)
+    assert(e1 == e0 + 1, "alter-only compaction must mint a normalize epoch")
+    val f = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(out, "_PENDING_ALTER")))
+    val sch = spark.read.parquet(s"$out/epoch=$e1/day=2024-02-01")
+      .schema.fieldNames
+    assert(sch.contains("w") && !sch.contains("v"))
+    assert(Streaming.readSink(spark, out).select("w").as[Long]
+      .collect().toSeq == Seq(5L))
+    // idempotence of the crash window: a stale marker whose rename
+    // source is already gone re-applies as a no-op and clears
+    val outS = f.create(new org.apache.hadoop.fs.Path(out, "_PENDING_ALTER"), true)
+    outS.write("rename v w".getBytes("UTF-8")); outS.close()
+    assert(Streaming.readSink(spark, out).columns.contains("w"))
+    Streaming.compactSink(spark, out, quiesced = true)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(out, "_PENDING_ALTER")))
+    assert(Streaming.readSink(spark, out).select("w").as[Long]
+      .collect().toSeq == Seq(5L))
+  }
+
+  test("alterSink refusals: reserved/missing/colliding columns, stacked alters, pending-alter mutation ops") {
+    import graft.ops.Streaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("alter_refuse").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-03-01 10:00:00"), 1L, 5L, 6L))
+        .toDF("ts", "event_id", "v", "w"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    def refuse(msg: String)(body: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    refuse("reserved")(Streaming.alterSink(spark, out,
+      renames = Map("ts" -> "t2")))
+    refuse("reserved")(Streaming.alterSink(spark, out, drops = Seq("day")))
+    refuse("not in the")(Streaming.alterSink(spark, out,
+      renames = Map("nope" -> "x")))
+    refuse("already exists")(Streaming.alterSink(spark, out,
+      renames = Map("v" -> "w")))
+    refuse("not in the")(Streaming.alterSink(spark, out, drops = Seq("nope")))
+    refuse("both renamed and dropped")(Streaming.alterSink(spark, out,
+      renames = Map("v" -> "v2"), drops = Seq("v")))
+    Streaming.alterSink(spark, out, renames = Map("v" -> "v2"))
+    refuse("already pending")(Streaming.alterSink(spark, out,
+      drops = Seq("w")))
+    refuse("alter is pending")(Streaming.deleteWhere(spark, out,
+      col("event_id") === 1L))
+    refuse("alter is pending")(Streaming.upsertBatch(spark, out,
+      Seq((tsv("2024-03-01 11:00:00"), 1L, 9L, 6L))
+        .toDF("ts", "event_id", "v", "w"), Seq("event_id")))
+    // a part carrying BOTH the old and new name is ambiguous
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-03-02 10:00:00"), 2L, 1L, 2L, 3L))
+        .toDF("ts", "event_id", "v", "v2", "w"), out, 1L)
+    refuse("ambiguous")(Streaming.readSink(spark, out).collect())
+  }
 }

@@ -181,6 +181,29 @@ class SinkStatsSpec extends SparkSpecBase {
       spark.conf.set("spark.graft.maintain.statsColumns", v))
   }
 
+  test("maintainSink re-indexes a staled bloom when bloomColumn is set") {
+    val sink = scratch("bloomcron")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkBloom(spark, sink, "event_id")
+    val probeId = ev.agg(min(col("event_id"))).head().getLong(0)
+    Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+    val prev = spark.conf.getOption("spark.graft.maintain.bloomColumn")
+    try {
+      spark.conf.set("spark.graft.maintain.bloomColumn", "event_id")
+      val actions = Streaming.maintainSink(spark, sink)
+      assert(actions.exists(_.startsWith("bloom_indexed=")), actions)
+      assert(rowsOf(SinkStats.readSinkPoint(spark, sink, "event_id",
+        probeId)) == rowsOf(Streaming.readSink(spark, sink)
+        .filter(col("event_id") === probeId)))
+      assert(!Streaming.maintainSink(spark, sink)
+        .exists(_.startsWith("bloom_indexed=")))
+    } finally prev.fold(spark.conf
+      .unset("spark.graft.maintain.bloomColumn"))(v =>
+      spark.conf.set("spark.graft.maintain.bloomColumn", v))
+  }
+
   test("metadata count subtracts nulls, scans only boundaries, and counts live batches") {
     val sink = scratch("metacount")
     // nulls in the counted column: interior files' nrows include null
@@ -218,6 +241,82 @@ class SinkStatsSpec extends SparkSpecBase {
       .groupBy("day").agg(count(lit(1)).as("n_events"))
     assert(rowsOf(vCounts) == rowsOf(vExpect),
       "null rows leaked into the metadata count")
+  }
+
+  test("bloom probe equals the exact equality filter, skips files, and absent values prune everything") {
+    val sink = scratch("bloom")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink) // clustered on user_id: event_id scattered
+    val total = SinkStats.indexSinkBloom(spark, sink, "event_id")
+    val probeId = ev.agg(min(col("event_id"))).head().getLong(0)
+    val hit = SinkStats.readSinkPoint(spark, sink, "event_id", probeId)
+    assert(hit.inputFiles.length < total,
+      s"read ${hit.inputFiles.length} of $total files - nothing skipped")
+    assert(rowsOf(hit) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("event_id") === probeId)))
+    // an absent value: the bloom prunes every file and the frame is
+    // empty with ZERO input files (no phantom, no hidden full scan)
+    val absentId = ev.agg(max(col("event_id"))).head().getLong(0) + 987654L
+    val miss = SinkStats.readSinkPoint(spark, sink, "event_id", absentId)
+    assert(miss.isEmpty)
+    assert(miss.inputFiles.isEmpty,
+      s"fully-pruned probe still reports ${miss.inputFiles.length} files")
+  }
+
+  test("bloom serves string keys (where zone maps refuse) and refuses column mismatch + null probes") {
+    val sink = scratch("bloomstr")
+    Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkBloom(spark, sink, "event_type")
+    val hit = SinkStats.readSinkPoint(spark, sink, "event_type", "purchase")
+    assert(rowsOf(hit) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("event_type") === "purchase")))
+    val wrong = intercept[IllegalArgumentException] {
+      SinkStats.readSinkPoint(spark, sink, "user_id", 1L)
+    }
+    assert(wrong.getMessage.contains("indexes column"))
+    val nul = intercept[IllegalArgumentException] {
+      SinkStats.readSinkPoint(spark, sink, "event_type", null)
+    }
+    assert(nul.getMessage.contains("IS NULL"))
+  }
+
+  test("a lifecycle op stales the bloom manifest: point read refuses, re-index restores") {
+    val sink = scratch("bloomstale")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkBloom(spark, sink, "event_id")
+    val probeId = ev.agg(min(col("event_id"))).head().getLong(0)
+    Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+    val e = intercept[IllegalArgumentException] {
+      SinkStats.readSinkPoint(spark, sink, "event_id", probeId)
+    }
+    assert(e.getMessage.contains("indexSinkBloom"))
+    SinkStats.indexSinkBloom(spark, sink, "event_id")
+    assert(rowsOf(SinkStats.readSinkPoint(spark, sink, "event_id", probeId))
+      == rowsOf(Streaming.readSink(spark, sink)
+        .filter(col("event_id") === probeId)))
+  }
+
+  test("bloom point read includes live batches conservatively, unindexed") {
+    val sink = scratch("bloomlive")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+    clusteredCompact(sink)
+    SinkStats.indexSinkBloom(spark, sink, "event_id")
+    // an ODD id lives only in the post-index live batch - the bloom
+    // cannot vouch for it, the read must still surface it
+    Streaming.writeBatchIdempotent(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+    val oddId = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .agg(min(col("event_id"))).head().getLong(0)
+    val hit = SinkStats.readSinkPoint(spark, sink, "event_id", oddId)
+    assert(rowsOf(hit) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("event_id") === oddId)))
+    assert(hit.count() > 0)
   }
 
   test("live batches are included conservatively, unstatted") {

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SnapshotDiff, Streaming}
+
+/** Semantics gates for [[graft.ops.SnapshotDiff.readSinkChanges]]: the
+  * classification lattice (insert / delete / update / silent), null
+  * transitions, net-change semantics across delete-then-reinsert,
+  * additive drift conformance, identical-snapshot emptiness, and the
+  * loud refusals (argument order, non-retained epoch). */
+class SnapshotDiffSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def mkSink(name: String,
+      rows: Seq[(Long, String, Option[Long])]): String = {
+    val root = java.nio.file.Files.createTempDirectory(name).toString
+    val sink = s"$root/sink"
+    val df = rows.toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    Streaming.writeBatchIdempotent(df, sink, 0L)
+    sink
+  }
+
+  private def withKeep[T](n: Int)(body: => T): T = {
+    val prev = spark.conf.getOption("spark.graft.sink.keepEpochs")
+    spark.conf.set("spark.graft.sink.keepEpochs", n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
+      case None => spark.conf.unset("spark.graft.sink.keepEpochs")
+    }
+  }
+
+  private def epoch(sink: String): Long =
+    Streaming.listSinkEpochs(spark, sink).collect()
+      .map(_.getLong(0)).foldLeft(-1L)(math.max)
+
+  private def diffRows(df: DataFrame): Map[Long, (String, Option[Long])] =
+    df.collect().map { r =>
+      r.getLong(1) -> (r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toMap
+
+  test("classification lattice: insert, delete, update, null transition, net no-op, silent unchanged") {
+    withKeep(3) {
+      val t = "2024-01-01 10:00:00"
+      val sink = mkSink("sdiff_lattice", Seq(
+        (1L, t, Some(10L)), // untouched -> silent
+        (2L, t, Some(20L)), // value updated
+        (3L, t, Some(30L)), // deleted, never re-created
+        (4L, t, None),      // null -> value transition = update
+        (6L, t, Some(60L))  // deleted then re-upserted IDENTICAL = silent
+      ))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      Streaming.deleteWhere(spark, sink, col("k") === 3 || col("k") === 6)
+      val batch = Seq(
+        (2L, t, Some(21L)),  // update
+        (4L, t, Some(40L)),  // null -> value
+        (5L, t, Some(50L)),  // brand-new key = insert
+        (6L, t, Some(60L))   // re-creates the deleted row with identical content
+      ).toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      val out = SnapshotDiff.readSinkChanges(spark, sink, e0, epoch(sink),
+        Seq("k"), Seq("v"))
+      val got = diffRows(out)
+      assert(got === Map(
+        2L -> ("update", Some(21L)),
+        3L -> ("delete", Some(30L)),
+        4L -> ("update", Some(40L)),
+        5L -> ("insert", Some(50L))))
+    }
+  }
+
+  test("value -> null transition is an update carrying the null post-image") {
+    withKeep(3) {
+      val t = "2024-01-02 09:00:00"
+      val sink = mkSink("sdiff_tonull", Seq((1L, t, Some(10L))))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      val batch = Seq((1L, t, Option.empty[Long])).toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      val got = diffRows(SnapshotDiff.readSinkChanges(spark, sink, e0,
+        epoch(sink), Seq("k"), Seq("v")))
+      assert(got === Map(1L -> ("update", None)))
+    }
+  }
+
+  test("content-identical snapshots diff to empty (an upsert that replaced rows with themselves)") {
+    withKeep(3) {
+      val t = "2024-01-03 08:00:00"
+      val sink = mkSink("sdiff_empty", Seq((1L, t, Some(1L)), (2L, t, Some(2L))))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      // replace key 2 with IDENTICAL content: a new epoch mints, the
+      // content does not change - the diff must stay silent
+      val batch = Seq((2L, t, Some(2L))).toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      val e1 = epoch(sink)
+      assert(e1 > e0, "the upsert must mint a new epoch")
+      val out = SnapshotDiff.readSinkChanges(spark, sink, e0, e1,
+        Seq("k"), Seq("v"))
+      assert(out.isEmpty)
+    }
+  }
+
+  test("additive drift: a column present only in the newer snapshot conforms as NULL and surfaces as updates") {
+    withKeep(3) {
+      val t = "2024-01-04 07:00:00"
+      val sink = mkSink("sdiff_drift", Seq((1L, t, Some(1L)), (2L, t, Some(2L))))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      val batch = Seq((1L, t, Some(1L), "gold")).toDF("k", "tss", "v", "tier")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      val out = SnapshotDiff.readSinkChanges(spark, sink, e0, epoch(sink),
+        Seq("k"), Seq("v", "tier"))
+      val rows = out.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(3))).toSet
+      // key 1 gained tier=gold (update); key 2 untouched (pre tier null
+      // conforms against post tier null -> silent)
+      assert(rows === Set(("update", 1L, "gold")))
+    }
+  }
+
+  test("refusals: equal/reversed epochs, non-retained epoch, column in neither snapshot") {
+    withKeep(3) {
+      val t = "2024-01-05 06:00:00"
+      val sink = mkSink("sdiff_refuse", Seq((1L, t, Some(1L)), (2L, t, Some(2L))))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      val eq = intercept[IllegalArgumentException] {
+        SnapshotDiff.readSinkChanges(spark, sink, e0, e0, Seq("k"), Seq("v"))
+      }
+      assert(eq.getMessage.contains("must be <"))
+      val missing = intercept[IllegalArgumentException] {
+        SnapshotDiff.readSinkChanges(spark, sink, e0, e0 + 99,
+          Seq("k"), Seq("v"))
+      }
+      assert(missing.getMessage.contains("not a committed retained epoch"))
+      Streaming.deleteWhere(spark, sink, col("k") === 2)
+      assert(epoch(sink) > e0)
+      val noCol = intercept[IllegalArgumentException] {
+        SnapshotDiff.readSinkChanges(spark, sink, e0, epoch(sink),
+          Seq("k"), Seq("no_such_column"))
+      }
+      assert(noCol.getMessage.contains("neither snapshot"))
+    }
+  }
+}

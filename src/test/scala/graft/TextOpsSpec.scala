@@ -571,4 +571,90 @@ class TextOpsSpec extends SparkSpecBase {
       .filter(col("doc_id").isInCollection(victimIds)).count() == 0L,
       "victim postings survived the compaction rewrite")
   }
+
+  test("lexical-index upsert: atomic replace+insert, replay equivalence, torn invisibility, compaction fold") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    def result(out: String) =
+      ops.TextOps.searchLexicalIndex(spark, probes, out)
+        .orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val root = java.nio.file.Files.createTempDirectory("lex_ups").toString
+    val out = s"$root/i"
+    ops.TextOps.writeLexicalIndex(spark, docs, out)
+    val updated = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" zq zq")).as("text"))
+    val inserted = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batch = updated.unionByName(inserted)
+    assert(ops.TextOps.upsertLexicalIndex(spark, batch, out) == 1L)
+    // ranks exactly like an index built from scratch on the
+    // post-upsert corpus: no old version surfaces, inserts present,
+    // df/stats netted
+    val fresh = s"$root/f"
+    ops.TextOps.writeLexicalIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2)
+        .unionByName(batch), fresh)
+    val afterUpsert = result(out)
+    assert(afterUpsert == result(fresh),
+      "upserted index diverged from the post-upsert from-scratch build")
+    // replaying the identical batch re-replaces content with itself:
+    // every delta nets to zero and the ranking is unchanged
+    ops.TextOps.upsertLexicalIndex(spark, batch, out)
+    assert(result(out) == afterUpsert, "upsert replay changed the ranking")
+    // a torn upsert (data landed, marker did not) is invisible
+    val g3 = ops.TextOps.upsertLexicalIndex(spark,
+      docs.filter(col("doc_id") === 6)
+        .select(col("doc_id"), lit("only zq tokens qqq").as("text")), out)
+    assert(new java.io.File(out, s"_GEN_COMMIT_$g3").delete())
+    assert(result(out) == afterUpsert,
+      "uncommitted upsert generation leaked into the search")
+    // compaction folds the upsert's tombstones away; ranking stable
+    ops.TextOps.compactLexicalIndex(spark, out)
+    assert(result(out) == afterUpsert,
+      "compacting an upserted index changed the ranking")
+    // every COMMITTED tombstone generation folded away (the torn
+    // gen's leftovers are uncommitted garbage, invisible to readers -
+    // same contract as a torn append's data dirs)
+    val committedTombs = Option(new java.io.File(s"$out/tomb").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+      .filter(g => new java.io.File(out, s"_GEN_COMMIT_$g").exists())
+    assert(committedTombs.isEmpty, "upsert tombstones survived the compaction")
+  }
+
+  test("gen-scoped tombstones: delete then upsert the same doc resurrects it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("lex_resur").toString
+    val out = s"$root/i"
+    ops.TextOps.writeLexicalIndex(spark, docs, out)
+    def rows() = ops.TextOps.searchLexicalIndex(spark, probes, out)
+      .orderBy("probe_id", "rank").collect().map(_.mkString("|")).toSeq
+    def surfaced(id: Long): Boolean =
+      ops.TextOps.searchLexicalIndex(spark, probes, out)
+        .filter(col("doc_id") === id).count() > 0
+    val pre = rows()
+    // a victim that actually RANKS pre-delete, so each phase is visible
+    val victimId = ops.TextOps.searchLexicalIndex(spark, probes, out)
+      .filter(col("doc_id") >= 5).agg(min(col("doc_id"))).head().getLong(0)
+    ops.TextOps.deleteFromLexicalIndex(spark,
+      Seq(victimId).toDF("doc_id"), out)
+    assert(!surfaced(victimId), "deleted doc still ranks")
+    // re-ingest the doc with its ORIGINAL text via upsert: the delete's
+    // tombstone (older generation) must not kill the new postings, and
+    // netted df/stats restore the exact original ranking
+    ops.TextOps.upsertLexicalIndex(spark,
+      docs.filter(col("doc_id") === victimId), out)
+    assert(rows() == pre,
+      "delete-then-upsert diverged from the never-deleted ranking")
+    assert(surfaced(victimId), "resurrected doc does not rank")
+  }
 }

@@ -600,4 +600,55 @@ class VectorOpsSpec extends SparkSpecBase
     assert(new java.io.File(torn, "_GEN_COMMIT_1").delete())
     assert(rows(torn) == full, "uncommitted tombstones leaked into the search")
   }
+
+  test("vector-index upsert: atomic replace+insert, replay, delete-after-upsert, compaction fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vec_ups").toString
+    def rows(out: String): Seq[(Long, Long, Long)] =
+      ops.VectorOps.searchVectorIndex(spark, sf, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val updated = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .withColumn("embedding", reverse(col("embedding")))
+    val inserted = emb.filter(pmod(col("vec_id"), lit(17)) === 5)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val batch = updated.unionByName(inserted)
+    // upsert-then-search is row-identical to an index with the same
+    // trained artifacts that NEVER held the old versions
+    val ups = s"$root/ups"
+    ops.VectorOps.writeVectorIndex(spark, sf, ups)
+    assert(ops.VectorOps.upsertVectorIndexRows(spark, batch, ups) == 1L)
+    val ref = s"$root/ref"
+    ops.VectorOps.writeVectorIndex(spark, sf, ref,
+      pmod(col("vec_id"), lit(10)) =!= 3)
+    ops.VectorOps.appendVectorIndexRows(spark, batch, ref)
+    val after = rows(ups)
+    assert(after == rows(ref),
+      "upserted index diverged from the never-held-old-versions reference")
+    // replaying the identical batch re-replaces content with itself
+    assert(ops.VectorOps.upsertVectorIndexRows(spark, batch, ups) == 2L)
+    assert(rows(ups) == after, "upsert replay changed the search")
+    // an UPSERTED id stays deletable: its latest tombstone is
+    // non-final, so the delete proceeds and kills the replacement
+    val victimId = updated.agg(min(col("vec_id"))).head().getLong(0)
+    val delGen = ops.VectorOps.deleteFromVectorIndex(spark, ups,
+      Seq(victimId).toDF("vec_id"))
+    assert(delGen == 3L, s"delete of an upserted id minted gen $delGen")
+    val afterDel = rows(ups)
+    assert(afterDel.forall(_._3 != victimId), "deleted upserted id still ranks")
+    // delete replay: latest tomb is now final - mints nothing
+    assert(ops.VectorOps.deleteFromVectorIndex(spark, ups,
+      Seq(victimId).toDF("vec_id")) == 3L)
+    // compaction folds replacements + tombstones away; search stable
+    ops.VectorOps.compactVectorIndex(spark, ups)
+    assert(rows(ups) == afterDel,
+      "compacting an upserted index changed the search")
+    val committedTombs = Option(new java.io.File(s"$ups/tomb").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+      .filter(g => new java.io.File(ups, s"_GEN_COMMIT_$g").exists())
+    assert(committedTombs.isEmpty, "upsert tombstones survived the compaction")
+  }
 }
