@@ -2114,6 +2114,37 @@ object OracleSql {
       |SELECT 'physical' AS phase, day, n_events, sum_cents FROM g
       |ORDER BY phase, day NULLS FIRST""".stripMargin
 
+  /** q155 — the CDC-replication audit: the engine mutates a SOURCE
+    * sink (the q150 delete + upsert), diffs its retained snapshots
+    * with full-row compare columns, and replays the feed onto an
+    * initially-identical REPLICA via key-set delete + atomic MERGE;
+    * the replica then aggregates per day. The oracle states the
+    * source's POST-state directly from `events` (survivors not
+    * touched ∪ updated cohort ∪ re-keyed inserts): hash equality
+    * proves the replica CONVERGED — the diff lost no change, the
+    * apply invented none. The update branch's `user_id + 1000000` on
+    * a NULL user is null on both engines, so content-identical
+    * touches cancel identically. */
+  val q155: String =
+    """WITH b AS (
+      |  SELECT event_id, ts, user_id, value FROM events
+      |  WHERE NOT COALESCE(user_id % 7 = 3, FALSE) AND event_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT event_id, ts, user_id + 1000000 AS user_id, value
+      |  FROM events WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT event_id + 1000000000 AS event_id, ts, user_id, value
+      |  FROM events WHERE event_id % 10 = 1
+      |)
+      |SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) AS n_events,
+      |  COUNT(user_id) AS n_with_user,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_users
+      |FROM b
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day NULLS FIRST""".stripMargin
+
   /** q153 — the lexical-upsert audit: the engine builds the stored
     * index on the full corpus (build + append), then one atomic
     * upsert generation REPLACES the `doc_id % 5 = 2` cohort's text

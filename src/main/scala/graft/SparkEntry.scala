@@ -167,7 +167,8 @@ object SparkEntry {
     "q151_bloom_lookup" -> (SinkStats.q151BloomLookup _),
     "q152_rename_drop" -> (Streaming.q152RenameDrop _),
     "q153_lexical_upsert" -> (TextOps.q153LexicalUpsert _),
-    "q154_vector_upsert" -> (VectorOps.q154VectorUpsert _)
+    "q154_vector_upsert" -> (VectorOps.q154VectorUpsert _),
+    "q155_cdc_replication" -> (SnapshotDiff.q155CdcReplication _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -457,7 +458,13 @@ object SparkEntry {
     // text and inserts a fresh cohort; the stored-index search must
     // hash-match the from-scratch BM25 ranking over the POST-UPSERT
     // corpus (netted df and stats, no old version surfacing)
-    "q153_lexical_upsert" -> OracleSql.q153
+    "q153_lexical_upsert" -> OracleSql.q153,
+    // q155 CDC replication: the produce->consume loop — diff the
+    // source's retained snapshots with full-row compare, replay onto
+    // an initially-identical replica (key-set delete + atomic MERGE);
+    // the oracle states the source's post-state — hash equality proves
+    // the replica converged exactly
+    "q155_cdc_replication" -> OracleSql.q155
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -109,6 +109,103 @@ object SnapshotDiff {
             .otherwise(col(s"post_$c")).as(c))): _*)
   }
 
+  /** Apply a [[readSinkChanges]] feed to a REPLICA sink — the consumer
+    * half of the CDC loop (what a downstream mirror, a regional copy,
+    * or a serving store runs per cycle): `delete` rows remove their
+    * keys ([[Streaming.deleteKeys]] — affected-days-only rewrite),
+    * `insert`/`update` rows MERGE by key ([[Streaming.upsertBatch]] —
+    * one atomic epoch). Because the diff is the NET change set, apply
+    * cost is O(churn), and because a key appears in at most ONE change
+    * class, the delete→upsert order is race-free within the feed.
+    * Re-applying the same feed is idempotent in content: the deletes
+    * match nothing, the upserts replace rows with themselves. The feed
+    * must carry the replica's full row for insert/update rows — diff
+    * with `compareCols` = every non-key data column (q155's shape).
+    * Returns (deletes applied, upserts applied).
+    *
+    * The feed is STAGED to parquet beside the replica before anything
+    * mutates: the apply consumes it several times across two lifecycle
+    * ops, its source snapshots may be vacuumed mid-apply, and a
+    * durable stage is what makes a crashed apply resumable by plain
+    * re-run. (A driver-memory `localCheckpoint` of the diff was also
+    * measured ~100× slower to consume here — the full-outer join's
+    * checkpointed scan makes a pathological input for the downstream
+    * merge jobs — so durability and speed point the same way.) */
+  def applyChanges(spark: SparkSession, replica: String,
+      changes: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts"): (Long, Long) = {
+    require(changes.columns.contains("change"),
+      "applyChanges expects a readSinkChanges feed (no 'change' column)")
+    val f = new org.apache.hadoop.fs.Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"$replica/.apply_staging"
+    changes.write.mode("overwrite").parquet(staging)
+    try {
+      val feed = spark.read.parquet(staging)
+      val dels = feed.filter(col("change") === "delete")
+        .select(keyCols.map(col): _*)
+      val ups = feed.filter(col("change") =!= "delete").drop("change")
+      val nDel = dels.count()
+      val nUps = ups.count()
+      if (nDel > 0) Streaming.deleteKeys(spark, replica, dels, keyCols, tsCol)
+      if (nUps > 0) Streaming.upsertBatch(spark, replica, ups, keyCols, tsCol)
+      (nDel, nUps)
+    } finally f.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** q155 — CDC REPLICATION END TO END under the oracle hash (the
+    * full produce→consume loop q150 opened: Delta CDF's reason to
+    * exist — keep a downstream copy in step by shipping O(churn)
+    * changes, never re-shipping the table): source and replica start
+    * as identical sinks; the source takes a GDPR delete and a CDC
+    * upsert (q150's mutations); [[readSinkChanges]] diffs the
+    * source's retained snapshots with `compareCols` = every data
+    * column (so the feed carries full rows); [[applyChanges]] replays
+    * the feed onto the REPLICA — key-set delete, then one atomic
+    * MERGE; and the replica is read back into a per-day aggregate.
+    * The oracle states the source's POST-state directly from
+    * `events`: hash equality proves the replica converged to exactly
+    * the source — the diff lost no change, the apply invented none,
+    * and content-identical touches (null-user rows the upsert
+    * re-wrote byte-identically) moved nothing. */
+  def q155CdcReplication(spark: SparkSession, dir: String): DataFrame = {
+    val src = Streaming.scratchSink(spark, dir, "events_cdc_src")
+    val rep = Streaming.scratchSink(spark, dir, "events_cdc_rep")
+    val ev = Tables.events(spark, dir)
+    Streaming.writeBatchIdempotent(ev, src, 0L)
+    Streaming.writeBatchIdempotent(ev, rep, 0L)
+    val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
+    spark.conf.set("spark.graft.sink.keepEpochs", "3")
+    try {
+      Streaming.compactSink(spark, src, quiesced = true)
+      Streaming.compactSink(spark, rep, quiesced = true)
+      val snap = currentEpoch(spark, src)
+      Streaming.deleteWhere(spark, src, col("user_id") % 7 === 3)
+      val upd = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("user_id", col("user_id") + 1000000L)
+      val ins = ev.filter(col("event_id") % 10 === 1)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+      Streaming.upsertBatch(spark, src, upd.unionByName(ins), Seq("event_id"))
+      val changes = readSinkChanges(spark, src, snap,
+        currentEpoch(spark, src), Seq("event_id"),
+        Seq("ts", "user_id", "event_type", "value", "props"))
+      val (nDel, nUps) = applyChanges(spark, rep, changes, Seq("event_id"))
+      require(nDel > 0 && nUps > 0,
+        s"q155 must exercise both halves of the apply, got " +
+          s"deletes=$nDel upserts=$nUps")
+      Streaming.readSink(spark, rep)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("user_id")).as("n_with_user"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"),
+          sum(col("user_id")).as("sum_users"))
+        .orderBy("day")
+    } finally prevKeep match {
+      case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
+      case None => spark.conf.unset("spark.graft.sink.keepEpochs")
+    }
+  }
+
   /** q150 — snapshot CDC END TO END under the oracle hash: events land
     * as one batch and compact into snapshot epoch A under
     * `keepEpochs = 3`; a [[Streaming.deleteWhere]] removes the

@@ -2350,17 +2350,50 @@ object Streaming {
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
       tsCol: String = "ts"): Long =
     withFencedCompactorLock(spark, path) { fence =>
-      deleteLocked(spark, path, predicate, tsCol, fence)
+      deleteLocked(spark, path,
+        df => df.filter(predicate),
+        df => df.filter(!(predicate <=> lit(true))), tsCol, fence)
     }
 
+  /** Row-level delete by KEY SET — the form a CDC feed's `delete`
+    * records arrive in (and [[SnapshotDiff.applyChanges]]'s delete
+    * half): every compacted row whose `keyCols` tuple appears in
+    * `keys` is removed. Same protocol, cost shape, rails and crash
+    * story as [[deleteWhere]] — one column-pruned match scan (here a
+    * semi-join) finds the affected days, only those rewrite (an
+    * anti-join keeps the survivors), untouched days move by O(1)
+    * rename. Key-matching is JOIN equality (the MERGE convention
+    * [[upsertBatch]] documents): NULL keys never match, so a null-key
+    * sink row always survives — state the key as non-null columns.
+    * The keys side is a CDC batch — small by contract — and AQE
+    * broadcasts it; an empty key set is a no-op. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String], tsCol: String = "ts"): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val missing = keyCols.filterNot(keys.columns.contains)
+    require(missing.isEmpty,
+      s"delete key set lacks key column(s): ${missing.mkString(", ")}")
+    val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
+    withFencedCompactorLock(spark, path) { fence =>
+      deleteLocked(spark, path,
+        df => df.join(distinctKeys, keyCols, "left_semi"),
+        df => df.join(distinctKeys, keyCols, "left_anti"), tsCol, fence)
+    }
+  }
+
+  /** The shared body of [[deleteWhere]] / [[deleteKeys]]: `matchOf`
+    * restricts a frame to the doomed rows (the match scan), `keepOf`
+    * to the survivors (the rewrite) — predicate complement for the
+    * WHERE form, semi/anti join for the key form. */
   private def deleteLocked(spark: SparkSession, path: String,
-      predicate: Column, tsCol: String, fence: () => Unit): Long = {
+      matchOf: DataFrame => DataFrame, keepOf: DataFrame => DataFrame,
+      tsCol: String, fence: () => Unit): Long = {
     val f = fs(spark, path)
     fence() // settleEpochs deletes attempts: fence first (compactLocked's note)
     settleEpochs(spark, path, f)
     val pendingAlter = readAlter(f, path)
     require(pendingAlter._1.isEmpty && pendingAlter._2.isEmpty,
-      s"deleteWhere over $path: a schema alter is pending - run " +
+      s"row-level delete over $path: a schema alter is pending - run " +
         "compactSink to normalize it first (the delete's per-day " +
         "rewrite must see one physical schema)")
     val before = maxEpoch(spark, path)
@@ -2370,9 +2403,9 @@ object Streaming {
         id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
       }
     require(liveCommitted.isEmpty,
-      s"deleteWhere over $path requires a quiesced compaction first: " +
-        s"${liveCommitted.size} consumable live batch dir(s) may hold " +
-        "rows matching the predicate that the delete would miss")
+      s"row-level delete over $path requires a quiesced compaction " +
+        s"first: ${liveCommitted.size} consumable live batch dir(s) may " +
+        "hold rows matching that the delete would miss")
     if (before < 0) return -1L // nothing compacted, nothing to delete
     // previous-epoch days by RESOLVED physical location (snapshot mode
     // may hold days by reference; classic mode this is the listing)
@@ -2382,18 +2415,18 @@ object Streaming {
     // day partitions holding matching rows (bounded by the calendar,
     // like compaction's day list). Days without a match are never read
     // again — they move by rename (or stay referenced in snapshot mode).
-    val affected = readEpochFrame(spark, f, path, before).get
-      .filter(predicate).select("day").distinct().collect()
+    val affected = matchOf(readEpochFrame(spark, f, path, before).get)
+      .select("day").distinct().collect()
       .map(r => Option(r.get(0)).map(d => s"day=$d").getOrElse(NullDayDir))
       .toSet
     if (affected.isEmpty) return before
     val affectedDirs = prevDays.filter(d => affected.contains(d._1))
     val epoch = before + 1
     val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
-    // keep = predicate not TRUE (null-safe: a NULL predicate keeps the
-    // row, exactly SQL DELETE's complement)
-    val kept = readDays(spark, affectedDirs)
-      .filter(!(predicate <=> lit(true)))
+    // keep = the survivors: predicate-not-TRUE for the WHERE form
+    // (null-safe - a NULL predicate keeps the row, exactly SQL
+    // DELETE's complement), anti-join for the key form
+    val kept = keepOf(readDays(spark, affectedDirs))
     val targetBytes = spark.conf
       .getOption("spark.graft.compact.targetFileBytes")
       .map(_.toLong).getOrElse(128L << 20)

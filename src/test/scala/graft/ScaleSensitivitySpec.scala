@@ -55,7 +55,10 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q153_lexical_upsert",
       // q154 trains two indexes and searches both (the in-query
       // reference equality) - the heaviest vector-lifecycle query
-      "q154_vector_upsert")
+      "q154_vector_upsert",
+      // q155 runs TWO full sink lifecycles (source + replica) plus the
+      // diff and the apply - the heaviest CDC composition
+      "q155_cdc_replication")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

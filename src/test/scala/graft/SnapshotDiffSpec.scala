@@ -129,6 +129,68 @@ class SnapshotDiffSpec extends SparkSpecBase {
     }
   }
 
+  test("deleteKeys removes exactly the key set; null-key rows survive (join equality)") {
+    val t = "2024-02-01 12:00:00"
+    val root = java.nio.file.Files.createTempDirectory("delkeys").toString
+    val sink = s"$root/sink"
+    val df = Seq(
+      (Some(1L), t, Some(10L)), (Some(2L), t, Some(20L)),
+      (Some(3L), t, Some(30L)), (Option.empty[Long], t, Some(99L)))
+      .toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    Streaming.writeBatchIdempotent(df, sink, 0L)
+    Streaming.compactSink(spark, sink, quiesced = true)
+    // the key set carries duplicates, a never-present key, and a NULL
+    // key - dups collapse, misses no-op, null matches nothing
+    val keys = Seq(Some(2L), Some(2L), Some(777L), Option.empty[Long])
+      .toDF("k")
+    Streaming.deleteKeys(spark, sink, keys, Seq("k"))
+    val got = Streaming.readSink(spark, sink).select("k", "v").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1))).toSet
+    assert(got === Set((Some(1L), 10L), (Some(3L), 30L), (None, 99L)))
+    // an all-miss key set mints no epoch
+    val before = epoch(sink)
+    Streaming.deleteKeys(spark, sink, Seq(888L).toDF("k"), Seq("k"))
+    assert(epoch(sink) == before)
+  }
+
+  test("applyChanges converges a replica to the source and re-applying is content-idempotent") {
+    withKeep(3) {
+      val t = "2024-03-01 09:00:00"
+      val root = java.nio.file.Files.createTempDirectory("cdcrep").toString
+      val src = s"$root/src"
+      val rep = s"$root/rep"
+      val df = Seq((1L, t, Some(10L)), (2L, t, Some(20L)),
+        (3L, t, Some(30L)), (4L, t, Some(40L)))
+        .toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Seq(src, rep).foreach { s =>
+        Streaming.writeBatchIdempotent(df, s, 0L)
+        Streaming.compactSink(spark, s, quiesced = true)
+      }
+      val e0 = epoch(src)
+      Streaming.deleteWhere(spark, src, col("k") === 3)
+      val batch = Seq((2L, t, Some(21L)), (5L, t, Some(50L)))
+        .toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, src, batch, Seq("k"))
+      def content(sink: String): Set[String] =
+        Streaming.readSink(spark, sink).select("k", "ts", "v")
+          .collect().map(_.mkString("|")).toSet
+      val changes = SnapshotDiff.readSinkChanges(spark, src, e0,
+        epoch(src), Seq("k"), Seq("ts", "v"))
+      val (nDel, nUps) = SnapshotDiff.applyChanges(spark, rep, changes,
+        Seq("k"))
+      assert(nDel == 1L && nUps == 2L, s"got deletes=$nDel upserts=$nUps")
+      assert(content(rep) == content(src), "replica did not converge")
+      // re-applying the same feed: deletes miss, upserts replace rows
+      // with themselves - content unchanged
+      SnapshotDiff.applyChanges(spark, rep, changes, Seq("k"))
+      assert(content(rep) == content(src), "re-apply changed the replica")
+    }
+  }
+
   test("refusals: equal/reversed epochs, non-retained epoch, column in neither snapshot") {
     withKeep(3) {
       val t = "2024-01-05 06:00:00"
