@@ -146,34 +146,50 @@ object SinkStats {
     val e = currentEpoch(spark, sink)
     require(e >= 0, s"no committed epoch at $sink - compact before indexing")
     val days = Streaming.resolvedDays(f, sink, e)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val rows = scala.collection.mutable.ArrayBuffer.empty[
-      (String, String, String, Option[Double], Option[Double], Long,
-        Option[Long])]
-    var files = 0L
-    days.foreach { case (dayName, dayDir) =>
-      f.listStatus(dayDir).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .foreach { st =>
-          files += 1
+    val files: Seq[(String, String, String)] = days.flatMap {
+      case (dayName, dayDir) =>
+        f.listStatus(dayDir).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(st => (dayName, st.getPath.getName, st.getPath.toString))
+    }
+    require(files.nonEmpty, s"epoch $e of $sink holds no data files")
+    // the footer reads DISTRIBUTE: one task per slice of the file list
+    // reads its footers executor-side and the manifest writes without
+    // the rows ever touching the driver. The listing above stays
+    // driver-side (unavoidable without a manifest to bootstrap from -
+    // the same trade every lakehouse's first OPTIMIZE pays), but at
+    // millions of files the FOOTER I/O is the dominant cost and a
+    // serial driver loop over it was the round-14 bench's top line.
+    val confProps = spark.sparkContext.broadcast {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(en => en.getKey -> en.getValue).toList
+    }
+    val colsB = spark.sparkContext.broadcast(cols.toList)
+    val manifestRows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 256)))
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confProps.value.foreach { case (k, v) => c.set(k, v) }
+        it.flatMap { case (dayName, fileName, full) =>
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(st.getPath, conf))
+              .fromPath(new org.apache.hadoop.fs.Path(full), c))
           val byCol =
             try {
               import scala.jdk.CollectionConverters._
               val blocks = reader.getFooter.getBlocks.asScala
               val nrows = blocks.map(_.getRowCount).sum
               val chunks = blocks.flatMap(_.getColumns.asScala)
-              cols.map { c =>
+              colsB.value.map { col0 =>
                 // missing chunks (schema drift) == all-null: reading
                 // this file yields only nulls for c, so an empty range
                 // is the truth and a range predicate prunes it
-                val mine = chunks.filter(_.getPath.toDotString == c)
+                val mine = chunks.filter(_.getPath.toDotString == col0)
                 val merged = mine
-                  .flatMap(cc => chunkRange(cc.getStatistics, c,
-                    st.getPath.getName))
+                  .flatMap(cc => chunkRange(cc.getStatistics, col0,
+                    fileName))
                   .reduceOption((a, b) =>
                     (math.min(a._1, b._1), math.max(a._2, b._2)))
                 // null count: known only when EVERY chunk reports it
@@ -186,20 +202,30 @@ object SinkStats {
                     !cc.getStatistics.isEmpty))
                     Some(mine.map(_.getStatistics.getNumNulls).sum)
                   else None
-                (c, merged, nrows, nulls)
+                (dayName, fileName, col0, merged.map(_._1),
+                  merged.map(_._2), nrows, nulls)
               }
             } finally reader.close()
-          byCol.foreach { case (c, r, nrows, nulls) =>
-            rows += ((dayName, st.getPath.getName, c, r.map(_._1),
-              r.map(_._2), nrows, nulls))
-          }
+          byCol
+        }
+      }
+    val manifest = s"$sink/epoch=$e/$StatsDir"
+    try manifestRows
+      .toDF("day", "file", "column", "lo", "hi", "nrows", "n_nulls")
+      .repartition(1).write.mode("overwrite").parquet(manifest)
+    catch {
+      // the unsupported-type refusal now surfaces from an executor
+      // task - unwrap it so the caller still sees the typed, actionable
+      // error the contract promises ("throws at INDEX time")
+      case e: Exception =>
+        def root(t: Throwable): Throwable =
+          if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+        root(e) match {
+          case ia: IllegalArgumentException => throw ia
+          case _ => throw e
         }
     }
-    require(files > 0, s"epoch $e of $sink holds no data files")
-    val manifest = s"$sink/epoch=$e/$StatsDir"
-    rows.toSeq.toDF("day", "file", "column", "lo", "hi", "nrows", "n_nulls")
-      .repartition(1).write.mode("overwrite").parquet(manifest)
-    files
+    files.size.toLong
   }
 
 

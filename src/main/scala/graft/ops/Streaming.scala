@@ -2645,7 +2645,9 @@ object Streaming {
     * holder, null when unleased), `epochs_kept` / `oldest_epoch` (the
     * time-travel depth actually on disk), `last_op` (the lifecycle op
     * that minted the current epoch: compact / delete / upsert /
-    * retire; null for pre-tag epochs). */
+    * retire; null for pre-tag epochs), `pending_alter` (the recorded
+    * rename/drop awaiting its normalizing compaction; null when
+    * none). */
   def describeSink(spark: SparkSession, path: String): DataFrame = {
     // lock-free by design, so the snapshot can RACE concurrent
     // maintenance: an epoch/batch dir listed at the top may be retired
@@ -2704,14 +2706,25 @@ object Streaming {
     }.sorted
     val oldestEpoch = committedEpochs.headOption.getOrElse(-1L)
     val lastOp = if (cut < 0) null else commitOpOf(f, path, cut).orNull
+    // a pending rename/drop is operator-visible state: readers serve
+    // the logical schema, mutations refuse, the next compaction pays
+    // an all-days rewrite - the monitor should see it without knowing
+    // about marker files
+    val alter = readAlter(f, path)
+    val pendingAlter = (alter._1.toSeq.sorted.map { case (o, n) =>
+      s"rename $o->$n"
+    } ++ alter._2.sorted.map(c => s"drop $c")) match {
+      case Nil => null
+      case acts => acts.mkString(", ")
+    }
     Seq((cut, wm, live.size.toLong, liveBytes, inflight.size.toLong,
       dayDirs.size.toLong, epochBytes, dayDirs.contains(NullDayDir),
       pendingMoves, compactorLocked, writerId,
-      committedEpochs.size.toLong, oldestEpoch, lastOp))
+      committedEpochs.size.toLong, oldestEpoch, lastOp, pendingAlter))
       .toDF("epoch", "watermark", "live_batches", "live_bytes",
         "inflight_batches", "days", "epoch_bytes", "has_null_day",
         "pending_move_days", "compactor_locked", "writer_id",
-        "epochs_kept", "oldest_epoch", "last_op")
+        "epochs_kept", "oldest_epoch", "last_op", "pending_alter")
   }
 
   /** Policy-driven maintenance in one call — the cron entry point

@@ -210,6 +210,9 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     Streaming.compactSink(spark, out, quiesced = true)
     Streaming.alterSink(spark, out,
       renames = Map("v" -> "val2"), drops = Seq("junk"))
+    // the pending alter is operator-visible through describeSink
+    assert(Streaming.describeSink(spark, out).head()
+      .getAs[String]("pending_alter") == "rename v->val2, drop junk")
     // a producer already on the NEW schema lands beside the old epoch
     Streaming.writeBatchIdempotent(
       Seq((tsv("2024-01-03 10:00:00"), 3L, 30L))
@@ -224,6 +227,8 @@ class SchemaEvolutionSpec extends SparkSpecBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!f.exists(new org.apache.hadoop.fs.Path(out, "_PENDING_ALTER")),
       "normalizing compaction must clear the alter marker")
+    assert(Streaming.describeSink(spark, out).head()
+      .getAs[String]("pending_alter") == null)
     // every day footer carries the new name only - including the
     // UNTOUCHED days, which must have been rewritten, not moved
     Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
