@@ -191,6 +191,39 @@ class SnapshotDiffSpec extends SparkSpecBase {
     }
   }
 
+  test("a crashed apply (deletes landed, upserts did not) converges on plain re-run") {
+    withKeep(3) {
+      val t = "2024-04-01 08:00:00"
+      val root = java.nio.file.Files.createTempDirectory("cdccrash").toString
+      val src = s"$root/src"
+      val rep = s"$root/rep"
+      val df = Seq((1L, t, Some(10L)), (2L, t, Some(20L)), (3L, t, Some(30L)))
+        .toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Seq(src, rep).foreach { s =>
+        Streaming.writeBatchIdempotent(df, s, 0L)
+        Streaming.compactSink(spark, s, quiesced = true)
+      }
+      val e0 = epoch(src)
+      Streaming.deleteWhere(spark, src, col("k") === 3)
+      val batch = Seq((2L, t, Some(21L))).toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, src, batch, Seq("k"))
+      val changes = SnapshotDiff.readSinkChanges(spark, src, e0,
+        epoch(src), Seq("k"), Seq("ts", "v"))
+      // "crash" after the delete half: apply only the deletes by hand
+      Streaming.deleteKeys(spark, rep,
+        changes.filter(col("change") === "delete").select("k"), Seq("k"))
+      // plain re-run of the full apply converges the replica
+      SnapshotDiff.applyChanges(spark, rep, changes, Seq("k"))
+      def content(sink: String): Set[String] =
+        Streaming.readSink(spark, sink).select("k", "ts", "v")
+          .collect().map(_.mkString("|")).toSet
+      assert(content(rep) == content(src),
+        "re-run after a partial apply did not converge")
+    }
+  }
+
   test("refusals: equal/reversed epochs, non-retained epoch, column in neither snapshot") {
     withKeep(3) {
       val t = "2024-01-05 06:00:00"
