@@ -501,7 +501,11 @@ object SinkStats {
       .withColumn("col_type", lit(colType.catalogString))
       .withColumn("bits", lit(bits))
       .withColumn("seeds", lit(seeds))
-    val out = s"$sink/epoch=$e/$BloomDir"
+    // one manifest PER COLUMN: blooms for several point-lookup keys
+    // coexist under the epoch (a second column must not overwrite the
+    // first - the multi-column story zone maps get from per-column
+    // rows, blooms get from per-column directories)
+    val out = s"$sink/epoch=$e/$BloomDir/col=$column"
     manifest.repartition(1).write.mode("overwrite").parquet(out)
     spark.read.parquet(out).count()
   }
@@ -523,11 +527,12 @@ object SinkStats {
     val f = fsOf(spark, sink)
     val e = currentEpoch(spark, sink)
     require(e >= 0, s"no committed epoch at $sink")
-    val manPath = s"$sink/epoch=$e/$BloomDir"
+    val manPath = s"$sink/epoch=$e/$BloomDir/col=$column"
     require(f.exists(new org.apache.hadoop.fs.Path(manPath)),
-      s"no $BloomDir manifest for the current epoch $e of $sink - every " +
-        "lifecycle op mints a new epoch whose files the previous bloom " +
-        "cannot describe; run indexSinkBloom after maintenance")
+      s"no $BloomDir manifest for column '$column' on the current " +
+        s"epoch $e of $sink - every lifecycle op mints a new epoch whose " +
+        "files the previous bloom cannot describe; run " +
+        s"indexSinkBloom(_, _, \"$column\") after maintenance")
     val man = spark.read.parquet(manPath).cache()
     try {
       val head = man.limit(1).collect()

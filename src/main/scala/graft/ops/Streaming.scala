@@ -2873,7 +2873,7 @@ object Streaming {
       case Some(bloomCol) =>
         val cut = maxEpoch(spark, path)
         val fresh = cut >= 0 && f.exists(new org.apache.hadoop.fs.Path(
-          s"$path/epoch=$cut/_file_bloom"))
+          s"$path/epoch=$cut/_file_bloom/col=$bloomCol"))
         if (cut < 0 || fresh) Seq.empty
         else {
           val n = SinkStats.indexSinkBloom(spark, path, bloomCol)

@@ -272,10 +272,20 @@ class SinkStatsSpec extends SparkSpecBase {
     val hit = SinkStats.readSinkPoint(spark, sink, "event_type", "purchase")
     assert(rowsOf(hit) == rowsOf(Streaming.readSink(spark, sink)
       .filter(col("event_type") === "purchase")))
+    // a second column's bloom COEXISTS with the first (per-column
+    // manifests - indexing event_id must not clobber event_type's)
+    SinkStats.indexSinkBloom(spark, sink, "event_id")
+    val probeId = Tables.events(spark, sf)
+      .agg(min(col("event_id"))).head().getLong(0)
+    assert(rowsOf(SinkStats.readSinkPoint(spark, sink, "event_id", probeId))
+      == rowsOf(Streaming.readSink(spark, sink)
+        .filter(col("event_id") === probeId)))
+    assert(rowsOf(SinkStats.readSinkPoint(spark, sink, "event_type",
+      "purchase")) == rowsOf(hit))
     val wrong = intercept[IllegalArgumentException] {
       SinkStats.readSinkPoint(spark, sink, "user_id", 1L)
     }
-    assert(wrong.getMessage.contains("indexes column"))
+    assert(wrong.getMessage.contains("indexSinkBloom"))
     val nul = intercept[IllegalArgumentException] {
       SinkStats.readSinkPoint(spark, sink, "event_type", null)
     }
