@@ -87,8 +87,14 @@ object SnapshotDiff {
           d.withColumn(c, lit(null).cast(other.schema(c).dataType))
         }
       }
+      // the presence marker's name must be collision-proof: every user
+      // column lands as "pre_<c>"/"post_<c>", so a marker spelled
+      // "__<tag>_present" (leading "__") can never equal any prefixed
+      // column name — a sink column literally named "present" used to
+      // collide with the old "<tag>_present" spelling and break the
+      // full-outer join's resolution
       conformed.select(cols.map(c => col(c).as(s"${tag}_$c")) :+
-        lit(true).as(s"${tag}_present"): _*)
+        lit(true).as(s"__${tag}_present"): _*)
     }
     val joined = side(pre, "pre", post).join(side(post, "post", pre),
       keyCols.map(k => col(s"pre_$k") <=> col(s"post_$k")).reduce(_ && _),
@@ -99,8 +105,8 @@ object SnapshotDiff {
         .reduce(_ || _)
     joined
       .withColumn("change",
-        when(col("pre_present").isNull, lit("insert"))
-          .when(col("post_present").isNull, lit("delete"))
+        when(col("__pre_present").isNull, lit("insert"))
+          .when(col("__post_present").isNull, lit("delete"))
           .when(changed, lit("update")))
       .filter(col("change").isNotNull)
       .select(col("change") +:
@@ -140,17 +146,24 @@ object SnapshotDiff {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = s"$replica/.apply_staging"
     changes.write.mode("overwrite").parquet(staging)
-    try {
-      val feed = spark.read.parquet(staging)
-      val dels = feed.filter(col("change") === "delete")
-        .select(keyCols.map(col): _*)
-      val ups = feed.filter(col("change") =!= "delete").drop("change")
-      val nDel = dels.count()
-      val nUps = ups.count()
-      if (nDel > 0) Streaming.deleteKeys(spark, replica, dels, keyCols, tsCol)
-      if (nUps > 0) Streaming.upsertBatch(spark, replica, ups, keyCols, tsCol)
-      (nDel, nUps)
-    } finally f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val feed = spark.read.parquet(staging)
+    val dels = feed.filter(col("change") === "delete")
+      .select(keyCols.map(col): _*)
+    val ups = feed.filter(col("change") =!= "delete").drop("change")
+    val nDel = dels.count()
+    val nUps = ups.count()
+    if (nDel > 0) Streaming.deleteKeys(spark, replica, dels, keyCols, tsCol)
+    if (nUps > 0) Streaming.upsertBatch(spark, replica, ups, keyCols, tsCol)
+    // staging is deleted ONLY on success: a FAILED (not crashed) apply
+    // keeps its stage on disk — the durable record of exactly what the
+    // half-applied mutation consumed, available for resume/inspection
+    // even after the source snapshots it was diffed from are vacuumed.
+    // (Deleting it in a `finally` contradicted that rationale: recovery
+    // would have had to recompute the diff from snapshots that may no
+    // longer exist.) An orphaned stage is swept by the next apply's
+    // mode("overwrite") write, so nothing leaks.
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    (nDel, nUps)
   }
 
   /** q155 — CDC REPLICATION END TO END under the oracle hash (the

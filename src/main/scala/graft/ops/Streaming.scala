@@ -515,6 +515,108 @@ object Streaming {
     * fresh null rows, and be dropped with the retired source epoch). */
   private[ops] val NullDayDir = "day=__HIVE_DEFAULT_PARTITION__"
 
+  /** Per-epoch CDC CHANGE MANIFEST (`epoch=N/_changes/`, parquet) — the
+    * write-side half of making [[SnapshotDiff.readSinkChanges]] cost
+    * O(churn) instead of O(table) (the r14 verdict's #1 gap: the
+    * snapshot diff's full-outer join shuffles 2× the table to ship
+    * 0.1 % churn; Delta CDF exists precisely to avoid that). Every
+    * mutation op already KNOWS its delta at commit time — the delete's
+    * match scan computes its victims, the upsert holds its batch — so
+    * it records the delta inside the epoch directory BEFORE the epoch
+    * commit marker lands: the manifest commits atomically with the
+    * epoch (a torn attempt is discarded wholesale by [[settleEpochs]]),
+    * retires with it, and is invisible to every data read (leading
+    * underscore = hidden to parquet discovery, same as [[MergePlan]]).
+    *
+    * Manifest rows are FLAT full-width rows (the epoch's schema,
+    * `day` included) plus [[CdcKindCol]]:
+    *   - `delete`       — pre-image of a removed row
+    *   - `insert`       — post-image of a row whose key was new
+    *   - `update_pre` / `update_post` — both images of a replaced key
+    * An epoch with no row churn (the alter-only normalize pass) writes
+    * an EMPTY manifest — "nothing changed" must be distinguishable
+    * from "churn not recorded" (no manifest → the reader falls back to
+    * the snapshot join).
+    *
+    * Emission (all checked per-op, so mixed-config sinks degrade to
+    * the fallback, never to wrong answers):
+    *   - `spark.graft.sink.changeFiles` (default TRUE) — deleteWhere /
+    *     deleteKeys / upsertBatch, whose manifests are O(churn) by
+    *     nature, plus the alter-normalize empty manifest;
+    *   - `spark.graft.sink.changeFiles.onCompact` (default false) — a
+    *     data-bearing compaction's consumed batches recorded as
+    *     inserts. Off by default: it re-writes every ingested byte a
+    *     second time, the one case where the manifest is O(new data),
+    *     and an ingest-heavy sink may prefer the snapshot fallback;
+    *   - `spark.graft.sink.changeFiles.onRetire` (default false) — a
+    *     snapshot-mode retention's expired rows recorded as deletes.
+    *     Off by default because retention is otherwise O(1) metadata.
+    */
+  private[ops] val ChangesDir = "_changes"
+
+  /** The change kind column of a [[ChangesDir]] manifest. The "__cdc"
+    * prefix is reserved: mutation ops refuse a sink column colliding
+    * with it, and the reader's fold bookkeeping stays collision-free. */
+  private[ops] val CdcKindCol = "__cdc_kind"
+
+  private def changeFilesEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.sink.changeFiles")
+      .forall(_.toBoolean)
+
+  /** Write epoch `epochDir`'s change manifest. Unpartitioned (the feed
+    * is consumed whole, never day-pruned) and pre-commit (atomic with
+    * the epoch). Refuses a sink whose own columns collide with the
+    * reserved "__cdc" prefix. */
+  private def writeEpochChanges(spark: SparkSession,
+      epochDir: org.apache.hadoop.fs.Path, events: DataFrame): Unit = {
+    val clash = events.columns.filter(c =>
+      c.startsWith("__cdc") && c != CdcKindCol)
+    require(clash.isEmpty,
+      s"sink columns ${clash.mkString(", ")} collide with the reserved " +
+        "__cdc prefix of CDC change manifests - rename them or disable " +
+        "spark.graft.sink.changeFiles")
+    events.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(epochDir, ChangesDir).toString)
+  }
+
+  /** The committed change manifest of epoch `epochId`: Some(events)
+    * when the epoch recorded its churn (possibly zero rows — an empty
+    * manifest parquet dir has `_SUCCESS` but no part files, and reads
+    * as an empty kind-only frame), None when it did not (epochs minted
+    * before manifests existed, with emission disabled, or by an op
+    * that does not record churn — a data-bearing compaction without
+    * `onCompact`, a retention without `onRetire`) — None is the
+    * reader's signal to fall back to the snapshot join. The pending
+    * alter applies to manifest rows exactly as [[readSink]] applies it
+    * to data rows, so both CDC paths see one logical schema. */
+  private[ops] def readEpochChanges(spark: SparkSession, path: String,
+      epochId: Long): Option[DataFrame] = {
+    val f = fs(spark, path)
+    val eDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epochId")
+    val cDir = new org.apache.hadoop.fs.Path(eDir, ChangesDir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(eDir, EpochCommit)) ||
+      !f.exists(new org.apache.hadoop.fs.Path(cDir, "_SUCCESS"))) None
+    else {
+      val hasParts = f.listStatus(cDir)
+        .exists(_.getPath.getName.startsWith("part-"))
+      val raw =
+        if (!hasParts)
+          // zero-churn manifest: Spark writes no part files for an
+          // empty frame, so the schema is gone - a kind-only empty
+          // frame unions harmlessly into any event feed
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(CdcKindCol,
+                org.apache.spark.sql.types.StringType))))
+        else spark.read.option("mergeSchema", "true")
+          .parquet(cDir.toString)
+      val (ren, drop) = readAlter(f, path)
+      Some(if (ren.isEmpty && drop.isEmpty) raw
+      else applyAlter(raw, ren, drop))
+    }
+  }
+
   /** Snapshot-retention depth: the number of most-recent committed
     * epochs kept on disk (`spark.graft.sink.keepEpochs`, default 1 =
     * the pre-snapshot behavior: every lifecycle op retires its source
@@ -1431,6 +1533,47 @@ object Streaming {
     }
   }
 
+  /** The range-partition key every sized epoch writer shuffles on —
+    * shared by ALL epoch-minting rewrites (compaction, the alter-only
+    * normalize pass, delete and upsert affected-day rewrites) so no
+    * lifecycle op silently destroys the sink's clustering layout:
+    *
+    *  - optional zone-map clustering (`spark.graft.compact.clusterBy`,
+    *    comma-separated columns) inserted between the partition key
+    *    and the ts tie-breaker, so each sized file covers a narrow
+    *    range of the clustered columns and SinkStats' per-file min/max
+    *    manifest can actually skip files;
+    *  - the multi-column variant (`spark.graft.compact.zorderBy`, ≥ 2
+    *    columns): a Morton-interleaved quantile-rank key so each sized
+    *    file covers a small RECTANGLE across all named columns — zone
+    *    maps then prune on any of them. Costs one approximate-quantile
+    *    pass over the rewrite's own input (column-pruned,
+    *    driver-bounded cuts) — the same trade every OPTIMIZE ZORDER
+    *    pays.
+    *
+    * Default empty = the (day, ts) shape; either way the shuffle keys
+    * on MORE than the partition columns (WriteShapeLintSpec's
+    * no-funnel invariant). Before r15 the alter-only normalize and the
+    * delete/upsert rewrites keyed on (day, ts) unconditionally — a
+    * rename/drop normalize on a clustered sink destroyed the layout,
+    * degrading skipping until the next data-bearing compaction. */
+  private def epochRangeKeys(spark: SparkSession, df: DataFrame,
+      tsCol: String): Seq[Column] = {
+    val clusterCols = spark.conf
+      .getOption("spark.graft.compact.clusterBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(df.columns.contains(_)).map(col)
+    val zKey = spark.conf
+      .getOption("spark.graft.compact.zorderBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(df.columns.contains(_)) match {
+      case zc if zc.size >= 2 => Seq(SinkStats.zOrderKey(df, zc))
+      case _ => Seq.empty
+    }
+    val ts = if (df.columns.contains(tsCol)) Seq(col(tsCol)) else Seq.empty
+    (col("day") +: zKey ++: clusterCols) ++ ts
+  }
+
   private def compactLocked(spark: SparkSession, path: String,
       tsCol: String, quiesced: Boolean, fence: () => Unit): Long = {
     val f = fs(spark, path)
@@ -1484,7 +1627,7 @@ object Streaming {
       val k = math.min(32768L, math.max(
         math.min(prevDays.size.toLong, 1024L),
         (inputBytes + targetBytes - 1) / targetBytes)).toInt
-      src.repartitionByRange(k, col("day"), col(tsCol))
+      src.repartitionByRange(k, epochRangeKeys(spark, src, tsCol): _*)
         .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
       fence()
       commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact")
@@ -1591,32 +1734,7 @@ object Streaming {
     val k = math.min(32768L, math.max(
       math.min(freshDays.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
-    // optional zone-map clustering (`spark.graft.compact.clusterBy`,
-    // comma-separated columns): inserted between the partition key and
-    // the ts tie-breaker, so each sized file covers a narrow range of
-    // the clustered columns and SinkStats' per-file min/max manifest
-    // can actually skip files. Default empty = the (day, ts) shape;
-    // either way the shuffle keys on MORE than the partition columns
-    // (WriteShapeLintSpec's no-funnel invariant).
-    val clusterCols = spark.conf
-      .getOption("spark.graft.compact.clusterBy").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .filter(merged.columns.contains(_)).map(col)
-    // multi-column variant (`spark.graft.compact.zorderBy`, ≥ 2
-    // columns): a Morton-interleaved quantile-rank key so each sized
-    // file covers a small RECTANGLE across all named columns — zone
-    // maps then prune on any of them. Costs one approximate-quantile
-    // pass over the rewrite's own input (column-pruned, driver-bounded
-    // cuts) — the same trade every OPTIMIZE ZORDER pays.
-    val zKey = spark.conf
-      .getOption("spark.graft.compact.zorderBy").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .filter(merged.columns.contains(_)) match {
-      case zc if zc.size >= 2 => Seq(SinkStats.zOrderKey(merged, zc))
-      case _ => Seq.empty
-    }
-    merged.repartitionByRange(k,
-      (col("day") +: zKey ++: clusterCols :+ col(tsCol)): _*)
+    merged.repartitionByRange(k, epochRangeKeys(spark, merged, tsCol): _*)
       .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
     // the owed-day plan derives from the day dirs the write ACTUALLY
     // produced, not from the collected day strings — any naming drift
@@ -2435,10 +2553,7 @@ object Streaming {
     val k = math.min(32768L, math.max(
       math.min(affected.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
-    val sized =
-      if (kept.columns.contains(tsCol))
-        kept.repartitionByRange(k, col("day"), col(tsCol))
-      else kept.repartitionByRange(k, col("day"))
+    val sized = kept.repartitionByRange(k, epochRangeKeys(spark, kept, tsCol): _*)
     sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
     // untouched days move by the AFFECTED set, not the written set: an
     // affected day emptied by the delete was legitimately not written
@@ -2614,10 +2729,8 @@ object Streaming {
     val k = math.min(32768L, math.max(
       math.min(affected.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
-    val sized =
-      if (epochRows.columns.contains(tsCol))
-        epochRows.repartitionByRange(k, col("day"), col(tsCol))
-      else epochRows.repartitionByRange(k, col("day"))
+    val sized = epochRows.repartitionByRange(k,
+      epochRangeKeys(spark, epochRows, tsCol): _*)
     sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))

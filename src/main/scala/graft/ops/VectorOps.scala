@@ -1391,12 +1391,15 @@ object VectorOps {
     * model; here even cheaper, because ANN scoring carries no corpus
     * statistics to decrement): the batch lands as one marker-committed
     * generation holding only a `tomb/` vec_id list, O(batch) with no
-    * index scan at all. [[searchVectorIndex]] anti-joins the ADC
-    * candidates against the tombstones BEFORE ranking, so victims
-    * neither surface nor occupy re-rank slots; [[compactVectorIndex]]
-    * later drops their codes physically. Replayed batches are
-    * idempotent (already-tombstoned ids are filtered out; a fully
-    * replayed batch mints nothing); never-indexed ids land as
+    * index scan on the fresh-delete path. [[searchVectorIndex]]
+    * anti-joins the ADC candidates against the tombstones BEFORE
+    * ranking, so victims neither surface nor occupy re-rank slots;
+    * [[compactVectorIndex]] later drops their codes physically.
+    * Replayed batches are idempotent (FULLY-dead ids — final latest
+    * tomb and no codes re-added since — are filtered out; a fully
+    * replayed batch mints nothing; an id re-added by an append AFTER
+    * its delete is live again and deletes normally, proven by a
+    * bounded (vec_id, gen) codes probe); never-indexed ids land as
     * harmless tombstones that match nothing and are reclaimed at the
     * next compaction — presence is deliberately NOT verified, keeping
     * the delete free of any index scan. Returns the minted generation
@@ -1409,12 +1412,30 @@ object VectorOps {
       s"no committed vector index at $out - writeVectorIndex first")
     val gen = vecMarkers(spark, out).map(_._1).max + 1
     val ids = deletes.select("vec_id").distinct()
-    // skip ids whose LATEST tombstone is already a final (delete)
-    // tomb: fully dead, nothing to re-kill. A non-final latest tomb
-    // means the id was since UPSERTED (live again) - delete proceeds.
+    // skip ids that are FULLY dead, nothing to re-kill. A final latest
+    // tombstone alone cannot prove death: an append after a delete
+    // writes codes but NO tombstone, so the id is live again (the
+    // gen-scoped rule only kills codes OLDER than the tomb) while its
+    // latest tomb still reads final — filtering on tomb_final alone
+    // made deleting such a re-added id a silent no-op. Death needs
+    // BOTH a final latest tomb AND no committed codes in a LATER
+    // generation; the codes probe is column-pruned to (vec_id, gen)
+    // and only runs when some batch id actually has a final tomb (the
+    // common fresh-delete path stays free of any codes scan).
     val fresh = vecTomb(spark, out, gens) match {
-      case Some(t) => ids.join(t.filter(col("tomb_final")),
-        Seq("vec_id"), "left_anti")
+      case Some(t) =>
+        val dead = ids.join(t.filter(col("tomb_final")), Seq("vec_id"))
+        if (dead.isEmpty) ids
+        else {
+          val codeGens = spark.read.parquet(s"$out/codes")
+            .filter(col("gen").isin(gens: _*)).select("vec_id", "gen")
+          val revived = dead.alias("d").join(codeGens.alias("c"),
+            col("d.vec_id") === col("c.vec_id") &&
+              col("c.gen") > col("d.tomb_gen"), "left_semi")
+          val trulyDead = dead
+            .join(revived.select("vec_id"), Seq("vec_id"), "left_anti")
+          ids.join(trulyDead.select("vec_id"), Seq("vec_id"), "left_anti")
+        }
       case None => ids
     }
     if (fresh.isEmpty) return gens.max

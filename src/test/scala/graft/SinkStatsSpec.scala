@@ -21,8 +21,9 @@ class SinkStatsSpec extends SparkSpecBase {
   private def rowsOf(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
-  /** Compact with the clustered, many-files layout q144 uses. */
-  private def clusteredCompact(sink: String): Unit = {
+  /** Run `body` under the clustered, many-files layout confs q144
+    * uses (targetFileBytes ~ sink bytes / 64, clusterBy = user_id). */
+  private def withClusteredConf[T](sink: String)(body: => T): T = {
     val f = new org.apache.hadoop.fs.Path(sink)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = f.getContentSummary(new org.apache.hadoop.fs.Path(sink))
@@ -33,7 +34,7 @@ class SinkStatsSpec extends SparkSpecBase {
       spark.conf.set("spark.graft.compact.targetFileBytes",
         math.max(1L, bytes / 64).toString)
       spark.conf.set("spark.graft.compact.clusterBy", "user_id")
-      Streaming.compactSink(spark, sink, quiesced = true)
+      body
     } finally {
       prevT.fold(spark.conf.unset("spark.graft.compact.targetFileBytes"))(
         v => spark.conf.set("spark.graft.compact.targetFileBytes", v))
@@ -41,6 +42,10 @@ class SinkStatsSpec extends SparkSpecBase {
         v => spark.conf.set("spark.graft.compact.clusterBy", v))
     }
   }
+
+  /** Compact with the clustered, many-files layout q144 uses. */
+  private def clusteredCompact(sink: String): Unit =
+    withClusteredConf(sink)(Streaming.compactSink(spark, sink, quiesced = true))
 
   test("pruned band read equals the full filter and actually skips files") {
     val sink = scratch("band")
@@ -92,6 +97,33 @@ class SinkStatsSpec extends SparkSpecBase {
     assert(pruned.inputFiles.length < total)
     assert(rowsOf(pruned) == rowsOf(Streaming.readSink(spark, sink)
       .filter(col("user_id") >= 0.0 && col("user_id") <= 10.0)))
+  }
+
+  test("alter-only normalize pass preserves the clustered layout") {
+    val sink = scratch("alternorm")
+    Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
+    clusteredCompact(sink)
+    // rename a non-clustered column; with NO fresh batches the compact
+    // below takes the alter-only normalize pass, which before r15
+    // repartitioned by (day, ts) only and silently destroyed the
+    // clustering layout (r14 advice)
+    Streaming.alterSink(spark, sink, renames = Map("props" -> "attrs"))
+    withClusteredConf(sink)(Streaming.compactSink(spark, sink,
+      quiesced = true))
+    val total = SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    assert(total > 30, s"normalize should keep many sized files, got $total")
+    val b = Tables.events(spark, sf)
+      .agg(min(col("user_id")), max(col("user_id"))).head()
+    val lo = b.getLong(0).toDouble
+    val hi = (b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8).toDouble
+    val pruned = SinkStats.readSinkPruned(spark, sink, "user_id", lo, hi)
+    assert(pruned.inputFiles.length < total / 2,
+      s"normalize destroyed clustering: a 1/8 band read touched " +
+        s"${pruned.inputFiles.length} of $total files")
+    assert(!pruned.columns.contains("props") &&
+      pruned.columns.contains("attrs"), "the alter itself did not apply")
+    assert(rowsOf(pruned) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("user_id") >= lo && col("user_id") <= hi)))
   }
 
   test("missing manifest refuses; unsupported column type refuses at index time") {

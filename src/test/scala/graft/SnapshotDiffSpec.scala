@@ -91,6 +91,35 @@ class SnapshotDiffSpec extends SparkSpecBase {
     }
   }
 
+  test("a column literally named 'present' does not collide with the diff's internal markers") {
+    withKeep(3) {
+      // the internal presence markers used to be spelled
+      // "pre_present"/"post_present" - exactly what a user column named
+      // "present" prefixes to, making the full-outer join ambiguous
+      // (r14 advice); the "__"-prefixed spelling can never equal a
+      // prefixed user column
+      val t = "2024-01-03 08:00:00"
+      val root = java.nio.file.Files
+        .createTempDirectory("sdiff_present").toString
+      val sink = s"$root/sink"
+      val df = Seq((1L, t, Some(10L)), (2L, t, Some(20L)))
+        .toDF("k", "tss", "present")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.writeBatchIdempotent(df, sink, 0L)
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      val batch = Seq((2L, t, Some(21L)), (3L, t, Some(30L)))
+        .toDF("k", "tss", "present")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      val got = diffRows(SnapshotDiff.readSinkChanges(spark, sink, e0,
+        epoch(sink), Seq("k"), Seq("present")))
+      assert(got === Map(
+        2L -> ("update", Some(21L)),
+        3L -> ("insert", Some(30L))))
+    }
+  }
+
   test("content-identical snapshots diff to empty (an upsert that replaced rows with themselves)") {
     withKeep(3) {
       val t = "2024-01-03 08:00:00"

@@ -601,6 +601,36 @@ class VectorOpsSpec extends SparkSpecBase
     assert(rows(torn) == full, "uncommitted tombstones leaked into the search")
   }
 
+  test("vector-index delete: an id re-added by append after a delete is live and deletable again") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vec_readd").toString
+    def rows(out: String): Seq[(Long, Long, Long)] =
+      ops.VectorOps.searchVectorIndex(spark, sf, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val idx = s"$root/idx"
+    ops.VectorOps.writeVectorIndex(spark, sf, idx)
+    val base = rows(idx)
+    val victimId = base.head._3 // a ranked neighbor - provably servable
+    val victim = Seq(victimId).toDF("vec_id")
+    assert(ops.VectorOps.deleteFromVectorIndex(spark, idx, victim) == 1L)
+    assert(rows(idx).forall(_._3 != victimId), "deleted id still ranks")
+    // re-add via append: writes codes but NO tombstone, so under the
+    // gen-scoped rule (codes gen 2 > tomb gen 1) the id is live again
+    // while its LATEST tombstone still reads final
+    ops.VectorOps.appendVectorIndexRows(spark,
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") === victimId), idx)
+    assert(rows(idx) == base, "re-added id did not serve again")
+    // the second delete must NOT be a silent no-op (the r14 advice bug:
+    // filtering on tomb_final alone read the re-added id as fully dead)
+    val g = ops.VectorOps.deleteFromVectorIndex(spark, idx, victim)
+    assert(g == 3L, s"re-delete of a re-added id minted gen $g (no-op?)")
+    assert(rows(idx).forall(_._3 != victimId), "re-deleted id still ranks")
+    // and replaying THAT delete is once again a true no-op
+    assert(ops.VectorOps.deleteFromVectorIndex(spark, idx, victim) == 3L)
+  }
+
   test("vector-index upsert: atomic replace+insert, replay, delete-after-upsert, compaction fold") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
