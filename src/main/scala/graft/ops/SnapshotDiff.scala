@@ -14,21 +14,25 @@ import graft.Tables
   * Iceberg's `changelog` scan); here it is one op over the sink's own
   * retained epochs:
   *
-  *  - [[readSinkChanges]] full-outer-joins the two snapshots on the
-  *    row key and classifies each key: present only after → `insert`;
-  *    present only before → `delete`; present in both with any compare
-  *    column differing (null-safe) → `update`. Unchanged keys emit
-  *    nothing, so the result is O(churn), not O(table) — at 100 TB the
-  *    difference between "ship the day's changes downstream" and
-  *    "re-ship the table".
+  *  - [[readSinkChanges]] reconstructs each key's images at the two
+  *    endpoints and classifies: present only after → `insert`; present
+  *    only before → `delete`; present in both with any compare column
+  *    differing (null-safe) → `update`. Unchanged keys emit nothing,
+  *    so the RESULT is O(churn) — and since r15 the WORK is too: when
+  *    every in-range epoch carries the change manifest its mutation op
+  *    recorded at commit ([[Streaming.ChangesDir]]), the images come
+  *    from a per-key fold over those manifests and the table's data
+  *    files are never opened. The full-outer join over both complete
+  *    snapshots (O(table) shuffle — the r14 verdict's top gap) remains
+  *    as the fallback for ranges whose churn was not recorded.
   *
-  * The diff is CONTENT-based and END-TO-END: it reads the two stored
-  * snapshots, not the lifecycle ops between them, so a row deleted and
-  * re-upserted with identical content emits nothing (no net change),
-  * and a row touched twice emits its NET change — exactly the
-  * semantics a downstream sync wants. One shuffle join keyed on the
-  * diff key; both snapshot scans are column-pruned to key + compare +
-  * day before the join, so the exchange ships only the diffed columns.
+  * The diff is CONTENT-based and END-TO-END on either path: a row
+  * deleted and re-upserted with identical content emits nothing (no
+  * net change), and a row touched twice emits its NET change — exactly
+  * the semantics a downstream sync wants. One shuffle keyed on the
+  * diff key either way: over O(churn) manifest rows on the fast path,
+  * over the column-pruned (key + compare + day) snapshots on the
+  * fallback.
   *
   * Contract: `keyCols` must identify a row uniquely within each
   * snapshot (the sink's upsert key — the same uniqueness MERGE itself
@@ -54,14 +58,101 @@ object SnapshotDiff {
     Streaming.listSinkEpochs(spark, sink).collect()
       .map(_.getLong(0)).foldLeft(-1L)(math.max)
 
+  /** The diff's (pre-image, post-image) frames served from the
+    * per-epoch CDC change manifests ([[Streaming.ChangesDir]]) — the
+    * O(churn) path — or None when any precondition fails and the
+    * snapshot join must serve instead. The fold reconstructs each
+    * touched key's images at the range endpoints from its recorded
+    * event sequence:
+    *
+    *  - PRE-image = the pre side (delete / update_pre) of the key's
+    *    EARLIEST in-range event; a key whose earliest event is an
+    *    insert had no row at `fromEpoch` — no pre-image;
+    *  - POST-image = the post side (insert / update_post) of the key's
+    *    LATEST in-range event; a key whose latest event is a delete
+    *    has no row at `toEpoch` — no post-image.
+    *
+    * Keys with neither (inserted then deleted inside the range) vanish
+    * from both frames and stay silent, and the downstream net-change
+    * classification handles everything else (delete-then-reinsert →
+    * update; A→B→A → silent) exactly as on full snapshots. One window
+    * shuffle keyed on the diff key over O(churn) event rows; within an
+    * epoch the kind rank breaks the update_pre/update_post tie so the
+    * windows are deterministic (an epoch is one atomic op — a key has
+    * at most one logical event per epoch).
+    *
+    * Falls back (None) when: `spark.graft.cdc.useChangeFiles=false`;
+    * either endpoint is not a retained committed epoch (the snapshot
+    * path owns the loud refusal rail); any in-range epoch lacks its
+    * manifest; or a requested column is missing from the recorded
+    * events (schema drift the manifests predate — correctness beats
+    * the fast path). */
+  private def changeFileImages(spark: SparkSession, path: String,
+      fromEpoch: Long, toEpoch: Long, keyCols: Seq[String],
+      cols: Seq[String]): Option[(DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    if (!spark.conf.getOption("spark.graft.cdc.useChangeFiles")
+      .forall(_.toBoolean)) return None
+    val retained = Streaming.listSinkEpochs(spark, path).collect()
+      .map(_.getLong(0)).toSet
+    if (!retained.contains(fromEpoch) || !retained.contains(toEpoch))
+      return None
+    val frames = ((fromEpoch + 1) to toEpoch).map(e =>
+      Streaming.readEpochChanges(spark, path, e)
+        .map(_.withColumn("__cdc_epoch", lit(e))))
+    if (frames.exists(_.isEmpty)) return None
+    val events = frames.flatten
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (!events.columns.contains(Streaming.CdcKindCol) ||
+      cols.exists(c => !events.columns.contains(c))) return None
+    // kind rank 0 = carries a pre-image, 1 = carries a post-image;
+    // ascending (epoch, rank) puts the earliest event's pre side first,
+    // descending puts the latest event's post side first
+    val tagged = events.withColumn("__cdc_kr",
+      when(col(Streaming.CdcKindCol).isin("delete", "update_pre"), lit(0))
+        .otherwise(lit(1)))
+    val kcols = keyCols.map(col)
+    def image(w: org.apache.spark.sql.expressions.WindowSpec,
+        wantRank: Int): DataFrame =
+      tagged.withColumn("__cdc_rn", row_number().over(w))
+        .filter(col("__cdc_rn") === 1 && col("__cdc_kr") === wantRank)
+        .drop(Streaming.CdcKindCol, "__cdc_epoch", "__cdc_kr", "__cdc_rn")
+    Some((
+      image(Window.partitionBy(kcols: _*)
+        .orderBy(col("__cdc_epoch").asc, col("__cdc_kr").asc), 0),
+      image(Window.partitionBy(kcols: _*)
+        .orderBy(col("__cdc_epoch").desc, col("__cdc_kr").desc), 1)))
+  }
+
   /** The rows that changed between retained committed epochs
-    * `fromEpoch` and `toEpoch` (both served through
-    * [[Streaming.readSink]]`(atEpoch)`, so a vacuumed epoch refuses
-    * loudly): one row per inserted / deleted / content-changed key,
-    * columns `change, <keyCols>, <compareCols>, day` — post-image
-    * values for inserts and updates, pre-image for deletes. Keys equal
-    * under null-safe comparison match; a key present in both with
-    * every compare column null-safe-equal emits nothing. */
+    * `fromEpoch` and `toEpoch`: one row per inserted / deleted /
+    * content-changed key, columns `change, <keyCols>, <compareCols>,
+    * day` — post-image values for inserts and updates, pre-image for
+    * deletes. Keys equal under null-safe comparison match; a key
+    * present in both with every compare column null-safe-equal emits
+    * nothing.
+    *
+    * TWO serving paths, same answer (SnapshotDiffSpec pins
+    * row-identity):
+    *
+    *  - **Change files** (the default since r15): when EVERY epoch in
+    *    `(fromEpoch, toEpoch]` carries the [[Streaming.ChangesDir]]
+    *    manifest its mutation op recorded at commit, the diff is a
+    *    per-key FOLD over those manifests — first pre-image wins, last
+    *    post-image wins, then the same net-change classification. Work
+    *    is O(churn): one window shuffle over the recorded change rows;
+    *    the table's data files are never opened. At 100 TB this is the
+    *    difference between a sync cycle that reads the day's changes
+    *    and one that shuffles 200 TB of snapshots to ship 0.1 % churn.
+    *  - **Snapshot join** (the fallback): both endpoint snapshots read
+    *    through [[Streaming.readSink]]`(atEpoch)` (a vacuumed epoch
+    *    refuses loudly) and full-outer-joined on the key. Taken when
+    *    any in-range epoch lacks its manifest (pre-r15 epochs, emission
+    *    disabled, a data-bearing compaction without `onCompact`, a
+    *    retention without `onRetire`), when a requested column is
+    *    missing from the recorded manifests (a rename crossed the
+    *    range), or when `spark.graft.cdc.useChangeFiles=false` forces
+    *    it. */
   def readSinkChanges(spark: SparkSession, path: String,
       fromEpoch: Long, toEpoch: Long, keyCols: Seq[String],
       compareCols: Seq[String], tsCol: String = "ts"): DataFrame = {
@@ -71,10 +162,13 @@ object SnapshotDiff {
         s"fromEpoch $fromEpoch must be < toEpoch $toEpoch (equal epochs " +
         "have an empty diff by definition; swap the arguments for the " +
         "reverse direction)")
-    val pre = Streaming.readSink(spark, path, tsCol, atEpoch = Some(fromEpoch))
-    val post = Streaming.readSink(spark, path, tsCol, atEpoch = Some(toEpoch))
     val valueCols = (compareCols :+ "day").distinct.filterNot(keyCols.contains)
     val cols = keyCols ++ valueCols
+    val (pre, post) =
+      changeFileImages(spark, path, fromEpoch, toEpoch, keyCols, cols)
+        .getOrElse((
+          Streaming.readSink(spark, path, tsCol, atEpoch = Some(fromEpoch)),
+          Streaming.readSink(spark, path, tsCol, atEpoch = Some(toEpoch))))
     // additive drift between versions: a requested column missing from
     // one snapshot conforms as NULL of the other's type (missing from
     // BOTH is a caller error - refuse with the column named)

@@ -1533,6 +1533,34 @@ object Streaming {
     }
   }
 
+  /** Chain data-skipping manifest emission into the epoch commit —
+    * closing the refuse-window the manual `indexSinkStats` /
+    * `indexSinkBloom` discipline leaves open (every lifecycle op mints
+    * an epoch whose stale manifest REFUSES pruned reads until a
+    * re-index runs; correct-but-loud, and at 100 TB a maintenance step
+    * someone forgets). With `spark.graft.stats.autoIndexColumns`
+    * and/or `spark.graft.bloom.autoIndexColumns` set (comma-separated
+    * column lists), every epoch-minting op ends by re-indexing the
+    * fresh epoch: O(files) footer reads, distributed, before the op
+    * returns — so a pruned read NEVER observes a manifest-less epoch.
+    * Off by default (both confs unset = the manual discipline).
+    * An epoch holding no data (retention emptied it) has nothing to
+    * index and is skipped. */
+  private def autoIndexStats(spark: SparkSession, path: String): Unit = {
+    def confCols(key: String): Seq[String] = spark.conf.getOption(key)
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val statCols = confCols("spark.graft.stats.autoIndexColumns")
+    val bloomCols = confCols("spark.graft.bloom.autoIndexColumns")
+    if (statCols.nonEmpty || bloomCols.nonEmpty) {
+      val f = fs(spark, path)
+      val e = maxEpoch(spark, path)
+      if (e >= 0 && resolvedDays(f, path, e).nonEmpty) {
+        if (statCols.nonEmpty) SinkStats.indexSinkStats(spark, path, statCols)
+        bloomCols.foreach(c => SinkStats.indexSinkBloom(spark, path, c))
+      }
+    }
+  }
+
   /** The range-partition key every sized epoch writer shuffles on —
     * shared by ALL epoch-minting rewrites (compaction, the alter-only
     * normalize pass, delete and upsert affected-day rewrites) so no
@@ -1629,10 +1657,17 @@ object Streaming {
         (inputBytes + targetBytes - 1) / targetBytes)).toInt
       src.repartitionByRange(k, epochRangeKeys(spark, src, tsCol): _*)
         .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+      // a rename/drop changes representation, not rows: an EMPTY
+      // manifest keeps CDC ranges crossing this epoch on the O(churn)
+      // path ("nothing changed" ≠ "churn not recorded")
+      if (changeFilesEnabled(spark))
+        writeEpochChanges(spark, epochDir,
+          src.limit(0).withColumn(CdcKindCol, lit("insert")))
       fence()
       commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact")
       f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
       retireEpochsLocked(spark, path, f)
+      autoIndexStats(spark, path)
       epoch
     }
     // input selection: committed batches only, max live id held back
@@ -1736,6 +1771,16 @@ object Streaming {
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
     merged.repartitionByRange(k, epochRangeKeys(spark, merged, tsCol): _*)
       .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    // opt-in churn record for ingest compactions ([[ChangesDir]]): the
+    // consumed batches are this epoch's inserts, but recording them
+    // re-writes every ingested byte a second time, so the default is
+    // no manifest (CDC ranges crossing this epoch fall back to the
+    // snapshot join)
+    if (changeFilesEnabled(spark) && spark.conf
+      .getOption("spark.graft.sink.changeFiles.onCompact")
+      .exists(_.toBoolean))
+      writeEpochChanges(spark, epochDir,
+        fresh.withColumn(CdcKindCol, lit("insert")))
     // the owed-day plan derives from the day dirs the write ACTUALLY
     // produced, not from the collected day strings — any naming drift
     // between the two would misclassify a written day as owed
@@ -1760,6 +1805,7 @@ object Streaming {
     // only epochs past the retention depth retire
     retireEpochsLocked(spark, path, f)
     live.foreach { case (_, p) => f.delete(p, true) }
+    autoIndexStats(spark, path)
     epoch
   }
 
@@ -2399,9 +2445,20 @@ object Streaming {
             f.mkdirs(epochDir)
             if (survivors.nonEmpty)
               writePlan(f, epochDir, cut, survivors)
+            // opt-in churn record ([[ChangesDir]]): the expired days'
+            // rows are this epoch's deletes, but reading them back
+            // turns an O(1)-metadata retention into an O(expired data)
+            // op, so the default is no manifest (fallback)
+            if (changeFilesEnabled(spark) && spark.conf
+              .getOption("spark.graft.sink.changeFiles.onRetire")
+              .exists(_.toBoolean))
+              writeEpochChanges(spark, epochDir,
+                readDays(spark, resolved.filter(d => victims.contains(d._1)))
+                  .withColumn(CdcKindCol, lit("delete")))
             fence() // the commit makes the retention visible: last exit
             commitEpoch(f, epochDir, wm, "retire") // no batches consumed
             retireEpochsLocked(spark, path, f)
+            autoIndexStats(spark, path)
             victims
           }
         } else {
@@ -2421,6 +2478,7 @@ object Streaming {
             require(f.delete(new org.apache.hadoop.fs.Path(eDir, d), true),
               s"could not delete $eDir/$d")
           }
+          if (victims.nonEmpty) autoIndexStats(spark, path)
           victims
         }
       }
@@ -2555,6 +2613,13 @@ object Streaming {
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
     val sized = kept.repartitionByRange(k, epochRangeKeys(spark, kept, tsCol): _*)
     sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    // record the epoch's churn for O(churn) CDC reads ([[ChangesDir]]):
+    // the doomed rows ARE the delete's change set, and reading them
+    // back is bounded by the affected days the rewrite already pays for
+    if (changeFilesEnabled(spark))
+      writeEpochChanges(spark, epochDir,
+        matchOf(readDays(spark, affectedDirs))
+          .withColumn(CdcKindCol, lit("delete")))
     // untouched days move by the AFFECTED set, not the written set: an
     // affected day emptied by the delete was legitimately not written
     // and must NOT be resurrected from the source epoch
@@ -2563,6 +2628,7 @@ object Streaming {
     fence() // the commit makes the delete visible: last exit
     commitEpoch(f, epochDir, wm, "delete") // no batches consumed: carry forward
     retireEpochsLocked(spark, path, f)
+    autoIndexStats(spark, path)
     epoch
   }
 
@@ -2732,11 +2798,47 @@ object Streaming {
     val sized = epochRows.repartitionByRange(k,
       epochRangeKeys(spark, epochRows, tsCol): _*)
     sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    // record the epoch's churn for O(churn) CDC reads ([[ChangesDir]]):
+    // the replaced rows (pre-images) come from one more pass over the
+    // matched days the merge already reads, the batch itself carries
+    // the post-images, and matched-vs-new classifies update vs insert
+    if (changeFilesEnabled(spark)) {
+      val allCols = epochRows.columns.toSeq
+      def conformEv(df: DataFrame): DataFrame =
+        df.select(allCols.map(c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(epochRows.schema(c).dataType).as(c)): _*)
+      val olds =
+        if (affectedDirs.isEmpty) None
+        else Some(readDays(spark, affectedDirs)
+          .join(keys, keyCols, "left_semi"))
+      val posts = olds match {
+        case Some(o) =>
+          val mk = o.select(keyCols.map(col): _*).distinct()
+            .withColumn("__cdc_m", lit(1))
+          val mkSide =
+            if (spark.conf.getOption("spark.graft.upsert.broadcastKeys")
+              .forall(_.toBoolean)) broadcast(mk)
+            else mk
+          conformEv(incoming).join(mkSide, keyCols, "left_outer")
+            .withColumn(CdcKindCol, when(col("__cdc_m").isNotNull,
+              lit("update_post")).otherwise(lit("insert")))
+            .select((allCols :+ CdcKindCol).map(col): _*)
+        case None => conformEv(incoming).withColumn(CdcKindCol, lit("insert"))
+      }
+      val events = olds match {
+        case Some(o) => conformEv(o)
+          .withColumn(CdcKindCol, lit("update_pre")).unionByName(posts)
+        case None => posts
+      }
+      writeEpochChanges(spark, epochDir, events)
+    }
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the merge visible: last exit
     commitEpoch(f, epochDir, wm, "upsert") // no batches consumed: carry forward
     retireEpochsLocked(spark, path, f)
+    autoIndexStats(spark, path)
     epoch
   }
 

@@ -1722,7 +1722,8 @@ object VectorOps {
     * caches, so every serving session retrained — the stored artifact
     * their scaladocs invoke did not exist): [[writeVectorIndex]]
     * persists the trained IVF-PQ index (centroids + codebook +
-    * list-partitioned codes) to session scratch, [[readVectorIndex]]
+    * list-partitioned codes) to session scratch (the once-per-session
+    * [[sharedIvfpqBase]]), [[readVectorIndex]]
     * re-reads it under the commit-marker gate, and the probes search
     * the STORED index — coarse routing against the stored centroids,
     * static list pruning, ADC over stored codes, exact re-rank — with
@@ -1730,11 +1731,8 @@ object VectorOps {
     * equality and the recall gate; the list pruning is pinned on the
     * scan's numFiles). Rows-only by design: the trained artifacts are
     * iteration-order-specific (q49/q130's caveat). */
-  def q136StoredAnn(spark: SparkSession, dir: String): DataFrame = {
-    val out = vecScratch(spark, dir, "ivfpq")
-    writeVectorIndex(spark, dir, out)
-    searchVectorIndex(spark, dir, out)
-  }
+  def q136StoredAnn(spark: SparkSession, dir: String): DataFrame =
+    searchVectorIndex(spark, dir, sharedIvfpqBase(spark, dir))
 
   private def vecScratch(spark: SparkSession, dir: String,
       prefix: String): String = {
@@ -1748,11 +1746,26 @@ object VectorOps {
       .getAbsolutePath
   }
 
+  /** The SHARED full-corpus stored IVF-PQ index the vector lifecycle
+    * provers start from — built ONCE per session ([[SharedArtifacts]];
+    * the r14 verdict's bench-curve item: q136/q141/q154 each re-encoded
+    * and re-wrote the whole corpus into private scratches; training was
+    * already session-cached, the encode + sized code writes were not).
+    * READ-ONLY consumers (q136's search) use it in place; MUTATING
+    * provers (q141 delete, q154 upsert) clone it into their private
+    * scratch first. Codes depend only on the stored artifacts, so a
+    * clone is byte-identical to a private build — consumers' results
+    * are unchanged. */
+  private def sharedIvfpqBase(spark: SparkSession, dir: String): String =
+    SharedArtifacts.once(spark, dir, "ivfpq_base")(out =>
+      writeVectorIndex(spark, dir, out))
+
   /** q141 — the stored vector index's DELETE lifecycle (q140's
     * tombstone discipline on the vector side, completing the serving
     * story q136 opened: write/append there, delete here, compaction
-    * spec-pinned): build on two-thirds of the vectors, append the
-    * rest against the stored artifacts, [[deleteFromVectorIndex]] the
+    * spec-pinned): from a private clone of [[sharedIvfpqBase]]
+    * (byte-identical to a fresh build — codes depend only on the
+    * stored artifacts), [[deleteFromVectorIndex]] the
     * `vec_id % 7 = 3` cohort — one tombstone generation, O(batch),
     * no index scan — and search. The serving read anti-joins the ADC
     * candidates against the tombstones BEFORE ranking, so victims
@@ -1764,9 +1777,8 @@ object VectorOps {
     * compaction-fold equality, physical code removal, idempotent
     * replay, and torn-delete invisibility. */
   def q141VectorDelete(spark: SparkSession, dir: String): DataFrame = {
-    val out = vecScratch(spark, dir, "ivfpq_del")
-    writeVectorIndex(spark, dir, out, pmod(col("vec_id"), lit(3)) =!= 0)
-    appendVectorIndex(spark, dir, out, pmod(col("vec_id"), lit(3)) === 0)
+    val out = SharedArtifacts.cloneTo(spark, sharedIvfpqBase(spark, dir),
+      vecScratch(spark, dir, "ivfpq_del"))
     deleteFromVectorIndex(spark, out,
       normed(spark, dir).filter(pmod(col("vec_id"), lit(7)) === 3)
         .select("vec_id"))
@@ -1798,7 +1810,7 @@ object VectorOps {
     val inserted = emb.filter(pmod(col("vec_id"), lit(17)) === 5)
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
     val batch = updated.unionByName(inserted)
-    writeVectorIndex(spark, dir, out)
+    SharedArtifacts.cloneTo(spark, sharedIvfpqBase(spark, dir), out)
     upsertVectorIndexRows(spark, batch, out)
     val got = searchVectorIndex(spark, dir, out)
     // reference: same trained artifacts, old versions NEVER encoded

@@ -126,6 +126,42 @@ class SinkStatsSpec extends SparkSpecBase {
       .filter(col("user_id") >= lo && col("user_id") <= hi)))
   }
 
+  test("autoIndexColumns chains manifest emission into every epoch commit - no refuse window") {
+    val sink = scratch("autoidx")
+    Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
+    val prevS = spark.conf.getOption("spark.graft.stats.autoIndexColumns")
+    val prevB = spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
+    try {
+      spark.conf.set("spark.graft.stats.autoIndexColumns", "user_id")
+      spark.conf.set("spark.graft.bloom.autoIndexColumns", "event_id")
+      withClusteredConf(sink)(Streaming.compactSink(spark, sink,
+        quiesced = true))
+      // NO manual index call anywhere in this test: the lifecycle ops
+      // themselves emit the manifests inside their commit
+      def band(): Unit = {
+        val pruned = SinkStats.readSinkPruned(spark, sink,
+          "user_id", 0.0, 50.0)
+        assert(rowsOf(pruned) == rowsOf(Streaming.readSink(spark, sink)
+          .filter(col("user_id") >= 0.0 && col("user_id") <= 50.0)))
+      }
+      band()
+      // a mutation used to stale the manifest until a manual re-index;
+      // with auto-index the pruned read serves IMMEDIATELY after
+      Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+      band()
+      val someId = Streaming.readSink(spark, sink)
+        .agg(min(col("event_id"))).head().getLong(0)
+      val hit = SinkStats.readSinkPoint(spark, sink, "event_id", someId)
+      assert(hit.filter(col("event_id") === someId).count() > 0,
+        "bloom point read after auto-indexed delete found nothing")
+    } finally {
+      prevS.fold(spark.conf.unset("spark.graft.stats.autoIndexColumns"))(
+        v => spark.conf.set("spark.graft.stats.autoIndexColumns", v))
+      prevB.fold(spark.conf.unset("spark.graft.bloom.autoIndexColumns"))(
+        v => spark.conf.set("spark.graft.bloom.autoIndexColumns", v))
+    }
+  }
+
   test("missing manifest refuses; unsupported column type refuses at index time") {
     val sink = scratch("missing")
     Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)

@@ -91,6 +91,118 @@ class SnapshotDiffSpec extends SparkSpecBase {
     }
   }
 
+  test("change-file path: O(churn) reads, row-identity with the snapshot join, fallback on a missing manifest") {
+    withKeep(4) {
+      val t = "2024-01-01 10:00:00"
+      val sink = mkSink("sdiff_cdf", Seq(
+        (1L, t, Some(10L)), // untouched -> silent
+        (2L, t, Some(20L)), // value updated
+        (3L, t, Some(30L)), // deleted, never re-created
+        (4L, t, None),      // null -> value transition = update
+        (6L, t, Some(60L)), // deleted then re-upserted IDENTICAL = silent
+        (7L, t, Some(70L))  // updated to the same value = silent
+      ))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      Streaming.deleteWhere(spark, sink, col("k") === 3 || col("k") === 6)
+      val batch = Seq(
+        (2L, t, Some(21L)), (4L, t, Some(40L)), (5L, t, Some(50L)),
+        (6L, t, Some(60L)), (7L, t, Some(70L))
+      ).toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      val e2 = epoch(sink)
+      val want = Map(
+        2L -> ("update", Some(21L)),
+        3L -> ("delete", Some(30L)),
+        4L -> ("update", Some(40L)),
+        5L -> ("insert", Some(50L)))
+      // default path: served from the per-epoch change manifests - the
+      // plan must never open the snapshots' data files
+      val viaChanges = SnapshotDiff.readSinkChanges(spark, sink, e0, e2,
+        Seq("k"), Seq("v"))
+      assert(viaChanges.inputFiles.nonEmpty &&
+        viaChanges.inputFiles.forall(_.contains(s"/${"_changes"}/")),
+        s"change-file path read data files: " +
+          viaChanges.inputFiles.filterNot(_.contains("/_changes/")).toSeq)
+      assert(diffRows(viaChanges) === want)
+      // forced snapshot join: identical rows, reads data files
+      val prev = spark.conf.getOption("spark.graft.cdc.useChangeFiles")
+      spark.conf.set("spark.graft.cdc.useChangeFiles", "false")
+      try {
+        val viaSnap = SnapshotDiff.readSinkChanges(spark, sink, e0, e2,
+          Seq("k"), Seq("v"))
+        assert(viaSnap.inputFiles.exists(!_.contains("/_changes/")),
+          "forced snapshot path did not read snapshots")
+        assert(diffRows(viaSnap) === want)
+      } finally prev.fold(
+        spark.conf.unset("spark.graft.cdc.useChangeFiles"))(
+        v => spark.conf.set("spark.graft.cdc.useChangeFiles", v))
+      // a range with a manifest-less epoch falls back transparently:
+      // strip the delete epoch's manifest and diff again
+      val f = new org.apache.hadoop.fs.Path(sink)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(f.delete(new org.apache.hadoop.fs.Path(
+        s"$sink/epoch=${e0 + 1}/_changes"), true),
+        "no manifest to strip - the delete epoch did not record churn")
+      val fellBack = SnapshotDiff.readSinkChanges(spark, sink, e0, e2,
+        Seq("k"), Seq("v"))
+      assert(fellBack.inputFiles.exists(!_.contains("/_changes/")),
+        "diff over a stripped manifest did not fall back")
+      assert(diffRows(fellBack) === want)
+    }
+  }
+
+  test("change-file path serves across an alter-normalize epoch (empty manifest) and survives applyChanges") {
+    withKeep(5) {
+      val t = "2024-01-05 11:00:00"
+      val root = java.nio.file.Files
+        .createTempDirectory("sdiff_cdf_alter").toString
+      val sink = s"$root/sink"
+      val df = Seq((1L, t, Some(10L), "a"), (2L, t, Some(20L), "b"),
+        (3L, t, Some(30L), "c"))
+        .toDF("k", "tss", "v", "w")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.writeBatchIdempotent(df, sink, 0L)
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      Streaming.deleteWhere(spark, sink, col("k") === 3)
+      // rename an unrelated column mid-range: the normalize epoch
+      // records an EMPTY manifest, keeping the range on the fast path
+      Streaming.alterSink(spark, sink, renames = Map("w" -> "w2"))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val batch = Seq((2L, t, Some(21L), "b"))
+        .toDF("k", "tss", "v", "w2")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      val e3 = epoch(sink)
+      assert(e3 == e0 + 3, s"expected 3 minted epochs, got ${e3 - e0}")
+      val out = SnapshotDiff.readSinkChanges(spark, sink, e0, e3,
+        Seq("k"), Seq("v"))
+      assert(out.inputFiles.nonEmpty &&
+        out.inputFiles.forall(_.contains("/_changes/")),
+        "alter-crossing range left the change-file path")
+      assert(diffRows(out) === Map(
+        2L -> ("update", Some(21L)),
+        3L -> ("delete", Some(30L))))
+      // the O(churn) feed drives the replica loop end to end: apply it
+      // with full-row compare columns onto a replica of the e0 state
+      val rep = s"$root/rep"
+      Streaming.writeBatchIdempotent(df, rep, 0L)
+      Streaming.compactSink(spark, rep, quiesced = true)
+      Streaming.alterSink(spark, rep, renames = Map("w" -> "w2"))
+      Streaming.compactSink(spark, rep, quiesced = true)
+      val feed = SnapshotDiff.readSinkChanges(spark, sink, e0, e3,
+        Seq("k"), Seq("ts", "v", "w2"))
+      val (nDel, nUps) = SnapshotDiff.applyChanges(spark, rep, feed, Seq("k"))
+      assert(nDel == 1 && nUps == 1, s"apply moved ($nDel, $nUps)")
+      val repRows = Streaming.readSink(spark, rep)
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(repRows === Map(1L -> 10L, 2L -> 21L))
+    }
+  }
+
   test("a column literally named 'present' does not collide with the diff's internal markers") {
     withKeep(3) {
       // the internal presence markers used to be spelled
