@@ -2145,6 +2145,26 @@ object OracleSql {
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day NULLS FIRST""".stripMargin
 
+  /** q156 — the STRING zone-map audit: the engine clusters the sink's
+    * compaction on `event_type`, manifests per-file TRUNCATED
+    * ASCII-safe string bounds from the parquet footers, and serves the
+    * `['click','purchase']` type band reading only the overlapping
+    * files (asserting skips happened) with the exact predicate
+    * re-applied. The oracle is the same band as a plain BETWEEN: hash
+    * equality proves the pruned files held no in-band row — string
+    * bound comparison lost nothing to truncation or collation — and
+    * the kept files' rows filter to exactly the band. Cents floored
+    * per row before the sum (q124). */
+  val q156: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |WHERE event_type BETWEEN 'click' AND 'purchase'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q153 — the lexical-upsert audit: the engine builds the stored
     * index on the full corpus (build + append), then one atomic
     * upsert generation REPLACES the `doc_id % 5 = 2` cohort's text

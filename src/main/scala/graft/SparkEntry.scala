@@ -168,7 +168,8 @@ object SparkEntry {
     "q152_rename_drop" -> (Streaming.q152RenameDrop _),
     "q153_lexical_upsert" -> (TextOps.q153LexicalUpsert _),
     "q154_vector_upsert" -> (VectorOps.q154VectorUpsert _),
-    "q155_cdc_replication" -> (SnapshotDiff.q155CdcReplication _)
+    "q155_cdc_replication" -> (SnapshotDiff.q155CdcReplication _),
+    "q156_string_band" -> (SinkStats.q156StringBand _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,7 +465,10 @@ object SparkEntry {
     // an initially-identical replica (key-set delete + atomic MERGE);
     // the oracle states the source's post-state — hash equality proves
     // the replica converged exactly
-    "q155_cdc_replication" -> OracleSql.q155
+    "q155_cdc_replication" -> OracleSql.q155,
+    // q156 string zone maps: event_type-clustered layout + truncated
+    // ASCII-safe string bounds; the oracle is the plain BETWEEN band
+    "q156_string_band" -> OracleSql.q156
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -54,10 +54,6 @@ import graft.Tables
   * (inherited loudly from [[Streaming.readSink]]'s atEpoch rail). */
 object SnapshotDiff {
 
-  private def currentEpoch(spark: SparkSession, sink: String): Long =
-    Streaming.listSinkEpochs(spark, sink).collect()
-      .map(_.getLong(0)).foldLeft(-1L)(math.max)
-
   /** The diff's (pre-image, post-image) frames served from the
     * per-epoch CDC change manifests ([[Streaming.ChangesDir]]) — the
     * O(churn) path — or None when any precondition fails and the
@@ -135,9 +131,12 @@ object SnapshotDiff {
     * TWO serving paths, same answer (SnapshotDiffSpec pins
     * row-identity):
     *
-    *  - **Change files** (the default since r15): when EVERY epoch in
+    *  - **Change files** (served automatically whenever available):
+    *    when EVERY epoch in
     *    `(fromEpoch, toEpoch]` carries the [[Streaming.ChangesDir]]
-    *    manifest its mutation op recorded at commit, the diff is a
+    *    manifest its mutation op recorded at commit (emission is
+    *    opt-in per sink phase via `spark.graft.sink.changeFiles` —
+    *    Delta CDF's model), the diff is a
     *    per-key FOLD over those manifests — first pre-image wins, last
     *    post-image wins, then the same net-change classification. Work
     *    is O(churn): one window shuffle over the recorded change rows;
@@ -260,68 +259,109 @@ object SnapshotDiff {
     (nDel, nUps)
   }
 
+  /** The SHARED mutated CDC source both diff provers read — built ONCE
+    * per session ([[SharedArtifacts]]; q150 and q155 previously each
+    * ran the identical ingest → compact → delete → upsert lifecycle
+    * into private scratches, the two heaviest lines of the r14 bench):
+    * the events table lands as one batch, compacts into a snapshot
+    * under `keepEpochs = 3`, takes the GDPR delete
+    * (`user_id % 7 = 3`), and takes the CDC upsert (UPDATE every
+    * `event_id % 3 = 0` key with user_id shifted +1 000 000, INSERT
+    * the `event_id % 10 = 1` cohort re-keyed +1 000 000 000) — with
+    * `spark.graft.sink.changeFiles` ON during the mutations, so the
+    * delete and upsert epochs carry their O(churn) manifests and both
+    * consumers' diffs serve from the change-file fast path (paid once,
+    * at build). Consumers only ever READ the artifact (diff both
+    * retained endpoints); no maintenance ever runs on it afterward, so
+    * the retained window is stable for the session. */
+  private def sharedCdcSource(spark: SparkSession, dir: String): String =
+    SharedArtifacts.once(spark, dir, "events_cdc_source") { src =>
+      val ev = Tables.events(spark, dir)
+      Streaming.writeBatchIdempotent(ev, src, 0L)
+      val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
+      val prevCf = spark.conf.getOption("spark.graft.sink.changeFiles")
+      spark.conf.set("spark.graft.sink.keepEpochs", "3")
+      spark.conf.set("spark.graft.sink.changeFiles", "true")
+      try {
+        Streaming.compactSink(spark, src, quiesced = true)
+        Streaming.deleteWhere(spark, src, col("user_id") % 7 === 3)
+        val upd = ev.filter(col("event_id") % 3 === 0)
+          .withColumn("user_id", col("user_id") + 1000000L)
+        val ins = ev.filter(col("event_id") % 10 === 1)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+        Streaming.upsertBatch(spark, src, upd.unionByName(ins),
+          Seq("event_id"))
+      } finally {
+        prevKeep match {
+          case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
+          case None => spark.conf.unset("spark.graft.sink.keepEpochs")
+        }
+        prevCf match {
+          case Some(v) => spark.conf.set("spark.graft.sink.changeFiles", v)
+          case None => spark.conf.unset("spark.graft.sink.changeFiles")
+        }
+      }
+    }
+
+  /** The shared source's diff endpoints: the oldest retained epoch is
+    * the pre-mutation snapshot (ingest compaction), the newest is the
+    * post-upsert state — `keepEpochs = 3` retains exactly the
+    * compact / delete / upsert triple. */
+  private def cdcEndpoints(spark: SparkSession, src: String): (Long, Long) = {
+    val es = Streaming.listSinkEpochs(spark, src).collect()
+      .map(_.getLong(0)).sorted
+    require(es.length == 3,
+      s"shared CDC source holds ${es.length} retained epochs, expected " +
+        "3 (compact, delete, upsert) - the artifact was mutated")
+    (es.head, es.last)
+  }
+
   /** q155 — CDC REPLICATION END TO END under the oracle hash (the
     * full produce→consume loop q150 opened: Delta CDF's reason to
     * exist — keep a downstream copy in step by shipping O(churn)
-    * changes, never re-shipping the table): source and replica start
-    * as identical sinks; the source takes a GDPR delete and a CDC
-    * upsert (q150's mutations); [[readSinkChanges]] diffs the
-    * source's retained snapshots with `compareCols` = every data
-    * column (so the feed carries full rows); [[applyChanges]] replays
-    * the feed onto the REPLICA — key-set delete, then one atomic
-    * MERGE; and the replica is read back into a per-day aggregate.
-    * The oracle states the source's POST-state directly from
-    * `events`: hash equality proves the replica converged to exactly
-    * the source — the diff lost no change, the apply invented none,
-    * and content-identical touches (null-user rows the upsert
-    * re-wrote byte-identically) moved nothing. */
+    * changes, never re-shipping the table): the replica starts
+    * identical to the [[sharedCdcSource]]'s pre-mutation snapshot;
+    * [[readSinkChanges]] diffs the source's retained endpoints with
+    * `compareCols` = every data column (so the feed carries full rows
+    * — and serves from the source's change manifests, the fast path);
+    * [[applyChanges]] replays the feed onto the REPLICA — key-set
+    * delete, then one atomic MERGE; and the replica is read back into
+    * a per-day aggregate. The oracle states the source's POST-state
+    * directly from `events`: hash equality proves the replica
+    * converged to exactly the source — the diff lost no change, the
+    * apply invented none, and content-identical touches (null-user
+    * rows the upsert re-wrote byte-identically) moved nothing. */
   def q155CdcReplication(spark: SparkSession, dir: String): DataFrame = {
-    val src = Streaming.scratchSink(spark, dir, "events_cdc_src")
+    val src = sharedCdcSource(spark, dir)
+    val (snap, cur) = cdcEndpoints(spark, src)
     val rep = Streaming.scratchSink(spark, dir, "events_cdc_rep")
-    val ev = Tables.events(spark, dir)
-    Streaming.writeBatchIdempotent(ev, src, 0L)
-    Streaming.writeBatchIdempotent(ev, rep, 0L)
-    val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
-    spark.conf.set("spark.graft.sink.keepEpochs", "3")
-    try {
-      Streaming.compactSink(spark, src, quiesced = true)
-      Streaming.compactSink(spark, rep, quiesced = true)
-      val snap = currentEpoch(spark, src)
-      Streaming.deleteWhere(spark, src, col("user_id") % 7 === 3)
-      val upd = ev.filter(col("event_id") % 3 === 0)
-        .withColumn("user_id", col("user_id") + 1000000L)
-      val ins = ev.filter(col("event_id") % 10 === 1)
-        .withColumn("event_id", col("event_id") + 1000000000L)
-      Streaming.upsertBatch(spark, src, upd.unionByName(ins), Seq("event_id"))
-      val changes = readSinkChanges(spark, src, snap,
-        currentEpoch(spark, src), Seq("event_id"),
-        Seq("ts", "user_id", "event_type", "value", "props"))
-      val (nDel, nUps) = applyChanges(spark, rep, changes, Seq("event_id"))
-      require(nDel > 0 && nUps > 0,
-        s"q155 must exercise both halves of the apply, got " +
-          s"deletes=$nDel upserts=$nUps")
-      Streaming.readSink(spark, rep)
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("n_events"),
-          count(col("user_id")).as("n_with_user"),
-          sum(floor(col("value") * 100).cast("long")).as("sum_cents"),
-          sum(col("user_id")).as("sum_users"))
-        .orderBy("day")
-    } finally prevKeep match {
-      case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
-      case None => spark.conf.unset("spark.graft.sink.keepEpochs")
-    }
+    Streaming.writeBatchIdempotent(Tables.events(spark, dir), rep, 0L)
+    Streaming.compactSink(spark, rep, quiesced = true)
+    val changes = readSinkChanges(spark, src, snap, cur, Seq("event_id"),
+      Seq("ts", "user_id", "event_type", "value", "props"))
+    // the REPLICA applies with manifest emission at its default (off):
+    // CDF belongs on the publishing table someone diffs, not on the
+    // mirror nobody does — the apply stays an ordinary delete + MERGE
+    val (nDel, nUps) = applyChanges(spark, rep, changes, Seq("event_id"))
+    require(nDel > 0 && nUps > 0,
+      s"q155 must exercise both halves of the apply, got " +
+        s"deletes=$nDel upserts=$nUps")
+    Streaming.readSink(spark, rep)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("user_id")).as("n_with_user"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"),
+        sum(col("user_id")).as("sum_users"))
+      .orderBy("day")
   }
 
-  /** q150 — snapshot CDC END TO END under the oracle hash: events land
-    * as one batch and compact into snapshot epoch A under
-    * `keepEpochs = 3`; a [[Streaming.deleteWhere]] removes the
-    * `user_id % 7 = 3` cohort (epoch A+1); a CDC
-    * [[Streaming.upsertBatch]] then UPDATES every `event_id % 3 = 0`
-    * key (user_id shifted by +1 000 000 — an exact integer delta, so
-    * the diff's compare is IEEE-free) and INSERTS a fresh key cohort
-    * (`event_id % 10 = 1` re-keyed +1 000 000 000), minting epoch A+2;
-    * [[readSinkChanges]] diffs A against A+2. The oracle re-derives
+  /** q150 — snapshot CDC END TO END under the oracle hash, over the
+    * [[sharedCdcSource]] lifecycle (compact epoch A, the
+    * `user_id % 7 = 3` delete epoch A+1, the update-every-
+    * `event_id % 3 = 0` + insert-rekeyed-cohort upsert epoch A+2 —
+    * the user_id shift is an exact integer delta, so the diff's
+    * compare is IEEE-free): [[readSinkChanges]] diffs A against A+2,
+    * served from the mutations' change manifests. The oracle re-derives
     * the three change sets directly from `events`:
     * updates = every touched key whose content visibly changed (a null
     * user_id shifts to null — touched but content-identical, so the
@@ -332,27 +372,10 @@ object SnapshotDiff {
     * ops — including the delete-then-reinsert keys surfacing as
     * updates, not delete+insert pairs. */
   def q150SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val sink = Streaming.scratchSink(spark, dir, "events_cdf")
-    val ev = Tables.events(spark, dir)
-    Streaming.writeBatchIdempotent(ev, sink, 0L)
-    val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
-    spark.conf.set("spark.graft.sink.keepEpochs", "3")
-    try {
-      Streaming.compactSink(spark, sink, quiesced = true)
-      val snap = currentEpoch(spark, sink)
-      Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
-      val upd = ev.filter(col("event_id") % 3 === 0)
-        .withColumn("user_id", col("user_id") + 1000000L)
-      val ins = ev.filter(col("event_id") % 10 === 1)
-        .withColumn("event_id", col("event_id") + 1000000000L)
-      Streaming.upsertBatch(spark, sink, upd.unionByName(ins), Seq("event_id"))
-      val cur = currentEpoch(spark, sink)
-      readSinkChanges(spark, sink, snap, cur,
-        Seq("event_id"), Seq("user_id"))
-        .orderBy("change", "event_id")
-    } finally prevKeep match {
-      case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
-      case None => spark.conf.unset("spark.graft.sink.keepEpochs")
-    }
+    val src = sharedCdcSource(spark, dir)
+    val (snap, cur) = cdcEndpoints(spark, src)
+    readSinkChanges(spark, src, snap, cur,
+      Seq("event_id"), Seq("user_id"))
+      .orderBy("change", "event_id")
   }
 }

@@ -540,9 +540,14 @@ object Streaming {
     *
     * Emission (all checked per-op, so mixed-config sinks degrade to
     * the fallback, never to wrong answers):
-    *   - `spark.graft.sink.changeFiles` (default TRUE) — deleteWhere /
-    *     deleteKeys / upsertBatch, whose manifests are O(churn) by
-    *     nature, plus the alter-normalize empty manifest;
+    *   - `spark.graft.sink.changeFiles` (default FALSE — opt-in per
+    *     session/phase, exactly Delta CDF's per-table
+    *     `enableChangeDataFeed` model: the manifest taxes every
+    *     mutation with one extra affected-days read plus an O(churn)
+    *     write, measured ~+50 % on a pure upsert, which only pays off
+    *     on sinks someone actually diffs) — deleteWhere / deleteKeys /
+    *     upsertBatch, whose manifests are O(churn) by nature, plus the
+    *     alter-normalize empty manifest;
     *   - `spark.graft.sink.changeFiles.onCompact` (default false) — a
     *     data-bearing compaction's consumed batches recorded as
     *     inserts. Off by default: it re-writes every ingested byte a
@@ -561,7 +566,7 @@ object Streaming {
 
   private def changeFilesEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.sink.changeFiles")
-      .forall(_.toBoolean)
+      .exists(_.toBoolean)
 
   /** Write epoch `epochDir`'s change manifest. Unpartitioned (the feed
     * is consumed whole, never day-pruned) and pre-commit (atomic with

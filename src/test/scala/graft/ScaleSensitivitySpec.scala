@@ -58,7 +58,9 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q154_vector_upsert",
       // q155 runs TWO full sink lifecycles (source + replica) plus the
       // diff and the apply - the heaviest CDC composition
-      "q155_cdc_replication")
+      "q155_cdc_replication",
+      // q156 indexes + band-reads the shared string-clustered sink
+      "q156_string_band")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

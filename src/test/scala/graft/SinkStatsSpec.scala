@@ -126,6 +126,64 @@ class SinkStatsSpec extends SparkSpecBase {
       .filter(col("user_id") >= lo && col("user_id") <= hi)))
   }
 
+  test("string zone maps: pruned band equals full filter, skips files; unsafe bounds scan, never skip") {
+    import spark.implicits._
+    val sink = scratch("strband")
+    val t = "2024-02-01 10:00:00"
+    // key-like string values spread over a sortable domain, plus the
+    // three hazard classes: a >64-char value sharing a prefix with
+    // in-band values (truncation), a non-ASCII value (collation), and
+    // an all-null file cohort
+    val rows = (0L until 4000L).map { i =>
+      val v = (i % 40) match {
+        case 37 => null
+        case 38 => "m" + ("x" * 100) + i // truncated bound, in band
+        case 39 => "żeta_" + (i % 7) // non-ASCII: bounds must go null
+        case k => f"key_${((k * 7) % 26 + 'a'.toInt).toChar}%c_${i % 97}%02d"
+      }
+      (i, t, v)
+    }
+    val df = rows.toDF("event_id", "tss", "k")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    Streaming.writeBatchIdempotent(df, sink, 0L)
+    val f = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = f.getContentSummary(new org.apache.hadoop.fs.Path(sink))
+      .getLength
+    val prevT = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+    val prevC = spark.conf.getOption("spark.graft.compact.clusterBy")
+    try {
+      spark.conf.set("spark.graft.compact.targetFileBytes",
+        math.max(1L, bytes / 32).toString)
+      spark.conf.set("spark.graft.compact.clusterBy", "k")
+      Streaming.compactSink(spark, sink, quiesced = true)
+    } finally {
+      prevT.fold(spark.conf.unset("spark.graft.compact.targetFileBytes"))(
+        v => spark.conf.set("spark.graft.compact.targetFileBytes", v))
+      prevC.fold(spark.conf.unset("spark.graft.compact.clusterBy"))(
+        v => spark.conf.set("spark.graft.compact.clusterBy", v))
+    }
+    val total = SinkStats.indexSinkStats(spark, sink, Seq("k"))
+    // a band over the middle of the key domain: the k-clustered layout
+    // must skip the out-of-band files, and the answer must be exactly
+    // the full filter - including the >64-char value inside the band
+    // and excluding nulls and the non-ASCII cohort
+    def check(lo: String, hi: String, expectSkip: Boolean): Unit = {
+      val pruned = SinkStats.readSinkPrunedString(spark, sink, "k", lo, hi)
+      if (expectSkip)
+        assert(pruned.inputFiles.length < total,
+          s"[$lo,$hi] read ${pruned.inputFiles.length} of $total files")
+      assert(rowsOf(pruned) == rowsOf(Streaming.readSink(spark, sink)
+        .filter(col("k") >= lo && col("k") <= hi)),
+        s"band [$lo,$hi] diverged from the full filter")
+    }
+    check("key_e", "key_k", expectSkip = true)
+    check("m", "n", expectSkip = true) // covers the truncated long value
+    // the non-ASCII cohort: its files recorded NO usable bounds, so a
+    // band that matches it must still find every row (scan, not skip)
+    check("ż", "żzzz", expectSkip = false)
+  }
+
   test("autoIndexColumns chains manifest emission into every epoch commit - no refuse window") {
     val sink = scratch("autoidx")
     Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
@@ -163,15 +221,20 @@ class SinkStatsSpec extends SparkSpecBase {
   }
 
   test("missing manifest refuses; unsupported column type refuses at index time") {
+    import spark.implicits._
     val sink = scratch("missing")
-    Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)
+    // a boolean column: the one leaf type neither the numeric nor the
+    // string bounds path serves (strings are supported since r15)
+    Streaming.writeBatchIdempotent(
+      Tables.events(spark, sf).withColumn("flag", col("event_id") % 2 === 0),
+      sink, 0L)
     Streaming.compactSink(spark, sink, quiesced = true)
     val e = intercept[IllegalArgumentException] {
       SinkStats.readSinkPruned(spark, sink, "user_id", 0.0, 10.0)
     }
     assert(e.getMessage.contains("indexSinkStats"))
     val t = intercept[IllegalArgumentException] {
-      SinkStats.indexSinkStats(spark, sink, Seq("event_type"))
+      SinkStats.indexSinkStats(spark, sink, Seq("flag"))
     }
     assert(t.getMessage.contains("numeric"))
   }

@@ -38,6 +38,18 @@ class SnapshotDiffSpec extends SparkSpecBase {
     Streaming.listSinkEpochs(spark, sink).collect()
       .map(_.getLong(0)).foldLeft(-1L)(math.max)
 
+  /** Manifest emission is opt-in (Delta CDF's model); the change-file
+    * tests turn it on for their mutation phase. */
+  private def withChangeFiles[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.graft.sink.changeFiles")
+    spark.conf.set("spark.graft.sink.changeFiles", "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.sink.changeFiles", v)
+      case None => spark.conf.unset("spark.graft.sink.changeFiles")
+    }
+  }
+
   private def diffRows(df: DataFrame): Map[Long, (String, Option[Long])] =
     df.collect().map { r =>
       r.getLong(1) -> (r.getString(0),
@@ -104,13 +116,15 @@ class SnapshotDiffSpec extends SparkSpecBase {
       ))
       Streaming.compactSink(spark, sink, quiesced = true)
       val e0 = epoch(sink)
-      Streaming.deleteWhere(spark, sink, col("k") === 3 || col("k") === 6)
-      val batch = Seq(
-        (2L, t, Some(21L)), (4L, t, Some(40L)), (5L, t, Some(50L)),
-        (6L, t, Some(60L)), (7L, t, Some(70L))
-      ).toDF("k", "tss", "v")
-        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
-      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      withChangeFiles {
+        Streaming.deleteWhere(spark, sink, col("k") === 3 || col("k") === 6)
+        val batch = Seq(
+          (2L, t, Some(21L)), (4L, t, Some(40L)), (5L, t, Some(50L)),
+          (6L, t, Some(60L)), (7L, t, Some(70L))
+        ).toDF("k", "tss", "v")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      }
       val e2 = epoch(sink)
       val want = Map(
         2L -> ("update", Some(21L)),
@@ -166,15 +180,17 @@ class SnapshotDiffSpec extends SparkSpecBase {
       Streaming.writeBatchIdempotent(df, sink, 0L)
       Streaming.compactSink(spark, sink, quiesced = true)
       val e0 = epoch(sink)
-      Streaming.deleteWhere(spark, sink, col("k") === 3)
-      // rename an unrelated column mid-range: the normalize epoch
-      // records an EMPTY manifest, keeping the range on the fast path
-      Streaming.alterSink(spark, sink, renames = Map("w" -> "w2"))
-      Streaming.compactSink(spark, sink, quiesced = true)
-      val batch = Seq((2L, t, Some(21L), "b"))
-        .toDF("k", "tss", "v", "w2")
-        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
-      Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      withChangeFiles {
+        Streaming.deleteWhere(spark, sink, col("k") === 3)
+        // rename an unrelated column mid-range: the normalize epoch
+        // records an EMPTY manifest, keeping the range on the fast path
+        Streaming.alterSink(spark, sink, renames = Map("w" -> "w2"))
+        Streaming.compactSink(spark, sink, quiesced = true)
+        val batch = Seq((2L, t, Some(21L), "b"))
+          .toDF("k", "tss", "v", "w2")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        Streaming.upsertBatch(spark, sink, batch, Seq("k"))
+      }
       val e3 = epoch(sink)
       assert(e3 == e0 + 3, s"expected 3 minted epochs, got ${e3 - e0}")
       val out = SnapshotDiff.readSinkChanges(spark, sink, e0, e3,
