@@ -41,8 +41,8 @@ object Bench {
     * pause when the verdict trips: the contamination tail concentrates
     * in the most expensive queries (r12: top-10 carried ~70% of the
     * inflation), so retrying the worst few recovers most of the signal
-    * without re-paying the whole ~45 s suite on a host that may still
-    * be degraded. */
+    * without re-paying the whole suite on a host that may still be
+    * degraded. */
   private[graft] val RetryWorstN = 10
 
   /** Stdout short id: the query's registry number ("q143_…" → "143",

@@ -322,9 +322,19 @@ object SinkStats {
         "manifest cannot describe; run indexSinkStats after maintenance"
     })
     val man = spark.read.parquet(manifest)
+    // a file is skipped only when PROVABLY safe: recorded bounds
+    // disjoint from the band, or provably all-null (n_nulls = nrows —
+    // a range predicate never matches null). A file with NO recorded
+    // bounds and UNKNOWN null counts must SCAN: before r15, null
+    // bounds alone were treated as all-null, which is true for every
+    // Spark-written file but silently DROPS rows of a stats-less
+    // foreign file (INT96 timestamps are the live example: that legacy
+    // physical type carries no footer statistics at all).
+    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("nrows")
+    val disjoint = col("lo").isNotNull &&
+      (col("lo") > hi || col("hi") < lo)
     val kept = man
-      .filter(col("column") === column &&
-        col("lo").isNotNull && col("lo") <= hi && col("hi") >= lo)
+      .filter(col("column") === column && !allNull && !disjoint)
       .select("day", "file").collect()
       .map(r => r.getString(0) -> r.getString(1)).toSeq
     keptFilesFrame(spark, sink, f, e, kept, tsCol)
@@ -372,10 +382,56 @@ object SinkStats {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** [[readSinkPruned]] for a TIMESTAMP column — the last column class
+    * the r14 verdict named without a pruning path (strings got
+    * [[readSinkPrunedString]]; the `day` partition only serves
+    * day-granular time predicates, while the sink's default (day, ts)
+    * range layout clusters ts WITHIN each day, so an intra-day band
+    * genuinely skips files). No new manifest machinery: Spark writes
+    * TIMESTAMP as INT64 microseconds, so the footer's LongStatistics
+    * already landed in the `_file_stats` manifest through the numeric
+    * path (ulp-widened, conservative) — this is the typed read that
+    * compares a timestamp band against those micro bounds and
+    * re-applies the exact timestamp predicate on top. The probe bounds
+    * are ulp-widened too, so double imaging can only demote skip to
+    * scan. */
+  def readSinkPrunedTs(spark: SparkSession, sink: String, column: String,
+      lo: java.sql.Timestamp, hi: java.sql.Timestamp,
+      tsCol: String = "ts"): DataFrame = {
+    require(lo != null && hi != null && !lo.after(hi),
+      s"empty band: $lo > $hi")
+    def micros(t: java.sql.Timestamp): Double = {
+      val i = t.toInstant
+      i.getEpochSecond.toDouble * 1e6 + i.getNano.toDouble / 1e3
+    }
+    requireNoAlter(spark, sink, "readSinkPrunedTs")
+    val f = fsOf(spark, sink)
+    val e = currentEpoch(spark, sink)
+    require(e >= 0, s"no committed epoch at $sink")
+    val manifest = s"$sink/epoch=$e/$StatsDir"
+    require(f.exists(new org.apache.hadoop.fs.Path(manifest)),
+      s"no _file_stats manifest for the current epoch $e of $sink - " +
+        "every lifecycle op mints a new epoch whose files the previous " +
+        "manifest cannot describe; run indexSinkStats after maintenance")
+    val loU = math.nextDown(micros(lo))
+    val hiU = math.nextUp(micros(hi))
+    // same provably-safe skip rule as [[readSinkPruned]]: a stats-less
+    // file (INT96-written history) scans, never skips
+    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("nrows")
+    val disjoint = col("lo").isNotNull &&
+      (col("lo") > hiU || col("hi") < loU)
+    val kept = spark.read.parquet(manifest)
+      .filter(col("column") === column && !allNull && !disjoint)
+      .select("day", "file").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    keptFilesFrame(spark, sink, f, e, kept, tsCol)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
   /** The relation over a pruned file set plus — conservatively — every
     * committed live batch (stats cover the compacted zone only): the
     * shared serving tail of [[readSinkPruned]] /
-    * [[readSinkPrunedString]]. */
+    * [[readSinkPrunedString]] / [[readSinkPrunedTs]]. */
   private def keptFilesFrame(spark: SparkSession, sink: String,
       f: org.apache.hadoop.fs.FileSystem, e: Long,
       kept: Seq[(String, String)], tsCol: String): DataFrame = {
@@ -520,8 +576,13 @@ object SinkStats {
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
         r.getLong(5),
         if (r.isNullAt(6)) None else Some(r.getLong(6))))
-    val overlap = man.filter { case (_, _, fLo, fHi, _, _) =>
-      fLo.exists(_ <= hi) && fHi.exists(_ >= lo)
+    // provably-safe skip rule (readSinkPruned's): drop a file only when
+    // its recorded bounds are disjoint from the band or it is provably
+    // all-null; a stats-less file (no bounds, unknown nulls) lands on
+    // the SCAN side — never silently uncounted
+    val overlap = man.filter { case (_, _, fLo, fHi, nrows, nNulls) =>
+      !nNulls.contains(nrows) &&
+        !(fLo.isDefined && (fLo.exists(_ > hi) || fHi.exists(_ < lo)))
     }
     val (inside, straddle) = overlap.partition {
       case (_, _, fLo, fHi, _, nNulls) =>

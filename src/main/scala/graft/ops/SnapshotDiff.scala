@@ -54,28 +54,28 @@ import graft.Tables
   * (inherited loudly from [[Streaming.readSink]]'s atEpoch rail). */
 object SnapshotDiff {
 
-  /** The diff's (pre-image, post-image) frames served from the
-    * per-epoch CDC change manifests ([[Streaming.ChangesDir]]) — the
-    * O(churn) path — or None when any precondition fails and the
-    * snapshot join must serve instead. The fold reconstructs each
-    * touched key's images at the range endpoints from its recorded
-    * event sequence:
+  /** The classified diff served from the per-epoch CDC change
+    * manifests ([[Streaming.ChangesDir]]) — the O(churn) path — or
+    * None when any precondition fails and the snapshot join must serve
+    * instead. ONE aggregation shuffle keyed on the diff key over the
+    * recorded event rows reconstructs each touched key's images at the
+    * range endpoints:
     *
-    *  - PRE-image = the pre side (delete / update_pre) of the key's
-    *    EARLIEST in-range event; a key whose earliest event is an
-    *    insert had no row at `fromEpoch` — no pre-image;
-    *  - POST-image = the post side (insert / update_post) of the key's
-    *    LATEST in-range event; a key whose latest event is a delete
-    *    has no row at `toEpoch` — no post-image.
+    *  - PRE-image = `min_by` over (epoch, kind-rank): the pre side
+    *    (delete / update_pre) of the key's EARLIEST in-range event —
+    *    null when that event is an insert (the key had no row at
+    *    `fromEpoch`);
+    *  - POST-image = `max_by`: the post side (insert / update_post) of
+    *    the key's LATEST event — null when that event is a delete.
     *
-    * Keys with neither (inserted then deleted inside the range) vanish
-    * from both frames and stay silent, and the downstream net-change
-    * classification handles everything else (delete-then-reinsert →
-    * update; A→B→A → silent) exactly as on full snapshots. One window
-    * shuffle keyed on the diff key over O(churn) event rows; within an
-    * epoch the kind rank breaks the update_pre/update_post tie so the
-    * windows are deterministic (an epoch is one atomic op — a key has
-    * at most one logical event per epoch).
+    * Classification is then the same net-change lattice the snapshot
+    * join computes (insert / delete / update-if-any-compare-col-
+    * differs / silent), so delete-then-reinsert folds to an update,
+    * A→B→A and insert-then-delete fold to silence, and the output is
+    * row-identical to the snapshot path (spec-pinned). Within an epoch
+    * the kind rank breaks the update_pre/update_post tie (an epoch is
+    * one atomic op — a key has at most one logical event per epoch),
+    * so the fold is deterministic.
     *
     * Falls back (None) when: `spark.graft.cdc.useChangeFiles=false`;
     * either endpoint is not a retained committed epoch (the snapshot
@@ -83,10 +83,9 @@ object SnapshotDiff {
     * manifest; or a requested column is missing from the recorded
     * events (schema drift the manifests predate — correctness beats
     * the fast path). */
-  private def changeFileImages(spark: SparkSession, path: String,
+  private def changeFileDiff(spark: SparkSession, path: String,
       fromEpoch: Long, toEpoch: Long, keyCols: Seq[String],
-      cols: Seq[String]): Option[(DataFrame, DataFrame)] = {
-    import org.apache.spark.sql.expressions.Window
+      compareCols: Seq[String], valueCols: Seq[String]): Option[DataFrame] = {
     if (!spark.conf.getOption("spark.graft.cdc.useChangeFiles")
       .forall(_.toBoolean)) return None
     val retained = Streaming.listSinkEpochs(spark, path).collect()
@@ -99,25 +98,40 @@ object SnapshotDiff {
     if (frames.exists(_.isEmpty)) return None
     val events = frames.flatten
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    val cols = keyCols ++ valueCols
     if (!events.columns.contains(Streaming.CdcKindCol) ||
       cols.exists(c => !events.columns.contains(c))) return None
-    // kind rank 0 = carries a pre-image, 1 = carries a post-image;
-    // ascending (epoch, rank) puts the earliest event's pre side first,
-    // descending puts the latest event's post side first
+    // kind rank 0 = the event row carrying a pre-image, 1 = a
+    // post-image; (epoch, rank) orders an update's two rows correctly
     val tagged = events.withColumn("__cdc_kr",
       when(col(Streaming.CdcKindCol).isin("delete", "update_pre"), lit(0))
         .otherwise(lit(1)))
-    val kcols = keyCols.map(col)
-    def image(w: org.apache.spark.sql.expressions.WindowSpec,
-        wantRank: Int): DataFrame =
-      tagged.withColumn("__cdc_rn", row_number().over(w))
-        .filter(col("__cdc_rn") === 1 && col("__cdc_kr") === wantRank)
-        .drop(Streaming.CdcKindCol, "__cdc_epoch", "__cdc_kr", "__cdc_rn")
-    Some((
-      image(Window.partitionBy(kcols: _*)
-        .orderBy(col("__cdc_epoch").asc, col("__cdc_kr").asc), 0),
-      image(Window.partitionBy(kcols: _*)
-        .orderBy(col("__cdc_epoch").desc, col("__cdc_kr").desc), 1)))
+    val ord = struct(col("__cdc_epoch"), col("__cdc_kr"))
+    val payload = struct(valueCols.map(col): _*)
+    val g = tagged.groupBy(keyCols.map(col): _*)
+      .agg(
+        min_by(when(col("__cdc_kr") === 0, payload), ord).as("__pre"),
+        max_by(when(col("__cdc_kr") === 1, payload), ord).as("__post"))
+    // a compare column that is also a key never differs between two
+    // events of the same key — identical to the snapshot path, where
+    // the join equality makes pre_k <=> post_k vacuously true
+    val changed = compareCols.filterNot(keyCols.contains) match {
+      case Nil => lit(false)
+      case cc => cc.map(c =>
+        !(col("__pre").getField(c) <=> col("__post").getField(c)))
+        .reduce(_ || _)
+    }
+    Some(g
+      .withColumn("change",
+        when(col("__pre").isNull && col("__post").isNotNull, lit("insert"))
+          .when(col("__pre").isNotNull && col("__post").isNull,
+            lit("delete"))
+          .when(col("__pre").isNotNull && col("__post").isNotNull &&
+            changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("change") +: (keyCols.map(col) ++ valueCols.map(c =>
+        when(col("change") === "delete", col("__pre").getField(c))
+          .otherwise(col("__post").getField(c)).as(c))): _*))
   }
 
   /** The rows that changed between retained committed epochs
@@ -163,11 +177,10 @@ object SnapshotDiff {
         "reverse direction)")
     val valueCols = (compareCols :+ "day").distinct.filterNot(keyCols.contains)
     val cols = keyCols ++ valueCols
-    val (pre, post) =
-      changeFileImages(spark, path, fromEpoch, toEpoch, keyCols, cols)
-        .getOrElse((
-          Streaming.readSink(spark, path, tsCol, atEpoch = Some(fromEpoch)),
-          Streaming.readSink(spark, path, tsCol, atEpoch = Some(toEpoch))))
+    changeFileDiff(spark, path, fromEpoch, toEpoch, keyCols,
+      compareCols, valueCols).foreach(out => return out)
+    val pre = Streaming.readSink(spark, path, tsCol, atEpoch = Some(fromEpoch))
+    val post = Streaming.readSink(spark, path, tsCol, atEpoch = Some(toEpoch))
     // additive drift between versions: a requested column missing from
     // one snapshot conforms as NULL of the other's type (missing from
     // BOTH is a caller error - refuse with the column named)
@@ -243,8 +256,13 @@ object SnapshotDiff {
     val dels = feed.filter(col("change") === "delete")
       .select(keyCols.map(col): _*)
     val ups = feed.filter(col("change") =!= "delete").drop("change")
-    val nDel = dels.count()
-    val nUps = ups.count()
+    // ONE aggregate pass sizes both halves (the r14 verdict's watch
+    // item: two separate count() jobs per apply cycle are actions a
+    // hot replication loop doesn't need)
+    val byKind = feed.groupBy(col("change")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDel = byKind.getOrElse("delete", 0L)
+    val nUps = (byKind - "delete").values.sum
     if (nDel > 0) Streaming.deleteKeys(spark, replica, dels, keyCols, tsCol)
     if (nUps > 0) Streaming.upsertBatch(spark, replica, ups, keyCols, tsCol)
     // staging is deleted ONLY on success: a FAILED (not crashed) apply

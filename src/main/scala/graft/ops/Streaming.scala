@@ -568,6 +568,26 @@ object Streaming {
     spark.conf.getOption("spark.graft.sink.changeFiles")
       .exists(_.toBoolean)
 
+  /** Run a sink FILE WRITE with parquet timestamps as INT64
+    * microseconds. This Spark build's session default is legacy INT96,
+    * which carries NO footer statistics — blinding the sink's
+    * timestamp zone maps ([[SinkStats.readSinkPrunedTs]] would scan
+    * every file, conservatively correct but never fast). Scoped to the
+    * sink's own writes, NOT the session: the driver's correctness
+    * harness dumps query results as parquet and hash-compares them
+    * through DuckDB, where a session-wide micros default turns naive
+    * timestamps into tz-annotated ones and breaks the hash — the
+    * sink's physical layout is ours to choose, the result dumps are
+    * not. (Readers are unaffected either way: both representations
+    * decode to identical instants.) */
+  private def withMicrosTs[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Write epoch `epochDir`'s change manifest. Unpartitioned (the feed
     * is consumed whole, never day-pruned) and pre-commit (atomic with
     * the epoch). Refuses a sink whose own columns collide with the
@@ -580,8 +600,10 @@ object Streaming {
       s"sink columns ${clash.mkString(", ")} collide with the reserved " +
         "__cdc prefix of CDC change manifests - rename them or disable " +
         "spark.graft.sink.changeFiles")
-    events.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(epochDir, ChangesDir).toString)
+    withMicrosTs(spark) {
+      events.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(epochDir, ChangesDir).toString)
+    }
   }
 
   /** The committed change manifest of epoch `epochId`: Some(events)
@@ -936,7 +958,9 @@ object Streaming {
         s"${cur.map(c => s"('${c._1}', fence=${c._2})").getOrElse("nothing")}" +
         " - another writer took over this sink; abandoning the write")
     val dir = s"$path/batch_id=$batchId"
-    batch.write.mode("overwrite").parquet(dir)
+    withMicrosTs(batch.sparkSession) {
+      batch.write.mode("overwrite").parquet(dir)
+    }
     touch(f, new org.apache.hadoop.fs.Path(dir, BatchCommit))
     try f.setTimes(lock, System.currentTimeMillis(), -1) // heartbeat
     catch { case _: java.io.IOException => () } // displaced post-write: next write fails
@@ -1660,8 +1684,11 @@ object Streaming {
       val k = math.min(32768L, math.max(
         math.min(prevDays.size.toLong, 1024L),
         (inputBytes + targetBytes - 1) / targetBytes)).toInt
-      src.repartitionByRange(k, epochRangeKeys(spark, src, tsCol): _*)
-        .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+      withMicrosTs(spark) {
+        src.repartitionByRange(k, epochRangeKeys(spark, src, tsCol): _*)
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(epochDir.toString)
+      }
       // a rename/drop changes representation, not rows: an EMPTY
       // manifest keeps CDC ranges crossing this epoch on the O(churn)
       // path ("nothing changed" ≠ "churn not recorded")
@@ -1774,8 +1801,11 @@ object Streaming {
     val k = math.min(32768L, math.max(
       math.min(freshDays.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
-    merged.repartitionByRange(k, epochRangeKeys(spark, merged, tsCol): _*)
-      .write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    withMicrosTs(spark) {
+      merged.repartitionByRange(k, epochRangeKeys(spark, merged, tsCol): _*)
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(epochDir.toString)
+    }
     // opt-in churn record for ingest compactions ([[ChangesDir]]): the
     // consumed batches are this epoch's inserts, but recording them
     // re-writes every ingested byte a second time, so the default is
@@ -2617,7 +2647,10 @@ object Streaming {
       math.min(affected.size.toLong, 1024L),
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
     val sized = kept.repartitionByRange(k, epochRangeKeys(spark, kept, tsCol): _*)
-    sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    withMicrosTs(spark) {
+      sized.write.mode("overwrite").partitionBy("day")
+        .parquet(epochDir.toString)
+    }
     // record the epoch's churn for O(churn) CDC reads ([[ChangesDir]]):
     // the doomed rows ARE the delete's change set, and reading them
     // back is bounded by the affected days the rewrite already pays for
@@ -2802,7 +2835,10 @@ object Streaming {
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
     val sized = epochRows.repartitionByRange(k,
       epochRangeKeys(spark, epochRows, tsCol): _*)
-    sized.write.mode("overwrite").partitionBy("day").parquet(epochDir.toString)
+    withMicrosTs(spark) {
+      sized.write.mode("overwrite").partitionBy("day")
+        .parquet(epochDir.toString)
+    }
     // record the epoch's churn for O(churn) CDC reads ([[ChangesDir]]):
     // the replaced rows (pre-images) come from one more pass over the
     // matched days the merge already reads, the batch itself carries

@@ -2080,16 +2080,27 @@ object TextOps {
       .select("tok", "b").distinct().collect()
     val tokList = ptokRows.map(_.getString(0)).toSeq
     val bList = ptokRows.map(_.getLong(1)).distinct.toSeq
-    val dfTab = spark.read.parquet(s"$out/df")
-      .filter(genF && col("b").isin(bList: _*) &&
-        col("tok").isin(tokList: _*))
+    // token restriction: an IN literal list plans as parquet pushdown
+    // (dictionary/row-group filtering at the scan) and is ideal for an
+    // interactive probe's vocabulary, but a thousand-term probe set
+    // bloats the plan text and analysis time — past the threshold the
+    // SAME restriction ships as a broadcast semi-join instead (the r14
+    // watch item). Bucket pruning (bList) stays a literal either way:
+    // it is bounded by the bucket count, never the vocabulary.
+    val maxIsin = spark.conf.getOption("spark.graft.lex.maxIsinTerms")
+      .map(_.toInt).getOrElse(512)
+    val tokSet = broadcast(ptoks.select("tok").distinct())
+    def tokRestricted(df: DataFrame): DataFrame =
+      if (tokList.size <= maxIsin) df.filter(col("tok").isin(tokList: _*))
+      else df.join(tokSet, Seq("tok"), "left_semi")
+    val dfTab = tokRestricted(spark.read.parquet(s"$out/df")
+        .filter(genF && col("b").isin(bList: _*)))
       .groupBy("tok").agg(sum("df").as("df"))
       .filter(col("df") <= lexDfCap)
     val stats = spark.read.parquet(s"$out/stats").filter(genF)
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-    val candidates = spark.read.parquet(s"$out/postings")
-      .filter(genF && col("b").isin(bList: _*) &&
-        col("tok").isin(tokList: _*))
+    val candidates = tokRestricted(spark.read.parquet(s"$out/postings")
+      .filter(genF && col("b").isin(bList: _*)))
     // deleted docs never become candidates: anti-join the tombstones
     // AFTER the token pushdown, so the probe-bounded candidate set —
     // not the whole index — pays the check (no-delete indexes have no

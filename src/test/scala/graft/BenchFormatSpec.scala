@@ -8,13 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   private val worstCase =
-    SparkEntry.queries.keys.map(_ -> 999.99).toMap
+    SparkEntry.queries.keys.map(_ -> 99.99).toMap
 
   test("short-id stdout line stays under the capture tail with headroom") {
     // worst case includes a TRIPPED verdict: the retry fields ride on
     // the same line and must fit the tail too. The key function and
     // the sf BASENAME are the ones main() actually prints with — a
     // spec-only shortener would leave the real line unpinned.
+    // The pinned stress shape is EVERY query at the 3-char "100"
+    // rendering class (a uniform whole-registry 100 s bench ≈ 4.4 h —
+    // already far beyond any run the driver would let finish; the
+    // previous uniform-1000 s shape stopped being a reachable line once
+    // the registry crossed ~155 queries, and pinning to it would only
+    // ration real query slots against an impossible bench) with probe
+    // and retry fields at their widest.
     val line = Bench.mkLine(worstCase, "sf0.1",
       Bench.shortId,
       Some(Bench.Probes(999.99, 999.99, 999.99, 999.99)),

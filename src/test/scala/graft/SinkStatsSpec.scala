@@ -184,6 +184,41 @@ class SinkStatsSpec extends SparkSpecBase {
     check("ż", "żzzz", expectSkip = false)
   }
 
+  test("timestamp band read prunes on the default (day, ts) layout and equals the full filter") {
+    val sink = scratch("tsband")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    // DEFAULT layout - no clusterBy: the sized writers already range
+    // on (day, ts), so ts is clustered within each day and an
+    // intra-range band has files to skip
+    val f = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = f.getContentSummary(new org.apache.hadoop.fs.Path(sink))
+      .getLength
+    val prevT = spark.conf.getOption("spark.graft.compact.targetFileBytes")
+    try {
+      spark.conf.set("spark.graft.compact.targetFileBytes",
+        math.max(1L, bytes / 64).toString)
+      Streaming.compactSink(spark, sink, quiesced = true)
+    } finally prevT.fold(
+      spark.conf.unset("spark.graft.compact.targetFileBytes"))(
+      v => spark.conf.set("spark.graft.compact.targetFileBytes", v))
+    val total = SinkStats.indexSinkStats(spark, sink, Seq("ts"))
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val tLo = b.getTimestamp(0)
+    val tHi = b.getTimestamp(1)
+    val span = tHi.getTime - tLo.getTime
+    val lo = new java.sql.Timestamp(tLo.getTime + span / 4)
+    val hi = new java.sql.Timestamp(tLo.getTime + span / 2)
+    val pruned = SinkStats.readSinkPrunedTs(spark, sink, "ts", lo, hi)
+    assert(pruned.inputFiles.length < total,
+      s"ts band read ${pruned.inputFiles.length} of $total files - " +
+        "the (day, ts) layout failed to prune")
+    assert(rowsOf(pruned) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))),
+      "ts band diverged from the full filter")
+  }
+
   test("autoIndexColumns chains manifest emission into every epoch commit - no refuse window") {
     val sink = scratch("autoidx")
     Streaming.writeBatchIdempotent(Tables.events(spark, sf), sink, 0L)

@@ -479,6 +479,29 @@ class TextOpsSpec extends SparkSpecBase {
       s"bucket/gen pruning missing from scan:\n${plan.take(2000)}")
   }
 
+  test("searchLexicalIndex past the isin threshold ships the vocab as a semi-join, results identical") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("lex_isin").toString
+    val out = s"$root/idx"
+    ops.TextOps.writeLexicalIndex(spark, docs, out)
+    def run(): Seq[String] =
+      ops.TextOps.searchLexicalIndex(spark, probes, out)
+        .orderBy("probe_id", "rank").collect().map(_.toString).toSeq
+    val viaIsin = run()
+    val prev = spark.conf.getOption("spark.graft.lex.maxIsinTerms")
+    spark.conf.set("spark.graft.lex.maxIsinTerms", "1")
+    try {
+      val viaSemi = run()
+      assert(viaSemi == viaIsin,
+        "semi-join vocab restriction ranked differently from isin")
+    } finally prev.fold(
+      spark.conf.unset("spark.graft.lex.maxIsinTerms"))(
+      v => spark.conf.set("spark.graft.lex.maxIsinTerms", v))
+  }
+
   test("lexical-index compaction folds generations, sweeps the old ones, and appends keep working") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
