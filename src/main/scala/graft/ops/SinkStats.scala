@@ -478,10 +478,14 @@ object SinkStats {
     * idempotent metadata-only index manifests those queries write):
     * two half-corpus micro-batches, one QUIESCED compaction CLUSTERED
     * on `user_id` (`spark.graft.compact.clusterBy` between the day key
-    * and the ts tie-breaker), sized-writer count pinned at ~256 files
-    * via `targetFileBytes` = input/256 so every SF produces a layout
+    * and the ts tie-breaker), sized-writer count pinned at ~512 files
+    * via `targetFileBytes` = input/512 so every SF produces a layout
     * with interior files to skip AND metadata-only answers for q149's
-    * covered-file arithmetic. Conf overrides restore in `finally`
+    * covered-file arithmetic — at the sf0.001 toy scale a day holds
+    * only a handful of files, so each day's two band-boundary files
+    * must be outnumbered by its interiors with margin (the previous
+    * ~256-file layout sat at ~50/50 there and flipped on byte-level
+    * layout perturbations). Conf overrides restore in `finally`
     * (the session is shared). */
   private def sharedClusteredSink(spark: SparkSession, dir: String): String =
     SharedArtifacts.once(spark, dir, "events_cluster") { sink =>
@@ -498,7 +502,7 @@ object SinkStats {
       val prevCluster = spark.conf.getOption("spark.graft.compact.clusterBy")
       try {
         spark.conf.set("spark.graft.compact.targetFileBytes",
-          math.max(1L, inputBytes / 256).toString)
+          math.max(1L, inputBytes / 512).toString)
         spark.conf.set("spark.graft.compact.clusterBy", "user_id")
         Streaming.compactSink(spark, sink, quiesced = true)
       } finally {

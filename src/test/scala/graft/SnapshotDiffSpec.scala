@@ -167,6 +167,59 @@ class SnapshotDiffSpec extends SparkSpecBase {
     }
   }
 
+  test("change-file fold nets three-epoch event chains per key exactly like the snapshot join") {
+    withKeep(5) {
+      val t = "2024-01-06 09:00:00"
+      val sink = mkSink("sdiff_chain", Seq(
+        (1L, t, Some(10L)), // updated twice: net update to the LAST value
+        (2L, t, Some(20L)), // updated then updated BACK: A->B->A = silent
+        (3L, t, Some(30L)), // updated then deleted: net delete w/ ORIGINAL pre-image
+        (4L, t, Some(40L))  // deleted, reinserted differently, updated: net update
+      ))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      def up(rows: Seq[(Long, String, Option[Long])]): Unit =
+        Streaming.upsertBatch(spark, sink, rows.toDF("k", "tss", "v")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss"),
+          Seq("k"))
+      withChangeFiles {
+        Streaming.deleteWhere(spark, sink, col("k") === 4)
+        up(Seq((1L, t, Some(11L)), (2L, t, Some(21L)), (3L, t, Some(31L)),
+          (4L, t, Some(41L)), (5L, t, Some(50L)))) // k=5 inserted here...
+        up(Seq((1L, t, Some(12L)), (2L, t, Some(20L)), (4L, t, Some(42L))))
+        Streaming.deleteWhere(spark, sink, col("k") === 3 || col("k") === 5)
+        // ...and k=5 deleted again: insert-then-delete = fully silent
+      }
+      val eN = epoch(sink)
+      assert(eN == e0 + 4, s"expected 4 minted epochs, got ${eN - e0}")
+      val want = Map(
+        1L -> ("update", Some(12L)),
+        3L -> ("delete", Some(30L)),
+        4L -> ("update", Some(42L)))
+      val viaChanges = SnapshotDiff.readSinkChanges(spark, sink, e0, eN,
+        Seq("k"), Seq("v"))
+      assert(viaChanges.inputFiles.forall(_.contains("/_changes/")),
+        "chain diff left the change-file path")
+      assert(diffRows(viaChanges) === want)
+      val prev = spark.conf.getOption("spark.graft.cdc.useChangeFiles")
+      spark.conf.set("spark.graft.cdc.useChangeFiles", "false")
+      try assert(diffRows(SnapshotDiff.readSinkChanges(spark, sink, e0, eN,
+        Seq("k"), Seq("v"))) === want, "snapshot path disagreed")
+      finally prev.fold(spark.conf.unset("spark.graft.cdc.useChangeFiles"))(
+        v => spark.conf.set("spark.graft.cdc.useChangeFiles", v))
+      // intermediate-range diff: the fold respects the requested
+      // endpoints, not just the full history (k=2 HAS changed by e0+2)
+      val mid = diffRows(SnapshotDiff.readSinkChanges(spark, sink, e0,
+        e0 + 2, Seq("k"), Seq("v")))
+      assert(mid === Map(
+        1L -> ("update", Some(11L)),
+        2L -> ("update", Some(21L)),
+        3L -> ("update", Some(31L)),
+        4L -> ("update", Some(41L)),
+        5L -> ("insert", Some(50L))))
+    }
+  }
+
   test("change-file path serves across an alter-normalize epoch (empty manifest) and survives applyChanges") {
     withKeep(5) {
       val t = "2024-01-05 11:00:00"
