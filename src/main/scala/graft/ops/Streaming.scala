@@ -1570,8 +1570,12 @@ object Streaming {
     * someone forgets). With `spark.graft.stats.autoIndexColumns`
     * and/or `spark.graft.bloom.autoIndexColumns` set (comma-separated
     * column lists), every epoch-minting op ends by re-indexing the
-    * fresh epoch: O(files) footer reads, distributed, before the op
-    * returns — so a pruned read NEVER observes a manifest-less epoch.
+    * fresh epoch before the op returns — so a pruned read NEVER
+    * observes a manifest-less epoch. Cost per op: stats re-index is
+    * O(files) distributed footer reads; a bloom re-index is one
+    * column-pruned O(data) scan of the epoch (the price every bloom
+    * index pays at build — reserve the bloom conf for sinks whose
+    * point-lookup traffic earns it).
     * Off by default (both confs unset = the manual discipline).
     * An epoch holding no data (retention emptied it) has nothing to
     * index and is skipped. */
