@@ -844,31 +844,38 @@ object SinkStats {
     * with the identical IEEE ops on both engines (one subtraction,
     * one division, one addition on doubles). */
   def q147ZOrder(spark: SparkSession, dir: String): DataFrame = {
-    val sink = Streaming.scratchSink(spark, dir, "events_zord")
-    val ev = graft.Tables.events(spark, dir)
-    Streaming.writeBatchIdempotent(
-      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
-    Streaming.writeBatchIdempotent(
-      ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
-    val f = fsOf(spark, sink)
-    val inputBytes = Streaming.subdirs(spark, sink, "batch_id=")
-      .map(d => f.getContentSummary(d._2).getLength).sum
-    val prevTarget = spark.conf.getOption("spark.graft.compact.targetFileBytes")
-    val prevZ = spark.conf.getOption("spark.graft.compact.zorderBy")
-    try {
-      // ~256 files: enough z refinement per day that each file's
-      // rectangle is a few cells in BOTH dimensions
-      spark.conf.set("spark.graft.compact.targetFileBytes",
-        math.max(1L, inputBytes / 256).toString)
-      spark.conf.set("spark.graft.compact.zorderBy", "user_id,value")
-      Streaming.compactSink(spark, sink, quiesced = true)
-    } finally {
-      prevTarget.fold(spark.conf
-        .unset("spark.graft.compact.targetFileBytes"))(v =>
-        spark.conf.set("spark.graft.compact.targetFileBytes", v))
-      prevZ.fold(spark.conf.unset("spark.graft.compact.zorderBy"))(v =>
-        spark.conf.set("spark.graft.compact.zorderBy", v))
+    // read-only prover over a deterministic layout: build the z-ordered
+    // sink ONCE per session ([[SharedArtifacts]] — the q144/q149/q151
+    // discipline; the band reads and the idempotent stats manifest are
+    // the only consumers)
+    val sink = SharedArtifacts.once(spark, dir, "events_zorder") { out =>
+      val ev0 = graft.Tables.events(spark, dir)
+      Streaming.writeBatchIdempotent(
+        ev0.filter(pmod(col("event_id"), lit(2)) === 0), out, 0L)
+      Streaming.writeBatchIdempotent(
+        ev0.filter(pmod(col("event_id"), lit(2)) === 1), out, 1L)
+      val f = fsOf(spark, out)
+      val inputBytes = Streaming.subdirs(spark, out, "batch_id=")
+        .map(d => f.getContentSummary(d._2).getLength).sum
+      val prevTarget =
+        spark.conf.getOption("spark.graft.compact.targetFileBytes")
+      val prevZ = spark.conf.getOption("spark.graft.compact.zorderBy")
+      try {
+        // ~256 files: enough z refinement per day that each file's
+        // rectangle is a few cells in BOTH dimensions
+        spark.conf.set("spark.graft.compact.targetFileBytes",
+          math.max(1L, inputBytes / 256).toString)
+        spark.conf.set("spark.graft.compact.zorderBy", "user_id,value")
+        Streaming.compactSink(spark, out, quiesced = true)
+      } finally {
+        prevTarget.fold(spark.conf
+          .unset("spark.graft.compact.targetFileBytes"))(v =>
+          spark.conf.set("spark.graft.compact.targetFileBytes", v))
+        prevZ.fold(spark.conf.unset("spark.graft.compact.zorderBy"))(v =>
+          spark.conf.set("spark.graft.compact.zorderBy", v))
+      }
     }
+    val ev = graft.Tables.events(spark, dir)
     val total = indexSinkStats(spark, sink, Seq("user_id", "value"))
     val b = ev.agg(min(col("user_id")), max(col("user_id")),
       min(col("value")), max(col("value"))).head()
