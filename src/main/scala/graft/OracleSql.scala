@@ -2147,7 +2147,7 @@ object OracleSql {
 
   /** q156 — the STRING zone-map audit: the engine clusters the sink's
     * compaction on `event_type`, manifests per-file TRUNCATED
-    * ASCII-safe string bounds from the parquet footers, and serves the
+    * raw-byte string bounds from the parquet footers, and serves the
     * `['click','purchase']` type band reading only the overlapping
     * files (asserting skips happened) with the exact predicate
     * re-applied. The oracle is the same band as a plain BETWEEN: hash
@@ -2164,6 +2164,61 @@ object OracleSql {
       |WHERE event_type BETWEEN 'click' AND 'purchase'
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** q157 — the timestamp-band audit: the engine indexes the sink's
+    * DEFAULT (day, ts) layout — footer INT64-microsecond stats through
+    * the plain numeric manifest path — and serves a mid-history
+    * quarter band through the ts-typed pruned read (asserting files
+    * were skipped). The oracle states the same band via `epoch_us`
+    * integer arithmetic: both engines derive the edges with identical
+    * BIGINT ops (subtraction, integer division, addition — no IEEE
+    * anywhere), so hash equality proves the micros⇄timestamp imaging
+    * and the ulp-widened manifest bounds lost no in-band row. Cents
+    * floored per row before the sum (q124). */
+  val q157: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |WHERE epoch_us(ts) >= (SELECT MIN(epoch_us(ts)) +
+      |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 4 FROM events)
+      |  AND epoch_us(ts) <= (SELECT MIN(epoch_us(ts)) +
+      |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 FROM events)
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q158 — the auto-index audit: the engine's lifecycle (ingest →
+    * clustered compaction → `user_id % 7 = 3` delete) ran with
+    * auto-index confs set, so every epoch commit emitted its own
+    * stats + bloom manifests, and the query serves a pruned id band
+    * AND a bloom point lookup with NO manual re-index (both asserting
+    * skips). The oracle restates both probes over the delete's
+    * survivors (`user_id IS NULL OR user_id % 7 <> 3` — a NULL
+    * predicate keeps the row, SQL DELETE's complement): hash equality
+    * proves the auto-built manifests describe the post-delete files
+    * exactly. Band edges are q144's FLOOR + BIGINT discipline; the
+    * point probe is the smallest surviving event_id. */
+  val q158: String =
+    """WITH surv AS (
+      |  SELECT event_id, user_id, value FROM events
+      |  WHERE user_id IS NULL OR user_id % 7 <> 3
+      |), probes AS (
+      |  SELECT 'band' AS probe, user_id, value FROM surv
+      |  WHERE user_id >= (SELECT MIN(user_id) FROM events)
+      |    AND user_id <= (SELECT MIN(user_id) +
+      |      CAST(FLOOR((MAX(user_id) - MIN(user_id)) / 8.0) AS BIGINT)
+      |      FROM events)
+      |  UNION ALL
+      |  SELECT 'point' AS probe, user_id, value FROM surv
+      |  WHERE event_id = (SELECT MIN(event_id) FROM surv)
+      |)
+      |SELECT probe, COUNT(*) AS n_events,
+      |  COUNT(user_id) AS n_with_user,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM probes
+      |GROUP BY probe
+      |ORDER BY probe""".stripMargin
 
   /** q153 — the lexical-upsert audit: the engine builds the stored
     * index on the full corpus (build + append), then one atomic

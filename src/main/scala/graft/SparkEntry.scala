@@ -169,7 +169,9 @@ object SparkEntry {
     "q153_lexical_upsert" -> (TextOps.q153LexicalUpsert _),
     "q154_vector_upsert" -> (VectorOps.q154VectorUpsert _),
     "q155_cdc_replication" -> (SnapshotDiff.q155CdcReplication _),
-    "q156_string_band" -> (SinkStats.q156StringBand _)
+    "q156_string_band" -> (SinkStats.q156StringBand _),
+    "q157_ts_band" -> (SinkStats.q157TsBand _),
+    "q158_auto_index" -> (SinkStats.q158AutoIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -467,8 +469,15 @@ object SparkEntry {
     // the replica converged exactly
     "q155_cdc_replication" -> OracleSql.q155,
     // q156 string zone maps: event_type-clustered layout + truncated
-    // ASCII-safe string bounds; the oracle is the plain BETWEEN band
-    "q156_string_band" -> OracleSql.q156
+    // raw-byte string bounds; the oracle is the plain BETWEEN band
+    "q156_string_band" -> OracleSql.q156,
+    // q157 timestamp band skipping on the default (day, ts) layout;
+    // the oracle is the same band via exact epoch_us integer edges
+    "q157_ts_band" -> OracleSql.q157,
+    // q158 auto-index chain: every lifecycle epoch emitted its own
+    // manifests; pruned band + bloom point served with NO manual
+    // re-index — the oracle restates both over the delete's survivors
+    "q158_auto_index" -> OracleSql.q158
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

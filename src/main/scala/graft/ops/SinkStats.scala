@@ -132,49 +132,56 @@ object SinkStats {
   }
 
   /** Truncation width for recorded string bounds: long values (free
-    * text) must not bloat a metadata manifest, and a 64-char prefix
+    * text) must not bloat a metadata manifest, and a 64-byte prefix
     * bound prunes just as well for the key-like columns string zone
     * maps exist for. */
   private val StrBoundLen = 64
 
-  /** min/max of one STRING column chunk as CONSERVATIVE truncated
-    * bounds (Delta/Iceberg's truncated string stats): the recorded
-    * lower bound is the min's 64-char prefix (a prefix precedes the
-    * full value in every relevant ordering), the upper bound is the
-    * max itself or — when truncated — its prefix with the last char
-    * incremented, which upper-bounds every string sharing the prefix.
+  /** min/max of one STRING column chunk as CONSERVATIVE truncated RAW
+    * UTF-8 BYTE bounds (Delta/Iceberg's truncated string stats): the
+    * recorded lower bound is the min's 64-byte prefix (a prefix
+    * precedes the full value in unsigned byte order), the upper bound
+    * is the max itself or — when truncated — its prefix with the last
+    * non-0xFF byte incremented and the tail dropped, which strictly
+    * upper-bounds every string sharing the prefix. Bounds are BYTES,
+    * compared UNSIGNED everywhere they matter: parquet's binary
+    * min/max order, the engine's string comparison (UTF8String
+    * compares unsigned UTF-8 bytes — binary collation), and the
+    * driver-side prune in [[readSinkPrunedString]] all agree on
+    * unsigned bytewise order for EVERY string, so non-ASCII keys
+    * prune too. (Before r16, bounds were recorded only when
+    * ASCII-safe: the then-driver-side merge compared java.lang.String
+    * UTF-16 code units, which only provably agrees with the byte
+    * orders on ASCII. Recording bytes removes the mismatched ordering
+    * instead of restricting to where it cannot bite.)
     *
-    * None = no usable bound, with TWO meanings the manifest reader
-    * separates via the recorded null counts: a chunk with no non-null
-    * value is prunable (a range predicate cannot match null), while a
-    * chunk whose bounds are unusable must be SCANNED. Bounds are
-    * unusable when any boundary char is ≥ U+007F: parquet compares
-    * UTF-8 bytes unsigned, Spark compares UTF-16 code units, and the
-    * two orderings only provably agree on ASCII — a non-ASCII bound
-    * could skip a file that matches. Skip less, never lie (the same
-    * rail as the ulp-widened long bounds). */
+    * None = no usable upper bound (a 64-byte prefix of all 0xFF cannot
+    * be incremented) — the whole file must then SCAN. Skip less,
+    * never lie (the same rail as the ulp-widened long bounds). */
   private def strChunkRange(
-      s: org.apache.parquet.column.statistics.Statistics[_])
-      : Option[(String, String)] = s match {
-    case b: org.apache.parquet.column.statistics.BinaryStatistics
-      if !b.isEmpty && b.hasNonNullValue =>
-      val mn = b.genericGetMin.toStringUsingUTF8
-      val mx = b.genericGetMax.toStringUsingUTF8
-      val ascii = (mn.take(StrBoundLen) + mx.take(StrBoundLen + 1))
-        .forall(c => c < '\u007f')
-      if (!ascii) None
+      b: org.apache.parquet.column.statistics.BinaryStatistics)
+      : Option[(Array[Byte], Array[Byte])] = {
+    val mn = b.genericGetMin.getBytes
+    val mx = b.genericGetMax.getBytes
+    val lo = mn.take(StrBoundLen)
+    val hi =
+      if (mx.length <= StrBoundLen) Some(mx)
       else {
-        val lo = mn.take(StrBoundLen)
-        val hi =
-          if (mx.length <= StrBoundLen) mx
-          else {
-            val p = mx.take(StrBoundLen)
-            p.init + (p.last + 1).toChar
-          }
-        Some((lo, hi))
+        val p = mx.take(StrBoundLen)
+        // strict upper bound for every string sharing the prefix:
+        // bump the last incrementable byte, drop the tail
+        val i = p.lastIndexWhere(x => (x & 0xff) != 0xff)
+        if (i < 0) None
+        else Some(p.take(i + 1).updated(i, (p(i) + 1).toByte))
       }
-    case _ => None
+    hi.map((lo, _))
   }
+
+  /** Unsigned bytewise comparison — the one ordering parquet binary
+    * stats, the engine's UTF8String comparison, and these manifests'
+    * recorded byte bounds all share. */
+  private[ops] def ucmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   /** Build (or rebuild) the current epoch's `_file_stats` manifest for
     * `cols`: one footer read per data file — metadata only — merged
@@ -237,40 +244,72 @@ object SinkStats {
                     .BinaryStatistics => true
                   case _ => false
                 })
+                // per-chunk classification — the rail every recorded
+                // bound hangs off: a chunk is PROVABLY ALL-NULL only
+                // when its stats say so arithmetically (null count set
+                // AND equal to the chunk's value count — min/max
+                // dropped for size leaves hasNonNullValue false on a
+                // chunk that DOES hold values, so that flag alone
+                // proves nothing); it carries USABLE BOUNDS when
+                // non-empty stats expose min/max; anything else —
+                // stats omitted by a foreign writer, size-dropped
+                // binary bounds, an un-incrementable 0xFF prefix —
+                // poisons the WHOLE file: no bounds recorded, null
+                // count unknown, the read side must SCAN. Before r16 a
+                // stats-less chunk was silently dropped from the merge
+                // and the surviving chunks' bounds were recorded as if
+                // they covered it — a pruned read could skip a file
+                // holding in-band rows.
+                def statsOf(
+                    cc: org.apache.parquet.hadoop.metadata
+                      .ColumnChunkMetaData) = Option(cc.getStatistics)
+                def provablyAllNull(
+                    cc: org.apache.parquet.hadoop.metadata
+                      .ColumnChunkMetaData): Boolean =
+                  statsOf(cc).exists(s => !s.isEmpty && s.isNumNullsSet &&
+                    s.getNumNulls == cc.getValueCount)
+                def hasBounds(
+                    cc: org.apache.parquet.hadoop.metadata
+                      .ColumnChunkMetaData): Boolean =
+                  statsOf(cc).exists(s => !s.isEmpty && s.hasNonNullValue)
+                val unusable = mine.exists(cc =>
+                  !provablyAllNull(cc) && !hasBounds(cc))
+                val bounded = mine.filter(cc =>
+                  !provablyAllNull(cc) && hasBounds(cc))
                 val merged =
-                  if (isStr) None
-                  else mine
+                  if (isStr || unusable) None
+                  else bounded
+                    // hasBounds holds for every chunk here, so the
+                    // flatten drops nothing (unsupported types throw)
                     .flatMap(cc => chunkRange(cc.getStatistics, col0,
                       fileName))
                     .reduceOption((a, b) =>
                       (math.min(a._1, b._1), math.max(a._2, b._2)))
-                // string bounds: usable only when EVERY chunk holding
-                // values yields ASCII-safe bounds — one unusable chunk
-                // makes the file's true range unknowable, and the read
-                // side must SCAN it, never skip (so both bounds record
-                // null and the null counts disambiguate all-null)
-                val mergedStr =
-                  if (!isStr) None
+                // string bounds (raw truncated UTF-8 bytes, unsigned
+                // order): every value-bearing chunk must yield a usable
+                // byte range — one un-boundable chunk makes the file's
+                // true range unknowable and the read side SCANS it
+                val mergedStr: Option[(Array[Byte], Array[Byte])] =
+                  if (!isStr || unusable) None
                   else {
-                    val withVals = mine.filter(cc =>
-                      cc.getStatistics != null &&
-                        !cc.getStatistics.isEmpty &&
-                        cc.getStatistics.hasNonNullValue)
-                    val rs = withVals.flatMap(cc =>
-                      strChunkRange(cc.getStatistics))
-                    if (withVals.isEmpty || rs.size != withVals.size) None
-                    else Some(rs.reduce((a, b) => (
-                      if (a._1 <= b._1) a._1 else b._1,
-                      if (a._2 >= b._2) a._2 else b._2)))
+                    val rs = bounded.map(_.getStatistics match {
+                      case b: org.apache.parquet.column.statistics
+                        .BinaryStatistics => strChunkRange(b)
+                      case _ => None
+                    })
+                    if (rs.isEmpty || rs.exists(_.isEmpty)) None
+                    else Some(rs.flatten.reduce((a, b) => (
+                      if (ucmp(a._1, b._1) <= 0) a._1 else b._1,
+                      if (ucmp(a._2, b._2) >= 0) a._2 else b._2)))
                   }
-                // null count: known only when EVERY chunk reports it
-                // (an unset count anywhere makes the file's non-null
-                // total unknowable — metadata answers must then fall
-                // back to scanning, never guess)
+                // null count: known only when EVERY chunk SETS it (an
+                // unset count reads back as −1, which would corrupt the
+                // sum — metadata answers must then fall back to
+                // scanning, never guess)
                 val nulls =
                   if (mine.isEmpty) Some(nrows) // no chunk = all null
-                  else if (mine.forall(cc => cc.getStatistics != null &&
-                    !cc.getStatistics.isEmpty))
+                  else if (mine.forall(cc => statsOf(cc).exists(s =>
+                    !s.isEmpty && s.isNumNullsSet)))
                     Some(mine.map(_.getStatistics.getNumNulls).sum)
                   else None
                 (dayName, fileName, col0, merged.map(_._1),
@@ -284,7 +323,7 @@ object SinkStats {
     val manifest = s"$sink/epoch=$e/$StatsDir"
     try manifestRows
       .toDF("day", "file", "column", "lo", "hi", "nrows", "n_nulls",
-        "lo_s", "hi_s")
+        "lo_b", "hi_b")
       .repartition(1).write.mode("overwrite").parquet(manifest)
     catch {
       // the unsupported-type refusal now surfaces from an executor
@@ -342,18 +381,21 @@ object SinkStats {
   }
 
   /** Serve `lo <= column <= hi` on a STRING column from the manifest's
-    * truncated bounds ([[strChunkRange]]) — [[readSinkPruned]]'s
-    * equality-of-shape twin for the key-like string columns zone maps
-    * previously refused (category, code, type columns; Delta/Iceberg
-    * keep exactly these truncated string stats). A file is skipped
-    * only when PROVABLY disjoint: recorded bounds outside the band, or
-    * provably all-null (`n_nulls == nrows` — a range predicate never
-    * matches null). A file whose bounds were unusable at index time
-    * (non-ASCII boundary, truncation-unboundable, a chunk without
-    * stats) scans — skip less, never lie. Bounds comparison is Spark
-    * string ordering over ASCII-only recorded bounds, where parquet's
-    * unsigned-byte order and the engine's UTF-16 order provably agree.
-    * Same staleness rails as [[readSinkPruned]]. */
+    * truncated RAW-BYTE bounds ([[strChunkRange]]) —
+    * [[readSinkPruned]]'s equality-of-shape twin for the key-like
+    * string columns zone maps previously refused (category, code, type
+    * columns; Delta/Iceberg keep exactly these truncated string
+    * stats). A file is skipped only when PROVABLY disjoint: recorded
+    * bounds outside the band, or provably all-null (`n_nulls == nrows`
+    * — a range predicate never matches null). A file whose bounds were
+    * unusable at index time (truncation-unboundable 0xFF prefix, a
+    * chunk without stats) scans — skip less, never lie. Bounds
+    * comparison is UNSIGNED BYTEWISE over the probe's UTF-8 bytes —
+    * exactly the ordering of parquet's binary min/max AND of the
+    * engine's re-applied string predicate (UTF8String compares
+    * unsigned UTF-8 bytes), so the prune and the filter can never
+    * disagree, for ASCII and non-ASCII keys alike. Same staleness
+    * rails as [[readSinkPruned]]. */
   def readSinkPrunedString(spark: SparkSession, sink: String,
       column: String, lo: String, hi: String,
       tsCol: String = "ts"): DataFrame = {
@@ -368,15 +410,27 @@ object SinkStats {
         "every lifecycle op mints a new epoch whose files the previous " +
         "manifest cannot describe; run indexSinkStats after maintenance")
     val man = spark.read.parquet(manifest)
-    require(man.columns.contains("lo_s"),
-      s"the _file_stats manifest of $sink predates string bounds - " +
+    require(man.columns.contains("lo_b"),
+      s"the _file_stats manifest of $sink predates byte string bounds - " +
         "re-run indexSinkStats")
-    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("nrows")
-    val disjoint = col("lo_s").isNotNull && col("hi_s").isNotNull &&
-      (col("lo_s") > hi || col("hi_s") < lo)
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
+    // the band test runs DRIVER-side on the collected manifest rows
+    // (bounded metadata) with an explicit unsigned comparison — no
+    // reliance on any engine's binary collation for the prune decision
     val kept = man
-      .filter(col("column") === column && !allNull && !disjoint)
-      .select("day", "file").collect()
+      .filter(col("column") === column)
+      .select("day", "file", "lo_b", "hi_b", "nrows", "n_nulls")
+      .collect()
+      .filterNot { r =>
+        val allNull = !r.isNullAt(5) && r.getLong(5) == r.getLong(4)
+        val disjoint = !r.isNullAt(2) && !r.isNullAt(3) && {
+          val fLo = r.getAs[Array[Byte]](2)
+          val fHi = r.getAs[Array[Byte]](3)
+          ucmp(fLo, hiB) > 0 || ucmp(fHi, loB) < 0
+        }
+        allNull || disjoint
+      }
       .map(r => r.getString(0) -> r.getString(1)).toSeq
     keptFilesFrame(spark, sink, f, e, kept, tsCol)
       .filter(col(column) >= lo && col(column) <= hi)
@@ -966,13 +1020,163 @@ object SinkStats {
       }
     }
 
+  /** Shared DEFAULT-layout sink for the TIMESTAMP band prover (q157):
+    * no clusterBy at all — the point is that the sink's own (day, ts)
+    * range key already clusters ts WITHIN each day, so intra-day bands
+    * prune without any layout conf. ~512 sized files
+    * ([[sharedClusteredSink]]'s build discipline). */
+  private def sharedTsSink(spark: SparkSession, dir: String): String =
+    SharedArtifacts.once(spark, dir, "events_tsband") { sink =>
+      val ev = graft.Tables.events(spark, dir)
+      Streaming.writeBatchIdempotent(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
+      Streaming.writeBatchIdempotent(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
+      val f = fsOf(spark, sink)
+      val inputBytes = Streaming.subdirs(spark, sink, "batch_id=")
+        .map(d => f.getContentSummary(d._2).getLength).sum
+      val prevTarget =
+        spark.conf.getOption("spark.graft.compact.targetFileBytes")
+      try {
+        spark.conf.set("spark.graft.compact.targetFileBytes",
+          math.max(1L, inputBytes / 512).toString)
+        Streaming.compactSink(spark, sink, quiesced = true)
+      } finally prevTarget.fold(spark.conf
+        .unset("spark.graft.compact.targetFileBytes"))(v =>
+        spark.conf.set("spark.graft.compact.targetFileBytes", v))
+    }
+
+  /** q157 — TIMESTAMP band data skipping END TO END under the oracle
+    * hash, promoting [[readSinkPrunedTs]] from spec-only into the
+    * correctness gate (the r15 verdict's #1): the [[sharedTsSink]]
+    * keeps the sink's DEFAULT (day, ts) layout — no clustering conf —
+    * so the sized files already slice ts within each day and the
+    * footer's INT64-microsecond LongStatistics land in the stats
+    * manifest through the plain numeric path. A mid-history quarter
+    * band (`[min + span/4, min + span/2]` in exact integer
+    * microseconds) is read through [[readSinkPrunedTs]] — the query
+    * ASSERTS files were skipped (day-granular pruning alone would
+    * still read every file of the boundary days; the manifest prunes
+    * intra-day too) — then aggregates per day. The oracle states the
+    * same band over `events` via `epoch_us` integer arithmetic (both
+    * engines derive the edges with the same BIGINT ops — no IEEE
+    * anywhere): hash equality proves the skipped files held no
+    * in-band row and the micros⇄timestamp imaging lost nothing. */
+  def q157TsBand(spark: SparkSession, dir: String): DataFrame = {
+    val sink = sharedTsSink(spark, dir)
+    val ev = graft.Tables.events(spark, dir)
+    val total = indexSinkStats(spark, sink, Seq("ts"))
+    val b = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val tMin = b.getLong(0)
+    val span = b.getLong(1) - tMin
+    def tsOf(us: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+    val pruned = readSinkPrunedTs(spark, sink, "ts",
+      tsOf(tMin + span / 4), tsOf(tMin + span / 2))
+    require(pruned.inputFiles.length < total,
+      s"q157 must exercise the ts skip path: read " +
+        s"${pruned.inputFiles.length} of $total files - the (day, ts) " +
+        "layout failed to prune")
+    pruned.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("day")
+  }
+
+  /** Shared AUTO-INDEXED, MUTATED sink for the q158 prover — built
+    * once with `spark.graft.{stats,bloom}.autoIndexColumns` set for
+    * the WHOLE lifecycle (ingest → clustered compaction → row-level
+    * delete), so every epoch commit chains its own manifest emission
+    * ([[Streaming]]'s autoIndexStats) and the artifact ends on a
+    * delete-minted epoch whose manifests nobody ever re-indexed by
+    * hand. Consumers only READ (pruned band, bloom point) — exactly
+    * the [[SharedArtifacts]] immutability contract. */
+  private def sharedAutoIndexedSink(spark: SparkSession,
+      dir: String): String =
+    SharedArtifacts.once(spark, dir, "events_autoindex") { sink =>
+      val ev = graft.Tables.events(spark, dir)
+      Streaming.writeBatchIdempotent(ev, sink, 0L)
+      val f = fsOf(spark, sink)
+      val inputBytes = Streaming.subdirs(spark, sink, "batch_id=")
+        .map(d => f.getContentSummary(d._2).getLength).sum
+      val prev = Seq("spark.graft.compact.targetFileBytes",
+        "spark.graft.compact.clusterBy",
+        "spark.graft.stats.autoIndexColumns",
+        "spark.graft.bloom.autoIndexColumns")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.graft.compact.targetFileBytes",
+          math.max(1L, inputBytes / 512).toString)
+        spark.conf.set("spark.graft.compact.clusterBy", "user_id")
+        spark.conf.set("spark.graft.stats.autoIndexColumns", "user_id")
+        spark.conf.set("spark.graft.bloom.autoIndexColumns", "event_id")
+        Streaming.compactSink(spark, sink, quiesced = true)
+        Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+
+  /** q158 — the AUTO-INDEX chain END TO END under the oracle hash,
+    * promoting `autoIndexColumns` from spec-only into the correctness
+    * gate (the r15 verdict's #1): the [[sharedAutoIndexedSink]] runs
+    * ingest → clustered compaction → GDPR delete with the auto-index
+    * confs set, so each epoch commit emitted its own stats and bloom
+    * manifests — and this query then serves a pruned id-band read AND
+    * a bloom point lookup IMMEDIATELY, with NO indexSinkStats /
+    * indexSinkBloom call anywhere on its path (the refuse window the
+    * manual discipline left open is gone). Both reads assert files
+    * were skipped. The oracle restates the band and the point probe
+    * over `events` with the delete's survivor predicate applied:
+    * hash equality proves the auto-built manifests describe the
+    * POST-DELETE files exactly — no resurrected row, no lost
+    * survivor, no phantom from a stale pre-delete manifest. */
+  def q158AutoIndex(spark: SparkSession, dir: String): DataFrame = {
+    val sink = sharedAutoIndexedSink(spark, dir)
+    val ev = graft.Tables.events(spark, dir)
+    // total file count via the epoch listing (NOT via an index call -
+    // this query must never index anything)
+    val f = fsOf(spark, sink)
+    val e = currentEpoch(spark, sink)
+    val total = Streaming.resolvedDays(f, sink, e).map { case (_, d) =>
+      f.listStatus(d).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    }.sum
+    val b = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+    val uMin = b.getLong(0)
+    val uHi = uMin + math.floor((b.getLong(1) - uMin) / 8.0).toLong
+    val band = readSinkPruned(spark, sink, "user_id",
+      uMin.toDouble, uHi.toDouble)
+    require(band.inputFiles.length < total,
+      s"q158 band read ${band.inputFiles.length} of $total files - the " +
+        "auto-indexed stats manifest failed to prune")
+    // point probe: the smallest surviving event_id (survivor predicate
+    // restated identically in the oracle)
+    val probeId = ev.filter(col("user_id").isNull ||
+        col("user_id") % 7 =!= 3)
+      .agg(min(col("event_id"))).head().getLong(0)
+    val hit = readSinkPoint(spark, sink, "event_id", probeId)
+    require(hit.inputFiles.length < total,
+      s"q158 point probe read ${hit.inputFiles.length} of $total files - " +
+        "the auto-indexed bloom manifest failed to prune")
+    def agg(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(lit(tag).as("probe"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("user_id")).as("n_with_user"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    agg(band, "band").unionByName(agg(hit, "point")).orderBy("probe")
+  }
+
   /** q156 — STRING zone-map data skipping END TO END under the oracle
     * hash, closing the r14 verdict's "zone maps refuse non-numeric
     * columns" gap (a band read on a string key previously had no
     * pruning path; Delta/Iceberg keep truncated string min/max for
     * exactly this): the [[sharedStrClusteredSink]] layout clusters on
     * `event_type`, [[indexSinkStats]] records each file's truncated
-    * ASCII-safe string bounds from its footer ([[strChunkRange]]'s
+    * raw-byte string bounds from its footer ([[strChunkRange]]'s
     * conservative rules), and the `['click','purchase']` type band is
     * read through [[readSinkPrunedString]] — the query ASSERTS files
     * were actually skipped — then aggregates per type. The oracle is

@@ -60,7 +60,12 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       // diff and the apply - the heaviest CDC composition
       "q155_cdc_replication",
       // q156 indexes + band-reads the shared string-clustered sink
-      "q156_string_band")
+      "q156_string_band",
+      // q157 indexes + ts-band-reads the shared default-layout sink
+      "q157_ts_band",
+      // q158 reads the shared auto-indexed sink (whose build pays the
+      // per-epoch manifest emission) through band + point probes
+      "q158_auto_index")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

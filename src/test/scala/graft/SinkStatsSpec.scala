@@ -132,13 +132,14 @@ class SinkStatsSpec extends SparkSpecBase {
     val t = "2024-02-01 10:00:00"
     // key-like string values spread over a sortable domain, plus the
     // three hazard classes: a >64-char value sharing a prefix with
-    // in-band values (truncation), a non-ASCII value (collation), and
-    // an all-null file cohort
+    // in-band values (truncation), a non-ASCII value (multi-byte
+    // UTF-8 — byte bounds must still prune it correctly), and an
+    // all-null file cohort
     val rows = (0L until 4000L).map { i =>
       val v = (i % 40) match {
         case 37 => null
         case 38 => "m" + ("x" * 100) + i // truncated bound, in band
-        case 39 => "żeta_" + (i % 7) // non-ASCII: bounds must go null
+        case 39 => "żeta_" + (i % 7) // non-ASCII: byte bounds prune
         case k => f"key_${((k * 7) % 26 + 'a'.toInt).toChar}%c_${i % 97}%02d"
       }
       (i, t, v)
@@ -167,7 +168,7 @@ class SinkStatsSpec extends SparkSpecBase {
     // a band over the middle of the key domain: the k-clustered layout
     // must skip the out-of-band files, and the answer must be exactly
     // the full filter - including the >64-char value inside the band
-    // and excluding nulls and the non-ASCII cohort
+    // and excluding nulls
     def check(lo: String, hi: String, expectSkip: Boolean): Unit = {
       val pruned = SinkStats.readSinkPrunedString(spark, sink, "k", lo, hi)
       if (expectSkip)
@@ -179,9 +180,14 @@ class SinkStatsSpec extends SparkSpecBase {
     }
     check("key_e", "key_k", expectSkip = true)
     check("m", "n", expectSkip = true) // covers the truncated long value
-    // the non-ASCII cohort: its files recorded NO usable bounds, so a
-    // band that matches it must still find every row (scan, not skip)
-    check("ż", "żzzz", expectSkip = false)
+    // the non-ASCII cohort: raw-byte bounds prune it like any other
+    // key (r16 — ASCII-only truncated bounds used to force a scan
+    // here), and the unsigned byte order agrees with the engine's
+    // string comparison so no in-band multi-byte row is lost
+    check("ż", "żzzz", expectSkip = true)
+    // ASCII band BELOW the non-ASCII cohort in byte order: must skip
+    // the ż files too (their lo bound exceeds the band)
+    check("aa", "ab", expectSkip = true)
   }
 
   test("timestamp band read prunes on the default (day, ts) layout and equals the full filter") {
