@@ -719,7 +719,21 @@ object SinkStats {
     * refuses loudly. Unlike zone maps, ANY hashable type works —
     * string keys included. Null values set no bits (equality never
     * matches null); probing null refuses (that is an IS NULL scan,
-    * not a point lookup). Returns the number of files indexed. */
+    * not a point lookup). Returns the number of files indexed.
+    *
+    * NATIVE FAST PATH (r16, closing the r15 verdict's "bloom auto-index
+    * pays O(data) per epoch mint"): a file whose footer already carries
+    * parquet's own column bloom filters for `column` — which every
+    * epoch write emits when `spark.graft.bloom.autoIndexColumns` names
+    * it ([[Streaming]]'s epochWriteOptions) — is indexed by LIFTING
+    * those ready-made filters out of the footer: O(files) metadata
+    * reads, zero data pages, exactly like the stats manifest. The
+    * per-chunk bitsets land in the manifest verbatim (`blooms`,
+    * `native = true`), so the probe side stays manifest-only. Files
+    * WITHOUT a usable native bloom (foreign writers, pre-conf epochs,
+    * a type parquet blooms can't serve) fall back to the one
+    * column-pruned scan — per file, not per epoch: one foreign file in
+    * a native epoch costs one file's scan. */
   def indexSinkBloom(spark: SparkSession, sink: String, column: String,
       bits: Int = 1 << 14, seeds: Int = 4): Long = {
     require(bits > 0 && seeds > 0, "bloom needs positive bits and seeds")
@@ -729,29 +743,136 @@ object SinkStats {
     require(e >= 0, s"no committed epoch at $sink - compact before indexing")
     val days = Streaming.resolvedDays(f, sink, e)
     require(days.nonEmpty, s"epoch $e of $sink holds no day partitions")
+    val files: Seq[(String, String, String)] = days.flatMap {
+      case (dayName, dayDir) =>
+        f.listStatus(dayDir).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(st => (dayName, st.getPath.getName, st.getPath.toString))
+    }
+    require(files.nonEmpty, s"epoch $e of $sink holds no data files")
     val parts = days.groupBy(_._2.getParent.toString).toSeq
       .map { case (base, entries) =>
         spark.read.option("basePath", base)
           .parquet(entries.map(_._2.toString): _*)
       }
     val colType = parts.head.schema(column).dataType
-    val all = parts
-      .map(_.select(col("day"), input_file_name().as("path"),
-        col(column).as("v")))
+    // parquet blooms hash the PLAIN encoding of these physical types;
+    // anything else (decimals, nested, timestamps-as-INT96) takes the
+    // engine-hash scan path, which hashes any Spark type
+    val expectedPhys: Option[String] = colType.catalogString match {
+      case "int" => Some("INT32")
+      case "bigint" => Some("INT64")
+      case "float" => Some("FLOAT")
+      case "double" => Some("DOUBLE")
+      case "string" => Some("BINARY")
+      case _ => None
+    }
+    // FOOTER PASS (distributed, the indexSinkStats pattern): classify
+    // each file and, for native files, lift the per-chunk bloom
+    // bitsets right there — the bytes ride the shuffle into the
+    // manifest write, never the driver
+    val confProps = spark.sparkContext.broadcast {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(en => en.getKey -> en.getValue).toList
+    }
+    val colB = spark.sparkContext.broadcast((column, expectedPhys))
+    // (day, file, native, blooms): native=false rows need the scan
+    // pass; a file whose footer PROVES the column all-null/absent
+    // emits nothing (no manifest row = probe-skipped, like a file
+    // whose scan finds no non-null value)
+    val classified = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 256)))
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confProps.value.foreach { case (k, v) => c.set(k, v) }
+        val (col0, phys) = colB.value
+        it.flatMap { case (dayName, fileName, full) =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(full), c))
+          try {
+            import scala.jdk.CollectionConverters._
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            val perBlock = blocks.map(b =>
+              b -> b.getColumns.asScala.find(_.getPath.toDotString == col0))
+            if (perBlock.forall(_._2.isEmpty))
+              // schema drift: the file has no such column - only nulls
+              // can be read from it, equality never matches
+              Seq.empty
+            else {
+              val native = phys.isDefined && perBlock.forall {
+                case (_, cc) => cc.exists(m =>
+                  m.getBloomFilterOffset >= 0 &&
+                    m.getPrimitiveType.getPrimitiveTypeName.name() ==
+                      phys.get)
+              }
+              if (!native) Seq((dayName, fileName, false,
+                null: Seq[Array[Byte]]))
+              else {
+                val blooms = perBlock.map { case (b, cc) =>
+                  Option(reader.getBloomFilterDataReader(b)
+                    .readBloomFilter(cc.get)).map { bf =>
+                    val bos = new java.io.ByteArrayOutputStream()
+                    bf.writeTo(bos)
+                    bos.toByteArray
+                  }
+                }
+                // an offset that reads back null anyway: demote to scan
+                if (blooms.exists(_.isEmpty))
+                  Seq((dayName, fileName, false, null: Seq[Array[Byte]]))
+                else Seq((dayName, fileName, true, blooms.flatten))
+              }
+            }
+          } finally reader.close()
+        }
+      }.persist()
+    import spark.implicits._
+    val nativeDF = classified.filter(_._3)
+      .map(t => (t._1, t._2, t._4))
+      .toDF("day", "file", "blooms")
+      .withColumn("bloom", lit(null).cast("array<int>"))
+      .withColumn("native", lit(true))
+    val scanFiles = classified.filter(!_._3)
+      .map(t => (t._1, t._2)).collect().toSet
+    // SCAN PASS, restricted to exactly the files the footers could not
+    // serve (none, when the epoch was written with native blooms): the
+    // engine-hash positions manifest, unchanged semantics
+    val scanDF =
+      if (scanFiles.isEmpty) None
+      else {
+        val dayMap = days.toMap
+        val scanParts = scanFiles.toSeq
+          .groupBy { case (d, _) => dayMap(d).getParent.toString }
+          .toSeq.map { case (base, entries) =>
+            spark.read.option("basePath", base)
+              .parquet(entries.map { case (d, fn) =>
+                s"${dayMap(d)}/$fn" }: _*)
+          }
+        val all = scanParts
+          .map(_.select(col("day"), input_file_name().as("path"),
+            col(column).as("v")))
+          .reduce(_.unionByName(_))
+        val dayDir = when(col("day").isNull, lit(Streaming.NullDayDir))
+          .otherwise(concat(lit("day="),
+            date_format(col("day"), "yyyy-MM-dd")))
+        Some(all
+          .select(dayDir.as("day"),
+            regexp_extract(col("path"), "[^/]+$", 0).as("file"), col("v"))
+          .filter(col("v").isNotNull)
+          .select(col("day"), col("file"),
+            explode(sequence(lit(0), lit(seeds - 1))).as("seed"), col("v"))
+          .select(col("day"), col("file"),
+            pmod(xxhash64(col("v"), col("seed")), lit(bits.toLong))
+              .cast("int").as("pos"))
+          .groupBy("day", "file")
+          .agg(sort_array(collect_set(col("pos"))).as("bloom"))
+          .withColumn("blooms", lit(null).cast("array<binary>"))
+          .withColumn("native", lit(false)))
+      }
+    val manifest = (Seq(nativeDF) ++ scanDF)
       .reduce(_.unionByName(_))
-    val dayDir = when(col("day").isNull, lit(Streaming.NullDayDir))
-      .otherwise(concat(lit("day="), date_format(col("day"), "yyyy-MM-dd")))
-    val manifest = all
-      .select(dayDir.as("day"),
-        regexp_extract(col("path"), "[^/]+$", 0).as("file"), col("v"))
-      .filter(col("v").isNotNull)
-      .select(col("day"), col("file"),
-        explode(sequence(lit(0), lit(seeds - 1))).as("seed"), col("v"))
-      .select(col("day"), col("file"),
-        pmod(xxhash64(col("v"), col("seed")), lit(bits.toLong))
-          .cast("int").as("pos"))
-      .groupBy("day", "file")
-      .agg(sort_array(collect_set(col("pos"))).as("bloom"))
       .withColumn("column", lit(column))
       .withColumn("col_type", lit(colType.catalogString))
       .withColumn("bits", lit(bits))
@@ -761,19 +882,43 @@ object SinkStats {
     // first - the multi-column story zone maps get from per-column
     // rows, blooms get from per-column directories)
     val out = s"$sink/epoch=$e/$BloomDir/col=$column"
-    manifest.repartition(1).write.mode("overwrite").parquet(out)
+    try manifest.repartition(1).write.mode("overwrite").parquet(out)
+    finally classified.unpersist()
     spark.read.parquet(out).count()
   }
+
+  /** Does any of a native file's per-chunk parquet blooms fail to rule
+    * the (typed) probe value out? Evaluated executor-side over the
+    * manifest's recorded bitsets; a value shape the filter cannot hash
+    * keeps the file — skip less, never lie. */
+  private def nativeBloomKeeps(blooms: Seq[Array[Byte]], v: Any): Boolean =
+    blooms == null || blooms.isEmpty || blooms.exists { bytes =>
+      val bf = new org.apache.parquet.column.values.bloomfilter
+        .BlockSplitBloomFilter(bytes)
+      v match {
+        case l: java.lang.Long => bf.findHash(bf.hash(l.longValue))
+        case i: java.lang.Integer => bf.findHash(bf.hash(i.intValue))
+        case d: java.lang.Double => bf.findHash(bf.hash(d.doubleValue))
+        case fl: java.lang.Float => bf.findHash(bf.hash(fl.floatValue))
+        case s: String => bf.findHash(bf.hash(
+          org.apache.parquet.io.api.Binary.fromString(s)))
+        case _ => true
+      }
+    }
 
   /** Serve `column = value` reading only the epoch files whose bloom
     * cannot rule the value out — plus every committed live batch,
     * conservatively — with the exact predicate re-applied on top (a
-    * bloom false positive costs I/O, never a phantom row). Probe
-    * positions are derived by the ENGINE with the manifest's own
-    * recipe (type cast, bits, seeds), so build and probe hash
-    * identically by construction. Same staleness rails as
-    * [[readSinkPruned]]: the manifest must exist for the CURRENT
-    * epoch and cover `column`, else refuse loudly. */
+    * bloom false positive costs I/O, never a phantom row). A file
+    * indexed from its NATIVE parquet blooms is tested against the
+    * manifest's recorded bitsets with parquet's own hash
+    * ([[nativeBloomKeeps]], evaluated executor-side); a scan-indexed
+    * file keeps the engine-hash positions test, with the probe
+    * positions derived by the ENGINE from the manifest's own recipe
+    * (type cast, bits, seeds) so build and probe hash identically by
+    * construction. Same staleness rails as [[readSinkPruned]]: the
+    * manifest must exist for the CURRENT epoch and cover `column`,
+    * else refuse loudly. */
   def readSinkPoint(spark: SparkSession, sink: String, column: String,
       value: Any, tsCol: String = "ts"): DataFrame = {
     requireNoAlter(spark, sink, "readSinkPoint")
@@ -799,16 +944,38 @@ object SinkStats {
           s"indexSinkBloom(_, _, \"$column\")")
       val (colType, bits, seeds) = (h.getAs[String]("col_type"),
         h.getAs[Int]("bits"), h.getAs[Int]("seeds"))
+      // a pre-r16 manifest has no native column: every row is a
+      // positions row
+      val hasNative = man.columns.contains("native")
+      val posRows =
+        if (hasNative) man.filter(!coalesce(col("native"), lit(false)))
+        else man
       // probe positions via the engine's own hash - identical to build
       val probe = spark.range(1).select((0 until seeds).map(s =>
         pmod(xxhash64(lit(value).cast(colType), lit(s)), lit(bits.toLong))
           .cast("int").as(s"p$s")): _*).head()
       val positions = (0 until seeds).map(probe.getInt)
-      val kept = man
+      val keptPos = posRows
         .filter(positions.distinct.map(p =>
           array_contains(col("bloom"), p)).reduce(_ && _))
         .select("day", "file").collect()
         .map(r => r.getString(0) -> r.getString(1)).toSeq
+      val keptNative: Seq[(String, String)] =
+        if (!hasNative) Seq.empty
+        else {
+          // the typed probe value the bitset test hashes: the SAME
+          // engine cast the positions probe and the re-applied filter
+          // use, so all three agree on the value's image
+          val tv = spark.range(1)
+            .select(lit(value).cast(colType).as("v")).head().get(0)
+          import spark.implicits._
+          man.filter(col("native") === true)
+            .select(col("day"), col("file"), col("blooms"))
+            .as[(String, String, Seq[Array[Byte]])]
+            .filter(t => nativeBloomKeeps(t._3, tv))
+            .map(t => (t._1, t._2)).collect().toSeq
+        }
+      val kept = keptPos ++ keptNative
       val dayMap = Streaming.resolvedDays(f, sink, e).toMap
       kept.foreach { case (d, _) => require(dayMap.contains(d),
         s"bloom manifest names $d but epoch $e does not hold it - re-run " +

@@ -85,7 +85,8 @@ object SnapshotDiff {
     * the fast path). */
   private def changeFileDiff(spark: SparkSession, path: String,
       fromEpoch: Long, toEpoch: Long, keyCols: Seq[String],
-      compareCols: Seq[String], valueCols: Seq[String]): Option[DataFrame] = {
+      compareCols: Seq[String], valueCols: Seq[String],
+      tsCol: String): Option[DataFrame] = {
     if (!spark.conf.getOption("spark.graft.cdc.useChangeFiles")
       .forall(_.toBoolean)) return None
     val retained = Streaming.listSinkEpochs(spark, path).collect()
@@ -93,19 +94,37 @@ object SnapshotDiff {
     if (!retained.contains(fromEpoch) || !retained.contains(toEpoch))
       return None
     val frames = ((fromEpoch + 1) to toEpoch).map(e =>
-      Streaming.readEpochChanges(spark, path, e)
+      Streaming.readEpochChanges(spark, path, e, tsCol)
         .map(_.withColumn("__cdc_epoch", lit(e))))
     if (frames.exists(_.isEmpty)) return None
     val events = frames.flatten
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val cols = keyCols ++ valueCols
-    if (!events.columns.contains(Streaming.CdcKindCol) ||
-      cols.exists(c => !events.columns.contains(c))) return None
+    if (!events.columns.contains(Streaming.CdcKindCol)) return None
+    // zero-churn range: EVERY in-range manifest exists and is empty
+    // (alter-normalize epochs, no-op mutations), so the union carries
+    // only the bookkeeping columns. The diff is empty BY RECORD — emit
+    // it with the endpoint snapshot's types instead of falling back to
+    // the O(table) join to compute nothing (r15 advice).
+    if (cols.forall(c => !events.columns.contains(c)) &&
+      events.columns.toSet.subsetOf(
+        Set(Streaming.CdcKindCol, "__cdc_epoch"))) {
+      val snap = Streaming.readSink(spark, path, tsCol,
+        atEpoch = Some(toEpoch)).schema
+      if (cols.forall(c => snap.fieldNames.contains(c)))
+        return Some(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("change",
+              org.apache.spark.sql.types.StringType) +: cols.map(snap(_)))))
+    }
+    if (cols.exists(c => !events.columns.contains(c))) return None
     // kind rank 0 = the event row carrying a pre-image, 1 = a
     // post-image; (epoch, rank) orders an update's two rows correctly
     val tagged = events.withColumn("__cdc_kr",
       when(col(Streaming.CdcKindCol).isin("delete", "update_pre"), lit(0))
         .otherwise(lit(1)))
+      .filter(nullKeyGuard(keyCols, path))
     val ord = struct(col("__cdc_epoch"), col("__cdc_kr"))
     val payload = struct(valueCols.map(col): _*)
     val g = tagged.groupBy(keyCols.map(col): _*)
@@ -134,6 +153,23 @@ object SnapshotDiff {
           .otherwise(col("__post").getField(c)).as(c))): _*))
   }
 
+  /** A row-level guard both diff paths scan through: NULL diff keys
+    * are the caller's modeling bug (the contract requires `keyCols` to
+    * uniquely identify rows, as the sink's own MERGE does), and before
+    * r16 the two paths handled them DIFFERENTLY — the manifest fold
+    * groups nulls together (SQL GROUP BY) while the snapshot join
+    * matches them null-safely against a mutation that used plain join
+    * equality — so a null-key row could classify differently depending
+    * on which path served. Refuse loudly instead of silently diverging:
+    * the guard raises on the first null-key row either path touches. */
+  private def nullKeyGuard(keyCols: Seq[String], path: String): Column =
+    when(keyCols.map(col(_).isNull).reduce(_ || _),
+      raise_error(lit(s"readSinkChanges over $path: a row carries a " +
+        s"NULL diff key (${keyCols.mkString(", ")}) - CDC keys must be " +
+        "non-null columns that uniquely identify a row (the same " +
+        "contract the sink's MERGE states)")))
+      .otherwise(lit(true))
+
   /** The rows that changed between retained committed epochs
     * `fromEpoch` and `toEpoch`: one row per inserted / deleted /
     * content-changed key, columns `change, <keyCols>, <compareCols>,
@@ -161,11 +197,11 @@ object SnapshotDiff {
     *    through [[Streaming.readSink]]`(atEpoch)` (a vacuumed epoch
     *    refuses loudly) and full-outer-joined on the key. Taken when
     *    any in-range epoch lacks its manifest (pre-r15 epochs, emission
-    *    disabled, a data-bearing compaction without `onCompact`, a
-    *    retention without `onRetire`), when a requested column is
-    *    missing from the recorded manifests (a rename crossed the
-    *    range), or when `spark.graft.cdc.useChangeFiles=false` forces
-    *    it. */
+    *    disabled, a retention without `onRetire`, an insert epoch
+    *    whose by-reference batches were deleted by hand), when a
+    *    requested column is missing from the recorded manifests (a
+    *    rename crossed the range), or when
+    *    `spark.graft.cdc.useChangeFiles=false` forces it. */
   def readSinkChanges(spark: SparkSession, path: String,
       fromEpoch: Long, toEpoch: Long, keyCols: Seq[String],
       compareCols: Seq[String], tsCol: String = "ts"): DataFrame = {
@@ -178,7 +214,7 @@ object SnapshotDiff {
     val valueCols = (compareCols :+ "day").distinct.filterNot(keyCols.contains)
     val cols = keyCols ++ valueCols
     changeFileDiff(spark, path, fromEpoch, toEpoch, keyCols,
-      compareCols, valueCols).foreach(out => return out)
+      compareCols, valueCols, tsCol).foreach(out => return out)
     val pre = Streaming.readSink(spark, path, tsCol, atEpoch = Some(fromEpoch))
     val post = Streaming.readSink(spark, path, tsCol, atEpoch = Some(toEpoch))
     // additive drift between versions: a requested column missing from
@@ -199,8 +235,9 @@ object SnapshotDiff {
       // column name — a sink column literally named "present" used to
       // collide with the old "<tag>_present" spelling and break the
       // full-outer join's resolution
-      conformed.select(cols.map(c => col(c).as(s"${tag}_$c")) :+
-        lit(true).as(s"__${tag}_present"): _*)
+      conformed.filter(nullKeyGuard(keyCols, path))
+        .select(cols.map(c => col(c).as(s"${tag}_$c")) :+
+          lit(true).as(s"__${tag}_present"): _*)
     }
     val joined = side(pre, "pre", post).join(side(post, "post", pre),
       keyCols.map(k => col(s"pre_$k") <=> col(s"post_$k")).reduce(_ && _),
@@ -281,8 +318,8 @@ object SnapshotDiff {
     * per session ([[SharedArtifacts]]; q150 and q155 previously each
     * ran the identical ingest → compact → delete → upsert lifecycle
     * into private scratches, the two heaviest lines of the r14 bench):
-    * the events table lands as one batch, compacts into a snapshot
-    * under `keepEpochs = 3`, takes the GDPR delete
+    * the shared compacted events base clones in as the snapshot
+    * epoch, then under `keepEpochs = 3` takes the GDPR delete
     * (`user_id % 7 = 3`), and takes the CDC upsert (UPDATE every
     * `event_id % 3 = 0` key with user_id shifted +1 000 000, INSERT
     * the `event_id % 10 = 1` cohort re-keyed +1 000 000 000) — with
@@ -295,13 +332,18 @@ object SnapshotDiff {
   private def sharedCdcSource(spark: SparkSession, dir: String): String =
     SharedArtifacts.once(spark, dir, "events_cdc_source") { src =>
       val ev = Tables.events(spark, dir)
-      Streaming.writeBatchIdempotent(ev, src, 0L)
+      // start from a CLONE of the shared compacted base (retention
+      // depth applies at each op's retire step, so raising keepEpochs
+      // only around the mutations retains the clone's compact epoch
+      // exactly as an all-keepEpochs-3 lifecycle would; the mutations'
+      // own manifests are the only ones the diff range reads)
+      SharedArtifacts.cloneTo(spark, Streaming.sharedEventsBase(spark, dir),
+        src)
       val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
       val prevCf = spark.conf.getOption("spark.graft.sink.changeFiles")
       spark.conf.set("spark.graft.sink.keepEpochs", "3")
       spark.conf.set("spark.graft.sink.changeFiles", "true")
       try {
-        Streaming.compactSink(spark, src, quiesced = true)
         Streaming.deleteWhere(spark, src, col("user_id") % 7 === 3)
         val upd = ev.filter(col("event_id") % 3 === 0)
           .withColumn("user_id", col("user_id") + 1000000L)
@@ -352,9 +394,11 @@ object SnapshotDiff {
   def q155CdcReplication(spark: SparkSession, dir: String): DataFrame = {
     val src = sharedCdcSource(spark, dir)
     val (snap, cur) = cdcEndpoints(spark, src)
-    val rep = Streaming.scratchSink(spark, dir, "events_cdc_rep")
-    Streaming.writeBatchIdempotent(Tables.events(spark, dir), rep, 0L)
-    Streaming.compactSink(spark, rep, quiesced = true)
+    // the replica starts byte-identical to the source's pre-mutation
+    // snapshot: a clone of the same shared compacted base
+    val rep = SharedArtifacts.cloneTo(spark,
+      Streaming.sharedEventsBase(spark, dir),
+      Streaming.scratchSink(spark, dir, "events_cdc_rep"))
     val changes = readSinkChanges(spark, src, snap, cur, Seq("event_id"),
       Seq("ts", "user_id", "event_type", "value", "props"))
     // the REPLICA applies with manifest emission at its default (off):

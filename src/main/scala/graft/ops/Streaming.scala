@@ -544,20 +544,40 @@ object Streaming {
     *     session/phase, exactly Delta CDF's per-table
     *     `enableChangeDataFeed` model: the manifest taxes every
     *     mutation with one extra affected-days read plus an O(churn)
-    *     write, measured ~+50 % on a pure upsert, which only pays off
+    *     write, which only pays off
     *     on sinks someone actually diffs) — deleteWhere / deleteKeys /
-    *     upsertBatch, whose manifests are O(churn) by nature, plus the
-    *     alter-normalize empty manifest;
-    *   - `spark.graft.sink.changeFiles.onCompact` (default false) — a
-    *     data-bearing compaction's consumed batches recorded as
-    *     inserts. Off by default: it re-writes every ingested byte a
-    *     second time, the one case where the manifest is O(new data),
-    *     and an ingest-heavy sink may prefer the snapshot fallback;
+    *     upsertBatch, whose manifests are O(churn) by nature, the
+    *     alter-normalize empty manifest, AND data-bearing compactions,
+    *     whose churn is recorded BY REFERENCE (see below) at O(1)
+    *     metadata cost — no ingest byte is ever rewritten;
     *   - `spark.graft.sink.changeFiles.onRetire` (default false) — a
     *     snapshot-mode retention's expired rows recorded as deletes.
     *     Off by default because retention is otherwise O(1) metadata.
-    */
+    *
+    * INSERT epochs record churn BY REFERENCE (Delta CDF's add-only
+    * commits do exactly this): a data-bearing compaction's change set
+    * is precisely its consumed batches, and those directories were
+    * about to be deleted anyway — so the manifest stores their NAMES
+    * ([[CdcRefCol]] rows) and the post-commit batch retirement MOVES
+    * each one under the epoch's [[ChangesRefDir]] instead of deleting
+    * it (O(1) renames). [[readEpochChanges]] resolves each name to
+    * whichever side of its rename it is on; a crash between the commit
+    * and the moves is finished by the next compaction's recovery
+    * ([[settleChangeRefs]]). The referenced bytes then live exactly as
+    * long as the epoch does — change data retained with its version,
+    * reclaimed when retention retires the epoch. */
   private[ops] val ChangesDir = "_changes"
+
+  /** Where an insert epoch's by-reference change data lands: the
+    * consumed batch dirs, renamed under the epoch at retirement time
+    * (hidden from data reads by the leading underscore, like
+    * [[ChangesDir]] itself). */
+  private[ops] val ChangesRefDir = "_changes_ref"
+
+  /** The by-reference column of a [[ChangesDir]] manifest: the name of
+    * a consumed batch directory whose files ARE this epoch's insert
+    * rows. Reserved like [[CdcKindCol]]. */
+  private[ops] val CdcRefCol = "__cdc_ref"
 
   /** The change kind column of a [[ChangesDir]] manifest. The "__cdc"
     * prefix is reserved: mutation ops refuse a sink column colliding
@@ -579,7 +599,16 @@ object Streaming {
     * timestamps into tz-annotated ones and breaks the hash — the
     * sink's physical layout is ours to choose, the result dumps are
     * not. (Readers are unaffected either way: both representations
-    * decode to identical instants.) */
+    * decode to identical instants.)
+    *
+    * The set/restore mutates SESSION-scoped conf, so an UNRELATED
+    * write on the same session concurrent with a sink write would
+    * inherit TIMESTAMP_MICROS for the window — safe here because every
+    * lifecycle write runs under the sink's [[CompactLock]]/[[WriterLock]]
+    * and the harness runs queries sequentially on one session, but a
+    * host application sharing one session across threads should give
+    * sink maintenance its own `spark.newSession()` (separate conf,
+    * shared catalog/context). */
   private def withMicrosTs[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
@@ -595,7 +624,7 @@ object Streaming {
   private def writeEpochChanges(spark: SparkSession,
       epochDir: org.apache.hadoop.fs.Path, events: DataFrame): Unit = {
     val clash = events.columns.filter(c =>
-      c.startsWith("__cdc") && c != CdcKindCol)
+      c.startsWith("__cdc") && c != CdcKindCol && c != CdcRefCol)
     require(clash.isEmpty,
       s"sink columns ${clash.mkString(", ")} collide with the reserved " +
         "__cdc prefix of CDC change manifests - rename them or disable " +
@@ -611,13 +640,22 @@ object Streaming {
     * manifest parquet dir has `_SUCCESS` but no part files, and reads
     * as an empty kind-only frame), None when it did not (epochs minted
     * before manifests existed, with emission disabled, or by an op
-    * that does not record churn — a data-bearing compaction without
-    * `onCompact`, a retention without `onRetire`) — None is the
-    * reader's signal to fall back to the snapshot join. The pending
-    * alter applies to manifest rows exactly as [[readSink]] applies it
-    * to data rows, so both CDC paths see one logical schema. */
+    * that does not record churn — a retention without `onRetire`) —
+    * None is the reader's signal to fall back to the snapshot join.
+    *
+    * BY-REFERENCE rows ([[CdcRefCol]] — insert epochs) resolve here:
+    * each named batch directory is read from the epoch's
+    * [[ChangesRefDir]] (post-retirement home) or from the sink root
+    * (the pre-move crash window), its rows stamped with the recorded
+    * kind and the sink's derived `day` — exactly the rows the
+    * compaction folded in. A reference that resolves NOWHERE (a hand-
+    * deleted dir) makes the whole manifest unreadable → None, the
+    * fallback signal: degrade to the snapshot join, never to a
+    * partial change set. The pending alter applies to manifest rows
+    * exactly as [[readSink]] applies it to data rows, so both CDC
+    * paths see one logical schema. */
   private[ops] def readEpochChanges(spark: SparkSession, path: String,
-      epochId: Long): Option[DataFrame] = {
+      epochId: Long, tsCol: String = "ts"): Option[DataFrame] = {
     val f = fs(spark, path)
     val eDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epochId")
     val cDir = new org.apache.hadoop.fs.Path(eDir, ChangesDir)
@@ -639,8 +677,38 @@ object Streaming {
         else spark.read.option("mergeSchema", "true")
           .parquet(cDir.toString)
       val (ren, drop) = readAlter(f, path)
-      Some(if (ren.isEmpty && drop.isEmpty) raw
-      else applyAlter(raw, ren, drop))
+      def alterOf(df: DataFrame): DataFrame =
+        if (ren.isEmpty && drop.isEmpty) df else applyAlter(df, ren, drop)
+      if (!raw.columns.contains(CdcRefCol)) Some(alterOf(raw))
+      else {
+        // the ref list is the manifest itself: tiny, driver-bounded
+        val refs = raw.filter(col(CdcRefCol).isNotNull)
+          .select(col(CdcRefCol), col(CdcKindCol)).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val plain = raw.filter(col(CdcRefCol).isNull).drop(CdcRefCol)
+        val resolved: Seq[Option[DataFrame]] = refs.map { case (name, kind) =>
+          val inEpoch = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(eDir, ChangesRefDir), name)
+          val atRoot = new org.apache.hadoop.fs.Path(path, name)
+          val loc =
+            if (f.exists(inEpoch)) Some(inEpoch)
+            else if (f.exists(atRoot)) Some(atRoot)
+            else None
+          loc.flatMap { p =>
+            val df = spark.read.option("mergeSchema", "true")
+              .parquet(p.toString)
+            // day derives exactly as the compaction derived it; a
+            // batch without the ts column could not have compacted,
+            // so treat it as unresolvable rather than guess
+            if (!df.columns.contains(tsCol)) None
+            else Some(df.withColumn("day", to_date(col(tsCol)))
+              .withColumn(CdcKindCol, lit(kind)))
+          }
+        }
+        if (resolved.exists(_.isEmpty)) None
+        else Some(alterOf((plain +: resolved.flatten)
+          .reduce(_.unionByName(_, allowMissingColumns = true))))
+      }
     }
   }
 
@@ -1572,10 +1640,12 @@ object Streaming {
     * column lists), every epoch-minting op ends by re-indexing the
     * fresh epoch before the op returns — so a pruned read NEVER
     * observes a manifest-less epoch. Cost per op: stats re-index is
-    * O(files) distributed footer reads; a bloom re-index is one
-    * column-pruned O(data) scan of the epoch (the price every bloom
-    * index pays at build — reserve the bloom conf for sinks whose
-    * point-lookup traffic earns it).
+    * O(files) distributed footer reads — and so is the bloom re-index,
+    * because the same conf makes every epoch write emit parquet's
+    * NATIVE column blooms ([[epochWriteOptions]]) which
+    * [[SinkStats.indexSinkBloom]] lifts straight out of the footers;
+    * only files written WITHOUT native blooms (foreign writers,
+    * pre-conf epochs) pay the one column-pruned scan fallback.
     * Off by default (both confs unset = the manual discipline).
     * An epoch holding no data (retention emptied it) has nothing to
     * index and is skipped. */
@@ -1635,6 +1705,86 @@ object Streaming {
     (col("day") +: zKey ++: clusterCols) ++ ts
   }
 
+  /** Writer options every epoch write carries: with
+    * `spark.graft.bloom.autoIndexColumns` set, the parquet writer
+    * emits its NATIVE per-chunk bloom filters for those columns
+    * (adaptively sized to the chunk's actual distinct count) and
+    * disables dictionary encoding on them — parquet skips the bloom
+    * for a fully-dictionary-encoded chunk, and a point-lookup key is
+    * high-cardinality anyway, so the dictionary was pure overhead
+    * there. This is what makes the auto bloom re-index O(files):
+    * [[SinkStats.indexSinkBloom]] lifts the ready-made filters out of
+    * the footers instead of re-scanning the epoch's data. */
+  private def epochWriteOptions(spark: SparkSession): Map[String, String] = {
+    val cols = spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty) Map.empty
+    else Map(
+      "parquet.bloom.filter.adaptive.enabled" -> "true",
+      // adaptive candidates halve down from max.bytes (1 MiB): the
+      // default 5 floors at 64 KiB, absurd for a small chunk - 9
+      // reaches 4 KiB so the picked size tracks the chunk's actual
+      // distinct count at every file size
+      "parquet.bloom.filter.candidates.number" -> "9") ++
+      cols.flatMap(c => Seq(
+        s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.enable.dictionary#$c" -> "false"))
+  }
+
+  /** Move a consumed batch dir under `epochDir/`[[ChangesRefDir]] —
+    * the retirement of a batch an insert epoch's change manifest holds
+    * by reference. Idempotent: a re-run that finds the destination
+    * already populated (the rename landed before a crash) just drops
+    * the source. */
+  private def moveRefInto(f: org.apache.hadoop.fs.FileSystem,
+      epochDir: org.apache.hadoop.fs.Path,
+      src: org.apache.hadoop.fs.Path): Unit = {
+    val refRoot = new org.apache.hadoop.fs.Path(epochDir, ChangesRefDir)
+    if (!f.exists(refRoot)) f.mkdirs(refRoot)
+    val dest = new org.apache.hadoop.fs.Path(refRoot, src.getName)
+    if (f.exists(dest)) f.delete(src, true)
+    else {
+      f.rename(src, dest)
+      require(f.exists(dest), s"could not move $src into $refRoot")
+    }
+  }
+
+  /** Retire batch dirs already folded into an epoch (id ≤ the consumed
+    * watermark), finishing any by-reference moves a crash interrupted:
+    * a folded dir still at the root is either the pre-move window of a
+    * change-recording compaction (some retained epoch's manifest names
+    * it — MOVE it home) or plain crash debris (DELETE it, as before).
+    * The owner lookup reads the retained manifests' tiny ref lists and
+    * is paid ONLY on the crash path — in steady state no folded dir
+    * exists and this is one directory listing. */
+  private def settleChangeRefs(spark: SparkSession, path: String,
+      f: org.apache.hadoop.fs.FileSystem, wm: Long): Unit = {
+    val folded = subdirs(spark, path, "batch_id=").filter(_._1 <= wm)
+    if (folded.isEmpty) return
+    val owners: Map[String, org.apache.hadoop.fs.Path] =
+      subdirs(spark, path, "epoch=").filter { case (_, p) =>
+        f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)) &&
+          f.exists(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(p, ChangesDir), "_SUCCESS"))
+      }.flatMap { case (_, p) =>
+        val cDir = new org.apache.hadoop.fs.Path(p, ChangesDir)
+        if (!f.listStatus(cDir).exists(_.getPath.getName.startsWith("part-")))
+          Seq.empty
+        else {
+          val man = spark.read.parquet(cDir.toString)
+          if (!man.columns.contains(CdcRefCol)) Seq.empty
+          else man.select(col(CdcRefCol)).filter(col(CdcRefCol).isNotNull)
+            .distinct().collect().map(_.getString(0) -> p).toSeq
+        }
+      }.toMap
+    folded.foreach { case (_, p) =>
+      owners.get(p.getName) match {
+        case Some(eDir) => moveRefInto(f, eDir, p)
+        case None => f.delete(p, true)
+      }
+    }
+  }
+
   private def compactLocked(spark: SparkSession, path: String,
       tsCol: String, quiesced: Boolean, fence: () => Unit): Long = {
     val f = fs(spark, path)
@@ -1656,9 +1806,7 @@ object Streaming {
     val wm = consumedThrough(f, path, before)
     fence() // about to retire subsumed epochs/batches: last exit
     retireEpochsLocked(spark, path, f)
-    subdirs(spark, path, "batch_id=").foreach { case (id, p) =>
-      if (id <= wm) f.delete(p, true)
-    }
+    settleChangeRefs(spark, path, f, wm)
     // pending rename/drop: normalize it PHYSICALLY in this rewrite -
     // every input (batches and previous epoch) conforms to the logical
     // schema before widening, and the all-days rewrite below is forced
@@ -1690,7 +1838,8 @@ object Streaming {
         (inputBytes + targetBytes - 1) / targetBytes)).toInt
       withMicrosTs(spark) {
         src.repartitionByRange(k, epochRangeKeys(spark, src, tsCol): _*)
-          .write.mode("overwrite").partitionBy("day")
+          .write.mode("overwrite").options(epochWriteOptions(spark))
+          .partitionBy("day")
           .parquet(epochDir.toString)
       }
       // a rename/drop changes representation, not rows: an EMPTY
@@ -1807,19 +1956,25 @@ object Streaming {
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
     withMicrosTs(spark) {
       merged.repartitionByRange(k, epochRangeKeys(spark, merged, tsCol): _*)
-        .write.mode("overwrite").partitionBy("day")
+        .write.mode("overwrite").options(epochWriteOptions(spark))
+          .partitionBy("day")
         .parquet(epochDir.toString)
     }
-    // opt-in churn record for ingest compactions ([[ChangesDir]]): the
-    // consumed batches are this epoch's inserts, but recording them
-    // re-writes every ingested byte a second time, so the default is
-    // no manifest (CDC ranges crossing this epoch fall back to the
-    // snapshot join)
-    if (changeFilesEnabled(spark) && spark.conf
-      .getOption("spark.graft.sink.changeFiles.onCompact")
-      .exists(_.toBoolean))
+    // churn record for ingest compactions ([[ChangesDir]]): BY
+    // REFERENCE — the consumed batches ARE this epoch's inserts, and
+    // they were about to be deleted anyway, so the manifest records
+    // their dir NAMES and the post-commit retirement below MOVES them
+    // under the epoch (O(1) renames, no ingest byte rewritten; Delta
+    // CDF's add-only commits use the same trick). readEpochChanges
+    // resolves each name to whichever side of its rename it is on; a
+    // crash between commit and the moves is finished by the next
+    // compaction's recovery (settleChangeRefs).
+    if (changeFilesEnabled(spark)) {
+      import spark.implicits._
       writeEpochChanges(spark, epochDir,
-        fresh.withColumn(CdcKindCol, lit("insert")))
+        withData.map(d => ("insert", s"batch_id=${d._1}"))
+          .toDF(CdcKindCol, CdcRefCol).repartition(1))
+    }
     // the owed-day plan derives from the day dirs the write ACTUALLY
     // produced, not from the collected day strings — any naming drift
     // between the two would misclassify a written day as owed
@@ -1843,7 +1998,15 @@ object Streaming {
     // and retire the source; snapshot mode: the plan stays durable and
     // only epochs past the retention depth retire
     retireEpochsLocked(spark, path, f)
-    live.foreach { case (_, p) => f.delete(p, true) }
+    // batch retirement: a batch the change manifest holds by reference
+    // MOVES under the epoch (its files are the recorded insert rows);
+    // everything else deletes as before
+    val refIds: Set[Long] =
+      if (changeFilesEnabled(spark)) withData.map(_._1).toSet else Set.empty
+    live.foreach { case (id, p) =>
+      if (refIds.contains(id)) moveRefInto(f, epochDir, p)
+      else f.delete(p, true)
+    }
     autoIndexStats(spark, path)
     epoch
   }
@@ -1866,6 +2029,38 @@ object Streaming {
     fs(spark, sink).delete(new org.apache.hadoop.fs.Path(sink), true)
     sink
   }
+
+  /** The SHARED fully-compacted events base the mutation provers start
+    * from — built ONCE per session ([[SharedArtifacts]]; the r15
+    * verdict's #6: q119 / q134 / the CDC source and replica each paid
+    * the identical full-table ingest + quiesced compaction into
+    * private scratches). Default layout, default confs. READ-ONLY
+    * consumers share it in place; MUTATING provers (upsert, delete,
+    * CDC lifecycles) [[SharedArtifacts.cloneTo]] a file copy first —
+    * every consumer's results are identical to what a private build
+    * produced because the build is deterministic and the clone is
+    * byte-identical. */
+  private[ops] def sharedEventsBase(spark: SparkSession,
+      dir: String): String =
+    SharedArtifacts.once(spark, dir, "events_base") { sink =>
+      writeBatchIdempotent(Tables.events(spark, dir), sink, 0L)
+      compactSink(spark, sink, quiesced = true)
+    }
+
+  /** [[sharedEventsBase]]'s two-generation sibling: the even/odd event
+    * halves as TWO committed micro-batches folded by one quiesced
+    * compaction — the exact preamble q116 (retention) and q117
+    * (delete) each used to pay privately. */
+  private[ops] def sharedEventsHalvesBase(spark: SparkSession,
+      dir: String): String =
+    SharedArtifacts.once(spark, dir, "events_halves") { sink =>
+      val ev = Tables.events(spark, dir)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        sink, 0L)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        sink, 1L)
+      compactSink(spark, sink, quiesced = true)
+    }
 
   /** q115 — the ingestion path END TO END under the oracle hash: three
     * event slices land as micro-batch `batch_id=` directories (the
@@ -1920,11 +2115,11 @@ object Streaming {
     * the empty frame rather than tripping readSink's loud empty-sink
     * contract (the oracle's WHERE also yields zero rows there). */
   def q116Retention(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_ret")
+    // retirement MUTATES: clone the shared two-generation base
+    val sink = SharedArtifacts.cloneTo(spark,
+      sharedEventsHalvesBase(spark, dir),
+      scratchSink(spark, dir, "events_ret"))
     val ev = Tables.events(spark, dir)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
-    compactSink(spark, sink, quiesced = true)
     def result(rows: DataFrame): DataFrame = rows
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"))
@@ -1967,11 +2162,10 @@ object Streaming {
     * survives in any rewritten or moved day). Scratch-sink convention
     * and determinism story are q115's. */
   def q117DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_del")
-    val ev = Tables.events(spark, dir)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(2)) === 1), sink, 1L)
-    compactSink(spark, sink, quiesced = true)
+    // the delete MUTATES: clone the shared two-generation base
+    val sink = SharedArtifacts.cloneTo(spark,
+      sharedEventsHalvesBase(spark, dir),
+      scratchSink(spark, dir, "events_del"))
     deleteWhere(spark, sink, col("user_id") % 7 === 3)
     readSink(spark, sink)
       .groupBy(col("day"))
@@ -2023,10 +2217,10 @@ object Streaming {
     * original days while inserts landed in theirs. Scratch-sink
     * convention and determinism story are q115's. */
   def q119UpsertBatch(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_ups")
+    // the MERGE mutates: clone the shared compacted base
+    val sink = SharedArtifacts.cloneTo(spark, sharedEventsBase(spark, dir),
+      scratchSink(spark, dir, "events_ups"))
     val ev = Tables.events(spark, dir)
-    writeBatchIdempotent(ev, sink, 0L)
-    compactSink(spark, sink, quiesced = true)
     val updates = ev.filter(pmod(col("event_id"), lit(5)) === 0)
       .withColumn("event_type", lit("upd"))
     val inserts = ev.filter(pmod(col("event_id"), lit(5)) === 1)
@@ -2199,13 +2393,15 @@ object Streaming {
     * (the returned frame's directories are already pinned — no
     * maintenance op runs between construction and the scan). */
   def q134TimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_tt")
-    val ev = Tables.events(spark, dir)
-    writeBatchIdempotent(ev, sink, 0L)
+    // the delete MUTATES: clone the shared compacted base. Retention
+    // depth applies AT EACH OP's retire step, so setting keepEpochs
+    // only around the delete grants the clone's compact epoch exactly
+    // the same grace a keepEpochs-2 compaction would have
+    val sink = SharedArtifacts.cloneTo(spark, sharedEventsBase(spark, dir),
+      scratchSink(spark, dir, "events_tt"))
     val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
     spark.conf.set("spark.graft.sink.keepEpochs", "2")
     try {
-      compactSink(spark, sink, quiesced = true)
       val snap = maxEpoch(spark, sink)
       deleteWhere(spark, sink, col("user_id") % 7 === 3)
       val before = readSink(spark, sink, atEpoch = Some(snap))
@@ -2652,7 +2848,8 @@ object Streaming {
       (inputBytes + targetBytes - 1) / targetBytes)).toInt
     val sized = kept.repartitionByRange(k, epochRangeKeys(spark, kept, tsCol): _*)
     withMicrosTs(spark) {
-      sized.write.mode("overwrite").partitionBy("day")
+      sized.write.mode("overwrite").options(epochWriteOptions(spark))
+          .partitionBy("day")
         .parquet(epochDir.toString)
     }
     // record the epoch's churn for O(churn) CDC reads ([[ChangesDir]]):
@@ -2840,7 +3037,8 @@ object Streaming {
     val sized = epochRows.repartitionByRange(k,
       epochRangeKeys(spark, epochRows, tsCol): _*)
     withMicrosTs(spark) {
-      sized.write.mode("overwrite").partitionBy("day")
+      sized.write.mode("overwrite").options(epochWriteOptions(spark))
+          .partitionBy("day")
         .parquet(epochDir.toString)
     }
     // record the epoch's churn for O(churn) CDC reads ([[ChangesDir]]):

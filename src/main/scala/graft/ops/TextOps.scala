@@ -2379,28 +2379,46 @@ object TextOps {
     * the pipeline lost no document, double-indexed none, and the
     * stored scoring is bit-equal to the one-shot build's. */
   def q145PipelineIndex(spark: SparkSession, dir: String): DataFrame = {
-    val sink = Streaming.scratchSink(spark, dir, "docs_pipe")
-    val out = lexScratch(spark, dir, "bm25p")
-    // the sink scratch self-clears; the index must too, or a rerun's
-    // first sync would see last run's cursor and declare itself a noop
-    lexFs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
+    // the SHARED pipe base pays the two-slice ingest and the first
+    // sync's full BM25 build once per session; the build mode is
+    // asserted there ([[sharedPipeBase]]). This query clones it (it
+    // MUTATES both the sink and the index) and proves the remaining
+    // append -> noop half of the cycle live.
+    val root = SharedArtifacts.cloneTo(spark, sharedPipeBase(spark, dir),
+      Streaming.scratchSink(spark, dir, "docs_pipe"))
+    val sink = s"$root/sink"
+    val out = s"$root/idx"
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    Streaming.writeBatchIdempotent(
-      docs.filter(pmod(col("doc_id"), lit(3)) === 0), sink, 0L)
-    Streaming.writeBatchIdempotent(
-      docs.filter(pmod(col("doc_id"), lit(3)) === 1), sink, 1L)
-    val (_, m1) = syncLexicalIndex(spark, sink, out)
     Streaming.writeBatchIdempotent(
       docs.filter(pmod(col("doc_id"), lit(3)) === 2), sink, 2L)
     val (_, m2) = syncLexicalIndex(spark, sink, out)
     val (_, m3) = syncLexicalIndex(spark, sink, out)
-    require(m1 == "build" && m2 == "append" && m3 == "noop",
-      s"q145 must exercise the build->append->noop cycle, got $m1/$m2/$m3")
+    require(m2 == "append" && m3 == "noop",
+      s"q145 must exercise the (build->)append->noop cycle, got $m2/$m3")
     searchLexicalIndex(spark,
       docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("probe_id"), col("text")), out)
       .orderBy("probe_id", "rank")
   }
+
+  /** The SHARED sink+index pipeline base q145 clones: two document
+    * slices as committed micro-batches and the FIRST
+    * [[syncLexicalIndex]] — the full BM25 build with its recorded
+    * cursor — paid once per session. The build mode is asserted here
+    * so the cycle's first leg stays proven. */
+  private def sharedPipeBase(spark: SparkSession, dir: String): String =
+    SharedArtifacts.once(spark, dir, "bm25_pipe") { root =>
+      val sink = s"$root/sink"
+      val out = s"$root/idx"
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      Streaming.writeBatchIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), sink, 0L)
+      Streaming.writeBatchIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), sink, 1L)
+      val (_, m1) = syncLexicalIndex(spark, sink, out)
+      require(m1 == "build",
+        s"the shared pipe base's first sync must full-build, got $m1")
+    }
 
 }
 

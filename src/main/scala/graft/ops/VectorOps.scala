@@ -1568,24 +1568,44 @@ object VectorOps {
     * artifacts) — spec-pinned; rows-only by nature (stored artifacts
     * are iteration-specific). */
   def q148VectorPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val sink = Streaming.scratchSink(spark, dir, "vec_pipe")
-    val out = vecScratch(spark, dir, "ivfpq_pipe")
-    hfs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
+    // the SHARED pipe base pays the two-slice ingest, the IVF-PQ
+    // training, and the first sync's routing+encoding once per session
+    // (its append mode asserted there); this query clones it (it
+    // MUTATES both the sink and the index) and proves the remaining
+    // append -> noop half of the cycle live.
+    val root = SharedArtifacts.cloneTo(spark, sharedVecPipeBase(spark, dir),
+      Streaming.scratchSink(spark, dir, "vec_pipe"))
+    val sink = s"$root/sink"
+    val out = s"$root/idx"
     val emb = Tables.embeddings(spark, dir)
-    Streaming.writeBatchIdempotent(
-      emb.filter(pmod(col("vec_id"), lit(3)) === 0), sink, 0L)
-    Streaming.writeBatchIdempotent(
-      emb.filter(pmod(col("vec_id"), lit(3)) === 1), sink, 1L)
-    writeVectorIndex(spark, dir, out, encodeFilter = lit(false))
-    val (_, m1) = syncVectorIndex(spark, sink, out)
     Streaming.writeBatchIdempotent(
       emb.filter(pmod(col("vec_id"), lit(3)) === 2), sink, 2L)
     val (_, m2) = syncVectorIndex(spark, sink, out)
     val (_, m3) = syncVectorIndex(spark, sink, out)
-    require(m1 == "append" && m2 == "append" && m3 == "noop",
-      s"q148 must exercise the append->append->noop cycle, got $m1/$m2/$m3")
+    require(m2 == "append" && m3 == "noop",
+      s"q148 must exercise the (append->)append->noop cycle, got $m2/$m3")
     searchVectorIndex(spark, dir, out).orderBy("probe_id", "rank")
   }
+
+  /** The SHARED sink+index pipeline base q148 clones: two embedding
+    * slices as committed micro-batches, the trained-empty IVF-PQ
+    * artifacts, and the FIRST [[syncVectorIndex]] (routing + residual
+    * encoding of the two slices, cursor recorded) — paid once per
+    * session, with the first leg's append mode asserted here. */
+  private def sharedVecPipeBase(spark: SparkSession, dir: String): String =
+    SharedArtifacts.once(spark, dir, "ivfpq_pipe") { root =>
+      val sink = s"$root/sink"
+      val out = s"$root/idx"
+      val emb = Tables.embeddings(spark, dir)
+      Streaming.writeBatchIdempotent(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0), sink, 0L)
+      Streaming.writeBatchIdempotent(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 1), sink, 1L)
+      writeVectorIndex(spark, dir, out, encodeFilter = lit(false))
+      val (_, m1) = syncVectorIndex(spark, sink, out)
+      require(m1 == "append",
+        s"the shared vec pipe base's first sync must append, got $m1")
+    }
 
   def compactVectorIndex(spark: SparkSession, out: String): Long = {
     val f = hfs(spark, out)

@@ -464,6 +464,51 @@ class SinkStatsSpec extends SparkSpecBase {
     assert(nul.getMessage.contains("IS NULL"))
   }
 
+  test("NATIVE parquet blooms: footer-lifted index prunes and agrees with the exact filter; unbloomed columns fall back to the scan path") {
+    val sink = scratch("bloomnative")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    // the auto-index conf makes the epoch WRITE emit parquet's native
+    // blooms for event_id AND chains the (now footer-only) re-index
+    // into the commit - no manual indexSinkBloom call anywhere here
+    val prev = spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
+    try {
+      spark.conf.set("spark.graft.bloom.autoIndexColumns", "event_id")
+      withClusteredConf(sink)(
+        Streaming.compactSink(spark, sink, quiesced = true))
+    } finally prev.fold(
+      spark.conf.unset("spark.graft.bloom.autoIndexColumns"))(
+      v => spark.conf.set("spark.graft.bloom.autoIndexColumns", v))
+    val e = Streaming.listSinkEpochs(spark, sink).collect()
+      .map(_.getLong(0)).max
+    val man = spark.read.parquet(s"$sink/epoch=$e/_file_bloom/col=event_id")
+    val total = man.count()
+    assert(man.columns.contains("native"))
+    assert(man.filter(col("native") === true).count() == total && total > 30,
+      s"expected every file footer-indexed, got " +
+        s"${man.filter(col("native") === true).count()} of $total")
+    val probeId = ev.agg(min(col("event_id"))).head().getLong(0)
+    val hit = SinkStats.readSinkPoint(spark, sink, "event_id", probeId)
+    assert(hit.inputFiles.length < total,
+      s"native probe read ${hit.inputFiles.length} of $total files")
+    assert(rowsOf(hit) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("event_id") === probeId)))
+    val absentId = ev.agg(max(col("event_id"))).head().getLong(0) + 987654L
+    val miss = SinkStats.readSinkPoint(spark, sink, "event_id", absentId)
+    assert(miss.isEmpty && miss.inputFiles.isEmpty,
+      s"native miss read ${miss.inputFiles.length} files")
+    // a column the writer did NOT bloom (event_type) indexes through
+    // the per-file scan fallback in the SAME epoch and still serves
+    SinkStats.indexSinkBloom(spark, sink, "event_type")
+    val man2 = spark.read
+      .parquet(s"$sink/epoch=$e/_file_bloom/col=event_type")
+    assert(man2.filter(col("native") === true).count() == 0,
+      "event_type had no native blooms to lift")
+    assert(rowsOf(SinkStats.readSinkPoint(spark, sink, "event_type",
+      "purchase")) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("event_type") === "purchase")))
+  }
+
   test("a lifecycle op stales the bloom manifest: point read refuses, re-index restores") {
     val sink = scratch("bloomstale")
     val ev = Tables.events(spark, sf)

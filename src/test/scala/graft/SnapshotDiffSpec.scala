@@ -272,6 +272,159 @@ class SnapshotDiffSpec extends SparkSpecBase {
     }
   }
 
+  test("insert epochs record churn BY REFERENCE: a range crossing an ingest compaction stays on the change-file path") {
+    withKeep(5) {
+      val t = "2024-01-07 10:00:00"
+      val sink = mkSink("sdiff_byref", Seq((1L, t, Some(10L)), (2L, t, Some(20L))))
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      withChangeFiles {
+        // second ingest: its compaction consumes batch 1 and records
+        // the churn by NAME - no ingested byte is rewritten
+        val b2 = Seq((3L, t, Some(30L)), (4L, t, Some(40L)))
+          .toDF("k", "tss", "v")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        Streaming.writeBatchIdempotent(b2, sink, 1L)
+        Streaming.compactSink(spark, sink, quiesced = true)
+        val up = Seq((2L, t, Some(21L))).toDF("k", "tss", "v")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        Streaming.upsertBatch(spark, sink, up, Seq("k"))
+      }
+      val eN = epoch(sink)
+      assert(eN == e0 + 2, s"expected 2 minted epochs, got ${eN - e0}")
+      val f = new org.apache.hadoop.fs.Path(sink)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val refDir = new org.apache.hadoop.fs.Path(
+        s"$sink/epoch=${e0 + 1}/_changes_ref/batch_id=1")
+      val rootDir = new org.apache.hadoop.fs.Path(s"$sink/batch_id=1")
+      assert(f.exists(refDir),
+        "the consumed batch did not move under the insert epoch")
+      assert(!f.exists(rootDir), "the consumed batch also stayed at root")
+      val want = Map(
+        2L -> ("update", Some(21L)),
+        3L -> ("insert", Some(30L)),
+        4L -> ("insert", Some(40L)))
+      def diff(): DataFrame = SnapshotDiff.readSinkChanges(spark, sink,
+        e0, eN, Seq("k"), Seq("v"))
+      val viaChanges = diff()
+      assert(viaChanges.inputFiles.nonEmpty &&
+        viaChanges.inputFiles.forall(_.contains("/_changes")),
+        s"by-ref range read data files: " +
+          viaChanges.inputFiles.filterNot(_.contains("/_changes")).toSeq)
+      assert(diffRows(viaChanges) === want)
+      // the snapshot join agrees row for row
+      val prev = spark.conf.getOption("spark.graft.cdc.useChangeFiles")
+      spark.conf.set("spark.graft.cdc.useChangeFiles", "false")
+      try assert(diffRows(diff()) === want, "snapshot path disagreed")
+      finally prev.fold(spark.conf.unset("spark.graft.cdc.useChangeFiles"))(
+        v => spark.conf.set("spark.graft.cdc.useChangeFiles", v))
+      // crash window (commit landed, move did not): the reference
+      // resolves from the sink root too
+      assert(f.rename(refDir, rootDir), "could not stage the crash window")
+      assert(diffRows(diff()) === want,
+        "pre-move reference did not resolve from the root")
+      // the next maintenance op FINISHES the move instead of deleting
+      // the folded batch out from under the manifest
+      Streaming.compactSink(spark, sink, quiesced = true)
+      assert(f.exists(refDir) && !f.exists(rootDir),
+        "recovery did not finish the reference move")
+      assert(diffRows(diff()) === want)
+      // a hand-deleted reference degrades to the snapshot join - a
+      // full answer from data files, never a partial one from manifests
+      assert(f.delete(refDir, true))
+      val fellBack = diff()
+      assert(fellBack.inputFiles.exists(!_.contains("/_changes")),
+        "diff over a broken reference did not fall back")
+      assert(diffRows(fellBack) === want)
+    }
+  }
+
+  test("a zero-churn range (all manifests empty) serves an EMPTY diff without the snapshot join") {
+    withKeep(4) {
+      val t = "2024-01-08 09:00:00"
+      val root = java.nio.file.Files
+        .createTempDirectory("sdiff_zerochurn").toString
+      val sink = s"$root/sink"
+      val df = Seq((1L, t, Some(10L), "a"), (2L, t, Some(20L), "b"))
+        .toDF("k", "tss", "v", "w")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.writeBatchIdempotent(df, sink, 0L)
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      withChangeFiles {
+        // the only in-range epoch is an alter-normalize pass: rows
+        // unchanged, manifest EMPTY by design
+        Streaming.alterSink(spark, sink, renames = Map("w" -> "w2"))
+        Streaming.compactSink(spark, sink, quiesced = true)
+      }
+      val e1 = epoch(sink)
+      assert(e1 == e0 + 1)
+      // whichever physical shape the empty manifest took (a zero-row
+      // part file -> the fold serves zero events; no part files at all
+      // -> the kind-only shortcut), the diff must stay off the
+      // snapshot join and come back empty
+      val out = SnapshotDiff.readSinkChanges(spark, sink, e0, e1,
+        Seq("k"), Seq("v"))
+      assert(out.columns.toSeq === Seq("change", "k", "v", "day"))
+      assert(out.inputFiles.forall(_.contains("/_changes")),
+        s"zero-churn diff opened data files: ${out.inputFiles.toSeq}")
+      assert(out.isEmpty)
+      // force the no-part-files shape (Spark often writes none for an
+      // empty frame): the kind-only union must shortcut to an empty
+      // TYPED frame instead of falling back to the O(table) join
+      val f = new org.apache.hadoop.fs.Path(sink)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cDir = new org.apache.hadoop.fs.Path(s"$sink/epoch=$e1/_changes")
+      f.listStatus(cDir).filter(_.getPath.getName.startsWith("part-"))
+        .foreach(s => f.delete(s.getPath, false))
+      val out2 = SnapshotDiff.readSinkChanges(spark, sink, e0, e1,
+        Seq("k"), Seq("v"))
+      assert(out2.columns.toSeq === Seq("change", "k", "v", "day"))
+      assert(out2.inputFiles.isEmpty,
+        s"kind-only zero-churn diff opened files: ${out2.inputFiles.toSeq}")
+      assert(out2.isEmpty)
+    }
+  }
+
+  test("NULL diff keys refuse loudly on both serving paths") {
+    withKeep(3) {
+      val t = "2024-01-09 08:00:00"
+      val root = java.nio.file.Files
+        .createTempDirectory("sdiff_nullkey").toString
+      val sink = s"$root/sink"
+      val df = Seq((Some(1L), t, Some(10L)), (Option.empty[Long], t, Some(99L)))
+        .toDF("k", "tss", "v")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.writeBatchIdempotent(df, sink, 0L)
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      withChangeFiles {
+        val up = Seq((Some(2L), t, Some(20L)), (Option.empty[Long], t, Some(98L)))
+          .toDF("k", "tss", "v")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        Streaming.upsertBatch(spark, sink, up, Seq("k"))
+      }
+      val e1 = epoch(sink)
+      def chain(x: Throwable): String =
+        if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
+      val fast = intercept[Exception] {
+        SnapshotDiff.readSinkChanges(spark, sink, e0, e1,
+          Seq("k"), Seq("v")).collect()
+      }
+      assert(chain(fast).contains("NULL diff key"), chain(fast).take(500))
+      val prev = spark.conf.getOption("spark.graft.cdc.useChangeFiles")
+      spark.conf.set("spark.graft.cdc.useChangeFiles", "false")
+      try {
+        val snap = intercept[Exception] {
+          SnapshotDiff.readSinkChanges(spark, sink, e0, e1,
+            Seq("k"), Seq("v")).collect()
+        }
+        assert(chain(snap).contains("NULL diff key"), chain(snap).take(500))
+      } finally prev.fold(spark.conf.unset("spark.graft.cdc.useChangeFiles"))(
+        v => spark.conf.set("spark.graft.cdc.useChangeFiles", v))
+    }
+  }
+
   test("a column literally named 'present' does not collide with the diff's internal markers") {
     withKeep(3) {
       // the internal presence markers used to be spelled
