@@ -24,9 +24,10 @@ class BenchFormatSpec extends AnyFunSuite {
     // and retry fields at their widest.
     val line = Bench.mkLine(worstCase, "sf0.1",
       Bench.shortId,
-      Some(Bench.Probes(999.99, 999.99, 999.99, 999.99)),
+      Some(Bench.Probes(999.99, 999.99, 999.99, 999.99, 999.99, 999.99)),
       Some(Bench.Retry(
-        worstCase.toSeq.take(Bench.RetryWorstN).toMap, 999.99, 999.99)))
+        worstCase.toSeq.take(Bench.RetryWorstN).toMap,
+        999.99, 999.99, 999.99)))
     assert(line.length < 1900, s"bench line ${line.length} chars — " +
       "the driver's ~2,000-char stdout tail would truncate it")
   }
@@ -51,6 +52,50 @@ class BenchFormatSpec extends AnyFunSuite {
       _.takeWhile(_ != '_'), Some(Bench.Probes(0.5, 0.625, 0.75, 1.0)))
     assert(withCal ==
       """{"metric":"total","value":1.00,"unit":"sec","errors":0,"calib_before":0.50,"calib_after":0.63,"calib_mt_before":0.75,"calib_mt_after":1.00,"contended":false,"queries":{"q01":1.00},"sf":"/sf"}""")
+  }
+
+  test("io probe readings and per-rep durations render; reps ride the on-disk line only when passed") {
+    // the io calib pair rides the line when measured (>= 0)...
+    val withIo = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'),
+      Some(Bench.Probes(0.5, 0.5, 0.75, 0.75, 0.25, 0.5)),
+      Some(Bench.Retry(Map.empty, 0.5, 0.75, 0.3)))
+    assert(withIo.contains(
+      """"calib_io_before":0.25,"calib_io_after":0.50"""), withIo)
+    assert(withIo.contains(""""calib_io_retry":0.30"""), withIo)
+    // ...and is omitted for fixtures that never measured it, keeping
+    // the pre-r16 line shape byte-identical
+    val noIo = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'), Some(Bench.Probes(0.5, 0.5, 0.75, 0.75)))
+    assert(!noIo.contains("calib_io"), noIo)
+    // per-rep durations: the evidence behind each min, on-disk only
+    val withReps = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'), None, None,
+      Some(Map("q01_x" -> Seq(17.9, 2.5))))
+    assert(withReps.contains(""""reps":{"q01":[17.9,2.50]}"""), withReps)
+    assert(!Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_')).contains("reps"))
+  }
+
+  test("the io ramp trips the contended verdict in either direction; the cpu-only shape is unchanged") {
+    val quiet = Bench.Probes(1.2, 1.2, 1.8, 1.8, 0.2, 0.3)
+    assert(!quiet.contended)
+    // degraded at the END (contention arrived mid-run, r15's mode)
+    assert(Bench.Probes(1.2, 1.2, 1.8, 1.8, 0.2, 1.0).contended)
+    // degraded at the START (recovered mid-run: equally suspect)
+    assert(Bench.Probes(1.2, 1.2, 1.8, 1.8, 1.0, 0.2).contended)
+    // unmeasured io (spec fixtures, pre-r16 shape) contributes nothing
+    assert(!Bench.Probes(1.2, 1.2, 1.8, 1.8).contended)
+  }
+
+  test("the io probe is fixed work, repeatable, and cleans up its scratch") {
+    val a = Bench.calibrateIo()
+    val b = Bench.calibrateIo()
+    // 192 MiB written + read through the page cache: the rot floor
+    // catches a fixed-work shrink, the ceiling a pathological host
+    assert(a > 0.01 && b > 0.01,
+      s"io probe under the rot floor (10 ms): $a / $b - fixed work shrank?")
+    assert(a < 60.0 && b < 60.0, s"io probe over 60 s: $a / $b")
   }
 
   test("duration rendering never exceeds its width class at rounding boundaries") {
