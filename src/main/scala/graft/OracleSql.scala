@@ -2069,6 +2069,27 @@ object OracleSql {
       |  AND NOT (event_id % 3 = 0 AND user_id IS NOT NULL)
       |ORDER BY change, event_id""".stripMargin
 
+  /** q159 — the ingest-crossing CDC audit: the engine compacts the
+    * even event half (snapshot epoch), compacts the odd half (an
+    * INSERT epoch whose manifest records the consumed batch BY
+    * REFERENCE — no row copied), deletes the `user_id % 7 = 3`
+    * cohort, and diffs the first and last retained epochs entirely
+    * from change manifests (asserted). The oracle re-derives the net
+    * sets: inserts = odd rows surviving the delete (post-images from
+    * the referenced batch files); deletes = even rows in the deleted
+    * cohort (pre-images); odd rows the delete removed are
+    * insert-then-delete = silent. Hash equality proves the referenced
+    * batch resolved to exactly the folded rows. */
+  val q159: String =
+    """WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day
+      |            FROM events)
+      |SELECT 'insert' AS change, event_id, user_id, day
+      |FROM ev WHERE event_id % 2 = 1 AND NOT COALESCE(user_id % 7 = 3, FALSE)
+      |UNION ALL
+      |SELECT 'delete' AS change, event_id, user_id, day
+      |FROM ev WHERE event_id % 2 = 0 AND COALESCE(user_id % 7 = 3, FALSE)
+      |ORDER BY change, event_id""".stripMargin
+
   /** q151 — the bloom point-lookup audit: the engine clusters the
     * compaction on `user_id` (scattering event_id so a range manifest
     * could skip nothing), fingerprints each file's event_id set into

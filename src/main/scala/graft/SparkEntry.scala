@@ -171,7 +171,8 @@ object SparkEntry {
     "q155_cdc_replication" -> (SnapshotDiff.q155CdcReplication _),
     "q156_string_band" -> (SinkStats.q156StringBand _),
     "q157_ts_band" -> (SinkStats.q157TsBand _),
-    "q158_auto_index" -> (SinkStats.q158AutoIndex _)
+    "q158_auto_index" -> (SinkStats.q158AutoIndex _),
+    "q159_cdc_ingest" -> (SnapshotDiff.q159CdcIngest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -477,7 +478,12 @@ object SparkEntry {
     // q158 auto-index chain: every lifecycle epoch emitted its own
     // manifests; pruned band + bloom point served with NO manual
     // re-index — the oracle restates both over the delete's survivors
-    "q158_auto_index" -> OracleSql.q158
+    "q158_auto_index" -> OracleSql.q158,
+    // q159 CDC across an ingest compaction: the insert epoch's churn
+    // is held BY REFERENCE (consumed-batch names, resolved through
+    // their O(1) renames); the oracle re-derives the net insert/delete
+    // sets - insert-then-delete keys fold to silence
+    "q159_cdc_ingest" -> OracleSql.q159
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

@@ -417,6 +417,70 @@ object SnapshotDiff {
       .orderBy("day")
   }
 
+  /** The SHARED ingest-crossing CDC source q159 reads — built ONCE per
+    * session ([[SharedArtifacts]]; read-only after build): with
+    * `keepEpochs = 3` and change-file emission ON for the WHOLE
+    * lifecycle, the even event half compacts (epoch 0, the diff's
+    * from-snapshot), the odd half lands and compacts (epoch 1 — an
+    * INSERT epoch whose manifest holds the consumed batch BY
+    * REFERENCE), and a GDPR delete mints epoch 2. The only consumer
+    * diffs (0, 2] — a range that CROSSES the ingest compaction, which
+    * before r16 had no recorded churn and fell back to the O(table)
+    * snapshot join. */
+  private def sharedIngestCdcSource(spark: SparkSession,
+      dir: String): String =
+    SharedArtifacts.once(spark, dir, "events_cdc_ingest") { src =>
+      val ev = Tables.events(spark, dir)
+      val prev = Seq("spark.graft.sink.keepEpochs",
+        "spark.graft.sink.changeFiles")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.graft.sink.keepEpochs", "3")
+        spark.conf.set("spark.graft.sink.changeFiles", "true")
+        Streaming.writeBatchIdempotent(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), src, 0L)
+        Streaming.compactSink(spark, src, quiesced = true)
+        Streaming.writeBatchIdempotent(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), src, 1L)
+        Streaming.compactSink(spark, src, quiesced = true)
+        Streaming.deleteWhere(spark, src, col("user_id") % 7 === 3)
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+
+  /** q159 — CDC ACROSS AN INGEST COMPACTION under the oracle hash,
+    * promoting the by-reference insert manifests (r16) into the t2
+    * gate: the diff range of [[sharedIngestCdcSource]] crosses an
+    * insert epoch whose churn is recorded as a consumed-batch
+    * REFERENCE (no row copied at commit), plus a delete epoch — and
+    * the query ASSERTS the whole diff served from change manifests
+    * (every input file under `_changes`; a fallback to the snapshot
+    * join would be a correct answer proving nothing). The fold must
+    * net insert-then-delete keys (odd rows in the deleted cohort) to
+    * SILENCE, classify surviving odd rows as inserts with their
+    * resolved post-images, and surface the even half's deleted rows
+    * with pre-images. The oracle re-derives exactly those sets from
+    * `events`: hash equality proves the referenced batch files
+    * resolved to the same rows the compaction folded — nothing lost
+    * in the rename, nothing doubled. */
+  def q159CdcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val src = sharedIngestCdcSource(spark, dir)
+    val es = Streaming.listSinkEpochs(spark, src).collect()
+      .map(_.getLong(0)).sorted
+    require(es.length == 3,
+      s"shared ingest-CDC source holds ${es.length} retained epochs, " +
+        "expected 3 (compact, compact, delete) - the artifact was mutated")
+    val out = readSinkChanges(spark, src, es.head, es.last,
+      Seq("event_id"), Seq("user_id"))
+    require(out.inputFiles.nonEmpty &&
+      out.inputFiles.forall(_.contains("/_changes")),
+      s"q159 must serve from change manifests across the insert epoch, " +
+        s"read: ${out.inputFiles.filterNot(_.contains("/_changes")).take(3)
+          .mkString(", ")}")
+    out.orderBy("change", "event_id")
+  }
+
   /** q150 — snapshot CDC END TO END under the oracle hash, over the
     * [[sharedCdcSource]] lifecycle (compact epoch A, the
     * `user_id % 7 = 3` delete epoch A+1, the update-every-

@@ -65,7 +65,10 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q157_ts_band",
       // q158 reads the shared auto-indexed sink (whose build pays the
       // per-epoch manifest emission) through band + point probes
-      "q158_auto_index")
+      "q158_auto_index",
+      // q159 diffs across an insert epoch from by-reference change
+      // manifests - the fold must stay O(churn) as the table grows
+      "q159_cdc_ingest")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
