@@ -725,15 +725,20 @@ object SinkStats {
     * pays O(data) per epoch mint"): a file whose footer already carries
     * parquet's own column bloom filters for `column` — which every
     * epoch write emits when `spark.graft.bloom.autoIndexColumns` names
-    * it ([[Streaming]]'s epochWriteOptions) — is indexed by LIFTING
-    * those ready-made filters out of the footer: O(files) metadata
-    * reads, zero data pages, exactly like the stats manifest. The
-    * per-chunk bitsets land in the manifest verbatim (`blooms`,
-    * `native = true`), so the probe side stays manifest-only. Files
-    * WITHOUT a usable native bloom (foreign writers, pre-conf epochs,
-    * a type parquet blooms can't serve) fall back to the one
-    * column-pruned scan — per file, not per epoch: one foreign file in
-    * a native epoch costs one file's scan. */
+    * it ([[Streaming]]'s epochWriteOptions) — is indexed by RECORDING
+    * that fact (`native = true`, no positions): O(files) footer-
+    * metadata reads, zero data pages, exactly like the stats manifest.
+    * The probe side then tests such files against the footers' own
+    * filters ([[readSinkPoint]]'s distributed bloom sweep) — the
+    * bitsets deliberately do NOT get copied into the manifest: at a
+    * thousand 1 MiB-bloom files that copy is a gigabyte of manifest a
+    * single reader would have to materialize, where the sweep reads
+    * each file's bloom pages once, in parallel, exactly as every
+    * engine serves parquet blooms. Files WITHOUT a usable native bloom
+    * (foreign writers, pre-conf epochs, a type parquet blooms can't
+    * serve) fall back to the one column-pruned scan — per file, not
+    * per epoch: one foreign file in a native epoch costs one file's
+    * scan. */
   def indexSinkBloom(spark: SparkSession, sink: String, column: String,
       bits: Int = 1 << 14, seeds: Int = 4): Long = {
     require(bits > 0 && seeds > 0, "bloom needs positive bits and seeds")
@@ -769,20 +774,17 @@ object SinkStats {
       case _ => None
     }
     // FOOTER PASS (distributed, the indexSinkStats pattern): classify
-    // each file and, for native files, lift the per-chunk bloom
-    // bitsets right there — the bytes ride the shuffle into the
-    // manifest write, never the driver
+    // each file — (day, file, native). native=false rows need the scan
+    // pass; a file whose footer PROVES the column all-null/absent
+    // emits nothing (no manifest row = probe-skipped, like a file
+    // whose scan finds no non-null value)
     val confProps = spark.sparkContext.broadcast {
       import scala.jdk.CollectionConverters._
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(en => en.getKey -> en.getValue).toList
     }
     val colB = spark.sparkContext.broadcast((column, expectedPhys))
-    // (day, file, native, blooms): native=false rows need the scan
-    // pass; a file whose footer PROVES the column all-null/absent
-    // emits nothing (no manifest row = probe-skipped, like a file
-    // whose scan finds no non-null value)
-    val classified = spark.sparkContext
+    val classified: Seq[(String, String, Boolean)] = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 256)))
       .mapPartitions { it =>
         val c = new org.apache.hadoop.conf.Configuration(false)
@@ -794,48 +796,30 @@ object SinkStats {
               .fromPath(new org.apache.hadoop.fs.Path(full), c))
           try {
             import scala.jdk.CollectionConverters._
-            val blocks = reader.getFooter.getBlocks.asScala.toSeq
-            val perBlock = blocks.map(b =>
-              b -> b.getColumns.asScala.find(_.getPath.toDotString == col0))
-            if (perBlock.forall(_._2.isEmpty))
+            val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == col0))
+            if (perBlock.forall(_.isEmpty))
               // schema drift: the file has no such column - only nulls
               // can be read from it, equality never matches
               Seq.empty
             else {
-              val native = phys.isDefined && perBlock.forall {
-                case (_, cc) => cc.exists(m =>
-                  m.getBloomFilterOffset >= 0 &&
-                    m.getPrimitiveType.getPrimitiveTypeName.name() ==
-                      phys.get)
-              }
-              if (!native) Seq((dayName, fileName, false,
-                null: Seq[Array[Byte]]))
-              else {
-                val blooms = perBlock.map { case (b, cc) =>
-                  Option(reader.getBloomFilterDataReader(b)
-                    .readBloomFilter(cc.get)).map { bf =>
-                    val bos = new java.io.ByteArrayOutputStream()
-                    bf.writeTo(bos)
-                    bos.toByteArray
-                  }
-                }
-                // an offset that reads back null anyway: demote to scan
-                if (blooms.exists(_.isEmpty))
-                  Seq((dayName, fileName, false, null: Seq[Array[Byte]]))
-                else Seq((dayName, fileName, true, blooms.flatten))
-              }
+              val native = phys.isDefined && perBlock.forall(cc =>
+                cc.exists(m => m.getBloomFilterOffset >= 0 &&
+                  m.getPrimitiveType.getPrimitiveTypeName.name() ==
+                    phys.get))
+              Seq((dayName, fileName, native))
             }
           } finally reader.close()
         }
-      }.persist()
+      }.collect().toSeq // bounded: one small tuple per file
     import spark.implicits._
     val nativeDF = classified.filter(_._3)
-      .map(t => (t._1, t._2, t._4))
-      .toDF("day", "file", "blooms")
+      .map(t => (t._1, t._2))
+      .toDF("day", "file")
       .withColumn("bloom", lit(null).cast("array<int>"))
       .withColumn("native", lit(true))
     val scanFiles = classified.filter(!_._3)
-      .map(t => (t._1, t._2)).collect().toSet
+      .map(t => (t._1, t._2)).toSet
     // SCAN PASS, restricted to exactly the files the footers could not
     // serve (none, when the epoch was written with native blooms): the
     // engine-hash positions manifest, unchanged semantics
@@ -868,7 +852,6 @@ object SinkStats {
               .cast("int").as("pos"))
           .groupBy("day", "file")
           .agg(sort_array(collect_set(col("pos"))).as("bloom"))
-          .withColumn("blooms", lit(null).cast("array<binary>"))
           .withColumn("native", lit(false)))
       }
     val manifest = (Seq(nativeDF) ++ scanDF)
@@ -882,29 +865,65 @@ object SinkStats {
     // first - the multi-column story zone maps get from per-column
     // rows, blooms get from per-column directories)
     val out = s"$sink/epoch=$e/$BloomDir/col=$column"
-    try manifest.repartition(1).write.mode("overwrite").parquet(out)
-    finally classified.unpersist()
+    manifest.repartition(1).write.mode("overwrite").parquet(out)
     spark.read.parquet(out).count()
   }
 
-  /** Does any of a native file's per-chunk parquet blooms fail to rule
-    * the (typed) probe value out? Evaluated executor-side over the
-    * manifest's recorded bitsets; a value shape the filter cannot hash
-    * keeps the file — skip less, never lie. */
-  private def nativeBloomKeeps(blooms: Seq[Array[Byte]], v: Any): Boolean =
-    blooms == null || blooms.isEmpty || blooms.exists { bytes =>
-      val bf = new org.apache.parquet.column.values.bloomfilter
-        .BlockSplitBloomFilter(bytes)
-      v match {
-        case l: java.lang.Long => bf.findHash(bf.hash(l.longValue))
-        case i: java.lang.Integer => bf.findHash(bf.hash(i.intValue))
-        case d: java.lang.Double => bf.findHash(bf.hash(d.doubleValue))
-        case fl: java.lang.Float => bf.findHash(bf.hash(fl.floatValue))
-        case s: String => bf.findHash(bf.hash(
-          org.apache.parquet.io.api.Binary.fromString(s)))
-        case _ => true
-      }
+  /** The probe side of the native fast path: test `value` against each
+    * listed file's own footer bloom filters, distributed (one footer +
+    * bloom-page read per file per probe — O(files) metadata I/O, the
+    * serving model parquet blooms are built for). A file is KEPT when
+    * any row group's filter cannot rule the value out, when a filter
+    * is unreadable, or when the value's shape cannot be hashed — skip
+    * less, never lie. Returns the kept (day, file) pairs. */
+  private def nativeBloomProbe(spark: SparkSession,
+      files: Seq[(String, String, String)], column: String,
+      v: Any): Seq[(String, String)] = {
+    if (files.isEmpty) return Seq.empty
+    val confProps = spark.sparkContext.broadcast {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(en => en.getKey -> en.getValue).toList
     }
+    val probeB = spark.sparkContext.broadcast((column, v))
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 256)))
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confProps.value.foreach { case (k, v0) => c.set(k, v0) }
+        val (col0, value) = probeB.value
+        it.filter { case (_, _, full) =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(full), c))
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.exists { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == col0)
+                .forall { cc =>
+                  Option(reader.getBloomFilterDataReader(b)
+                    .readBloomFilter(cc)) match {
+                    case None => true // unreadable filter: keep
+                    case Some(bf) => value match {
+                      case l: java.lang.Long =>
+                        bf.findHash(bf.hash(l.longValue))
+                      case i: java.lang.Integer =>
+                        bf.findHash(bf.hash(i.intValue))
+                      case d: java.lang.Double =>
+                        bf.findHash(bf.hash(d.doubleValue))
+                      case fl: java.lang.Float =>
+                        bf.findHash(bf.hash(fl.floatValue))
+                      case s: String => bf.findHash(bf.hash(
+                        org.apache.parquet.io.api.Binary.fromString(s)))
+                      case _ => true
+                    }
+                  }
+                }
+            }
+          } finally reader.close()
+        }.map(t => (t._1, t._2))
+      }.collect().toSeq
+  }
 
   /** Serve `column = value` reading only the epoch files whose bloom
     * cannot rule the value out — plus every committed live batch,
@@ -960,23 +979,27 @@ object SinkStats {
           array_contains(col("bloom"), p)).reduce(_ && _))
         .select("day", "file").collect()
         .map(r => r.getString(0) -> r.getString(1)).toSeq
+      val dayMap = Streaming.resolvedDays(f, sink, e).toMap
       val keptNative: Seq[(String, String)] =
         if (!hasNative) Seq.empty
         else {
-          // the typed probe value the bitset test hashes: the SAME
-          // engine cast the positions probe and the re-applied filter
-          // use, so all three agree on the value's image
+          // the typed probe value the footer-bloom test hashes: the
+          // SAME engine cast the positions probe and the re-applied
+          // filter use, so all three agree on the value's image
           val tv = spark.range(1)
             .select(lit(value).cast(colType).as("v")).head().get(0)
-          import spark.implicits._
-          man.filter(col("native") === true)
-            .select(col("day"), col("file"), col("blooms"))
-            .as[(String, String, Seq[Array[Byte]])]
-            .filter(t => nativeBloomKeeps(t._3, tv))
-            .map(t => (t._1, t._2)).collect().toSeq
+          val nativeFiles = man.filter(col("native") === true)
+            .select("day", "file").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+            .toSeq
+          nativeFiles.foreach { case (d, _) => require(dayMap.contains(d),
+            s"bloom manifest names $d but epoch $e does not hold it - " +
+              "re-run indexSinkBloom") }
+          nativeBloomProbe(spark,
+            nativeFiles.map { case (d, fn) => (d, fn, s"${dayMap(d)}/$fn") },
+            column, tv)
         }
       val kept = keptPos ++ keptNative
-      val dayMap = Streaming.resolvedDays(f, sink, e).toMap
       kept.foreach { case (d, _) => require(dayMap.contains(d),
         s"bloom manifest names $d but epoch $e does not hold it - re-run " +
           "indexSinkBloom") }
@@ -1280,6 +1303,17 @@ object SinkStats {
         spark.conf.set("spark.graft.stats.autoIndexColumns", "user_id")
         spark.conf.set("spark.graft.bloom.autoIndexColumns", "event_id")
         Streaming.compactSink(spark, sink, quiesced = true)
+        // re-derive the sizing target from the COMPACTED epoch before
+        // the delete: the epoch's bytes differ materially from the
+        // batch's (clustering reorders event_id out of delta-encodable
+        // runs, native blooms add per-file pages), and a delete rewrite
+        // sized against the stale batch-derived target wrote ~17x the
+        // intended file count
+        val epochBytes = f.getContentSummary(new org.apache.hadoop.fs.Path(
+          s"$sink/epoch=${Streaming.listSinkEpochs(spark, sink).collect()
+            .map(_.getLong(0)).max}")).getLength
+        spark.conf.set("spark.graft.compact.targetFileBytes",
+          math.max(1L, epochBytes / 512).toString)
         Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
       } finally prev.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))

@@ -214,7 +214,18 @@ object SnapshotDiff {
     val valueCols = (compareCols :+ "day").distinct.filterNot(keyCols.contains)
     val cols = keyCols ++ valueCols
     changeFileDiff(spark, path, fromEpoch, toEpoch, keyCols,
-      compareCols, valueCols, tsCol).foreach(out => return out)
+      compareCols, valueCols, tsCol).getOrElse {
+      snapshotJoinDiff(spark, path, fromEpoch, toEpoch, keyCols,
+        compareCols, valueCols, cols, tsCol)
+    }
+  }
+
+  /** The O(table) fallback: both endpoint snapshots column-pruned and
+    * full-outer-joined on the key (see [[readSinkChanges]]). */
+  private def snapshotJoinDiff(spark: SparkSession, path: String,
+      fromEpoch: Long, toEpoch: Long, keyCols: Seq[String],
+      compareCols: Seq[String], valueCols: Seq[String],
+      cols: Seq[String], tsCol: String): DataFrame = {
     val pre = Streaming.readSink(spark, path, tsCol, atEpoch = Some(fromEpoch))
     val post = Streaming.readSink(spark, path, tsCol, atEpoch = Some(toEpoch))
     // additive drift between versions: a requested column missing from
