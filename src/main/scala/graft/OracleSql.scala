@@ -2191,11 +2191,14 @@ object OracleSql {
     * the plain numeric manifest path — and serves a mid-history
     * quarter band through the ts-typed pruned read (asserting files
     * were skipped). The oracle states the same band via `epoch_us`
-    * integer arithmetic: both engines derive the edges with identical
-    * BIGINT ops (subtraction, integer division, addition — no IEEE
-    * anywhere), so hash equality proves the micros⇄timestamp imaging
-    * and the ulp-widened manifest bounds lost no in-band row. Cents
-    * floored per row before the sum (q124). */
+    * arithmetic with EXACT edge derivation on both engines: the span
+    * (BIGINT micros, ~10^13 « 2^53) divides by 4.0/2.0 — power-of-two
+    * scalings are exact in IEEE — and FLOOR matches Scala's positive
+    * Long division to the bit (the dialect-portable spelling of
+    * DuckDB's `//`, which Spark's parser rejects), so hash equality
+    * proves the micros⇄timestamp imaging and the ulp-widened manifest
+    * bounds lost no in-band row. Cents floored per row before the sum
+    * (q124). */
   val q157: String =
     """SELECT CAST(ts AS DATE) AS day,
       |  COUNT(*) AS n_events,
@@ -2203,9 +2206,11 @@ object OracleSql {
       |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events
       |WHERE epoch_us(ts) >= (SELECT MIN(epoch_us(ts)) +
-      |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 4 FROM events)
+      |    CAST(FLOOR((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 4.0)
+      |      AS BIGINT) FROM events)
       |  AND epoch_us(ts) <= (SELECT MIN(epoch_us(ts)) +
-      |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 FROM events)
+      |    CAST(FLOOR((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 2.0)
+      |      AS BIGINT) FROM events)
       |GROUP BY CAST(ts AS DATE)
       |ORDER BY day NULLS FIRST""".stripMargin
 

@@ -1248,10 +1248,12 @@ object SinkStats {
     * ASSERTS files were skipped (day-granular pruning alone would
     * still read every file of the boundary days; the manifest prunes
     * intra-day too) — then aggregates per day. The oracle states the
-    * same band over `events` via `epoch_us` integer arithmetic (both
-    * engines derive the edges with the same BIGINT ops — no IEEE
-    * anywhere): hash equality proves the skipped files held no
-    * in-band row and the micros⇄timestamp imaging lost nothing. */
+    * same band over `events` via `epoch_us` arithmetic with exact edge
+    * derivation (the span is BIGINT micros « 2^53 and the /4, /2
+    * scalings are powers of two — exact in IEEE — with FLOOR matching
+    * Scala's positive Long division): hash equality proves the skipped
+    * files held no in-band row and the micros⇄timestamp imaging lost
+    * nothing. */
   def q157TsBand(spark: SparkSession, dir: String): DataFrame = {
     val sink = sharedTsSink(spark, dir)
     val ev = graft.Tables.events(spark, dir)
