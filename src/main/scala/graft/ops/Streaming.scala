@@ -3323,7 +3323,9 @@ object Streaming {
     // 6. BLOOM REFRESH: the equality-skipping twin of step 5 —
     // `spark.graft.maintain.bloomColumn` names the point-lookup key,
     // and "no _file_bloom on the current epoch" is the re-index signal
-    // (one data pass, the price every bloom index pays at write time)
+    // (O(files) footer reads when the epoch carries native parquet
+    // blooms — see epochWriteOptions — one column-pruned data pass
+    // for files without them)
     val bloomIndexed = spark.conf
       .getOption("spark.graft.maintain.bloomColumn").map(_.trim)
       .filter(_.nonEmpty) match {
