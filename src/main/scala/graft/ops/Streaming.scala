@@ -2077,12 +2077,21 @@ object Streaming {
     * spark.graft.scratchDir or the JVM tmpdir) and is rebuilt from a
     * clean slate per invocation, so reruns are deterministic. */
   def q115StreamCompaction(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events")
-    val ev = Tables.events(spark, dir)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0), sink, 0L)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1), sink, 1L)
-    compactSink(spark, sink)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 2), sink, 2L)
+    // READ-ONLY consumer: the mid-stream lifecycle state (two slices
+    // landed, one NON-quiesced compaction that consumed only batch 0 —
+    // the max live id is held back — then a third slice) is built once
+    // per session and served in place; the query is the exactly-once
+    // union read over epoch zone + live batches
+    val sink = SharedArtifacts.once(spark, dir, "events_stream3") { out =>
+      val ev = Tables.events(spark, dir)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+        out, 0L)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1),
+        out, 1L)
+      compactSink(spark, out)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 2),
+        out, 2L)
+    }
     readSink(spark, sink)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
@@ -2187,13 +2196,25 @@ object Streaming {
     * + distinct users; hash equality proves both directions. Scratch
     * sink convention and determinism story are q115's. */
   def q118IncrementalRead(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_inc")
-    val ev = Tables.events(spark, dir)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0), sink, 0L)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1), sink, 1L)
-    compactSink(spark, sink, quiesced = true)
-    val cursor = sinkWatermark(spark, sink)
-    writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 2), sink, 2L)
+    // READ-ONLY consumer: two slices compacted + the third landed as a
+    // live batch, built once per session. The consumer's cursor is
+    // what sinkWatermark returned right after the compaction — the
+    // EPOCH watermark (the live sinkWatermark would include the later
+    // batch and read an empty delta) — re-derived from the epoch's own
+    // durable consumed marker, exactly as a restarted consumer would
+    // recover its checkpoint
+    val sink = SharedArtifacts.once(spark, dir, "events_inc3") { out =>
+      val ev = Tables.events(spark, dir)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+        out, 0L)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 1),
+        out, 1L)
+      compactSink(spark, out, quiesced = true)
+      writeBatchIdempotent(ev.filter(pmod(col("event_id"), lit(3)) === 2),
+        out, 2L)
+    }
+    val cursor = consumedThrough(fs(spark, sink), sink,
+      maxEpoch(spark, sink))
     readSinkSince(spark, sink, cursor)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"),
@@ -2254,15 +2275,25 @@ object Streaming {
     * one relation. Scratch-sink convention and determinism story are
     * q115's. */
   def q124SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_evo")
-    val ev = Tables.events(spark, dir)
-    val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
-      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
-    val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
-      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"),
-        floor(col("value") * 100).cast("bigint").as("value_cents"))
-    writeBatchIdempotent(v1, sink, 0L)
-    writeBatchIdempotent(v2, sink, 1L)
+    // the drifted two-generation STAGING (v1 without the column, v2
+    // with it) is deterministic preamble, built once per session; the
+    // compaction that folds the drift — the op under proof — MUTATES,
+    // so it runs on a private clone every time
+    val staged = SharedArtifacts.once(spark, dir, "events_evo_staged") {
+      out =>
+        val ev = Tables.events(spark, dir)
+        val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("ts"), col("event_id"), col("user_id"),
+            col("event_type"))
+        val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(col("ts"), col("event_id"), col("user_id"),
+            col("event_type"),
+            floor(col("value") * 100).cast("bigint").as("value_cents"))
+        writeBatchIdempotent(v1, out, 0L)
+        writeBatchIdempotent(v2, out, 1L)
+    }
+    val sink = SharedArtifacts.cloneTo(spark, staged,
+      scratchSink(spark, dir, "events_evo"))
     compactSink(spark, sink, quiesced = true)
     readSink(spark, sink)
       .groupBy(col("event_type"))
@@ -2289,17 +2320,24 @@ object Streaming {
     * dropped or double-cast. Fixed-point per-row BEFORE any aggregate
     * (q124's discipline); scratch-sink convention is q115's. */
   def q137TypeWidening(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_wide")
-    val ev = Tables.events(spark, dir)
-    val base = Seq("ts", "event_id", "user_id", "event_type").map(col)
-    val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
-      .select(base :+ floor(col("value") * 100).cast("int")
-        .as("value_cents"): _*)
-    val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
-      .select(base :+ (floor(col("value") * 100).cast("bigint") +
-        lit(3000000000L)).as("value_cents"): _*)
-    writeBatchIdempotent(v1, sink, 0L)
-    writeBatchIdempotent(v2, sink, 1L)
+    // q124's staging discipline: the INT/BIGINT generations are
+    // deterministic preamble built once; the widening compaction under
+    // proof mutates a private clone
+    val staged = SharedArtifacts.once(spark, dir, "events_wide_staged") {
+      out =>
+        val ev = Tables.events(spark, dir)
+        val base = Seq("ts", "event_id", "user_id", "event_type").map(col)
+        val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(base :+ floor(col("value") * 100).cast("int")
+            .as("value_cents"): _*)
+        val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(base :+ (floor(col("value") * 100).cast("bigint") +
+            lit(3000000000L)).as("value_cents"): _*)
+        writeBatchIdempotent(v1, out, 0L)
+        writeBatchIdempotent(v2, out, 1L)
+    }
+    val sink = SharedArtifacts.cloneTo(spark, staged,
+      scratchSink(spark, dir, "events_wide"))
     compactSink(spark, sink, quiesced = true)
     readSink(spark, sink)
       .groupBy(col("event_type"))
@@ -2329,11 +2367,18 @@ object Streaming {
     * exactly the original rows under the new name, with the dropped
     * column's disappearance costing no row anywhere. */
   def q152RenameDrop(spark: SparkSession, dir: String): DataFrame = {
-    val sink = scratchSink(spark, dir, "events_alter")
+    // the original-schema compacted half is deterministic preamble
+    // built once per session; the alter + new-schema batch + the
+    // normalizing compaction under proof mutate a private clone
+    val staged = SharedArtifacts.once(spark, dir, "events_alter_staged") {
+      out =>
+        writeBatchIdempotent(Tables.events(spark, dir)
+          .filter(pmod(col("event_id"), lit(2)) === 0), out, 0L)
+        compactSink(spark, out, quiesced = true)
+    }
+    val sink = SharedArtifacts.cloneTo(spark, staged,
+      scratchSink(spark, dir, "events_alter"))
     val ev = Tables.events(spark, dir)
-    writeBatchIdempotent(
-      ev.filter(pmod(col("event_id"), lit(2)) === 0), sink, 0L)
-    compactSink(spark, sink, quiesced = true)
     alterSink(spark, sink,
       renames = Map("value" -> "amount"), drops = Seq("props"))
     writeBatchIdempotent(
