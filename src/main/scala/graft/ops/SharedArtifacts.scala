@@ -32,7 +32,7 @@ import scala.collection.concurrent.TrieMap
   * [[graft.SessionCache.getOrBuild]]; the path embeds the session
   * token, so a fresh JVM can never adopt a previous run's partial
   * tree, and the pre-build delete clears same-session reruns. */
-private[ops] object SharedArtifacts {
+private[graft] object SharedArtifacts {
 
   private val built = TrieMap.empty[(String, String), (SparkSession, String)]
 
@@ -57,10 +57,22 @@ private[ops] object SharedArtifacts {
       path
     }
 
-  /** Deep-copy shared artifact `src` into the caller's PRIVATE scratch
+  /** Clone shared artifact `src` into the caller's PRIVATE scratch
     * path `dst` (cleared first), so lifecycle mutations never touch
-    * the shared base. A driver-side local-fs recursive copy — no Spark
-    * job, O(artifact bytes). Returns `dst`. */
+    * the shared base. On a local filesystem the DATA files HARD-LINK
+    * instead of copying (r17 — the full byte copy was the dominant
+    * first-rep cost of every mutating lifecycle prover: q155's clone
+    * alone ran ~14 s at sf0.1): link-sharing is safe because no sink
+    * or stored-index mutation ever patches a data file's CONTENT in
+    * place — epochs/generations write fresh files and retire whole
+    * directories by rename/delete, both of which only touch directory
+    * entries, never the shared inode. The exception is the small
+    * `_`/`.`-prefixed METADATA names (commit markers, locks, merge
+    * plans), which ARE rewritten in place (create-overwrite truncates
+    * the inode and would corrupt the base through a link) — those
+    * copy byte-for-byte; they are a rounding error of the artifact.
+    * Falls back to the plain recursive copy per file (cross-device
+    * links) or wholesale (non-local filesystems). Returns `dst`. */
   def cloneTo(spark: SparkSession, src: String, dst: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
@@ -69,8 +81,38 @@ private[ops] object SharedArtifacts {
     val df = dp.getFileSystem(conf)
     df.delete(dp, true)
     df.mkdirs(dp.getParent)
-    require(org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp, false, conf),
+    def local(fs: org.apache.hadoop.fs.FileSystem): Boolean = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem => true
+      case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+      case _ => false
+    }
+    val srcFile = new java.io.File(
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(sp)
+        .toString)
+    if (local(sf) && local(df) && srcFile.exists())
+      linkTree(srcFile, new java.io.File(
+        org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(dp)
+          .toString))
+    else require(
+      org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp, false, conf),
       s"could not clone shared artifact $src -> $dst")
     dst
   }
+
+  /** Recursive local clone: directories recreate, mutable-in-place
+    * metadata names (`_`/`.` prefixes) copy, everything else
+    * hard-links (falling back to a copy where the link fails — e.g. a
+    * scratch split across devices). */
+  private def linkTree(s: java.io.File, d: java.io.File): Unit =
+    if (s.isDirectory) {
+      require(d.mkdirs() || d.isDirectory, s"could not create $d")
+      s.listFiles().foreach(c => linkTree(c, new java.io.File(d, c.getName)))
+    } else {
+      val n = s.getName
+      def copy(): Unit = java.nio.file.Files.copy(s.toPath, d.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (n.startsWith("_") || n.startsWith(".")) copy()
+      else try java.nio.file.Files.createLink(d.toPath, s.toPath)
+      catch { case _: Exception => copy() }
+    }
 }

@@ -777,14 +777,33 @@ object SinkStats {
     // each file — (day, file, native). native=false rows need the scan
     // pass; a file whose footer PROVES the column all-null/absent
     // emits nothing (no manifest row = probe-skipped, like a file
-    // whose scan finds no non-null value)
+    // whose scan finds no non-null value).
+    //
+    // SKIPPED OUTRIGHT (r17, un-regressing the manual-index path: r16
+    // made every indexSinkBloom call pay this pass even on sinks whose
+    // whole lifecycle ran without the bloom write conf — q151 paid the
+    // footer sweep AND the scan, two passes where r15 paid one) when
+    // "none native" is already PROVEN without opening a footer: the
+    // column's physical type can't carry a parquet bloom, or the epoch
+    // commit's bloom_cols record ([[Streaming.epochBloomColsOf]] — a
+    // transitive union over the epochs whose files this one resolves)
+    // affirmatively excludes the column. A legacy epoch without the
+    // record, or one whose record names the column, still classifies
+    // PER FILE — a mixed epoch (native rewrites + moved-in foreign
+    // days) needs the per-file answer, and the record is only ever an
+    // over-approximation of what may be native, never of what is.
+    val knownBloomCols = Streaming.epochBloomColsOf(f, sink, e)
+    val noneNative = expectedPhys.isEmpty ||
+      knownBloomCols.exists(!_.contains(column))
     val confProps = spark.sparkContext.broadcast {
       import scala.jdk.CollectionConverters._
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(en => en.getKey -> en.getValue).toList
     }
     val colB = spark.sparkContext.broadcast((column, expectedPhys))
-    val classified: Seq[(String, String, Boolean)] = spark.sparkContext
+    val classified: Seq[(String, String, Boolean)] =
+      if (noneNative) files.map(t => (t._1, t._2, false))
+      else spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 256)))
       .mapPartitions { it =>
         val c = new org.apache.hadoop.conf.Configuration(false)
@@ -827,16 +846,33 @@ object SinkStats {
       if (scanFiles.isEmpty) None
       else {
         val dayMap = days.toMap
+        // mergeSchema: on the classification-skip path the scan set may
+        // contain schema-drift files (classification would have
+        // excluded them); without the merge, a group's inferred schema
+        // comes from ONE footer, and a drift file sampled first would
+        // hide the column from every OTHER file in its group — their
+        // values would drop from the bloom and a probe would falsely
+        // skip them. With the merge, drift files read as all-null for
+        // the column, fall out at the isNotNull filter, and end up
+        // probe-skipped — exactly the per-file classification semantics.
         val scanParts = scanFiles.toSeq
           .groupBy { case (d, _) => dayMap(d).getParent.toString }
           .toSeq.map { case (base, entries) =>
             spark.read.option("basePath", base)
+              .option("mergeSchema", "true")
               .parquet(entries.map { case (d, fn) =>
                 s"${dayMap(d)}/$fn" }: _*)
           }
         val all = scanParts
-          .map(_.select(col("day"), input_file_name().as("path"),
-            col(column).as("v")))
+          .map(df =>
+            // a group where NO file carries the column (whole-group
+            // drift, skip path only): nothing can match an equality
+            // probe - emit no positions, like the per-file exclusion
+            if (!df.columns.contains(column))
+              df.select(col("day"), input_file_name().as("path"),
+                lit(null).cast(colType).as("v")).limit(0)
+            else df.select(col("day"), input_file_name().as("path"),
+              col(column).as("v")))
           .reduce(_.unionByName(_))
         val dayDir = when(col("day").isNull, lit(Streaming.NullDayDir))
           .otherwise(concat(lit("day="),
@@ -869,60 +905,66 @@ object SinkStats {
     spark.read.parquet(out).count()
   }
 
-  /** The probe side of the native fast path: test `value` against each
-    * listed file's own footer bloom filters, distributed (one footer +
-    * bloom-page read per file per probe — O(files) metadata I/O, the
-    * serving model parquet blooms are built for). A file is KEPT when
-    * any row group's filter cannot rule the value out, when a filter
-    * is unreadable, or when the value's shape cannot be hashed — skip
-    * less, never lie. Returns the kept (day, file) pairs. */
+  /** The probe side of the native fast path, BATCHED: test EVERY value
+    * in `values` against each listed file's own footer bloom filters
+    * in ONE distributed sweep — each candidate file's footer and bloom
+    * pages are read ONCE regardless of how many values probe it (the
+    * r16 shape opened them once PER value, so an IN-list / GDPR
+    * subject-list lookup paid N footer passes where one suffices). A
+    * value KEEPS a file when any row group's filter cannot rule it
+    * out, when a filter is unreadable, or when the value's shape
+    * cannot be hashed — skip less, never lie. Returns one kept
+    * (day, file) list per input value, index-aligned with `values`. */
   private def nativeBloomProbe(spark: SparkSession,
       files: Seq[(String, String, String)], column: String,
-      v: Any): Seq[(String, String)] = {
-    if (files.isEmpty) return Seq.empty
+      values: Seq[Any]): Seq[Seq[(String, String)]] = {
+    if (files.isEmpty || values.isEmpty)
+      return values.map(_ => Seq.empty)
     val confProps = spark.sparkContext.broadcast {
       import scala.jdk.CollectionConverters._
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(en => en.getKey -> en.getValue).toList
     }
-    val probeB = spark.sparkContext.broadcast((column, v))
-    spark.sparkContext
+    val probeB = spark.sparkContext.broadcast((column, values.toList))
+    val keptPairs: Seq[(Int, (String, String))] = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 256)))
       .mapPartitions { it =>
         val c = new org.apache.hadoop.conf.Configuration(false)
         confProps.value.foreach { case (k, v0) => c.set(k, v0) }
-        val (col0, value) = probeB.value
-        it.filter { case (_, _, full) =>
+        val (col0, vs) = probeB.value
+        it.flatMap { case (dayName, fileName, full) =>
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new org.apache.hadoop.fs.Path(full), c))
           try {
             import scala.jdk.CollectionConverters._
-            reader.getFooter.getBlocks.asScala.exists { b =>
-              b.getColumns.asScala.find(_.getPath.toDotString == col0)
-                .forall { cc =>
-                  Option(reader.getBloomFilterDataReader(b)
-                    .readBloomFilter(cc)) match {
-                    case None => true // unreadable filter: keep
-                    case Some(bf) => value match {
-                      case l: java.lang.Long =>
-                        bf.findHash(bf.hash(l.longValue))
-                      case i: java.lang.Integer =>
-                        bf.findHash(bf.hash(i.intValue))
-                      case d: java.lang.Double =>
-                        bf.findHash(bf.hash(d.doubleValue))
-                      case fl: java.lang.Float =>
-                        bf.findHash(bf.hash(fl.floatValue))
-                      case s: String => bf.findHash(bf.hash(
-                        org.apache.parquet.io.api.Binary.fromString(s)))
-                      case _ => true
-                    }
-                  }
-                }
-            }
+            // resolve each row group's filter ONCE (None = the block
+            // lacks the chunk or its filter is unreadable: that block
+            // keeps every value), then test all values against it
+            val perBlock: Seq[Option[
+              org.apache.parquet.column.values.bloomfilter.BloomFilter]] =
+              reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == col0)
+                  .flatMap(cc => Option(reader.getBloomFilterDataReader(b)
+                    .readBloomFilter(cc)))
+              }
+            vs.zipWithIndex.collect { case (value, i) if perBlock.exists {
+              case None => true // chunk absent or filter unreadable: keep
+              case Some(bf) => value match {
+                case l: java.lang.Long => bf.findHash(bf.hash(l.longValue))
+                case n: java.lang.Integer => bf.findHash(bf.hash(n.intValue))
+                case d: java.lang.Double => bf.findHash(bf.hash(d.doubleValue))
+                case fl: java.lang.Float => bf.findHash(bf.hash(fl.floatValue))
+                case s: String => bf.findHash(bf.hash(
+                  org.apache.parquet.io.api.Binary.fromString(s)))
+                case _ => true
+              }
+            } => (i, (dayName, fileName)) }
           } finally reader.close()
-        }.map(t => (t._1, t._2))
+        }
       }.collect().toSeq
+    val byValue = keptPairs.groupBy(_._1)
+    values.indices.map(i => byValue.getOrElse(i, Seq.empty).map(_._2))
   }
 
   /** Serve `column = value` reading only the epoch files whose bloom
@@ -939,15 +981,79 @@ object SinkStats {
     * manifest must exist for the CURRENT epoch and cover `column`,
     * else refuse loudly. */
   def readSinkPoint(spark: SparkSession, sink: String, column: String,
-      value: Any, tsCol: String = "ts"): DataFrame = {
+      value: Any, tsCol: String = "ts"): DataFrame =
+    readSinkPointIn(spark, sink, column, Seq(value), tsCol)
+
+  /** IN-list point lookup: serve `column IN (values...)` with ONE pass
+    * over the bloom machinery — the engine-hash positions of every
+    * value test against the cached manifest, and the native files'
+    * footers + bloom pages are opened ONCE for the whole list
+    * ([[nativeBloomProbe]]'s batch sweep; the single-value path is
+    * this with a one-element list). The kept file set is the UNION of
+    * the per-value kept sets — each file is read once and the exact
+    * disjunction re-applied on top, so a row matching any probed value
+    * surfaces exactly once (values are distinct-ed; equality filters
+    * on distinct values are disjoint). The multi-key serving shape a
+    * GDPR subject list or an IN-list dashboard probe needs: N keys
+    * cost one manifest read and one footer sweep, not N. */
+  def readSinkPointIn(spark: SparkSession, sink: String, column: String,
+      values: Seq[Any], tsCol: String = "ts"): DataFrame = {
     requireNoAlter(spark, sink, "readSinkPoint")
-    require(value != null,
-      "point lookup on NULL is an IS NULL scan, not an equality probe")
+    require(values.nonEmpty, "probe at least one value")
+    values.foreach(v => require(v != null,
+      "point lookup on NULL is an IS NULL scan, not an equality probe"))
+    val vs = values.distinct
     val f = fsOf(spark, sink)
     val e = currentEpoch(spark, sink)
     require(e >= 0, s"no committed epoch at $sink")
+    val (colType, dayMap, perValue) = pointKeptByValue(spark, sink,
+      column, vs, f, e)
+    val kept = perValue.flatten.distinct
+    val epochParts = kept
+      .groupBy { case (d, _) => dayMap(d).getParent.toString }
+      .toSeq.map { case (basePath, entries) =>
+        spark.read.option("basePath", basePath)
+          .parquet(entries.map { case (d, fn) => s"${dayMap(d)}/$fn" }: _*)
+      }
+    def withDay(df: DataFrame): DataFrame =
+      if (df.columns.contains(tsCol))
+        df.withColumn("day", to_date(col(tsCol)))
+      else df.withColumn("day", lit(null).cast("date"))
+    val wm = Streaming.listSinkEpochs(spark, sink).collect()
+      .filter(_.getLong(0) == e).headOption.map(_.getLong(2)).getOrElse(-1L)
+    val liveParts = Streaming.subdirs(spark, sink, "batch_id=")
+      .filter { case (id, p) =>
+        id > wm &&
+          f.exists(new org.apache.hadoop.fs.Path(p, Streaming.BatchCommit))
+      }.sortBy(_._1)
+      .map(d => withDay(spark.read.parquet(d._2.toString)))
+    val parts = epochParts ++ liveParts
+    val base =
+      if (parts.nonEmpty) parts.reduce(_.unionByName(_,
+        allowMissingColumns = true))
+      // a fully-pruned probe must yield a frame with ZERO input files
+      // (a limit(0) over readSink would still report every sink file
+      // and defeat the caller's skip accounting) - materialize the
+      // schema-only empty frame instead
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Streaming.readSink(spark, sink, tsCol).schema)
+    base.filter(vs.map(v => col(column) === lit(v).cast(colType))
+      .reduce(_ || _))
+  }
+
+  /** The kept-file computation both point lookups share: per probed
+    * value, the (day, file) pairs whose bloom cannot rule the value
+    * out — engine-hash positions rows tested against the cached
+    * manifest, native rows against their own footers in one batched
+    * sweep. Exposed to the spec so per-value batch/single equivalence
+    * is pinnable without reconstructing frames. */
+  private[graft] def pointKeptByValue(spark: SparkSession, sink: String,
+      column: String, vs: Seq[Any], f0: org.apache.hadoop.fs.FileSystem,
+      e: Long): (String, Map[String, org.apache.hadoop.fs.Path],
+      Seq[Seq[(String, String)]]) = {
     val manPath = s"$sink/epoch=$e/$BloomDir/col=$column"
-    require(f.exists(new org.apache.hadoop.fs.Path(manPath)),
+    require(f0.exists(new org.apache.hadoop.fs.Path(manPath)),
       s"no $BloomDir manifest for column '$column' on the current " +
         s"epoch $e of $sink - every lifecycle op mints a new epoch whose " +
         "files the previous bloom cannot describe; run " +
@@ -969,25 +1075,37 @@ object SinkStats {
       val posRows =
         if (hasNative) man.filter(!coalesce(col("native"), lit(false)))
         else man
-      // probe positions via the engine's own hash - identical to build
-      val probe = spark.range(1).select((0 until seeds).map(s =>
-        pmod(xxhash64(lit(value).cast(colType), lit(s)), lit(bits.toLong))
-          .cast("int").as(s"p$s")): _*).head()
-      val positions = (0 until seeds).map(probe.getInt)
-      val keptPos = posRows
-        .filter(positions.distinct.map(p =>
-          array_contains(col("bloom"), p)).reduce(_ && _))
-        .select("day", "file").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toSeq
-      val dayMap = Streaming.resolvedDays(f, sink, e).toMap
-      val keptNative: Seq[(String, String)] =
-        if (!hasNative) Seq.empty
+      // probe positions via the engine's own hash - identical to build.
+      // ALL values resolve in one local projection (chunked so a huge
+      // IN-list can't mint a thousands-of-columns plan).
+      val positions: Seq[Seq[Int]] = vs.grouped(64).flatMap { g =>
+        val row = spark.range(1).select(g.zipWithIndex.flatMap {
+          case (v, i) => (0 until seeds).map(s =>
+            pmod(xxhash64(lit(v).cast(colType), lit(s)), lit(bits.toLong))
+              .cast("int").as(s"p${i}_$s"))
+        }: _*).head()
+        g.indices.map(i =>
+          (0 until seeds).map(s => row.getInt(i * seeds + s)))
+      }.toSeq
+      val keptPos: Seq[Seq[(String, String)]] = positions.map(ps =>
+        posRows
+          .filter(ps.distinct.map(p =>
+            array_contains(col("bloom"), p)).reduce(_ && _))
+          .select("day", "file").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toSeq)
+      val dayMap = Streaming.resolvedDays(f0, sink, e).toMap
+      val keptNative: Seq[Seq[(String, String)]] =
+        if (!hasNative) vs.map(_ => Seq.empty)
         else {
-          // the typed probe value the footer-bloom test hashes: the
+          // the typed probe values the footer-bloom test hashes: the
           // SAME engine cast the positions probe and the re-applied
-          // filter use, so all three agree on the value's image
-          val tv = spark.range(1)
-            .select(lit(value).cast(colType).as("v")).head().get(0)
+          // filter use, so all three agree on each value's image
+          val typed: Seq[Any] = vs.grouped(64).flatMap { g =>
+            val row = spark.range(1).select(g.zipWithIndex.map {
+              case (v, i) => lit(v).cast(colType).as(s"v$i")
+            }: _*).head()
+            g.indices.map(row.get)
+          }.toSeq
           val nativeFiles = man.filter(col("native") === true)
             .select("day", "file").collect()
             .map(r => (r.getString(0), r.getString(1)))
@@ -997,42 +1115,13 @@ object SinkStats {
               "re-run indexSinkBloom") }
           nativeBloomProbe(spark,
             nativeFiles.map { case (d, fn) => (d, fn, s"${dayMap(d)}/$fn") },
-            column, tv)
+            column, typed)
         }
-      val kept = keptPos ++ keptNative
-      kept.foreach { case (d, _) => require(dayMap.contains(d),
+      val perValue = keptPos.zip(keptNative).map { case (a, b) => a ++ b }
+      perValue.flatten.foreach { case (d, _) => require(dayMap.contains(d),
         s"bloom manifest names $d but epoch $e does not hold it - re-run " +
           "indexSinkBloom") }
-      val epochParts = kept
-        .groupBy { case (d, _) => dayMap(d).getParent.toString }
-        .toSeq.map { case (basePath, entries) =>
-          spark.read.option("basePath", basePath)
-            .parquet(entries.map { case (d, fn) => s"${dayMap(d)}/$fn" }: _*)
-        }
-      def withDay(df: DataFrame): DataFrame =
-        if (df.columns.contains(tsCol))
-          df.withColumn("day", to_date(col(tsCol)))
-        else df.withColumn("day", lit(null).cast("date"))
-      val wm = Streaming.listSinkEpochs(spark, sink).collect()
-        .filter(_.getLong(0) == e).headOption.map(_.getLong(2)).getOrElse(-1L)
-      val liveParts = Streaming.subdirs(spark, sink, "batch_id=")
-        .filter { case (id, p) =>
-          id > wm &&
-            f.exists(new org.apache.hadoop.fs.Path(p, Streaming.BatchCommit))
-        }.sortBy(_._1)
-        .map(d => withDay(spark.read.parquet(d._2.toString)))
-      val parts = epochParts ++ liveParts
-      val base =
-        if (parts.nonEmpty) parts.reduce(_.unionByName(_,
-          allowMissingColumns = true))
-        // a fully-pruned probe must yield a frame with ZERO input files
-        // (a limit(0) over readSink would still report every sink file
-        // and defeat the caller's skip accounting) - materialize the
-        // schema-only empty frame instead
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          Streaming.readSink(spark, sink, tsCol).schema)
-      base.filter(col(column) === lit(value).cast(colType))
+      (colType, dayMap, perValue)
     } finally man.unpersist()
   }
 
@@ -1044,11 +1133,13 @@ object SinkStats {
     * min/max spans the whole domain and a range manifest would skip
     * NOTHING — then [[indexSinkBloom]] fingerprints each file's
     * event_id set and three point probes (the min id, the max id, and
-    * the possibly-absent midpoint) are served through
-    * [[readSinkPoint]], each ASSERTED to read fewer files than the
-    * epoch holds (with well under a thousand ids per file in 16 Ki
-    * bits, the expected false-positive rate is negligible — the probe
-    * reads ~1 file). The oracle restates the three
+    * the possibly-absent midpoint) are served through ONE
+    * [[readSinkPointIn]] call — one manifest read, one batched footer
+    * sweep; the r16 shape paid one readSinkPoint per id — ASSERTED to
+    * read fewer files than the epoch holds (with well under a
+    * thousand ids per file in 16 Ki bits, the expected false-positive
+    * rate is negligible — the probe reads ~3 files). The oracle
+    * restates the three
     * probes as `event_id IN (min, mid, max)` over events with the
     * identical integer midpoint arithmetic: hash equality proves the
     * pruned files held no probed row and the bloom surfaced no
@@ -1060,14 +1151,18 @@ object SinkStats {
     val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
     val (idMin, idMax) = (b.getLong(0), b.getLong(1))
     val idMid = idMin + (idMax - idMin) / 2L
-    val probes = Seq(idMin, idMid, idMax).distinct.map { id =>
-      val hit = readSinkPoint(spark, sink, "event_id", id)
-      require(hit.inputFiles.length < total,
-        s"q151 probe $id read ${hit.inputFiles.length} of $total files - " +
-          "the bloom manifest failed to prune")
-      hit.select(col("event_id"), col("user_id"), col("day"))
-    }
-    probes.reduce(_.unionByName(_)).orderBy("event_id")
+    // ONE IN-list lookup serves all three probes: one manifest read,
+    // one batched footer sweep (the r16 shape paid one readSinkPoint
+    // per id — three manifest reads and three sweeps). Row-identical:
+    // the per-id kept sets union, and the re-applied disjunction of
+    // disjoint equalities surfaces each matching row exactly once.
+    val hit = readSinkPointIn(spark, sink, "event_id",
+      Seq(idMin, idMid, idMax).distinct)
+    require(hit.inputFiles.length < total,
+      s"q151 IN-probe read ${hit.inputFiles.length} of $total files - " +
+        "the bloom manifest failed to prune")
+    hit.select(col("event_id"), col("user_id"), col("day"))
+      .orderBy("event_id")
   }
 
   /** q147 — Z-ORDER multi-column data skipping END TO END under the

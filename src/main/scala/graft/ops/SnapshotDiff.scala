@@ -36,8 +36,16 @@ import graft.Tables
   *
   * Contract: `keyCols` must identify a row uniquely within each
   * snapshot (the sink's upsert key — the same uniqueness MERGE itself
-  * relies on); duplicate or null keys make the join fan out and are
-  * the caller's modeling bug, not a diff mode. Additive schema drift
+  * relies on); duplicate keys make the join fan out and are the
+  * caller's modeling bug, not a diff mode. NULL keys REFUSE AT
+  * RUNTIME on BOTH serving paths ([[nullKeyGuard]]) — a BREAKING
+  * change from pre-r16 behavior, where the snapshot-join path matched
+  * null keys null-safely and produced an answer while the manifest
+  * path grouped them: the two paths could classify the same row
+  * differently, so the contract now refuses loudly instead of
+  * silently diverging. A caller with legitimately nullable keys must
+  * coalesce them to a sentinel (or filter them) before diffing.
+  * Additive schema drift
   * between the snapshots is first-class: a requested column missing
   * from one side conforms as NULL of the other side's type, so "column
   * added between versions" surfaces as updates on the rows that

@@ -620,11 +620,26 @@ object Streaming {
   /** Write epoch `epochDir`'s change manifest. Unpartitioned (the feed
     * is consumed whole, never day-pruned) and pre-commit (atomic with
     * the epoch). Refuses a sink whose own columns collide with the
-    * reserved "__cdc" prefix. */
+    * reserved "__cdc" prefix — INCLUDING [[CdcRefCol]]: only the
+    * internal by-reference insert manifest (`refManifest = true`, a
+    * frame of exactly the two bookkeeping columns) may carry it,
+    * because [[readEpochChanges]] treats ANY CdcRefCol-bearing
+    * manifest as a ref manifest and would resolve a user column's
+    * values as consumed-batch directory names — a value coinciding
+    * with a live `batch_id=` dir would inject phantom change rows,
+    * and anything else would silently degrade the whole manifest to
+    * the snapshot join. A data-bearing frame with that column must
+    * refuse loudly at emission, exactly like every other __cdc name. */
   private def writeEpochChanges(spark: SparkSession,
-      epochDir: org.apache.hadoop.fs.Path, events: DataFrame): Unit = {
+      epochDir: org.apache.hadoop.fs.Path, events: DataFrame,
+      refManifest: Boolean = false): Unit = {
+    if (refManifest) require(
+      events.columns.toSet == Set(CdcKindCol, CdcRefCol),
+      s"a by-reference manifest carries exactly ($CdcKindCol, " +
+        s"$CdcRefCol), got ${events.columns.mkString(", ")}")
     val clash = events.columns.filter(c =>
-      c.startsWith("__cdc") && c != CdcKindCol && c != CdcRefCol)
+      c.startsWith("__cdc") && c != CdcKindCol &&
+        !(refManifest && c == CdcRefCol))
     require(clash.isEmpty,
       s"sink columns ${clash.mkString(", ")} collide with the reserved " +
         "__cdc prefix of CDC change manifests - rename them or disable " +
@@ -800,16 +815,68 @@ object Streaming {
     * marker (the attempt stays uncommitted and is discarded by the
     * next [[settleEpochs]]), never a torn one — a torn marker would
     * fall back to watermark = epoch id, which after a delete exceeds
-    * the true watermark and would retire future batches unconsumed. */
+    * the true watermark and would retire future batches unconsumed.
+    *
+    * `bloomCols` (Some = known, None = unknown/legacy) records which
+    * columns ANY file visible through this epoch may carry NATIVE
+    * parquet blooms for — see [[mintedBloomCols]]. Written as a
+    * `bloom_cols=` line; extra marker lines are ignored by every
+    * pre-existing parser (prefix-matched), so the marker stays
+    * backward-readable. */
   private def commitEpoch(f: org.apache.hadoop.fs.FileSystem,
       epochDir: org.apache.hadoop.fs.Path, consumed: Long,
-      op: String): Unit = {
+      op: String, bloomCols: Option[Set[String]] = None): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(epochDir, s".$EpochCommit.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"batches=$consumed\nop=$op".getBytes("UTF-8"))
+    val bc = bloomCols.map(cs =>
+      s"\nbloom_cols=${cs.toSeq.sorted.mkString(",")}").getOrElse("")
+    try out.write(s"batches=$consumed\nop=$op$bc".getBytes("UTF-8"))
     finally out.close()
     require(f.rename(tmp, new org.apache.hadoop.fs.Path(epochDir, EpochCommit)),
       s"could not install epoch commit marker under $epochDir")
+  }
+
+  /** The `bloom_cols=` record of committed epoch `epochId`'s marker:
+    * Some(columns) = every file visible through this epoch was written
+    * by an epoch whose active `spark.graft.bloom.autoIndexColumns` sat
+    * inside this set (Some(empty) = NO file can carry a native bloom —
+    * the receipt that lets [[SinkStats.indexSinkBloom]] skip its
+    * footer-classification pass entirely); None = minted before the
+    * record existed, so native coverage is unknown and the index must
+    * classify per file. Monitoring/perf only: a wrong answer here
+    * costs a footer pass or a per-file scan, never correctness — both
+    * bloom index paths serve exact answers. */
+  private[graft] def epochBloomColsOf(f: org.apache.hadoop.fs.FileSystem,
+      path: String, epochId: Long): Option[Set[String]] =
+    try {
+      val in = f.open(new org.apache.hadoop.fs.Path(
+        s"$path/epoch=$epochId", EpochCommit))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.collectFirst { case l if l.startsWith("bloom_cols=") =>
+        l.stripPrefix("bloom_cols=").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSet
+      }
+    } catch { case _: Exception => None }
+
+  /** The `bloom_cols` value a fresh epoch commits ([[commitEpoch]]):
+    * the bloom columns its own write emitted native filters for
+    * (the active `spark.graft.bloom.autoIndexColumns`,
+    * [[epochWriteOptions]]) UNIONED with the previous committed
+    * epoch's record — moves and by-reference plans carry the previous
+    * epoch's files forward untouched, so the union is what makes the
+    * CURRENT epoch's single line a sound over-approximation for every
+    * file it resolves, however many renames deep. A previous epoch
+    * without the record (pre-record history) propagates None: coverage
+    * there is unknowable and the index side must keep classifying per
+    * file. */
+  private def mintedBloomCols(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, path: String,
+      prevEpoch: Long): Option[Set[String]] = {
+    val own = bloomAutoCols(spark).toSet
+    if (prevEpoch < 0) Some(own)
+    else epochBloomColsOf(f, path, prevEpoch).map(_ ++ own)
   }
 
   /** The consumed-batch watermark of committed epoch `epochId`: the
@@ -1715,9 +1782,12 @@ object Streaming {
     * there. This is what makes the auto bloom re-index O(files):
     * [[SinkStats.indexSinkBloom]] lifts the ready-made filters out of
     * the footers instead of re-scanning the epoch's data. */
-  private def epochWriteOptions(spark: SparkSession): Map[String, String] = {
-    val cols = spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
+  private def bloomAutoCols(spark: SparkSession): Seq[String] =
+    spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
       .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  private def epochWriteOptions(spark: SparkSession): Map[String, String] = {
+    val cols = bloomAutoCols(spark)
     if (cols.isEmpty) Map.empty
     else Map(
       "parquet.bloom.filter.adaptive.enabled" -> "true",
@@ -1849,7 +1919,8 @@ object Streaming {
         writeEpochChanges(spark, epochDir,
           src.limit(0).withColumn(CdcKindCol, lit("insert")))
       fence()
-      commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact")
+      commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact",
+        mintedBloomCols(spark, f, path, before))
       f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
       retireEpochsLocked(spark, path, f)
       autoIndexStats(spark, path)
@@ -1973,7 +2044,8 @@ object Streaming {
       import spark.implicits._
       writeEpochChanges(spark, epochDir,
         withData.map(d => ("insert", s"batch_id=${d._1}"))
-          .toDF(CdcKindCol, CdcRefCol).repartition(1))
+          .toDF(CdcKindCol, CdcRefCol).repartition(1),
+        refManifest = true)
     }
     // the owed-day plan derives from the day dirs the write ACTUALLY
     // produced, not from the collected day strings — any naming drift
@@ -1987,7 +2059,8 @@ object Streaming {
     // plan), then perform the moves and retire the sources
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the epoch visible: last exit
-    commitEpoch(f, epochDir, consumed, "compact")
+    commitEpoch(f, epochDir, consumed, "compact",
+      mintedBloomCols(spark, f, path, before))
     // the alter is now physical: clear the marker. A crash between the
     // commit and this delete leaves a stale marker whose re-application
     // is a guarded no-op everywhere (applyAlter's idempotence) and
@@ -2736,7 +2809,8 @@ object Streaming {
                 readDays(spark, resolved.filter(d => victims.contains(d._1)))
                   .withColumn(CdcKindCol, lit("delete")))
             fence() // the commit makes the retention visible: last exit
-            commitEpoch(f, epochDir, wm, "retire") // no batches consumed
+            commitEpoch(f, epochDir, wm, "retire", // no batches consumed
+              mintedBloomCols(spark, f, path, cut))
             retireEpochsLocked(spark, path, f)
             autoIndexStats(spark, path)
             victims
@@ -2910,7 +2984,8 @@ object Streaming {
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the delete visible: last exit
-    commitEpoch(f, epochDir, wm, "delete") // no batches consumed: carry forward
+    commitEpoch(f, epochDir, wm, "delete", // no batches consumed
+      mintedBloomCols(spark, f, path, before))
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
     epoch
@@ -3124,7 +3199,8 @@ object Streaming {
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the merge visible: last exit
-    commitEpoch(f, epochDir, wm, "upsert") // no batches consumed: carry forward
+    commitEpoch(f, epochDir, wm, "upsert", // no batches consumed
+      mintedBloomCols(spark, f, path, before))
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
     epoch
@@ -3191,8 +3267,16 @@ object Streaming {
         else readPlan(f, plan)._2
           .count(d => !f.exists(new org.apache.hadoop.fs.Path(eDir, d))).toLong
       }
+    // DATA bytes only — sum the epoch's physical day= dirs. A whole-dir
+    // content summary would also count the _changes manifests and the
+    // moved-in _changes_ref batch dirs, roughly DOUBLING the reported
+    // size after every change-recording ingest compaction and skewing
+    // any sizing decision (e.g. a targetFileBytes derived from it).
     val epochBytes =
-      if (cut < 0) 0L else f.getContentSummary(eDir).getLength
+      if (cut < 0) 0L
+      else f.listStatus(eDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(s => f.getContentSummary(s.getPath).getLength).sum
     val liveBytes =
       live.map(b => f.getContentSummary(b._2).getLength).sum
     val root = new org.apache.hadoop.fs.Path(path)

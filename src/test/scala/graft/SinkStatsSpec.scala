@@ -561,4 +561,132 @@ class SinkStatsSpec extends SparkSpecBase {
       .filter(col("user_id") >= 0.0 && col("user_id") <= 50.0)
     assert(rowsOf(pruned) == rowsOf(full))
   }
+
+  private def hfs(sink: String) = new org.apache.hadoop.fs.Path(sink)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def maxEpochOf(sink: String): Long =
+    Streaming.listSinkEpochs(spark, sink).collect()
+      .map(_.getLong(0)).max
+
+  test("the epoch marker's bloom_cols record: written, inherited across lifecycle ops, and affirms 'none native' for conf-less lifecycles") {
+    val sink = scratch("bloommarker")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink) // no bloom conf anywhere
+    val f = hfs(sink)
+    val e0 = maxEpochOf(sink)
+    // the receipt that lets indexSinkBloom skip its footer pass
+    assert(Streaming.epochBloomColsOf(f, sink, e0) === Some(Set.empty),
+      "a conf-less lifecycle must record an EMPTY bloom_cols set")
+    // ...and the skip path still builds a correct all-scan manifest
+    SinkStats.indexSinkBloom(spark, sink, "event_id")
+    val man = spark.read.parquet(s"$sink/epoch=$e0/_file_bloom/col=event_id")
+    assert(man.filter(col("native") === true).count() == 0)
+    val probeId = ev.agg(min(col("event_id"))).head().getLong(0)
+    assert(rowsOf(SinkStats.readSinkPoint(spark, sink, "event_id", probeId))
+      == rowsOf(Streaming.readSink(spark, sink)
+        .filter(col("event_id") === probeId)))
+    // a delete WITH the write conf on: its marker records the column
+    val prev = spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
+    try {
+      spark.conf.set("spark.graft.bloom.autoIndexColumns", "event_id")
+      Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+    } finally prev.fold(
+      spark.conf.unset("spark.graft.bloom.autoIndexColumns"))(
+      v => spark.conf.set("spark.graft.bloom.autoIndexColumns", v))
+    val e1 = maxEpochOf(sink)
+    assert(Streaming.epochBloomColsOf(f, sink, e1)
+      === Some(Set("event_id")))
+    // a FURTHER mutation with the conf OFF still carries the record
+    // forward: untouched days MOVE, so their bloomed files survive and
+    // the union is what keeps the current epoch's line sound
+    Streaming.deleteWhere(spark, sink, col("user_id") % 11 === 5)
+    assert(Streaming.epochBloomColsOf(f, sink, maxEpochOf(sink))
+      === Some(Set("event_id")),
+      "the bloom_cols record must inherit from the previous epoch")
+  }
+
+  test("a MIXED epoch (native rewrites + moved-in bloom-less days) still classifies per file") {
+    val sink = scratch("bloommixed")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink) // bloom-less base epoch
+    // a DAY-LOCAL delete with the bloom write conf on: only the min
+    // day rewrites (with native blooms); every other day MOVES in
+    // carrying its bloom-less files - the mixed shape the per-file
+    // classification exists for
+    val minDay = ev.agg(min(to_date(col("ts")))).head().getDate(0)
+    val prev = spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
+    try {
+      spark.conf.set("spark.graft.bloom.autoIndexColumns", "event_id")
+      Streaming.deleteWhere(spark, sink,
+        to_date(col("ts")) === lit(minDay) && col("event_id") % 2 === 0)
+    } finally prev.fold(
+      spark.conf.unset("spark.graft.bloom.autoIndexColumns"))(
+      v => spark.conf.set("spark.graft.bloom.autoIndexColumns", v))
+    val e = maxEpochOf(sink)
+    // the marker names the column (union of own conf + inherited), so
+    // the footer classification RAN - and found both classes
+    assert(Streaming.epochBloomColsOf(hfs(sink), sink, e)
+      === Some(Set("event_id")))
+    val man = spark.read.parquet(s"$sink/epoch=$e/_file_bloom/col=event_id")
+    val nNative = man.filter(col("native") === true).count()
+    val nScan = man.filter(col("native") === false).count()
+    assert(nNative > 0 && nScan > 0,
+      s"expected a mixed manifest, got native=$nNative scan=$nScan")
+    // probes serve exactly from BOTH classes: a surviving id in the
+    // rewritten day (native files) and one in an untouched day (scan)
+    val inRewritten = ev.filter(to_date(col("ts")) === lit(minDay) &&
+      col("event_id") % 2 === 1).agg(min(col("event_id"))).head().getLong(0)
+    val inMoved = ev.filter(to_date(col("ts")) =!= lit(minDay))
+      .agg(max(col("event_id"))).head().getLong(0)
+    Seq(inRewritten, inMoved).foreach { id =>
+      assert(rowsOf(SinkStats.readSinkPoint(spark, sink, "event_id", id))
+        == rowsOf(Streaming.readSink(spark, sink)
+          .filter(col("event_id") === id)), s"probe $id diverged")
+    }
+  }
+
+  test("IN-list point lookup: one batched sweep, row- and kept-set-identical to the single-value path") {
+    val sink = scratch("bloomin")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    // native epoch: the batched FOOTER sweep is the path under test
+    val prev = spark.conf.getOption("spark.graft.bloom.autoIndexColumns")
+    try {
+      spark.conf.set("spark.graft.bloom.autoIndexColumns", "event_id")
+      clusteredCompact(sink)
+    } finally prev.fold(
+      spark.conf.unset("spark.graft.bloom.autoIndexColumns"))(
+      v => spark.conf.set("spark.graft.bloom.autoIndexColumns", v))
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val absent = hi + 987654L
+    val ids: Seq[Any] = Seq(lo, lo + (hi - lo) / 2, hi, absent)
+    val batch = SinkStats.readSinkPointIn(spark, sink, "event_id", ids)
+    val singles = ids.map(id =>
+        SinkStats.readSinkPoint(spark, sink, "event_id", id))
+      .reduce(_.unionByName(_))
+    assert(rowsOf(batch) == rowsOf(singles))
+    assert(rowsOf(batch) == rowsOf(Streaming.readSink(spark, sink)
+      .filter(col("event_id").isin(ids: _*))))
+    // per-value kept sets: the batch sweep must keep EXACTLY what each
+    // single-value probe keeps (including the absent id's empty set)
+    val f = hfs(sink)
+    val e = maxEpochOf(sink)
+    val (_, _, perBatch) = SinkStats.pointKeptByValue(spark, sink,
+      "event_id", ids, f, e)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      val (_, _, one) = SinkStats.pointKeptByValue(spark, sink,
+        "event_id", Seq(id), f, e)
+      assert(perBatch(i).toSet == one.head.toSet,
+        s"batch kept ${perBatch(i).size} files for $id, " +
+          s"single kept ${one.head.size}")
+    }
+    val (_, _, absentKept) = SinkStats.pointKeptByValue(spark, sink,
+      "event_id", Seq(absent), f, e)
+    assert(absentKept.head.isEmpty,
+      s"absent id kept ${absentKept.head.size} files")
+  }
 }

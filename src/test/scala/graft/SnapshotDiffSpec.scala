@@ -611,4 +611,75 @@ class SnapshotDiffSpec extends SparkSpecBase {
       assert(noCol.getMessage.contains("neither snapshot"))
     }
   }
+
+  test("composed: net-zero range over a crash-window reference serves from manifests; an UNRESOLVED reference forces the fallback and the empty-typed shortcut cannot mask it") {
+    withKeep(6) {
+      val t = "2024-01-10 10:00:00"
+      val root = java.nio.file.Files
+        .createTempDirectory("sdiff_composed").toString
+      val sink = s"$root/sink"
+      val df = Seq((1L, t, Some(10L), "a"), (2L, t, Some(20L), "b"))
+        .toDF("k", "tss", "v", "w")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      Streaming.writeBatchIdempotent(df, sink, 0L)
+      Streaming.compactSink(spark, sink, quiesced = true)
+      val e0 = epoch(sink)
+      withChangeFiles {
+        // insert epoch e0+1: keys 3/4 land BY REFERENCE
+        val b2 = Seq((3L, t, Some(30L), "c"), (4L, t, Some(40L), "d"))
+          .toDF("k", "tss", "v", "w")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        Streaming.writeBatchIdempotent(b2, sink, 1L)
+        Streaming.compactSink(spark, sink, quiesced = true)
+        // delete epoch e0+2 removes EXACTLY the inserted cohort: the
+        // full range nets to zero
+        Streaming.deleteWhere(spark, sink, col("k") >= 3L)
+        // alter-normalize epoch e0+3: an EMPTY manifest in range
+        Streaming.alterSink(spark, sink, renames = Map("w" -> "w2"))
+        Streaming.compactSink(spark, sink, quiesced = true)
+      }
+      val eN = epoch(sink)
+      assert(eN == e0 + 3, s"expected 3 minted epochs, got ${eN - e0}")
+      val f = new org.apache.hadoop.fs.Path(sink)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val refDir = new org.apache.hadoop.fs.Path(
+        s"$sink/epoch=${e0 + 1}/_changes_ref/batch_id=1")
+      val rootDir = new org.apache.hadoop.fs.Path(s"$sink/batch_id=1")
+      // stage the commit-to-move crash window AFTER the whole build:
+      // the insert epoch's reference sits un-moved at the sink root
+      assert(f.rename(refDir, rootDir), "could not stage the crash window")
+      def diff(from: Long, to: Long): DataFrame =
+        SnapshotDiff.readSinkChanges(spark, sink, from, to,
+          Seq("k"), Seq("v"))
+      // net-zero + crash window + empty manifest, all in one range:
+      // served from manifests (the reference resolves at the root),
+      // empty BY FOLD - insert-then-delete nets to silence
+      val netZero = diff(e0, eN)
+      assert(netZero.inputFiles.nonEmpty && netZero.inputFiles.forall(p =>
+        p.contains("/_changes") || p.contains("batch_id=")),
+        s"net-zero diff opened data files: ${netZero.inputFiles
+          .filterNot(p => p.contains("/_changes") || p.contains("batch_id="))
+          .take(3).mkString(", ")}")
+      assert(netZero.isEmpty)
+      // break the reference: the whole range must FALL BACK to the
+      // snapshot join (the in-range EMPTY manifest must never shortcut
+      // an unresolvable range to an empty typed frame) - same answer,
+      // now proven from data files
+      assert(f.delete(rootDir, true))
+      val fellBack = diff(e0, eN)
+      assert(fellBack.inputFiles.exists(p => !p.contains("/_changes") &&
+        !p.contains("batch_id=")),
+        "broken-reference diff did not fall back to the snapshot join")
+      assert(fellBack.isEmpty)
+      // the masking probe: over (e0, e0+1] the RIGHT answer is the two
+      // inserts - a short-circuit that trusted the resolvable manifests
+      // while one reference dangles would report empty instead
+      val inserts = diff(e0, e0 + 1)
+      assert(inserts.inputFiles.exists(p => !p.contains("/_changes") &&
+        !p.contains("batch_id=")),
+        "insert-range diff over a broken reference did not fall back")
+      assert(diffRows(inserts) === Map(
+        3L -> ("insert", Some(30L)), 4L -> ("insert", Some(40L))))
+    }
+  }
 }

@@ -2467,6 +2467,61 @@ class StreamingSpec extends SparkSpecBase
     assert(e.getMessage.contains("retained: [0]"),
       s"refusal should list what IS retained: ${e.getMessage}")
   }
+
+  test("a sink column literally named __cdc_ref refuses at data-bearing manifest emission; the internal ref manifest stays exempt") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_cdcref").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "user-data"),
+        (tsv("2024-01-02 10:00:00"), 2L, "more"))
+        .toDF("ts", "event_id", "__cdc_ref"), out, 0L)
+    val prev = spark.conf.getOption("spark.graft.sink.changeFiles")
+    spark.conf.set("spark.graft.sink.changeFiles", "true")
+    try {
+      // the ingest compaction's BY-REFERENCE manifest carries only the
+      // two bookkeeping columns - no clash with the sink's own column,
+      // the ingest proceeds
+      Streaming.compactSink(spark, out, quiesced = true)
+      // a DATA-BEARING manifest (delete pre-images) would carry the
+      // user column, and readEpochChanges would then resolve its
+      // VALUES as consumed-batch directory names (phantom rows, or a
+      // silent O(table) degrade) - emission must refuse loudly instead
+      val e = intercept[IllegalArgumentException](
+        Streaming.deleteWhere(spark, out, col("event_id") === 1L))
+      assert(e.getMessage.contains("__cdc"), e.getMessage)
+    } finally prev.fold(spark.conf.unset("spark.graft.sink.changeFiles"))(
+      v => spark.conf.set("spark.graft.sink.changeFiles", v))
+  }
+
+  test("epoch_bytes counts data days only: by-reference change batches do not inflate it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_ebytes").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      (1L to 200L).map(i => (tsv(s"2024-01-0${i % 3 + 1} 10:00:00"), i))
+        .toDF("ts", "event_id"), out, 0L)
+    val prev = spark.conf.getOption("spark.graft.sink.changeFiles")
+    spark.conf.set("spark.graft.sink.changeFiles", "true")
+    try Streaming.compactSink(spark, out, quiesced = true)
+    finally prev.fold(spark.conf.unset("spark.graft.sink.changeFiles"))(
+      v => spark.conf.set("spark.graft.sink.changeFiles", v))
+    val f = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eDir = new org.apache.hadoop.fs.Path(s"$out/epoch=0")
+    assert(f.exists(new org.apache.hadoop.fs.Path(eDir,
+      "_changes_ref/batch_id=0")), "precondition: the consumed batch " +
+      "should live under the epoch by reference")
+    val daySum = f.listStatus(eDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(s => f.getContentSummary(s.getPath).getLength).sum
+    val whole = f.getContentSummary(eDir).getLength
+    val d = Streaming.describeSink(spark, out).collect()(0)
+    assert(d.getAs[Long]("epoch_bytes") == daySum && daySum > 0L)
+    assert(whole > daySum,
+      "precondition lost: the ref batch no longer inflates the raw " +
+        "dir summary, so this test pins nothing")
+  }
 }
 
 /** A local filesystem whose rename ALWAYS fails — the test stand-in for
