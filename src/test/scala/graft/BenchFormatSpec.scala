@@ -205,6 +205,132 @@ class BenchFormatSpec extends AnyFunSuite {
         "did not trip the contended verdict")
   }
 
+  test("windowed readings, hot segments, and retry durations ride the on-disk line only when passed") {
+    val disk = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'),
+      Some(Bench.Probes(0.5, 0.5, 0.75, 0.75)),
+      Some(Bench.Retry(Map("q01_x" -> 0.8), 0.5, 0.75)),
+      Some(Map("q01_x" -> Seq(1.2, 1.0))),
+      Some(Seq(0.8, 0.85, 1.5)), Some(Seq(1)))
+    assert(disk.contains(""""windows":[0.80,0.85,1.50]"""), disk)
+    assert(disk.contains(""""hot_segments":[1]"""), disk)
+    assert(disk.contains(""""retry_reps":{"q01":0.80}"""), disk)
+    // the stdout shape (no windows/reps passed) is unchanged — the
+    // width pin above stays authoritative
+    val stdout = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'),
+      Some(Bench.Probes(0.5, 0.5, 0.75, 0.75)),
+      Some(Bench.Retry(Map("q01_x" -> 0.8), 0.5, 0.75)))
+    assert(!stdout.contains("windows") && !stdout.contains("retry_reps"),
+      stdout)
+  }
+
+  test("degraded segments: any bounding reading >= 1.5x the run minimum flags its segments") {
+    // flat readings: nothing flagged
+    assert(Bench.degradedSegments(Seq(0.8, 0.82, 0.79, 0.81)).isEmpty)
+    // the r16 shape: a tail ramp of 1.56x — HALF the whole-run bracket
+    // threshold — must flag the final segment (the bracket pair let
+    // exactly this ship as contended:false)
+    assert(Bench.degradedSegments(Seq(2.13, 2.2, 2.4, 3.32)) == Set(2))
+    // a hot MIDDLE reading flags both segments it bounds
+    assert(Bench.degradedSegments(Seq(0.8, 1.3, 0.8)) == Set(0, 1))
+    // started degraded, recovered: the EARLY segments are the hot ones
+    // (ratio is to the run minimum, not to the previous reading)
+    assert(Bench.degradedSegments(Seq(1.3, 1.25, 0.8, 0.82)) == Set(0, 1))
+    // fewer than two readings can bound no segment
+    assert(Bench.degradedSegments(Seq(0.8)).isEmpty)
+    assert(Bench.degradedSegments(Nil).isEmpty)
+  }
+
+  test("the windowed loop probes every 25 queries plus a closing reading and maps queries to segments") {
+    val names = (0 until 60).map(i => f"q$i%02d_x")
+    var probed = 0
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    val (reps, windows, segs) = Bench.runWindowed(names,
+      n => { order += n; 0.1 }, () => { probed += 1; 0.8 })
+    // probes at i = 0, 25, 50, plus the closing reading
+    assert(probed == 4 && windows.size == 4)
+    assert(reps.size == 60 && reps.values.forall(_ == ((0.1, 0.1))))
+    assert(order.toSeq == names.flatMap(n => Seq(n, n)), "reps must run back-to-back per query")
+    assert(segs("q00_x") == 0 && segs("q24_x") == 0)
+    assert(segs("q25_x") == 1 && segs("q49_x") == 1)
+    assert(segs("q50_x") == 2 && segs("q59_x") == 2)
+  }
+
+  test("the retry plan unions hot-segment queries with the worst-N only under a bracket trip") {
+    val results = Map("q1" -> 5.0, "q2" -> 4.0, "q3" -> 0.2, "q4" -> 0.1)
+    val segs = Map("q1" -> 0, "q2" -> 0, "q3" -> 1, "q4" -> 1)
+    // windowed trip only: exactly the degraded segment's queries
+    assert(Bench.retryPlan(results, segs, Set(1), rampTripped = false)
+      .toSet == Set("q3", "q4"))
+    // bracket trip only: the worst-N (all 4 here, N = 10)
+    assert(Bench.retryPlan(results, segs, Set.empty, rampTripped = true)
+      .toSet == Set("q1", "q2", "q3", "q4"))
+    // both: a query in a hot segment is retried ONCE (distinct union)
+    val both = Bench.retryPlan(results, segs, Set(0), rampTripped = true)
+    assert(both.toSet == Set("q1", "q2", "q3", "q4"))
+    assert(both.size == both.distinct.size)
+    // no trip: no retry
+    assert(Bench.retryPlan(results, segs, Set.empty, rampTripped = false).isEmpty)
+  }
+
+  test("a synthetic background burn mid-run fires the windowed retry and the merged total recovers") {
+    // the r16 failure, reproduced end-to-end: the host degrades midway
+    // through the loop (a 3x-oversubscribed spinner starts while the
+    // second window's queries run), the whole-run bracket ramp stays
+    // under 3x territory conceptually, but the windowed readings see it
+    // and the retry re-runs exactly the queries measured hot.
+    Bench.calibrate() // JIT the probe's sort before any timed reading
+    @volatile var stop = false
+    var burners: Seq[Thread] = Nil
+    def startBurn(): Unit = {
+      burners = (0 until 3 * Runtime.getRuntime.availableProcessors())
+        .map { t =>
+          val th = new Thread(() => {
+            val a = new Array[Long](1 << 18)
+            var x = t.toLong
+            while (!stop) {
+              var i = 0
+              while (i < a.length) {
+                x = x * 6364136223846793005L + 1442695040888963407L
+                a(i) = x
+                i += 1
+              }
+              java.util.Arrays.sort(a)
+            }
+          })
+          th.setDaemon(true)
+          th.start()
+          th
+        }
+    }
+    val names = (0 until 30).map(i => f"q$i%02d_x")
+    // the rep for q26 starts the burn: segment 1 (queries 25-29) is
+    // measured degraded; the closing probe reads hot and flags it
+    val (reps, windows, segs) =
+      try Bench.runWindowed(names,
+        n => { if (n == "q26_x" && burners.isEmpty) startBurn(); 0.1 },
+        () => Bench.windowProbe())
+      finally { stop = true; burners.foreach(_.join(10000)) }
+    val degraded = Bench.degradedSegments(windows)
+    assert(degraded.contains(1),
+      s"burned closing probe did not flag segment 1: windows=$windows")
+    val results = reps.map { case (n, (a, b)) => n -> math.min(a, b) }
+    val plan = Bench.retryPlan(results, segs, degraded, rampTripped = false)
+    assert(plan.toSet.subsetOf(names.toSet) && plan.contains("q26_x"),
+      s"plan=$plan")
+    // merged headline recovers: the hot queries' retry reps (clean
+    // host) replace their inflated originals; raw_total preserves the
+    // uncorrected evidence
+    val inflated = results ++ plan.map(_ -> 5.0).toMap
+    val line = Bench.mkLine(inflated, "/sf", identity,
+      Some(Bench.Probes(1.0, 1.0, 1.5, 1.6)),
+      Some(Bench.Retry(plan.map(_ -> 0.1).toMap, 1.0, 1.5)))
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val raw = """"raw_total":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(total < raw, line)
+  }
+
   test("a dying probe worker fails the reading loudly instead of shrinking it") {
     // a worker that dies (the OOME-on-a-constrained-host case) must not
     // silently end — join() would return with fewer cores loaded and
