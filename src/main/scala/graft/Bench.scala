@@ -63,9 +63,21 @@ object Bench {
     * single-rep reading every 25 queries costs ~0.8 s × ~8 readings
     * ≈ 5 % of the suite and localizes the damage to the segments it
     * actually landed in, so the retry re-runs those queries instead of
-    * guessing at the worst-N. 1.5× sits well above the probe's
-    * run-to-run noise (~10 % single-rep) and at exactly the ramp the
-    * r16 artifact shipped with. */
+    * guessing at the worst-N.
+    *
+    * The trip compares each reading to the run MEDIAN, at 1.5×. Both
+    * choices are measured, not guessed: on this burstable host a clean
+    * run's single-rep readings wobble up to 2.0× max/min (12
+    * interleaved idle-host readings: spread 1.71×; the first windowed
+    * bench run: 0.60–1.17 s, spread 1.95×, whose min-baseline trip
+    * retried 87 queries to recover 1 s — all noise), but only ~1.35×
+    * max/MEDIAN, while a genuine burst reads 2–4× above the median
+    * (r16's hot-zone queries inflated 3.7–18×, and the probe is the
+    * same all-core CPU-bound work those queries are). A sustained
+    * sub-1.5× degradation spanning MOST of a run elevates the median
+    * and hides from the windows by construction — that mode stays with
+    * the bracket ramp (≥3×) and the cross-round calib normalization
+    * the judge already applies. */
   private[graft] val WindowEvery = 25
   private[graft] val WindowRatio = 1.5
 
@@ -150,7 +162,7 @@ object Bench {
     // flagged (ramp 2.68 → 33.47) and that only a judge-side re-run
     // refuted; round 16 degraded UNDER the bracket threshold and the
     // retry never fired. On either trip — a windowed reading ≥1.5× the
-    // run minimum, or the whole-run bracket ramp — settle, re-probe,
+    // run median, or the whole-run bracket ramp — settle, re-probe,
     // re-run the affected queries once each, and report BOTH totals:
     // the line adjudicates itself.
     val plan = retryPlan(results, segments, degraded, probes.contended)
@@ -228,14 +240,19 @@ object Bench {
 
   /** Which segments' queries were measured on a degraded host: segment
     * k is suspect when EITHER of its bounding readings exceeds the run
-    * minimum by ≥ [[WindowRatio]]. Ratio-to-minimum, not
-    * ratio-to-previous: a run that starts degraded and recovers shows a
-    * flat-then-falling sequence whose early readings are the hot ones. */
+    * MEDIAN by ≥ [[WindowRatio]]. Ratio-to-median, not ratio-to-minimum
+    * (a single fast outlier would mark half a healthy run hot — the
+    * first windowed bench run did exactly that) and not
+    * ratio-to-previous (a run that starts degraded and recovers shows a
+    * flat-then-falling sequence whose EARLY readings are the hot
+    * ones). */
   private[graft] def degradedSegments(windows: Seq[Double]): Set[Int] =
     if (windows.size < 2) Set.empty
     else {
-      val mn = windows.min
-      val hot = windows.map(_ / mn >= WindowRatio)
+      val sorted = windows.sorted
+      val med =
+        (sorted(sorted.size / 2) + sorted((sorted.size - 1) / 2)) / 2
+      val hot = windows.map(_ / med >= WindowRatio)
       (0 until windows.size - 1).filter(i => hot(i) || hot(i + 1)).toSet
     }
 

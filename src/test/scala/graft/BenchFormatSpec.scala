@@ -225,18 +225,33 @@ class BenchFormatSpec extends AnyFunSuite {
       stdout)
   }
 
-  test("degraded segments: any bounding reading >= 1.5x the run minimum flags its segments") {
+  test("degraded segments: any bounding reading >= 1.5x the run median flags its segments") {
     // flat readings: nothing flagged
     assert(Bench.degradedSegments(Seq(0.8, 0.82, 0.79, 0.81)).isEmpty)
-    // the r16 shape: a tail ramp of 1.56x — HALF the whole-run bracket
-    // threshold — must flag the final segment (the bracket pair let
-    // exactly this ship as contended:false)
-    assert(Bench.degradedSegments(Seq(2.13, 2.2, 2.4, 3.32)) == Set(2))
+    // the FIRST windowed bench run's actual clean-host readings
+    // (spread 1.95x max/min — burstable-host wobble, no contamination;
+    // the min-baseline trip retried 87 queries to recover 1 s): the
+    // median baseline must read this as healthy
+    assert(Bench.degradedSegments(
+      Seq(0.88, 0.76, 0.82, 1.04, 0.6, 0.88, 1.17, 0.99)).isEmpty)
+    // a burst landing on the run's tail (the r16 mode: its hot-zone
+    // queries inflated 3.7-18x, so in-zone probe readings sit well
+    // above the quiet median even when the post-run bracket ramp reads
+    // only 1.56x): the final segments flag
+    assert(Bench.degradedSegments(
+      Seq(0.7, 0.72, 0.75, 0.73, 0.74, 0.71, 2.1, 2.9)) == Set(5, 6))
     // a hot MIDDLE reading flags both segments it bounds
     assert(Bench.degradedSegments(Seq(0.8, 1.3, 0.8)) == Set(0, 1))
     // started degraded, recovered: the EARLY segments are the hot ones
-    // (ratio is to the run minimum, not to the previous reading)
-    assert(Bench.degradedSegments(Seq(1.3, 1.25, 0.8, 0.82)) == Set(0, 1))
+    // (ratio is to the run median, not to the previous reading)
+    assert(Bench.degradedSegments(
+      Seq(1.9, 1.8, 0.8, 0.82, 0.79, 0.81)) == Set(0, 1))
+    // a sustained sub-1.5x ramp spanning the whole run elevates the
+    // median and does NOT flag — by construction that mode belongs to
+    // the bracket ramp and cross-round calib normalization, not the
+    // windows (documented blind spot, pinned so it stays a choice)
+    assert(Bench.degradedSegments(
+      Seq(2.13, 2.25, 2.4, 2.6, 2.8, 3.0, 3.15, 3.32)).isEmpty)
     // fewer than two readings can bound no segment
     assert(Bench.degradedSegments(Seq(0.8)).isEmpty)
     assert(Bench.degradedSegments(Nil).isEmpty)
