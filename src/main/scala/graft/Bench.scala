@@ -148,8 +148,21 @@ object Bench {
     // judge-side re-run to refute; the rep pair answers it from the
     // artifact alone). The loop interleaves a windowed probe every
     // [[WindowEvery]] queries — see [[runWindowed]].
+    // SPARK_GRAFT_ONLY (dev-only, never set by the driver): restrict
+    // the loop to a comma-separated subset (full or short ids) for
+    // isolated steady-state timing of one query family on an idle
+    // host — the full-suite artifact interleaves every query with
+    // every other's page-cache/JIT footprint. The printed line is
+    // self-describing: its queries map carries exactly the subset.
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(s) =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq
+          .filter(n => want(n) || want(shortId(n)))
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val (reps, windows, segments) =
-      runWindowed(SparkEntry.queries.keys.toSeq, rep, () => windowProbe())
+      runWindowed(names, rep, () => windowProbe())
     val results = reps.map { case (n, (a, b)) => n -> minOf(a, b) }
     val calibAfter = calibrate()
     val calibMtAfter = calibrateParallel()
