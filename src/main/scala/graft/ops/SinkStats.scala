@@ -1087,12 +1087,23 @@ object SinkStats {
         g.indices.map(i =>
           (0 until seeds).map(s => row.getInt(i * seeds + s)))
       }.toSeq
-      val keptPos: Seq[Seq[(String, String)]] = positions.map(ps =>
-        posRows
-          .filter(ps.distinct.map(p =>
-            array_contains(col("bloom"), p)).reduce(_ && _))
-          .select("day", "file").collect()
-          .map(r => r.getString(0) -> r.getString(1)).toSeq)
+      // ONE job tests every value against every positions row: the
+      // probe table (value index -> its distinct positions) broadcasts
+      // into a containment join — N values cost one pass over the
+      // manifest, not N filter-and-collect jobs (per-value jobs are
+      // fine at 3 probes, not at a GDPR subject list)
+      val keptPos: Seq[Seq[(String, String)]] = {
+        import spark.implicits._
+        val probes = positions.zipWithIndex
+          .map { case (ps, i) => (i, ps.distinct) }
+          .toDF("probe_idx", "probe_pos")
+        val hits = posRows.join(broadcast(probes),
+          expr("forall(probe_pos, p -> array_contains(bloom, p))"))
+          .select("probe_idx", "day", "file").collect()
+          .groupBy(_.getInt(0))
+        positions.indices.map(i => hits.getOrElse(i, Array.empty).toSeq
+          .map(r => r.getString(1) -> r.getString(2)))
+      }
       val dayMap = Streaming.resolvedDays(f0, sink, e).toMap
       val keptNative: Seq[Seq[(String, String)]] =
         if (!hasNative) vs.map(_ => Seq.empty)
