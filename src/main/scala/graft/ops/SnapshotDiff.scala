@@ -279,26 +279,30 @@ object SnapshotDiff {
 
   /** Apply a [[readSinkChanges]] feed to a REPLICA sink — the consumer
     * half of the CDC loop (what a downstream mirror, a regional copy,
-    * or a serving store runs per cycle): `delete` rows remove their
-    * keys ([[Streaming.deleteKeys]] — affected-days-only rewrite),
-    * `insert`/`update` rows MERGE by key ([[Streaming.upsertBatch]] —
-    * one atomic epoch). Because the diff is the NET change set, apply
-    * cost is O(churn), and because a key appears in at most ONE change
-    * class, the delete→upsert order is race-free within the feed.
-    * Re-applying the same feed is idempotent in content: the deletes
-    * match nothing, the upserts replace rows with themselves. The feed
-    * must carry the replica's full row for insert/update rows — diff
-    * with `compareCols` = every non-key data column (q155's shape).
+    * or a serving store runs per cycle): ONE [[Streaming.applyBatch]]
+    * removes the `delete` rows' keys and MERGEs the `insert`/`update`
+    * rows in a single minted epoch — one match scan, one affected-day
+    * rewrite, one atomic commit (the pre-r17 deleteKeys→upsertBatch
+    * pair scanned the epoch twice and rewrote the largely-overlapping
+    * affected days twice, doubling the cycle's write amplification).
+    * Because the diff is the NET change set, apply cost is O(churn),
+    * and because a key appears in at most ONE change class, the fused
+    * delete+merge resolves every key unambiguously. Re-applying the
+    * same feed is idempotent in content: the deletes match nothing,
+    * the upserts replace rows with themselves. The feed must carry the
+    * replica's full row for insert/update rows — diff with
+    * `compareCols` = every non-key data column (q155's shape).
     * Returns (deletes applied, upserts applied).
     *
     * The feed is STAGED to parquet beside the replica before anything
-    * mutates: the apply consumes it several times across two lifecycle
-    * ops, its source snapshots may be vacuumed mid-apply, and a
-    * durable stage is what makes a crashed apply resumable by plain
-    * re-run. (A driver-memory `localCheckpoint` of the diff was also
-    * measured ~100× slower to consume here — the full-outer join's
-    * checkpointed scan makes a pathological input for the downstream
-    * merge jobs — so durability and speed point the same way.) */
+    * mutates: the apply consumes it several times (the count pass and
+    * both halves of the merge), its source snapshots may be vacuumed
+    * mid-apply, and a durable stage is what makes a crashed apply
+    * resumable by plain re-run. (A driver-memory `localCheckpoint` of
+    * the diff was also measured ~100× slower to consume here — the
+    * full-outer join's checkpointed scan makes a pathological input
+    * for the downstream merge jobs — so durability and speed point the
+    * same way.) */
   def applyChanges(spark: SparkSession, replica: String,
       changes: DataFrame, keyCols: Seq[String],
       tsCol: String = "ts"): (Long, Long) = {
@@ -319,8 +323,8 @@ object SnapshotDiff {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nDel = byKind.getOrElse("delete", 0L)
     val nUps = (byKind - "delete").values.sum
-    if (nDel > 0) Streaming.deleteKeys(spark, replica, dels, keyCols, tsCol)
-    if (nUps > 0) Streaming.upsertBatch(spark, replica, ups, keyCols, tsCol)
+    if (nDel + nUps > 0)
+      Streaming.applyBatch(spark, replica, dels, ups, keyCols, tsCol)
     // staging is deleted ONLY on success: a FAILED (not crashed) apply
     // keeps its stage on disk — the durable record of exactly what the
     // half-applied mutation consumed, available for resume/inspection

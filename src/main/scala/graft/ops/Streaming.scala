@@ -933,7 +933,7 @@ object Streaming {
     }
 
   /** The `op=` tag of a committed epoch's marker (`compact` /
-    * `delete` / `upsert` / `retire`) — None for markers minted before
+    * `delete` / `upsert` / `apply` / `retire`) — None for markers minted before
     * the tag existed or unreadable mid-race. Monitoring-only
     * ([[describeSink]]): every correctness decision keys on the
     * watermark line, never on this. */
@@ -3033,16 +3033,49 @@ object Streaming {
   def upsertBatch(spark: SparkSession, path: String, batch: DataFrame,
       keyCols: Seq[String], tsCol: String = "ts"): Long =
     withFencedCompactorLock(spark, path) { fence =>
-      upsertLocked(spark, path, batch, keyCols, tsCol, fence)
+      mergeLocked(spark, path, batch, None, keyCols, tsCol, fence)
     }
 
-  private def upsertLocked(spark: SparkSession, path: String,
-      batch: DataFrame, keyCols: Seq[String], tsCol: String,
-      fence: () => Unit): Long = {
+  /** MERGE with deletes in ONE minted epoch — the CDC consumer's apply
+    * (SQL MERGE's `WHEN MATCHED AND … THEN DELETE` arm alongside
+    * UPDATE/INSERT): rows whose `keyCols` tuple appears in `deletes`
+    * are removed, rows keyed by `batch` are replaced-or-inserted, and
+    * ONE commit marker flips both — where a deleteKeys-then-upsertBatch
+    * pair scans the epoch twice, rewrites the (largely overlapping)
+    * affected days twice, and exposes a window where the deletes are
+    * visible without the upserts, this pays ONE match scan, ONE
+    * affected-day rewrite, and is atomic. That halves the write
+    * amplification of a replication cycle whose delete and upsert
+    * cohorts touch the same days — the common case for a CDC feed
+    * ([[graft.ops.SnapshotDiff.applyChanges]] is the caller this
+    * exists for).
+    *
+    * A key in BOTH `deletes` and `batch` nets to the batch's row (the
+    * merge's post-state wins; its change-manifest row classifies as
+    * update/insert, not delete — the delete of a key re-keyed in the
+    * same cycle is not churn). All other rails, sizing, crash story,
+    * and NULL-key semantics are [[upsertBatch]]'s; the minted epoch's
+    * marker reads `op=apply`. An empty `deletes` IS upsertBatch; an
+    * empty `batch` with matching deletes is a key-set delete in apply
+    * clothing; both empty is a no-op. Returns the new max epoch. */
+  def applyBatch(spark: SparkSession, path: String, deletes: DataFrame,
+      batch: DataFrame, keyCols: Seq[String], tsCol: String = "ts"): Long =
+    withFencedCompactorLock(spark, path) { fence =>
+      mergeLocked(spark, path, batch, Some(deletes), keyCols, tsCol, fence)
+    }
+
+  private def mergeLocked(spark: SparkSession, path: String,
+      batch: DataFrame, delSet: Option[DataFrame], keyCols: Seq[String],
+      tsCol: String, fence: () => Unit): Long = {
     require(keyCols.nonEmpty, "upsertBatch needs at least one key column")
     val missing = keyCols.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"upsert batch lacks key column(s): ${missing.mkString(", ")}")
+    delSet.foreach { d =>
+      val dm = keyCols.filterNot(d.columns.contains)
+      require(dm.isEmpty,
+        s"apply delete set lacks key column(s): ${dm.mkString(", ")}")
+    }
     val f = fs(spark, path)
     fence() // settleEpochs deletes attempts: fence first (compactLocked's note)
     settleEpochs(spark, path, f)
@@ -3061,7 +3094,14 @@ object Streaming {
       s"upsertBatch over $path requires a quiesced compaction first: " +
         s"${liveCommitted.size} consumable live batch dir(s) may hold " +
         "rows whose keys the merge would miss")
-    if (batch.isEmpty) return before
+    val batchEmpty = batch.isEmpty
+    // a delete set that is absent OR empty leaves mergeLocked exactly
+    // upsertLocked (the pre-r17 body); only a NON-empty one changes
+    // the kept-row anti-join, the manifest, and the op tag
+    val delKeys: Option[DataFrame] = delSet
+      .map(d => d.select(keyCols.map(col): _*).distinct())
+      .filter(!_.isEmpty)
+    if (batchEmpty && delKeys.isEmpty) return before
     def dayDir(v: Any): String =
       Option(v).map(d => s"day=$d").getOrElse(NullDayDir)
     // the day column is DERIVED here, never trusted from the caller: a
@@ -3072,11 +3112,18 @@ object Streaming {
       if (dropped.columns.contains(tsCol))
         dropped.withColumn("day", to_date(col(tsCol)))
       else dropped.withColumn("day", lit(null).cast("date"))
-    val distinctKeys = batch.select(keyCols.map(col): _*).distinct()
-    val keys =
+    def maybeBroadcast(df: DataFrame): DataFrame =
       if (spark.conf.getOption("spark.graft.upsert.broadcastKeys")
-        .forall(_.toBoolean)) broadcast(distinctKeys)
-      else distinctKeys
+        .forall(_.toBoolean)) broadcast(df)
+      else df
+    val upsDistinct = batch.select(keyCols.map(col): _*).distinct()
+    // the match scan and the kept-row anti-join see the UNION of both
+    // key sets (a deleted row and a replaced row leave the epoch the
+    // same way); the manifest classification below keeps the two sets
+    // apart
+    val keys = maybeBroadcast(
+      delKeys.fold(upsDistinct)(dk => upsDistinct.unionByName(dk).distinct()))
+    val upsKeysB = maybeBroadcast(upsDistinct)
     // previous-epoch days by RESOLVED physical location (snapshot mode
     // may hold days by reference; classic mode this is the listing)
     val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =
@@ -3116,6 +3163,10 @@ object Streaming {
     val insertDays: Set[String] = incoming.select("day").distinct()
       .collect().map(r => dayDir(r.get(0))).toSet
     val affected = matchDays ++ insertDays
+    // a pure-delete apply whose keys match nothing (and an apply into
+    // an uncompacted sink) has nothing to rewrite and nothing to
+    // insert: minting an empty epoch would only churn retention
+    if (batchEmpty && affected.isEmpty) return before
     val affectedDirs = prevDays.filter(d => affected.contains(d._1))
     val epoch = before + 1 // 0 on an empty sink: a pure insert
     val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
@@ -3171,10 +3222,12 @@ object Streaming {
         df.select(allCols.map(c =>
           if (df.columns.contains(c)) col(c)
           else lit(null).cast(epochRows.schema(c).dataType).as(c)): _*)
+      // matched-vs-new classifies against the UPSERT keys only; the
+      // delete set's matches are their own kind below
       val olds =
         if (affectedDirs.isEmpty) None
         else Some(readDays(spark, affectedDirs)
-          .join(keys, keyCols, "left_semi"))
+          .join(upsKeysB, keyCols, "left_semi"))
       val posts = olds match {
         case Some(o) =>
           val mk = o.select(keyCols.map(col): _*).distinct()
@@ -3189,17 +3242,29 @@ object Streaming {
             .select((allCols :+ CdcKindCol).map(col): _*)
         case None => conformEv(incoming).withColumn(CdcKindCol, lit("insert"))
       }
-      val events = olds match {
+      // the apply's delete arm: pre-images of rows removed WITHOUT a
+      // replacement — a key in both sets nets to the batch's row and
+      // classifies above (its removal is not churn), so the delete
+      // kind is del-matched ANTI upsert-keyed
+      val delPre = delKeys.flatMap { dk =>
+        if (affectedDirs.isEmpty) None
+        else Some(readDays(spark, affectedDirs)
+          .join(maybeBroadcast(dk), keyCols, "left_semi")
+          .join(upsKeysB, keyCols, "left_anti"))
+      }.map(d => conformEv(d).withColumn(CdcKindCol, lit("delete")))
+      val upserts = olds match {
         case Some(o) => conformEv(o)
           .withColumn(CdcKindCol, lit("update_pre")).unionByName(posts)
         case None => posts
       }
+      val events = delPre.fold(upserts)(_.unionByName(upserts))
       writeEpochChanges(spark, epochDir, events)
     }
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the merge visible: last exit
-    commitEpoch(f, epochDir, wm, "upsert", // no batches consumed
+    commitEpoch(f, epochDir, wm, // no batches consumed
+      if (delKeys.isDefined) "apply" else "upsert",
       mintedBloomCols(spark, f, path, before))
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
@@ -3224,7 +3289,7 @@ object Streaming {
     * holder, null when unleased), `epochs_kept` / `oldest_epoch` (the
     * time-travel depth actually on disk), `last_op` (the lifecycle op
     * that minted the current epoch: compact / delete / upsert /
-    * retire; null for pre-tag epochs), `pending_alter` (the recorded
+    * apply / retire; null for pre-tag epochs), `pending_alter` (the recorded
     * rename/drop awaiting its normalizing compaction; null when
     * none). */
   def describeSink(spark: SparkSession, path: String): DataFrame = {

@@ -2522,6 +2522,102 @@ class StreamingSpec extends SparkSpecBase
       "precondition lost: the ref batch no longer inflates the raw " +
         "dir summary, so this test pins nothing")
   }
+
+  test("applyBatch fuses delete + merge into ONE atomic epoch identical to the two-op pair") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_apply").toString
+    def seed(out: String): Unit = {
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-01 10:00:00"), 1L, "a"),
+          (tsv("2024-01-01 11:00:00"), 2L, "b"),
+          (tsv("2024-01-02 10:00:00"), 3L, "c"),
+          (tsv("2024-01-03 10:00:00"), 4L, "d"))
+          .toDF("ts", "event_id", "event_type"), out, 0L)
+      assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    }
+    val fused = s"$root/fused"
+    val pair = s"$root/pair"
+    seed(fused); seed(pair)
+    val day3Files = listNames(s"$fused/epoch=0/day=2024-01-03", "part-")
+    val dels = Seq(2L).toDF("event_id")
+    val batch = Seq((tsv("2024-01-01 10:00:00"), 1L, "a2"),
+      (tsv("2024-01-04 09:00:00"), 9L, "new"))
+      .toDF("ts", "event_id", "event_type")
+    assert(Streaming.applyBatch(spark, fused, dels, batch,
+      Seq("event_id")) == 1L)
+    Streaming.deleteKeys(spark, pair, dels, Seq("event_id"))
+    Streaming.upsertBatch(spark, pair, batch, Seq("event_id"))
+    // ONE epoch where the pair minted two; no live batch dir leaked
+    assert(listNames(fused, "epoch=") == Seq("epoch=1"),
+      "the fused apply should mint exactly one epoch")
+    assert(listNames(pair, "epoch=") == Seq("epoch=2"))
+    assert(listNames(fused, "batch_id=").isEmpty)
+    def rows(p: String) = Streaming.readSink(spark, p)
+      .select("event_id", "event_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(rows(fused) == rows(pair),
+      s"fused ${rows(fused)} != pair ${rows(pair)}")
+    assert(rows(fused) ==
+      Seq((1L, "a2"), (3L, "c"), (4L, "d"), (9L, "new")))
+    // the day with neither a matching key nor an insert MOVED: the
+    // fused apply keeps the O(affected days) cost shape
+    assert(listNames(s"$fused/epoch=1/day=2024-01-03", "part-") == day3Files,
+      "day without matching keys or inserts was rewritten, not moved")
+    assert(Streaming.describeSink(spark, fused).collect()(0)
+      .getAs[String]("last_op") == "apply")
+  }
+
+  test("applyBatch: overlap keys net to the batch row, the manifest classifies per kind, a no-match pure delete mints nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_applycdc").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "a"),
+        (tsv("2024-01-01 11:00:00"), 2L, "b"),
+        (tsv("2024-01-02 10:00:00"), 3L, "c"),
+        (tsv("2024-01-03 10:00:00"), 4L, "d"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    val prev = spark.conf.getOption("spark.graft.sink.changeFiles")
+    spark.conf.set("spark.graft.sink.changeFiles", "true")
+    try {
+      Streaming.compactSink(spark, out, quiesced = true)
+      // delete keys 2 and 3; the batch RE-KEYS 3 in the same cycle
+      // (delete+upsert overlap) and updates 1, inserts 9
+      val dels = Seq(2L, 3L).toDF("event_id")
+      val batch = Seq((tsv("2024-01-01 10:00:00"), 1L, "a2"),
+        (tsv("2024-01-02 10:00:00"), 3L, "c2"),
+        (tsv("2024-01-04 09:00:00"), 9L, "new"))
+        .toDF("ts", "event_id", "event_type")
+      assert(Streaming.applyBatch(spark, out, dels, batch,
+        Seq("event_id")) == 1L)
+      val got = Streaming.readSink(spark, out)
+        .select("event_id", "event_type").as[(Long, String)]
+        .collect().sorted.toSeq
+      // key 3 survives WITH the batch's row: the post-state wins
+      assert(got == Seq((1L, "a2"), (3L, "c2"), (4L, "d"), (9L, "new")),
+        s"overlap semantics wrong: $got")
+      // manifest kinds: 2 deleted (pre-image), 1 and 3 updated
+      // (pre+post), 9 inserted — the overlap key 3 is update, NOT
+      // delete (its removal-and-replacement is one change)
+      val man = spark.read.parquet(s"$out/epoch=1/_changes")
+        .select(col("event_id").as[Long], col("__cdc_kind").as[String])
+        .collect().sorted.toSeq
+      assert(man == Seq((1L, "update_post"), (1L, "update_pre"),
+        (2L, "delete"), (3L, "update_post"), (3L, "update_pre"),
+        (9L, "insert")), s"manifest kinds wrong: $man")
+      // pure-delete apply (empty batch): one more epoch, key 4 gone
+      assert(Streaming.applyBatch(spark, out, Seq(4L).toDF("event_id"),
+        batch.limit(0), Seq("event_id")) == 2L)
+      assert(Streaming.readSink(spark, out).filter(col("event_id") === 4L)
+        .isEmpty)
+      // a pure delete matching NOTHING mints no epoch
+      assert(Streaming.applyBatch(spark, out, Seq(777L).toDF("event_id"),
+        batch.limit(0), Seq("event_id")) == 2L)
+      assert(listNames(out, "epoch=").lastOption.contains("epoch=2"),
+        "a no-match pure-delete apply minted an epoch")
+    } finally prev.fold(spark.conf.unset("spark.graft.sink.changeFiles"))(
+      v => spark.conf.set("spark.graft.sink.changeFiles", v))
+  }
 }
 
 /** A local filesystem whose rename ALWAYS fails — the test stand-in for
