@@ -407,9 +407,9 @@ object SnapshotDiff {
     * [[readSinkChanges]] diffs the source's retained endpoints with
     * `compareCols` = every data column (so the feed carries full rows
     * — and serves from the source's change manifests, the fast path);
-    * [[applyChanges]] replays the feed onto the REPLICA — key-set
-    * delete, then one atomic MERGE; and the replica is read back into
-    * a per-day aggregate. The oracle states the source's POST-state
+    * [[applyChanges]] replays the feed onto the REPLICA — ONE fused
+    * delete+MERGE epoch ([[Streaming.applyBatch]]); and the replica is
+    * read back into a per-day aggregate. The oracle states the source's POST-state
     * directly from `events`: hash equality proves the replica
     * converged to exactly the source — the diff lost no change, the
     * apply invented none, and content-identical touches (null-user
@@ -426,7 +426,7 @@ object SnapshotDiff {
       Seq("ts", "user_id", "event_type", "value", "props"))
     // the REPLICA applies with manifest emission at its default (off):
     // CDF belongs on the publishing table someone diffs, not on the
-    // mirror nobody does — the apply stays an ordinary delete + MERGE
+    // mirror nobody does — the apply is one fused delete+MERGE epoch
     val (nDel, nUps) = applyChanges(spark, rep, changes, Seq("event_id"))
     require(nDel > 0 && nUps > 0,
       s"q155 must exercise both halves of the apply, got " +
