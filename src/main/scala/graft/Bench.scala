@@ -157,8 +157,13 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(s) =>
         val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        SparkEntry.queries.keys.toSeq
+        val sel = SparkEntry.queries.keys.toSeq
           .filter(n => want(n) || want(shortId(n)))
+        // a typo'd subset must fail here, not print a plausible-looking
+        // zero-query line over bench_out.json
+        require(sel.nonEmpty,
+          s"SPARK_GRAFT_ONLY matched no registry query: $s")
+        sel
       case None => SparkEntry.queries.keys.toSeq
     }
     val (reps, windows, segments) =
@@ -273,11 +278,14 @@ object Bench {
     * a degraded window (the localized evidence), plus the worst-N by
     * recorded duration when the whole-run bracket ramp tripped (the
     * backstop for degradation the windows straddled — r12's tail
-    * concentrated ~70 % of its inflation in the top-10). */
+    * concentrated ~70 % of its inflation in the top-10). A query that
+    * ERRORED (−1) is never retried by either arm: merging a post-settle
+    * success over a crash would flip `errors` to 0 and push the merged
+    * total ABOVE raw_total — a crash is reported, not corrected. */
   private[graft] def retryPlan(results: Map[String, Double],
       segments: Map[String, Int], degraded: Set[Int],
       rampTripped: Boolean): Seq[String] = {
-    val hot = results.keys.toSeq
+    val hot = results.toSeq.filter(_._2 >= 0).map(_._1)
       .filter(n => degraded.contains(segments.getOrElse(n, -1)))
     val worst =
       if (!rampTripped) Seq.empty

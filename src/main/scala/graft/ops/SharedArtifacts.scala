@@ -106,7 +106,11 @@ private[graft] object SharedArtifacts {
   private def linkTree(s: java.io.File, d: java.io.File): Unit =
     if (s.isDirectory) {
       require(d.mkdirs() || d.isDirectory, s"could not create $d")
-      s.listFiles().foreach(c => linkTree(c, new java.io.File(d, c.getName)))
+      // listFiles() returns NULL (not empty) on an I/O or permission
+      // failure - fail with the path, not a bare NPE
+      val children = s.listFiles()
+      require(children != null, s"could not list $s while cloning")
+      children.foreach(c => linkTree(c, new java.io.File(d, c.getName)))
     } else {
       val n = s.getName
       def copy(): Unit = java.nio.file.Files.copy(s.toPath, d.toPath,

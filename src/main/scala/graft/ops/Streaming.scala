@@ -3095,12 +3095,13 @@ object Streaming {
         s"${liveCommitted.size} consumable live batch dir(s) may hold " +
         "rows whose keys the merge would miss")
     val batchEmpty = batch.isEmpty
-    // a delete set that is absent OR empty leaves mergeLocked exactly
-    // upsertLocked (the pre-r17 body); only a NON-empty one changes
-    // the kept-row anti-join, the manifest, and the op tag
-    val delKeys: Option[DataFrame] = delSet
-      .map(d => d.select(keyCols.map(col): _*).distinct())
-      .filter(!_.isEmpty)
+    // an absent delete set leaves mergeLocked exactly upsertLocked (the
+    // pre-r17 body); a present one — even an empty frame, which the
+    // joins below no-op through without a driver-side emptiness action
+    // (a hot replication loop must not pay an extra job per cycle) —
+    // adds the delete arm to the anti-join, the manifest, and the op tag
+    val delKeys: Option[DataFrame] =
+      delSet.map(d => d.select(keyCols.map(col): _*).distinct())
     if (batchEmpty && delKeys.isEmpty) return before
     def dayDir(v: Any): String =
       Option(v).map(d => s"day=$d").getOrElse(NullDayDir)
@@ -3116,14 +3117,13 @@ object Streaming {
       if (spark.conf.getOption("spark.graft.upsert.broadcastKeys")
         .forall(_.toBoolean)) broadcast(df)
       else df
-    val upsDistinct = batch.select(keyCols.map(col): _*).distinct()
     // the match scan and the kept-row anti-join see the UNION of both
     // key sets (a deleted row and a replaced row leave the epoch the
     // same way); the manifest classification below keeps the two sets
-    // apart
-    val keys = maybeBroadcast(
-      delKeys.fold(upsDistinct)(dk => upsDistinct.unionByName(dk).distinct()))
-    val upsKeysB = maybeBroadcast(upsDistinct)
+    // apart. The no-delete path reuses ONE broadcast for both roles.
+    val upsKeysB = maybeBroadcast(batch.select(keyCols.map(col): _*).distinct())
+    val keys = delKeys.fold(upsKeysB)(dk => maybeBroadcast(
+      batch.select(keyCols.map(col): _*).unionByName(dk).distinct()))
     // previous-epoch days by RESOLVED physical location (snapshot mode
     // may hold days by reference; classic mode this is the listing)
     val prevDays: Seq[(String, org.apache.hadoop.fs.Path)] =

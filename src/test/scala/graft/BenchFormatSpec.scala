@@ -278,6 +278,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // windowed trip only: exactly the degraded segment's queries
     assert(Bench.retryPlan(results, segs, Set(1), rampTripped = false)
       .toSet == Set("q3", "q4"))
+    // a query that ERRORED is retried by NEITHER arm: merging a
+    // post-settle success over a crash would flip errors to 0 and push
+    // the merged total above raw_total
+    assert(Bench.retryPlan(results + ("q3" -> -1.0), segs, Set(1),
+      rampTripped = true).toSet == Set("q1", "q2", "q4"))
     // bracket trip only: the worst-N (all 4 here, N = 10)
     assert(Bench.retryPlan(results, segs, Set.empty, rampTripped = true)
       .toSet == Set("q1", "q2", "q3", "q4"))
