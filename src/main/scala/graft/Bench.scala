@@ -89,6 +89,12 @@ object Bench {
     * degraded. */
   private[graft] val RetryWorstN = 10
 
+  /** How many settle → re-probe rounds the retry pass may take before
+    * giving up on a clean host, and the rep-vs-previous-run ratio that
+    * flags a reading as suspect (see [[suspects]]). */
+  private[graft] val SettleAttempts = 3
+  private[graft] val SuspectRatio = 2.5
+
   /** Stdout short id: the query's registry number ("q143_…" → "143",
     * "q11b_…" → "11b") — unique by construction (BenchFormatSpec), and
     * the "q" prefix carried zero information at one char × the whole
@@ -188,13 +194,22 @@ object Bench {
       if (plan.isEmpty) None
       else {
         val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "60000").toLong
-        Thread.sleep(settleMs)
+        // the retry is only worth its cost on a host that actually
+        // recovered: settle, RE-PROBE, and settle again (bounded)
+        // while the reading still sits in the trip band — see
+        // [[settleForRetry]]
+        val (settleProbes, retryHot) = settleForRetry(runMedian(windows),
+          () => Thread.sleep(settleMs), () => windowProbe())
         val calibRetry = calibrate()
         val calibMtRetry = calibrateParallel()
         val calibIoRetry = calibrateIo()
         Some(Retry(plan.map(n => n -> rep(n)).toMap,
-          calibRetry, calibMtRetry, calibIoRetry))
+          calibRetry, calibMtRetry, calibIoRetry, settleProbes, retryHot))
       }
+    // dev-optional prior-run cross-check: flagged names ride the
+    // on-disk line as `suspect` — additive evidence for the reader,
+    // never a correction (see [[suspects]])
+    val suspect = suspects(reps, prevDurations())
     // stdout rides the driver's ~2,000-char capture tail: numeric
     // short ids (the registry's unambiguous "q"-less numbers) and the
     // sf basename keep the line inside it at the current registry size
@@ -211,7 +226,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       mkLine(results, sfDir, identity, Some(probes), retry,
         Some(reps.map { case (n, (a, b)) => n -> Seq(a, b) }),
-        Some(windows), Some(degraded.toSeq.sorted)) + "\n")
+        Some(windows), Some(degraded.toSeq.sorted),
+        Some(suspect)) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
@@ -267,12 +283,89 @@ object Bench {
   private[graft] def degradedSegments(windows: Seq[Double]): Set[Int] =
     if (windows.size < 2) Set.empty
     else {
-      val sorted = windows.sorted
-      val med =
-        (sorted(sorted.size / 2) + sorted((sorted.size - 1) / 2)) / 2
+      val med = runMedian(windows)
       val hot = windows.map(_ / med >= WindowRatio)
       (0 until windows.size - 1).filter(i => hot(i) || hot(i + 1)).toSet
     }
+
+  /** The run's windowed-probe median — the baseline both the segment
+    * trip and the retry's settle gate compare against. 0 on an empty
+    * sequence (spec fixtures; the callers treat a non-positive median
+    * as "no usable baseline"). */
+  private[graft] def runMedian(windows: Seq[Double]): Double =
+    if (windows.isEmpty) 0.0
+    else {
+      val sorted = windows.sorted
+      (sorted(sorted.size / 2) + sorted((sorted.size - 1) / 2)) / 2
+    }
+
+  /** Gate the retry pass on a SETTLED host. The r17 artifact proved a
+    * fixed settle is not one: its windowed trip fired and 12 queries
+    * were retried, but `calib_mt_retry` read 2.70 (vs ~1.9 clean) —
+    * the 60 s pause ran the retries hot, and q129 shipped at 6.8× its
+    * clean cost THROUGH the correction machinery. So: sleep, take one
+    * windowed-probe reading, compare to the run's window median
+    * (the same [[WindowRatio]] band the trip itself uses); still hot →
+    * sleep again, up to [[SettleAttempts]] total, every reading
+    * recorded (the JSON's `settle_probes`). If the host never clears,
+    * the retry still RUNS — one more rep can only improve a min-merge,
+    * and skipping would ship the original hot readings uncorrected —
+    * but `retry_hot` marks the merged values as a floor, not a clean
+    * measurement. A non-positive median (no windowed readings: spec
+    * fixtures only — main always has ≥ 2) settles once and reports
+    * cold, since there is no baseline to hold the pass against. */
+  private[graft] def settleForRetry(median: Double, sleep: () => Unit,
+      probe: () => Double,
+      maxAttempts: Int = SettleAttempts): (Seq[Double], Boolean) = {
+    val readings = Vector.newBuilder[Double]
+    var attempt = 0
+    var hot = true
+    while (hot && attempt < maxAttempts) {
+      sleep()
+      val p = probe()
+      readings += p
+      hot = median > 0 && p / median >= WindowRatio
+      attempt += 1
+    }
+    (readings.result(), hot)
+  }
+
+  /** Prior-run cross-check (dev-optional; the r17 judge's run took
+    * four readings 2–3× hot inside windows reading max/median 1.27× —
+    * under the trip): a query BOTH of whose reps ran ≥
+    * [[SuspectRatio]]× its previous recorded duration is flagged by
+    * name in the on-disk JSON. Purely additive evidence — a flag never
+    * corrects a number (plans legitimately change across rounds; the
+    * reader decides). Errored reps (−1) never flag, and a previous
+    * duration ≤ 0 (errored last round) can be no baseline. */
+  private[graft] def suspects(reps: Map[String, (Double, Double)],
+      prev: Map[String, Double]): Seq[String] =
+    if (prev.isEmpty) Seq.empty
+    else reps.toSeq.collect { case (n, (a, b))
+      if a >= 0 && b >= 0 && prev.get(n).exists(p =>
+        p > 0 && a / p >= SuspectRatio && b / p >= SuspectRatio) => n
+    }.sorted
+
+  /** The previous run's recorded durations, from the on-disk bench
+    * JSON named by SPARK_GRAFT_PREV (never set by the driver). Any
+    * read/parse failure yields the empty map — the cross-check is
+    * optional evidence and must never fail a bench. */
+  private def prevDurations(): Map[String, Double] =
+    sys.env.get("SPARK_GRAFT_PREV").map { p =>
+      try parseQueriesMap(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p)))
+      catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+
+  /** Extract the `"queries":{...}` duration map from a bench line —
+    * our own on-disk format, whose query names never contain quotes
+    * or braces, so a regex pull is exact (and keeps the bench free of
+    * a JSON-parser dependency). */
+  private[graft] def parseQueriesMap(text: String): Map[String, Double] =
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text)
+      .map(m => """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+        .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+      .getOrElse(Map.empty)
 
   /** The retry set under a tripped verdict: every query measured inside
     * a degraded window (the localized evidence), plus the worst-N by
@@ -297,9 +390,13 @@ object Bench {
   /** One post-settle retry pass over the worst-N queries, with the
     * probe readings timed right before it so a reader can see whether
     * the host actually recovered during the pause. calibIo < 0 = not
-    * measured (spec fixtures). */
+    * measured (spec fixtures). `settleProbes` are the
+    * [[settleForRetry]] gate's readings (one per settle round);
+    * `retryHot` = the gate never cleared, so the retried durations are
+    * a floor, not a clean measurement. */
   private[graft] final case class Retry(durations: Map[String, Double],
-      calib: Double, calibMt: Double, calibIo: Double = -1.0)
+      calib: Double, calibMt: Double, calibIo: Double = -1.0,
+      settleProbes: Seq[Double] = Nil, retryHot: Boolean = false)
 
   private def pass(n: Int, seed: Long): Unit = {
     val a = new Array[Long](n)
@@ -458,14 +555,24 @@ object Bench {
     * the same min-of-reps methodology, taken on a (hopefully) settled
     * host — and `value` is the total over those merged durations, with
     * the uncorrected sum preserved as `raw_total` so the correction is
-    * auditable, never silent. */
+    * auditable, never silent.
+    *
+    * FIELD ORDER is load-bearing: the driver's stdout capture keeps
+    * only a ~2,000-char TAIL of the line, and the r17 artifact lost
+    * `"value"` off the FRONT (the adjudication had to recompute the
+    * headline from the queries map). JSON is order-free, so the five
+    * verdict-critical fields — raw_total, retried, contended, errors,
+    * value — ride the END of the line, after the width-dominant
+    * queries map: ANY tail capture that carries the line's close
+    * carries the verdict (BenchFormatSpec pins the last 200 chars). */
   private[graft] def mkLine(results: Map[String, Double], sfDir: String,
       key: String => String,
       calib: Option[Probes] = None,
       retry: Option[Retry] = None,
       reps: Option[Map[String, Seq[Double]]] = None,
       windows: Option[Seq[Double]] = None,
-      hotSegments: Option[Seq[Int]] = None): String = {
+      hotSegments: Option[Seq[Int]] = None,
+      suspect: Option[Seq[String]] = None): String = {
     val merged = retry match {
       case None => results
       case Some(r) => results.map { case (n, d) =>
@@ -486,14 +593,19 @@ object Bench {
         s""","calib_mt_before":${fmt(p.mtBefore)},"calib_mt_after":${fmt(p.mtAfter)}""" +
         (if (p.ioBefore >= 0 || p.ioAfter >= 0)
           s""","calib_io_before":${fmt(p.ioBefore)},"calib_io_after":${fmt(p.ioAfter)}"""
-         else "") +
-        s""","contended":${p.contended}"""
+         else "")
     }.getOrElse("")
     val ret = retry.map { r =>
-      val raw = results.values.filter(_ >= 0).sum
-      s""","raw_total":${fmt(raw)},"retried":${r.durations.size}""" +
-        s""","calib_retry":${fmt(r.calib)},"calib_mt_retry":${fmt(r.calibMt)}""" +
+      s""","calib_retry":${fmt(r.calib)},"calib_mt_retry":${fmt(r.calibMt)}""" +
         (if (r.calibIo >= 0) s""","calib_io_retry":${fmt(r.calibIo)}"""
+         else "") +
+        // the settle gate's raw readings are evidence, not verdict:
+        // on-disk copy only (keyed like reps/windows), keeping the
+        // width-budgeted stdout line under the capture tail — the
+        // verdict-critical retry_hot DISTILLATION of them rides the
+        // stdout tail block
+        (if (r.settleProbes.nonEmpty && reps.isDefined)
+          s""","settle_probes":[${r.settleProbes.map(fmt).mkString(",")}]"""
          else "")
     }.getOrElse("")
     // per-rep durations, windowed probe readings, hot segments, and the
@@ -516,6 +628,18 @@ object Bench {
         hotSegments.map(hs =>
           s""","hot_segments":[${hs.mkString(",")}]""").getOrElse("")
     }.getOrElse("")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors$cal$ret$win,"queries":$qs$rp,"sf":"$sfDir"}"""
+    // flagged-by-prior-run names (on-disk copy only; see [[suspects]])
+    val sus = suspect.filter(_.nonEmpty).map(s =>
+      s""","suspect":[${s.map("\"" + key(_) + "\"").mkString(",")}]""")
+      .getOrElse("")
+    // the verdict tail: raw_total/retried always render (0-retry runs
+    // included) so a tail capture never has to infer their absence
+    val raw = results.values.filter(_ >= 0).sum
+    val tail =
+      s""","raw_total":${fmt(raw)},"retried":${retry.map(_.durations.size).getOrElse(0)}""" +
+        retry.map(r => s""","retry_hot":${r.retryHot}""").getOrElse("") +
+        calib.map(p => s""","contended":${p.contended}""").getOrElse("") +
+        s""","errors":$errors,"value":${fmt(total)}"""
+    s"""{"metric":"total","unit":"sec"$cal$ret$win,"queries":$qs$rp$sus,"sf":"$sfDir"$tail}"""
   }
 }

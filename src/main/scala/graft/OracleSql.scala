@@ -2301,4 +2301,49 @@ object OracleSql {
       |  FROM scored) t
       |WHERE rank <= 10
       |ORDER BY probe_id, rank""".stripMargin
+
+  /** q160 — the predicate-UPDATE audit: the engine compacts events
+    * into the sink and runs ONE `updateWhere` rectifying the
+    * `user_id % 7 = 3` cohort (`event_type` ← 'rectified', `value` ←
+    * value·2 — both reading the rows' PRE-images), then reads back
+    * per-(day, type) counts, distinct users, and the exact cents sum.
+    * The oracle re-states the update as CASE projections over
+    * `events` with the null-safe hit test (`COALESCE(p, FALSE)` —
+    * UPDATE touches only rows where the predicate is TRUE, so a NULL
+    * `user_id` row passes through unchanged on both sides). The
+    * doubling runs BEFORE the fixed-point floor on both engines
+    * (`FLOOR(value·2·100)`) — one identical IEEE multiply, q144's
+    * discipline. Hash equality proves the update transformed exactly
+    * the cohort in place: the n_users split between 'rectified' and
+    * the original types pins WHICH rows moved, the per-day layout
+    * pins that nothing crossed a partition, the cents sum pins the
+    * values; nothing duplicated, nothing dropped. NULLS FIRST pins
+    * the engines' differing null-sort defaults (null-ts rows live in
+    * the null day and update like any other row). */
+  val q160: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CASE WHEN COALESCE(user_id % 7 = 3, FALSE)
+      |       THEN 'rectified' ELSE event_type END AS event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(FLOOR(
+      |    (CASE WHEN COALESCE(user_id % 7 = 3, FALSE)
+      |          THEN value * 2.0 ELSE value END) * 100) AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day NULLS FIRST, event_type""".stripMargin
+
+  /** q161 — the TIMESTAMP-AS-OF audit: q134's delete lifecycle probed
+    * by WALL TIME instead of epoch id — `readSinkAsOf(mint(E+1) − 1)`
+    * must serve the pre-delete snapshot (the half-open window where E
+    * is current) and `readSinkAsOf(mint(E+1))` the post-delete one
+    * (a snapshot is current from its own mint instant). The oracle is
+    * exactly q134's tagged union (before = every row, after = the
+    * delete's null-safe complement): hash equality proves the
+    * wall-time resolution lands on precisely the recorded epoch
+    * boundaries, both sides — off-by-one in the resolver (>=
+    * mistyped as >, a boundary read resolving to the neighbor epoch)
+    * breaks the hash. */
+  val q161: String = q134
 }

@@ -172,7 +172,9 @@ object SparkEntry {
     "q156_string_band" -> (SinkStats.q156StringBand _),
     "q157_ts_band" -> (SinkStats.q157TsBand _),
     "q158_auto_index" -> (SinkStats.q158AutoIndex _),
-    "q159_cdc_ingest" -> (SnapshotDiff.q159CdcIngest _)
+    "q159_cdc_ingest" -> (SnapshotDiff.q159CdcIngest _),
+    "q160_update_where" -> (Streaming.q160UpdateWhere _),
+    "q161_timestamp_as_of" -> (Streaming.q161TimestampAsOf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,7 +485,15 @@ object SparkEntry {
     // is held BY REFERENCE (consumed-batch names, resolved through
     // their O(1) renames); the oracle re-derives the net insert/delete
     // sets - insert-then-delete keys fold to silence
-    "q159_cdc_ingest" -> OracleSql.q159
+    "q159_cdc_ingest" -> OracleSql.q159,
+    // q160 predicate UPDATE: the DML triad's third op — the cohort's
+    // event_type and value rewritten in place from pre-images, only
+    // affected days rewritten; the oracle is the CASE restatement
+    "q160_update_where" -> OracleSql.q160,
+    // q161 TIMESTAMP AS OF: wall-time probes either side of the delete
+    // epoch's recorded mint boundary must serve exactly the two
+    // version snapshots — the oracle is q134's tagged union
+    "q161_timestamp_as_of" -> OracleSql.q161
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

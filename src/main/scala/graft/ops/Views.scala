@@ -379,23 +379,6 @@ object Views {
         "gens_kept")
   }
 
-  /** q143 — incremental materialized-view maintenance END TO END under
-    * the oracle hash (the downstream completion of the q115–q119
-    * lifecycle): two event slices land as micro-batch dirs and a
-    * QUIESCED [[Streaming.compactSink]] folds them into the epoch
-    * zone, [[createView]] materializes a per-(day, event_type) rollup
-    * — row count, exact fixed-point value sum (`floor(value·100)`
-    * BIGINT per row BEFORE any aggregate, q124's discipline), max —
-    * recording the sink cursor; the THIRD slice arrives as a live
-    * batch; [[refreshView]] merges ONLY that delta (the query asserts
-    * the incremental path ran — a silent full recompute would be a
-    * correct answer that proves nothing); and [[readView]] serves the
-    * result. The oracle is the same rollup stated as ONE aggregate
-    * over all of `events`: hash equality proves the partial-merge
-    * algebra (count/sum by sum, max by max) recombines the delta with
-    * the stored partials into exactly the one-shot aggregate — nothing
-    * lost, nothing double-counted, merge ≡ recompute. Scratch-path
-    * convention and determinism story are q115's. */
   /** The shared DETERMINISTIC preamble both view provers start from
     * (the r15 clone-on-mutate discipline, extended to q143/q146 in
     * r17 — each rep previously re-ingested and re-compacted two event
@@ -428,6 +411,23 @@ object Views {
         max(floor(col("value") * 100).cast("long")).as("max_cents")),
     Seq("n_events" -> "sum", "sum_cents" -> "sum", "max_cents" -> "max"))
 
+  /** q143 — incremental materialized-view maintenance END TO END under
+    * the oracle hash (the downstream completion of the q115–q119
+    * lifecycle): two event slices land as micro-batch dirs and a
+    * QUIESCED [[Streaming.compactSink]] folds them into the epoch
+    * zone, [[createView]] materializes a per-(day, event_type) rollup
+    * — row count, exact fixed-point value sum (`floor(value·100)`
+    * BIGINT per row BEFORE any aggregate, q124's discipline), max —
+    * recording the sink cursor; the THIRD slice arrives as a live
+    * batch; [[refreshView]] merges ONLY that delta (the query asserts
+    * the incremental path ran — a silent full recompute would be a
+    * correct answer that proves nothing); and [[readView]] serves the
+    * result. The oracle is the same rollup stated as ONE aggregate
+    * over all of `events`: hash equality proves the partial-merge
+    * algebra (count/sum by sum, max by max) recombines the delta with
+    * the stored partials into exactly the one-shot aggregate — nothing
+    * lost, nothing double-counted, merge ≡ recompute. Scratch-path
+    * convention and determinism story are q115's. */
   def q143IncrementalView(spark: SparkSession, dir: String): DataFrame = {
     val vd = q143Def
     // MUTATING consumer: clone the shared (sink, view) pair, land the

@@ -68,7 +68,11 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q158_auto_index",
       // q159 diffs across an insert epoch from by-reference change
       // manifests - the fold must stay O(churn) as the table grows
-      "q159_cdc_ingest")
+      "q159_cdc_ingest",
+      // round-18 DML/time-travel completions: q160 rewrites every
+      // affected day (the O(affected days) claim IS a scale claim),
+      // q161 runs the delete lifecycle plus two epoch-snapshot reads
+      "q160_update_where", "q161_timestamp_as_of")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

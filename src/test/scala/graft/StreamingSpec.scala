@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.ops.{Replay, Streaming}
+import graft.ops.{Replay, SnapshotDiff, Streaming}
 
 /** Structured Streaming specs via MemoryStream: windowed counts with
   * watermarks and the keyed-state replay machine (V11/V16).
@@ -1932,6 +1932,11 @@ class StreamingSpec extends SparkSpecBase
     assert(d.getAs[Long]("live_bytes") > 0L)
     assert(!d.getAs[Boolean]("compactor_locked"))
     assert(d.getAs[String]("writer_id") == null)
+    // the current epoch's mint instant rides the row (the
+    // TIMESTAMP-AS-OF anchor); an empty sink reports null
+    assert(d.getAs[java.lang.Long]("last_mint_ms") != null &&
+      d.getAs[Long]("last_mint_ms") > 0L)
+    assert(empty.getAs[java.lang.Long]("last_mint_ms") == null)
     // the snapshot itself must not have taken or leaked any lock
     assert(!new java.io.File(out, "_COMPACT_LOCK").exists())
   }
@@ -2617,6 +2622,169 @@ class StreamingSpec extends SparkSpecBase
         "a no-match pure-delete apply minted an epoch")
     } finally prev.fold(spark.conf.unset("spark.graft.sink.changeFiles"))(
       v => spark.conf.set("spark.graft.sink.changeFiles", v))
+  }
+
+  test("updateWhere transforms exactly the matching rows in place, SETs read pre-images, and untouched days MOVE") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_update").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L, 10L, 100L),
+        (tsv("2024-01-01 11:00:00"), 2L, 8L, 20L, 200L),
+        (tsv("2024-01-02 10:00:00"), 3L, 9L, 30L, 300L),
+        (tsv("2024-01-03 09:00:00"), 4L, 7L, 40L, 400L))
+        .toDF("ts", "event_id", "user_id", "a", "b"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    val day2Files = listNames(s"$out/epoch=0/day=2024-01-02", "part-")
+    // SET a = b, b = a must SWAP (simultaneous assignment, every SET
+    // reading the pre-image) — sequential assignment would collapse
+    // both columns to the original b
+    assert(Streaming.updateWhere(spark, out, col("user_id") === 7L,
+      Seq("a" -> col("b"), "b" -> col("a"))) == 1L)
+    assert(listNames(out, "epoch=") == Seq("epoch=1"),
+      "update did not retire the source epoch")
+    val got = Streaming.readSink(spark, out)
+      .select("event_id", "a", "b").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, 100L, 10L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (4L, 400L, 40L)), s"wrong post-update rows: $got")
+    // the unaffected day MOVED (same part-file names — a rewrite would
+    // mint fresh UUIDs): update cost is O(affected days), not O(table)
+    assert(listNames(s"$out/epoch=1/day=2024-01-02", "part-") == day2Files,
+      "day without matching rows was rewritten, not moved")
+  }
+
+  test("updateWhere is null-safe, a no-match update mints no epoch, and every SET rail refuses loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_updrails").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, java.lang.Long.valueOf(7L), 10L),
+        (tsv("2024-01-01 11:00:00"), 2L,
+          null.asInstanceOf[java.lang.Long], 20L))
+        .toDF("ts", "event_id", "user_id", "v"), out, 0L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    // user_id IS NULL → predicate NULL → row untouched (SQL UPDATE
+    // touches only rows where the predicate is TRUE)
+    assert(Streaming.updateWhere(spark, out, col("user_id") === 7L,
+      Seq("v" -> (col("v") + 1L))) == 1L)
+    val got = Streaming.readSink(spark, out).select("event_id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L)),
+      s"null-predicate row was touched: $got")
+    // nothing matches: no epoch may be minted
+    assert(Streaming.updateWhere(spark, out, col("user_id") === 99L,
+      Seq("v" -> (col("v") + 1L))) == 1L)
+    assert(listNames(out, "epoch=") == Seq("epoch=1"),
+      "a no-match update minted an epoch")
+    def refuse(sets: Seq[(String, org.apache.spark.sql.Column)],
+        frag: String,
+        pred: org.apache.spark.sql.Column = col("user_id") === 99L): Unit =
+      withClue(s"rail '$frag':") {
+        val e = intercept[IllegalArgumentException](
+          Streaming.updateWhere(spark, out, pred, sets))
+        assert(e.getMessage.contains(frag), e.getMessage)
+      }
+    refuse(Nil, "at least one SET")
+    refuse(Seq("v" -> col("v"), "v" -> (col("v") + 1L)), "more than once")
+    refuse(Seq("ts" -> col("ts")), "re-dating")
+    refuse(Seq("day" -> lit("2024-01-05")), "re-dating")
+    // a misspelled or type-changing SET must refuse even when NOTHING
+    // matches the predicate — silently no-opping would be worse. The
+    // type rail keys on the RESOLVED type of the guarded projection
+    // (a double on a bigint column widens the CASE's common type and
+    // refuses; a castable string literal coerces under ANSI and is
+    // legitimately fine)
+    refuse(Seq("nope" -> lit(1L)), "absent from the sink")
+    refuse(Seq("v" -> lit(1.5d)), "change the column type")
+    // a consumable live batch is refused like the other row-level ops
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-04 10:00:00"), 9L, java.lang.Long.valueOf(7L), 90L))
+        .toDF("ts", "event_id", "user_id", "v"), out, 2L)
+    refuse(Seq("v" -> (col("v") + 1L)), "quiesced compaction",
+      col("user_id") === 7L)
+  }
+
+  test("updateWhere CDC manifest records update_pre/update_post image pairs and feeds the classified diff") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_updcdc").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L, 10L),
+        (tsv("2024-01-01 11:00:00"), 2L, 8L, 20L))
+        .toDF("ts", "event_id", "user_id", "v"), out, 0L)
+    val prev = spark.conf.getOption("spark.graft.sink.changeFiles")
+    spark.conf.set("spark.graft.sink.changeFiles", "true")
+    try withKeepEpochs(3) {
+      Streaming.compactSink(spark, out, quiesced = true)
+      Streaming.updateWhere(spark, out, col("user_id") === 7L,
+        Seq("v" -> (col("v") * 5L)))
+      val man = spark.read.parquet(s"$out/epoch=1/_changes")
+        .select(col("event_id").as[Long], col("__cdc_kind").as[String],
+          col("v").as[Long]).collect().sorted.toSeq
+      assert(man == Seq((1L, "update_post", 50L), (1L, "update_pre", 10L)),
+        s"manifest image pair wrong: $man")
+      // the classified diff consumes the manifest: kind update, with
+      // the post-image — an update is one change, not delete+insert
+      val got = SnapshotDiff.readSinkChanges(spark, out, 0L, 1L,
+        Seq("event_id"), Seq("v")).collect()
+        .map(r => r.getLong(1) -> (r.getString(0), r.getLong(2))).toMap
+      assert(got == Map(1L -> (("update", 50L))), s"diff wrong: $got")
+    } finally prev.fold(spark.conf.unset("spark.graft.sink.changeFiles"))(
+      v => spark.conf.set("spark.graft.sink.changeFiles", v))
+  }
+
+  test("readSinkAsOf resolves mint boundaries exactly and refuses pre-horizon and pre-record times") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_asof").toString
+    val out = s"$root/events"
+    val f = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, 7L),
+        (tsv("2024-01-02 10:00:00"), 2L, 8L))
+        .toDF("ts", "event_id", "user_id"), out, 0L)
+    withKeepEpochs(3) {
+      Streaming.compactSink(spark, out, quiesced = true)
+      Streaming.deleteWhere(spark, out, col("user_id") === 7L)
+      Streaming.updateWhere(spark, out, col("user_id") === 8L,
+        Seq("event_id" -> (col("event_id") + 100L)))
+      // mint records are STRICTLY increasing even when ops land within
+      // one clock millisecond (the commit clamps to prev + 1)
+      val Seq(t0, t1, t2) = (0L to 2L).map(e =>
+        Streaming.epochMintMsOf(f, out, e).getOrElse(
+          fail(s"epoch $e lacks a mint record")))
+      assert(t0 < t1 && t1 < t2, s"mint not strictly increasing: $t0 $t1 $t2")
+      def ids(ts: Long): Seq[Long] =
+        Streaming.readSinkAsOf(spark, out, ts)
+          .select("event_id").as[Long].collect().toSeq.sorted
+      // boundary-INCLUSIVE at a snapshot's own mint instant...
+      assert(ids(t0) == Seq(1L, 2L), "epoch 0 current at its own mint")
+      assert(ids(t1) == Seq(2L), "epoch 1 current at its own mint")
+      // ...boundary-EXCLUSIVE just before the next one's
+      assert(ids(t1 - 1) == Seq(1L, 2L), "epoch 0 serves inside [t0, t1)")
+      assert(ids(t2 - 1) == Seq(2L), "epoch 1 serves inside [t1, t2)")
+      // a future time resolves to the newest snapshot
+      assert(ids(t2 + 3600000L) == Seq(102L))
+      // pre-horizon: history before the oldest retained mint is gone
+      val e1 = intercept[IllegalArgumentException](
+        Streaming.readSinkAsOf(spark, out, t0 - 1))
+      assert(e1.getMessage.contains("retention horizon"), e1.getMessage)
+      // pre-record: a legacy marker (no mint line) makes resolution
+      // ambiguous — refuse, pointing at atEpoch
+      val mpath = java.nio.file.Path.of(s"$out/epoch=0/_EPOCH_COMMIT")
+      val legacy = java.nio.file.Files.readString(mpath).linesIterator
+        .filterNot(_.startsWith("mint_ms=")).mkString("\n")
+      java.nio.file.Files.writeString(mpath, legacy)
+      val e2 = intercept[IllegalArgumentException](
+        Streaming.readSinkAsOf(spark, out, t2))
+      assert(e2.getMessage.contains("pre-record"), e2.getMessage)
+      // the epoch-id path still serves the same snapshot (the refusal
+      // message's escape hatch actually works)
+      assert(Streaming.readSink(spark, out, atEpoch = Some(0L))
+        .select("event_id").as[Long].collect().toSeq.sorted ==
+        Seq(1L, 2L))
+    }
   }
 }
 
