@@ -206,10 +206,12 @@ object Bench {
         Some(Retry(plan.map(n => n -> rep(n)).toMap,
           calibRetry, calibMtRetry, calibIoRetry, settleProbes, retryHot))
       }
-    // dev-optional prior-run cross-check: flagged names ride the
-    // on-disk line as `suspect` — additive evidence for the reader,
-    // never a correction (see [[suspects]])
-    val suspect = suspects(reps, prevDurations())
+    // prior-run cross-check (SPARK_GRAFT_PREV, else the newest
+    // committed BENCH_r*.json): flagged names ride the on-disk line
+    // as `suspect` — additive evidence for the reader, never a
+    // correction (see [[suspects]])
+    val suspect = suspects(reps,
+      normalizePrevKeys(prevDurations(), SparkEntry.queries.keys))
     // stdout rides the driver's ~2,000-char capture tail: numeric
     // short ids (the registry's unambiguous "q"-less numbers) and the
     // sf basename keep the line inside it at the current registry size
@@ -346,26 +348,70 @@ object Bench {
         p > 0 && a / p >= SuspectRatio && b / p >= SuspectRatio) => n
     }.sorted
 
-  /** The previous run's recorded durations, from the on-disk bench
-    * JSON named by SPARK_GRAFT_PREV (never set by the driver). Any
-    * read/parse failure yields the empty map — the cross-check is
-    * optional evidence and must never fail a bench. */
-  private def prevDurations(): Map[String, Double] =
-    sys.env.get("SPARK_GRAFT_PREV").map { p =>
-      try parseQueriesMap(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(p)))
+  /** The previous run's recorded durations: the file named by
+    * SPARK_GRAFT_PREV when set (dev override), else the NEWEST
+    * committed driver artifact (`BENCH_r<N>.json` in the working
+    * directory — the repo carries every round's capture, so the
+    * cross-check fires in the driver's own run, not just dev runs).
+    * A driver artifact wraps a FRONT-truncated stdout tail with
+    * JSON-escaped quotes and short-id keys; [[parseQueriesMap]]
+    * handles the escaping, truncation only costs leading entries
+    * (fewer baselines, never wrong ones), and the caller normalizes
+    * short ids to registry names. Any failure yields the empty map —
+    * the cross-check is optional evidence and must never fail a
+    * bench. */
+  private def prevDurations(): Map[String, Double] = {
+    def read(p: java.nio.file.Path) =
+      try parseQueriesMap(java.nio.file.Files.readString(p))
       catch { case _: Throwable => Map.empty[String, Double] }
-    }.getOrElse(Map.empty)
+    sys.env.get("SPARK_GRAFT_PREV") match {
+      case Some(p) => read(java.nio.file.Paths.get(p))
+      case None =>
+        val art = """BENCH_r(\d+)\.json""".r
+        try Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case art(n) => Some(n.toInt -> f)
+            case _ => None
+          })
+          .sortBy(-_._1).headOption
+          .map(f => read(f._2.toPath)).getOrElse(Map.empty)
+        catch { case _: Throwable => Map.empty }
+    }
+  }
+
+  /** Normalize a previous-run duration map's keys to full registry
+    * names: our on-disk line already carries them; a driver artifact
+    * carries stdout SHORT ids ("129"), resolved through [[shortId]].
+    * Unresolvable keys (retired queries) drop. */
+  private[graft] def normalizePrevKeys(prev: Map[String, Double],
+      registry: Iterable[String]): Map[String, Double] = {
+    val full = registry.toSet
+    val byShort = registry.map(n => shortId(n) -> n).toMap
+    prev.flatMap { case (k, v) =>
+      if (full.contains(k)) Some(k -> v) else byShort.get(k).map(_ -> v)
+    }
+  }
 
   /** Extract the `"queries":{...}` duration map from a bench line —
     * our own on-disk format, whose query names never contain quotes
     * or braces, so a regex pull is exact (and keeps the bench free of
-    * a JSON-parser dependency). */
-  private[graft] def parseQueriesMap(text: String): Map[String, Double] =
-    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text)
-      .map(m => """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
-        .map(g => g.group(1) -> g.group(2).toDouble).toMap)
-      .getOrElse(Map.empty)
+    * a JSON-parser dependency). A driver artifact embeds the line as
+    * a JSON STRING field (quotes escaped to `\"`) — unescape first so
+    * the same regex serves both shapes. When the front truncation ate
+    * the `"queries":{` marker itself, fall back to every bare
+    * `"key":number` pair in the text: a truncated STDOUT tail carries
+    * no other name→number maps, and [[normalizePrevKeys]] drops the
+    * non-registry keys (calib fields, the verdict block) the fallback
+    * sweeps up — callers must normalize, which [[main]] does. */
+  private[graft] def parseQueriesMap(text: String): Map[String, Double] = {
+    val t = if (text.contains("\\\"")) text.replace("\\\"", "\"") else text
+    val pair = """"([^"]+)":(-?[0-9.]+)""".r
+    def pairsIn(s: String) = pair.findAllMatchIn(s)
+      .map(g => g.group(1) -> g.group(2).toDouble).toMap
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(t)
+      .map(m => pairsIn(m.group(1)))
+      .getOrElse(pairsIn(t))
+  }
 
   /** The retry set under a tripped verdict: every query measured inside
     * a degraded window (the localized evidence), plus the worst-N by

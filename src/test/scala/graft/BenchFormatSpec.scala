@@ -207,6 +207,48 @@ class BenchFormatSpec extends AnyFunSuite {
       suspect = Some(Nil)).contains("suspect"))
   }
 
+  test("a driver artifact's escaped, front-truncated tail yields short-id baselines that normalize to registry names") {
+    // the committed BENCH_r<N>.json wraps the stdout line as a JSON
+    // string field: quotes escaped, FRONT truncated mid-entry, keys in
+    // short-id form — the parse must survive all three and the
+    // normalizer must resolve ids against the live registry
+    val wrapper =
+      """{"n": 17, "tail": "4\",\"queries\":{\"129\":8.68,\"01\":0.25,\"11b\":0.13},\"sf\":\"sf0.1\"}\n"}"""
+    val parsed = Bench.parseQueriesMap(wrapper)
+    assert(parsed == Map("129" -> 8.68, "01" -> 0.25, "11b" -> 0.13), parsed)
+    val registry = Seq("q129_minhash_probe", "q01_pricing_summary",
+      "q11b_approx_distinct")
+    assert(Bench.normalizePrevKeys(parsed, registry) == Map(
+      "q129_minhash_probe" -> 8.68, "q01_pricing_summary" -> 0.25,
+      "q11b_approx_distinct" -> 0.13))
+    // full names pass through; keys of retired queries drop
+    assert(Bench.normalizePrevKeys(
+      Map("q01_pricing_summary" -> 1.0, "999" -> 2.0), registry) ==
+      Map("q01_pricing_summary" -> 1.0))
+    // truncation that ate the "queries":{ marker itself: the bare-pair
+    // fallback recovers the surviving entries, and normalization drops
+    // the non-registry fields it sweeps up
+    val headless =
+      """68,"01":0.25,"11b":0.13},"sf":"sf0.1","errors":0,"value":103}"""
+    assert(Bench.normalizePrevKeys(Bench.parseQueriesMap(headless),
+      registry) == Map("q01_pricing_summary" -> 0.25,
+      "q11b_approx_distinct" -> 0.13))
+    // and the REAL committed artifact (when present — tests run from
+    // the repo root) yields a usable baseline set for the live
+    // registry, end to end
+    val real = new java.io.File("BENCH_r17.json")
+    if (real.exists()) {
+      val base = Bench.normalizePrevKeys(
+        Bench.parseQueriesMap(
+          new String(java.nio.file.Files.readAllBytes(real.toPath),
+            "UTF-8")),
+        SparkEntry.queries.keys)
+      assert(base.size > 100 &&
+        base.keySet.subsetOf(SparkEntry.queries.keySet),
+        s"committed artifact yielded ${base.size} baselines")
+    }
+  }
+
   test("the prior-run queries map parses back out of our own on-disk line") {
     // round-trip: an on-disk-shaped line (with reps/retry_reps maps
     // that a naive brace match could grab instead) yields exactly the
