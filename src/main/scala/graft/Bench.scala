@@ -204,7 +204,9 @@ object Bench {
         val calibMtRetry = calibrateParallel()
         val calibIoRetry = calibrateIo()
         Some(Retry(plan.map(n => n -> rep(n)).toMap,
-          calibRetry, calibMtRetry, calibIoRetry, settleProbes, retryHot))
+          calibRetry, calibMtRetry, calibIoRetry, settleProbes,
+          retryHotVerdict(retryHot, calibMtRetry,
+            calibMtBefore, calibMtAfter)))
       }
     // prior-run cross-check (SPARK_GRAFT_PREV, else the newest
     // committed BENCH_r*.json): flagged names ride the on-disk line
@@ -331,6 +333,21 @@ object Bench {
     }
     (readings.result(), hot)
   }
+
+  /** The shipped retry_hot flag: the settle gate never cleared, OR the
+    * post-settle 3-rep bracket probe itself reads ≥ [[WindowRatio]] ×
+    * the run's BETTER bracket reading. The second arm is
+    * window-median-INDEPENDENT: the gate's windowProbe baseline is the
+    * run median, and a contamination that elevated the median (the
+    * documented sustained sub-1.5× blind spot) could clear the gate on
+    * a still-hot host — the bracket probes are 3-rep (≈5 % run-to-run
+    * on a steady host where the single-rep windows wobble ~1.35×
+    * max/median), so a retry-time reading 1.5× above the run's better
+    * bracket is heat, not noise. Either arm only ever ADDS the honest
+    * flag; neither corrects a number. */
+  private[graft] def retryHotVerdict(gateHot: Boolean, calibMtRetry: Double,
+      mtBefore: Double, mtAfter: Double): Boolean =
+    gateHot || calibMtRetry / math.min(mtBefore, mtAfter) >= WindowRatio
 
   /** Prior-run cross-check (dev-optional; the r17 judge's run took
     * four readings 2–3× hot inside windows reading max/median 1.27× —

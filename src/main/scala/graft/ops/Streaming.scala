@@ -827,24 +827,35 @@ object Streaming {
     * A `mint_ms=` line records WHEN the epoch committed (epoch
     * millis), the resolution record `TIMESTAMP AS OF` reads
     * ([[readSinkAsOf]]). Mint times are STRICTLY increasing across an
-    * epoch chain — the wall clock clamped to the previous committed
-    * epoch's record + 1 ms — because two epochs stamped the same
-    * millisecond would make timestamp resolution ambiguous (two
-    * lifecycle ops legitimately land inside one ms; a wall-clock step
-    * backwards must never reorder history). The previous epoch's
-    * marker is always still on disk here: retirement runs AFTER
-    * commit, and never removes the newest epoch. */
+    * epoch chain — the wall clock clamped to the SUPERSEDED epoch's
+    * record + 1 ms — because two epochs stamped the same millisecond
+    * would make timestamp resolution ambiguous (two lifecycle ops
+    * legitimately land inside one ms; a wall-clock step backwards must
+    * never reorder history). `prevEpoch` is the max committed epoch
+    * the caller is superseding (−1 = none) — NOT the new id minus one:
+    * an ingest compaction's id jumps to the consumed batch counter, so
+    * id−1 frequently names an epoch that never existed. The superseded
+    * epoch's marker is always still on disk here: every caller holds
+    * the lock, and retirement runs AFTER commit. */
   private def commitEpoch(f: org.apache.hadoop.fs.FileSystem,
       epochDir: org.apache.hadoop.fs.Path, consumed: Long,
-      op: String, bloomCols: Option[Set[String]] = None): Unit = {
+      op: String, bloomCols: Option[Set[String]],
+      prevEpoch: Long): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(epochDir, s".$EpochCommit.tmp")
     val out = f.create(tmp, true)
     val bc = bloomCols.map(cs =>
       s"\nbloom_cols=${cs.toSeq.sorted.mkString(",")}").getOrElse("")
-    val id = epochDir.getName.stripPrefix("epoch=").toLong
+    // the superseded marker's read is STRICT here (consumedThrough's
+    // rule): a transient read failure lenient-swallowed into None
+    // would degrade the clamp to the bare wall clock, and a clock
+    // sitting behind a clamp-advanced previous mint would then record
+    // a non-increasing mint — the exact inversion the strict-increase
+    // invariant exists to prevent. None stays legitimate ONLY for a
+    // readable marker without the record (pre-record history).
     val prevMint =
-      if (id <= 0) None
-      else epochMintMsOf(f, epochDir.getParent.toString, id - 1)
+      if (prevEpoch < 0) None
+      else mintLineOf(f, new org.apache.hadoop.fs.Path(
+        s"${epochDir.getParent}/epoch=$prevEpoch", EpochCommit))
     val mint = math.max(System.currentTimeMillis(),
       prevMint.map(_ + 1).getOrElse(Long.MinValue))
     try out.write(s"batches=$consumed\nop=$op$bc\nmint_ms=$mint"
@@ -854,25 +865,49 @@ object Streaming {
       s"could not install epoch commit marker under $epochDir")
   }
 
+  /** The `mint_ms=` line of the marker at `marker`, read STRICTLY:
+    * None means the marker was READ and carries no record (pre-record
+    * history — the only legitimate absence); a failed read or a
+    * corrupt number propagates loudly, because the caller
+    * ([[commitEpoch]]'s clamp) would otherwise guess a wall-clock
+    * value that can invert the strictly-increasing mint invariant. */
+  private def mintLineOf(f: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[Long] = {
+    val lines =
+      try {
+        val in = f.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"cannot read epoch commit marker $marker - refusing to " +
+            "guess the previous mint time (a wall-clock guess can " +
+            "record a non-increasing mint_ms and corrupt TIMESTAMP " +
+            "AS OF resolution); resolve the read failure and retry", e)
+      }
+    lines.collectFirst { case l if l.startsWith("mint_ms=") =>
+      try l.stripPrefix("mint_ms=").toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"corrupt epoch commit marker $marker: '$l'", e)
+      }
+    }
+  }
+
   /** The `mint_ms=` record of committed epoch `epochId`'s marker —
     * when it committed, for `TIMESTAMP AS OF` resolution
     * ([[readSinkAsOf]]). None for markers minted before the record
     * existed or unreadable mid-race; the resolver refuses rather than
     * guesses there (a guessed time would silently serve the wrong
     * snapshot), while every correctness decision elsewhere keys on
-    * the watermark line, never on this. */
+    * the watermark line, never on this. The COMMIT-side clamp uses
+    * the strict [[mintLineOf]] instead — a lenient None there would
+    * degrade to the bare wall clock. */
   private[graft] def epochMintMsOf(f: org.apache.hadoop.fs.FileSystem,
       path: String, epochId: Long): Option[Long] =
-    try {
-      val in = f.open(new org.apache.hadoop.fs.Path(
-        s"$path/epoch=$epochId", EpochCommit))
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.collectFirst { case l if l.startsWith("mint_ms=") =>
-        l.stripPrefix("mint_ms=").toLong
-      }
-    } catch { case _: Exception => None }
+    try mintLineOf(f, new org.apache.hadoop.fs.Path(
+      s"$path/epoch=$epochId", EpochCommit))
+    catch { case _: Exception => None }
 
   /** The `bloom_cols=` record of committed epoch `epochId`'s marker:
     * Some(columns) = every file visible through this epoch was written
@@ -1958,7 +1993,7 @@ object Streaming {
           src.limit(0).withColumn(CdcKindCol, lit("insert")))
       fence()
       commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact",
-        mintedBloomCols(spark, f, path, before))
+        mintedBloomCols(spark, f, path, before), before)
       f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
       retireEpochsLocked(spark, path, f)
       autoIndexStats(spark, path)
@@ -2098,7 +2133,7 @@ object Streaming {
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the epoch visible: last exit
     commitEpoch(f, epochDir, consumed, "compact",
-      mintedBloomCols(spark, f, path, before))
+      mintedBloomCols(spark, f, path, before), before)
     // the alter is now physical: clear the marker. A crash between the
     // commit and this delete leaves a stale marker whose re-application
     // is a guarded no-op everywhere (applyAlter's idempotence) and
@@ -2793,15 +2828,21 @@ object Streaming {
     * only, like `atEpoch` — batches arriving later belong to later
     * snapshots.
     *
-    * Refusals are LOUD, never approximate: a time BEFORE the oldest
-    * retained epoch's mint asks for vacuumed history (raise
-    * `spark.graft.sink.keepEpochs` to retain more); a retained epoch
-    * WITHOUT the mint record (pre-record history) makes every
-    * resolution against this sink ambiguous — read those epochs with
-    * `atEpoch`, whose ids are exact; an empty sink has no snapshots at
-    * all. Unlocked reader: concurrent maintenance retiring the
-    * resolved epoch mid-call fails the read loudly (the documented
-    * reader-overlap contract), never serves a neighbor snapshot. */
+    * Refusals are LOUD, never approximate — but only where the
+    * resolution is GENUINELY ambiguous: retained epochs WITHOUT the
+    * mint record (pre-record history — necessarily the OLDEST of the
+    * chain, since every epoch minted after the record existed carries
+    * it) only make times BELOW the oldest recorded mint unresolvable;
+    * a time at or past it resolves exactly among the recorded epochs,
+    * so a sink upgraded mid-history serves every post-upgrade instant
+    * immediately instead of waiting for the legacy epochs to age out.
+    * A time before the oldest retained mint asks for vacuumed history
+    * (raise `spark.graft.sink.keepEpochs` to retain more); an empty
+    * sink has no snapshots at all; pre-record times resolve only with
+    * `atEpoch`, whose ids are exact. Unlocked reader: concurrent
+    * maintenance retiring the resolved epoch mid-call fails the read
+    * loudly (the documented reader-overlap contract), never serves a
+    * neighbor snapshot. */
   def readSinkAsOf(spark: SparkSession, path: String, tsMillis: Long,
       tsCol: String = "ts"): DataFrame = {
     val f = fs(spark, path)
@@ -2814,17 +2855,35 @@ object Streaming {
         "travel to")
     val mints = committed.map(e => e -> epochMintMsOf(f, path, e))
     val unrecorded = mints.collect { case (e, None) => e }
-    require(unrecorded.isEmpty,
+    val recorded = mints.collect { case (e, Some(m)) => (e, m) }
+    require(recorded.nonEmpty,
+      s"TIMESTAMP AS OF over $path: every retained epoch predates the " +
+        "mint_ms record - wall-time resolution is impossible; read " +
+        "them with atEpoch instead")
+    // pre-record epochs are a sound refusal basis ONLY for times below
+    // the oldest recorded mint; the guard also refuses the (corrupt)
+    // shape of an unrecorded epoch NEWER than a recorded one, where a
+    // recorded-only resolution could silently skip the true snapshot
+    require(unrecorded.forall(_ < recorded.head._1),
       s"TIMESTAMP AS OF over $path: epoch(s) " +
-        s"${unrecorded.mkString(", ")} predate the mint_ms record - " +
-        "resolution against pre-record history is ambiguous; read them " +
-        "with atEpoch instead")
-    val resolved = mints.collect { case (e, Some(m)) if m <= tsMillis => e }
-    require(resolved.nonEmpty,
-      s"TIMESTAMP AS OF $tsMillis over $path precedes the retention " +
-        s"horizon (oldest retained epoch ${mints.head._1} minted at " +
-        s"${mints.head._2.get}) - history before it is vacuumed; raise " +
-        "spark.graft.sink.keepEpochs to retain more")
+        s"${unrecorded.filterNot(_ < recorded.head._1).mkString(", ")} " +
+        "lack a mint record but are newer than recorded history - " +
+        "resolution would skip them; read with atEpoch instead")
+    val resolved = recorded.collect { case (e, m) if m <= tsMillis => e }
+    require(resolved.nonEmpty, {
+      val (oldest, oldestMint) = recorded.head
+      if (unrecorded.nonEmpty)
+        s"TIMESTAMP AS OF $tsMillis over $path falls in pre-record " +
+          s"history (epoch(s) ${unrecorded.mkString(", ")} carry no " +
+          s"mint record; the oldest recorded epoch $oldest minted at " +
+          s"$oldestMint) - resolution there is ambiguous; read those " +
+          "epochs with atEpoch instead"
+      else
+        s"TIMESTAMP AS OF $tsMillis over $path precedes the retention " +
+          s"horizon (oldest retained epoch $oldest minted at " +
+          s"$oldestMint) - history before it is vacuumed; raise " +
+          "spark.graft.sink.keepEpochs to retain more"
+    })
     readSink(spark, path, tsCol, atEpoch = Some(resolved.max))
   }
 
@@ -2984,7 +3043,7 @@ object Streaming {
                   .withColumn(CdcKindCol, lit("delete")))
             fence() // the commit makes the retention visible: last exit
             commitEpoch(f, epochDir, wm, "retire", // no batches consumed
-              mintedBloomCols(spark, f, path, cut))
+              mintedBloomCols(spark, f, path, cut), cut)
             retireEpochsLocked(spark, path, f)
             autoIndexStats(spark, path)
             victims
@@ -3110,11 +3169,15 @@ object Streaming {
     *
     * Rails of its own: a SET column must EXIST in the sink (a
     * misspelled name silently no-opping would be worse than an error —
-    * checked against the epoch schema even when nothing matches), must
-    * KEEP its column's type (type drift arrives via ingest +
-    * compactSink, [[upsertBatch]]'s rule; cast the expression), and
-    * must not be `day` or `tsCol` — re-dating a row moves it across
-    * day partitions, which is a delete+insert ([[applyBatch]]), not an
+    * checked against the epoch schema even when NO ROW matches the
+    * predicate, though necessarily only when a compacted epoch exists
+    * to check against: a never-compacted or retention-emptied sink
+    * no-ops like [[deleteWhere]] does, returning −1/the epoch id,
+    * because there is no schema to validate a SET list on), must KEEP
+    * its column's type (type drift arrives via ingest + compactSink,
+    * [[upsertBatch]]'s rule; cast the expression), and must not be
+    * `day` or `tsCol` — re-dating a row moves it across day
+    * partitions, which is a delete+insert ([[applyBatch]]), not an
     * in-place rewrite. CDC manifests record the op as
     * update_pre/update_post image pairs ([[upsertBatch]]'s kinds), so
     * a downstream consumer replays it exactly. Returns the new max
@@ -3267,7 +3330,7 @@ object Streaming {
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the rewrite visible: last exit
     commitEpoch(f, epochDir, wm, op, // no batches consumed
-      mintedBloomCols(spark, f, path, before))
+      mintedBloomCols(spark, f, path, before), before)
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
     epoch
@@ -3356,7 +3419,7 @@ object Streaming {
     require(keyCols.nonEmpty, s"$opName needs at least one key column")
     val missing = keyCols.filterNot(batch.columns.contains)
     require(missing.isEmpty,
-      s"upsert batch lacks key column(s): ${missing.mkString(", ")}")
+      s"$opName batch lacks key column(s): ${missing.mkString(", ")}")
     delSet.foreach { d =>
       val dm = keyCols.filterNot(d.columns.contains)
       require(dm.isEmpty,
@@ -3554,7 +3617,7 @@ object Streaming {
     fence() // the commit makes the merge visible: last exit
     commitEpoch(f, epochDir, wm, // no batches consumed
       if (delKeys.isDefined) "apply" else "upsert",
-      mintedBloomCols(spark, f, path, before))
+      mintedBloomCols(spark, f, path, before), before)
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
     epoch

@@ -185,6 +185,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val it = Iterator(9.9)
     assert(Bench.settleForRetry(0.0, () => (), () => it.next()) ==
       ((Seq(9.9), false)))
+    // the shipped flag ORs in a window-median-independent arm: a
+    // retry-time bracket probe >= 1.5x the run's BETTER bracket
+    // reading is heat even when the gate cleared (an elevated median
+    // is the gate's documented blind spot)
+    assert(!Bench.retryHotVerdict(gateHot = false, 1.68, 2.12, 1.91))
+    assert(Bench.retryHotVerdict(gateHot = false, 2.9, 2.12, 1.91))
+    assert(Bench.retryHotVerdict(gateHot = true, 1.0, 2.12, 1.91))
   }
 
   test("suspect flags: both reps over the prior-run ratio flag, anything less does not") {

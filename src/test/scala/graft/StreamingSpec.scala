@@ -2703,6 +2703,12 @@ class StreamingSpec extends SparkSpecBase
         .toDF("ts", "event_id", "user_id", "v"), out, 2L)
     refuse(Seq("v" -> (col("v") + 1L)), "quiesced compaction",
       col("user_id") === 7L)
+    // a never-compacted sink has no schema to validate SETs against:
+    // the op no-ops like deleteWhere (returns -1, mints nothing) —
+    // the documented limit of the even-when-nothing-matches rail
+    val bare = s"${java.nio.file.Files.createTempDirectory("sink_updbare")}/ev"
+    assert(Streaming.updateWhere(spark, bare, col("user_id") === 7L,
+      Seq("nope" -> lit(1L))) == -1L)
   }
 
   test("updateWhere CDC manifest records update_pre/update_post image pairs and feeds the classified diff") {
@@ -2770,20 +2776,36 @@ class StreamingSpec extends SparkSpecBase
       val e1 = intercept[IllegalArgumentException](
         Streaming.readSinkAsOf(spark, out, t0 - 1))
       assert(e1.getMessage.contains("retention horizon"), e1.getMessage)
-      // pre-record: a legacy marker (no mint line) makes resolution
-      // ambiguous — refuse, pointing at atEpoch
+      // a legacy OLDEST marker (no mint line — the upgraded-mid-history
+      // sink) leaves every time at or past the oldest RECORDED mint
+      // exactly resolvable; only times below it are ambiguous
       val mpath = java.nio.file.Path.of(s"$out/epoch=0/_EPOCH_COMMIT")
-      val legacy = java.nio.file.Files.readString(mpath).linesIterator
+      val withMint = java.nio.file.Files.readString(mpath)
+      val legacy = withMint.linesIterator
         .filterNot(_.startsWith("mint_ms=")).mkString("\n")
       java.nio.file.Files.writeString(mpath, legacy)
+      assert(ids(t2) == Seq(102L),
+        "post-upgrade instants must resolve despite legacy history")
+      assert(ids(t1) == Seq(2L))
       val e2 = intercept[IllegalArgumentException](
-        Streaming.readSinkAsOf(spark, out, t2))
+        Streaming.readSinkAsOf(spark, out, t1 - 1))
       assert(e2.getMessage.contains("pre-record"), e2.getMessage)
-      // the epoch-id path still serves the same snapshot (the refusal
-      // message's escape hatch actually works)
+      // the epoch-id path still serves the legacy snapshot (the
+      // refusal message's escape hatch actually works)
       assert(Streaming.readSink(spark, out, atEpoch = Some(0L))
         .select("event_id").as[Long].collect().toSeq.sorted ==
         Seq(1L, 2L))
+      // a mint-less epoch NEWER than recorded history (corruption, not
+      // legacy) refuses every resolution — a recorded-only answer
+      // could silently skip the true snapshot
+      java.nio.file.Files.writeString(mpath, withMint)
+      val m2 = java.nio.file.Path.of(s"$out/epoch=2/_EPOCH_COMMIT")
+      java.nio.file.Files.writeString(m2,
+        java.nio.file.Files.readString(m2).linesIterator
+          .filterNot(_.startsWith("mint_ms=")).mkString("\n"))
+      val e3 = intercept[IllegalArgumentException](
+        Streaming.readSinkAsOf(spark, out, t2))
+      assert(e3.getMessage.contains("newer than recorded"), e3.getMessage)
     }
   }
 }
