@@ -2740,6 +2740,34 @@ class StreamingSpec extends SparkSpecBase
       v => spark.conf.set("spark.graft.sink.changeFiles", v))
   }
 
+  test("an ingest compaction's gapped epoch id still records a strictly-later mint") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_mintgap").toString
+    val out = s"$root/events"
+    val f = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two committed batches fold into epoch 1 DIRECTLY (the epoch id
+    // jumps to the consumed batch counter; epoch 0 never exists) — the
+    // mint clamp must key on the SUPERSEDED epoch the caller names,
+    // never on id-1, which here names nothing (the strict marker read
+    // would refuse the commit outright, as it briefly did in review)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L)).toDF("ts", "event_id"), out, 0L)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-02 10:00:00"), 2L)).toDF("ts", "event_id"), out, 1L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 1L)
+    val m1 = Streaming.epochMintMsOf(f, out, 1L)
+    assert(m1.isDefined, "gapped first epoch lacks a mint record")
+    // a follow-up gapped compaction (batch 2 -> epoch 2) clamps
+    // strictly past the superseded epoch's mint
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-03 10:00:00"), 3L)).toDF("ts", "event_id"), out, 2L)
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 2L)
+    val m2 = Streaming.epochMintMsOf(f, out, 2L)
+    assert(m2.isDefined && m2.get > m1.get,
+      s"mint not strictly increasing across gapped ids: $m1 -> $m2")
+  }
+
   test("readSinkAsOf resolves mint boundaries exactly and refuses pre-horizon and pre-record times") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_asof").toString
