@@ -2346,4 +2346,31 @@ object OracleSql {
     * mistyped as >, a boundary read resolving to the neighbor epoch)
     * breaks the hash. */
   val q161: String = q134
+
+  /** q162 — the RESTORE audit: q134's delete lifecycle rolled BACK
+    * (`restoreSink` mints a new epoch reproducing the pre-delete
+    * snapshot, hard-linked, after which the link-source epoch
+    * retires), read as (current = restored table, atEpoch = the
+    * reverted delete's still-retained snapshot). The oracle re-states
+    * the two views over `events` — restored = every row,
+    * deleted = the delete's null-safe complement (q117's
+    * `NOT COALESCE(p, FALSE)`) — so hash equality proves
+    * delete∘restore is the identity on the table (nothing lost
+    * through the link-and-retire round trip, nothing leaked from the
+    * reverted epoch) while the intervening snapshot still serves
+    * exactly the deleted view. NULLS FIRST pins the engines'
+    * differing null-sort defaults. */
+  val q162: String =
+    """WITH tagged AS (
+      |  SELECT CAST(ts AS DATE) AS day, 'restored' AS version FROM events
+      |  UNION ALL
+      |  SELECT CAST(ts AS DATE) AS day, 'deleted' AS version FROM events
+      |  WHERE NOT COALESCE(user_id % 7 = 3, FALSE)
+      |)
+      |SELECT day,
+      |  COUNT(CASE WHEN version = 'restored' THEN 1 END) AS n_restored,
+      |  COUNT(CASE WHEN version = 'deleted' THEN 1 END) AS n_deleted
+      |FROM tagged
+      |GROUP BY day
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

@@ -174,7 +174,8 @@ object SparkEntry {
     "q158_auto_index" -> (SinkStats.q158AutoIndex _),
     "q159_cdc_ingest" -> (SnapshotDiff.q159CdcIngest _),
     "q160_update_where" -> (Streaming.q160UpdateWhere _),
-    "q161_timestamp_as_of" -> (Streaming.q161TimestampAsOf _)
+    "q161_timestamp_as_of" -> (Streaming.q161TimestampAsOf _),
+    "q162_restore" -> (Streaming.q162RestoreSink _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -493,7 +494,10 @@ object SparkEntry {
     // q161 TIMESTAMP AS OF: wall-time probes either side of the delete
     // epoch's recorded mint boundary must serve exactly the two
     // version snapshots — the oracle is q134's tagged union
-    "q161_timestamp_as_of" -> OracleSql.q161
+    "q161_timestamp_as_of" -> OracleSql.q161,
+    // q162 RESTORE: write-side time travel — delete∘restore must be
+    // the identity on the table while the reverted epoch still serves
+    "q162_restore" -> OracleSql.q162
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

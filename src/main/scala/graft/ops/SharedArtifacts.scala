@@ -77,10 +77,23 @@ private[graft] object SharedArtifacts {
     val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val dp = new org.apache.hadoop.fs.Path(dst)
-    val sf = sp.getFileSystem(conf)
     val df = dp.getFileSystem(conf)
     df.delete(dp, true)
     df.mkdirs(dp.getParent)
+    linkOrCopyTree(conf, sp, dp)
+    dst
+  }
+
+  /** The clone's link-or-copy primitive, reusable on its own (e.g.
+    * [[graft.ops.Streaming.restoreSink]] reconstructing a retained
+    * epoch's day directories): hard-link `src`'s tree into `dst` when
+    * both sides are local (same immutability argument as [[cloneTo]] —
+    * data files are never patched in place, `_`/`.` metadata names
+    * copy), else fall back to a byte copy. `dst` must not exist. */
+  private[ops] def linkOrCopyTree(conf: org.apache.hadoop.conf.Configuration,
+      sp: org.apache.hadoop.fs.Path, dp: org.apache.hadoop.fs.Path): Unit = {
+    val sf = sp.getFileSystem(conf)
+    val df = dp.getFileSystem(conf)
     def local(fs: org.apache.hadoop.fs.FileSystem): Boolean = fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem => true
       case _: org.apache.hadoop.fs.RawLocalFileSystem => true
@@ -95,8 +108,7 @@ private[graft] object SharedArtifacts {
           .toString))
     else require(
       org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp, false, conf),
-      s"could not clone shared artifact $src -> $dst")
-    dst
+      s"could not clone $sp -> $dp")
   }
 
   /** Recursive local clone: directories recreate, mutable-in-place

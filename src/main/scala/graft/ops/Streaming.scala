@@ -2702,6 +2702,59 @@ object Streaming {
     }
   }
 
+  /** q162 — RESTORE (write-side time travel) END TO END under the
+    * oracle hash (q134 reads history, q161 resolves it by wall time;
+    * this UN-DOES with it — the missing rollback half of the time-
+    * travel story): the same keepEpochs=2 delete lifecycle mints
+    * epochs E (full table) and E+1 (post-delete), then [[restoreSink]]
+    * rolls the sink BACK to E as new epoch E+2 — whose day dirs are
+    * hard links to E's files, zero data copied — and E+2's own retire
+    * step materializes E+1 and deletes E, so the query reads the
+    * restored table STRICTLY AFTER its link source retired: the
+    * current view (must be the full pre-delete table again, served
+    * through inodes the retirement provably kept alive) and
+    * `atEpoch = E+1` (the reverted delete, still a retained readable
+    * snapshot — a restore rewrites no history). Both reduce to q134's
+    * per-day union aggregate; the oracle re-states them over `events`
+    * (restored = every row; deleted = the delete's null-safe
+    * complement), so hash equality proves the round trip
+    * delete∘restore is the identity on the TABLE while the
+    * intervening epoch stays exactly what it was. Refusal rails
+    * (non-retained target, live batches) and the CDC churn manifest
+    * are StreamingSpec's. Scratch-sink convention and determinism
+    * story are q115's. */
+  def q162RestoreSink(spark: SparkSession, dir: String): DataFrame = {
+    // the delete MUTATES: clone the shared compacted base (q134's
+    // keepEpochs dance — the grace depth applies at each op's retire
+    // step, and K=2 is the tightest depth that keeps the restore's
+    // TARGET alive until the restore commits: {E, E+1} after the
+    // delete, {E+1, E+2} after the restore itself retires E)
+    val sink = SharedArtifacts.cloneTo(spark, sharedEventsBase(spark, dir),
+      scratchSink(spark, dir, "events_restore"))
+    val prevKeep = spark.conf.getOption("spark.graft.sink.keepEpochs")
+    spark.conf.set("spark.graft.sink.keepEpochs", "2")
+    try {
+      val snap = maxEpoch(spark, sink)
+      val deleted = deleteWhere(spark, sink, col("user_id") % 7 === 3)
+      val cur = restoreSink(spark, sink, snap)
+      require(cur == deleted + 1,
+        s"q162: expected the restore to mint epoch ${deleted + 1}, got $cur")
+      val restored = readSink(spark, sink)
+        .select(col("day")).withColumn("version", lit("restored"))
+      val reverted = readSink(spark, sink, atEpoch = Some(deleted))
+        .select(col("day")).withColumn("version", lit("deleted"))
+      restored.unionByName(reverted)
+        .groupBy(col("day"))
+        .agg(
+          count(when(col("version") === "restored", lit(1))).as("n_restored"),
+          count(when(col("version") === "deleted", lit(1))).as("n_deleted"))
+        .orderBy("day")
+    } finally prevKeep match {
+      case Some(v) => spark.conf.set("spark.graft.sink.keepEpochs", v)
+      case None => spark.conf.unset("spark.graft.sink.keepEpochs")
+    }
+  }
+
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the
@@ -3334,6 +3387,165 @@ object Streaming {
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
     epoch
+  }
+
+  /** RESTORE — write-side time travel, the rollback every lakehouse
+    * pairs with VERSION/TIMESTAMP AS OF reads (q134/q161 serve the
+    * history; this un-does with it): mint a NEW epoch whose content is
+    * exactly retained snapshot `toEpoch`'s, so "undo the bad backfill"
+    * is one forward-rolling op — history is never rewritten, the
+    * intervening epochs stay readable through the grace depth until
+    * retention retires them, and an auditor can still see what the
+    * restore reverted.
+    *
+    * Scale posture: the restored epoch REUSES the snapshot's bytes.
+    * Its day directories are rebuilt as fully PHYSICAL directories of
+    * HARD LINKS to the snapshot's resolved data files (safe for the
+    * same reason [[SharedArtifacts.cloneTo]]'s clones are: no epoch
+    * write ever patches a data file in place, and retirement deletes
+    * only directory entries — a shared inode lives until its last
+    * referring epoch retires), so a 100 TB restore costs O(files)
+    * metadata ops and zero data I/O on a link-capable filesystem;
+    * non-local filesystems fall back to a byte copy. Physical-from-
+    * birth is deliberate, not a shortcut: a restore that instead
+    * recorded a by-reference [[MergePlan]] naming `toEpoch` would
+    * break the retention protocol's consecutive-chain invariant —
+    * [[retireEpochsLocked]] materializes only the OLDEST retained
+    * epoch, so a plan reaching past it would dangle when its target
+    * retires, and two epochs resolving one shared day would race the
+    * single-consumer rename.
+    *
+    * CDC: when change manifests are enabled the restore records its
+    * own churn — a row-level diff of the superseded epoch against the
+    * snapshot, day-pruned to where the two epochs resolve DIFFERENT
+    * physical directories (same directory = same bytes; a shared day
+    * is never read) — so the manifest is O(changed days)
+    * ([[restoreChurn]]): rows the restore removes emit kind `delete`
+    * with their pre-image, rows it reinstates emit `insert`, and a
+    * key the interval modified emits both — exactly the pre/post pair
+    * [[SnapshotDiff]]'s change-file fold reads as an update, so a
+    * diff spanning a mutation and its restore nets to silence
+    * (spec-pinned). Schema drift across the interval aligns through
+    * [[widenedSchema]]; an un-widenable conflict refuses loudly.
+    *
+    * Rails: `toEpoch` must be a committed RETAINED epoch (same
+    * refusal and remedy as [[readSink]]'s `atEpoch`); restoring to
+    * the current epoch is a no-op (nothing minted); consumable live
+    * batch dirs refuse like every row-level rewrite (their rows sit
+    * in no epoch — a restore silently discarding them would lose
+    * data; run a quiesced [[compactSink]] first). A PENDING alter is
+    * fine: it is logical-only, [[readSink]] applies it to every
+    * epoch's view uniformly, and the restore moves physical bytes
+    * only (its manifest, like any pre-normalize epoch's, is stored in
+    * physical schema and altered at read by [[readEpochChanges]]).
+    * The restored epoch's marker carries the previous watermark
+    * forward (consumed batches stay consumed — like every rollback,
+    * rows ingested after the snapshot are dropped unless re-fed),
+    * records `op=restore`, inherits the snapshot's `bloom_cols=`
+    * receipt verbatim (the restored files ARE the snapshot's files),
+    * and mints strictly after the epoch it supersedes. Holds
+    * [[CompactLock]]. Returns the new max epoch (or the unchanged
+    * current one for the no-op). */
+  def restoreSink(spark: SparkSession, path: String, toEpoch: Long,
+      tsCol: String = "ts"): Long =
+    withFencedCompactorLock(spark, path) { fence =>
+      val f = fs(spark, path)
+      fence() // settleEpochs deletes attempts: fence first
+      settleEpochs(spark, path, f)
+      val before = maxEpoch(spark, path)
+      require(f.exists(new org.apache.hadoop.fs.Path(
+        s"$path/epoch=$toEpoch", EpochCommit)), {
+        val retained = subdirs(spark, path, "epoch=").collect {
+          case (e, p)
+            if f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)) => e
+        }.sorted
+        s"restoreSink over $path: epoch $toEpoch is not a committed " +
+          s"retained epoch (retained: " +
+          s"${retained.mkString("[", ", ", "]")}) - history past the " +
+          "grace depth is vacuumed; raise spark.graft.sink.keepEpochs " +
+          "to retain more"
+      })
+      if (toEpoch == before) before // restoring to the present: no-op
+      else {
+        val wm = consumedThrough(f, path, before)
+        val liveCommitted = subdirs(spark, path, "batch_id=")
+          .filter { case (id, p) =>
+            id > wm && f.exists(new org.apache.hadoop.fs.Path(p, BatchCommit))
+          }
+        require(liveCommitted.isEmpty,
+          s"restoreSink over $path requires a quiesced compaction " +
+            s"first: ${liveCommitted.size} consumable live batch dir(s) " +
+            "hold rows no epoch represents - a restore would silently " +
+            "discard them")
+        val targetDays = resolvedDays(f, path, toEpoch)
+        val prevDays = resolvedDays(f, path, before)
+        val epoch = before + 1
+        val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
+        f.delete(epochDir, true) // discard an uncommitted crashed attempt
+        f.mkdirs(epochDir)
+        val conf = spark.sparkContext.hadoopConfiguration
+        targetDays.foreach { case (d, p) =>
+          SharedArtifacts.linkOrCopyTree(conf, p,
+            new org.apache.hadoop.fs.Path(epochDir, d))
+        }
+        if (changeFilesEnabled(spark))
+          writeEpochChanges(spark, epochDir,
+            restoreChurn(spark, prevDays, targetDays))
+        fence() // the commit makes the restore visible: last exit
+        commitEpoch(f, epochDir, wm, "restore",
+          epochBloomColsOf(f, path, toEpoch), before)
+        retireEpochsLocked(spark, path, f)
+        autoIndexStats(spark, path)
+        epoch
+      }
+    }
+
+  /** [[restoreSink]]'s change set: the row-level anti-diff of the
+    * superseded epoch's days against the snapshot's, restricted to
+    * days the two epochs resolve to DIFFERENT physical directories
+    * (path identity is content identity — a day directory is
+    * immutable once written, so a shared resolution means shared
+    * bytes and contributes no churn without being read). Removed rows
+    * tag `delete`, reinstated rows `insert`; rows a changed day kept
+    * verbatim cancel in the exceptAll. Both sides align to the
+    * widened union schema first (additive columns null-fill, widened
+    * types cast) so drift across the restored interval diffs by
+    * VALUE, not by physical footer type. */
+  private def restoreChurn(spark: SparkSession,
+      prevDays: Seq[(String, org.apache.hadoop.fs.Path)],
+      targetDays: Seq[(String, org.apache.hadoop.fs.Path)]): DataFrame = {
+    val pm = prevDays.toMap
+    val tm = targetDays.toMap
+    val removedSide = prevDays.filter { case (d, p) => !tm.get(d).contains(p) }
+    val addedSide = targetDays.filter { case (d, p) => !pm.get(d).contains(p) }
+    def side(days: Seq[(String, org.apache.hadoop.fs.Path)])
+        : Option[DataFrame] =
+      if (days.isEmpty) None else Some(readDays(spark, days))
+    val beforeF = side(removedSide)
+    val afterF = side(addedSide)
+    if (beforeF.isEmpty && afterF.isEmpty)
+      // content-identical restore: the zero-churn manifest convention
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(CdcKindCol,
+            org.apache.spark.sql.types.StringType))))
+    else {
+      val target = widenedSchema(
+        (beforeF.toSeq ++ afterF.toSeq).map(_.schema), "restoreSink diff")
+      def aligned(o: Option[DataFrame]): DataFrame = o.map { df =>
+        df.select(target.map { fd =>
+          if (df.columns.contains(fd.name))
+            col(fd.name).cast(fd.dataType).as(fd.name)
+          else lit(null).cast(fd.dataType).as(fd.name)
+        }.toSeq: _*)
+      }.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
+      val b = aligned(beforeF)
+      val a = aligned(afterF)
+      b.exceptAll(a).withColumn(CdcKindCol, lit("delete"))
+        .unionByName(a.exceptAll(b).withColumn(CdcKindCol, lit("insert")))
+    }
   }
 
   /** CDC upsert (MERGE) into the sink by key: every compacted row

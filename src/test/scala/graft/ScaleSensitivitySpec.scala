@@ -72,7 +72,10 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       // round-18 DML/time-travel completions: q160 rewrites every
       // affected day (the O(affected days) claim IS a scale claim),
       // q161 runs the delete lifecycle plus two epoch-snapshot reads
-      "q160_update_where", "q161_timestamp_as_of")
+      "q160_update_where", "q161_timestamp_as_of",
+      // q162 restores past a delete under K=2: the link-based rebuild
+      // must stay O(files) metadata however large the days grow
+      "q162_restore")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

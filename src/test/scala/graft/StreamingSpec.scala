@@ -2836,6 +2836,152 @@ class StreamingSpec extends SparkSpecBase
       assert(e3.getMessage.contains("newer than recorded"), e3.getMessage)
     }
   }
+
+  // ------------------------------------------------------- restore
+
+  test("restore rebuilds a retained snapshot as hard links and survives the link source's retirement") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_restore").toString
+    val out = s"$root/events"
+    val f = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L), (tsv("2024-01-01 11:00:00"), 2L),
+        (tsv("2024-01-02 10:00:00"), 3L), (tsv("2024-01-03 10:00:00"), 4L))
+        .toDF("ts", "event_id"), out, 0L)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("event_id").as[Long].collect().sorted.toSeq
+    withKeepEpochs(2) {
+      val snap = Streaming.compactSink(spark, out, quiesced = true)
+      // the delete empties day 2 entirely: the restore must bring the
+      // WHOLE day directory back, not just rows into surviving days
+      Streaming.deleteWhere(spark, out, col("event_id") === 3L)
+      assert(Streaming.restoreSink(spark, out, snap) == snap + 2)
+      // K=2 retired the link SOURCE the moment the restore committed...
+      assert(epochIds(out) == Seq(snap + 1, snap + 2),
+        s"retention depth not enforced across the restore: ${epochIds(out)}")
+      // ...and the restored view still serves the full pre-delete table
+      // (the inodes outlive epoch 0's directory entries)
+      assert(ids(Streaming.readSink(spark, out)) == Seq(1L, 2L, 3L, 4L))
+      // the reverted epoch is untouched history, readable as-of
+      assert(ids(Streaming.readSink(spark, out, atEpoch = Some(snap + 1)))
+        == Seq(1L, 2L, 4L))
+      // untouched days are genuinely SHARED: the restored epoch and the
+      // materialized intermediate hold the same inode (no data copied)
+      val shared = new java.io.File(s"$out/epoch=${snap + 2}/day=2024-01-01")
+        .listFiles().filter(_.getName.startsWith("part-"))
+      assert(shared.nonEmpty && shared.forall(p =>
+        java.nio.file.Files.getAttribute(p.toPath, "unix:nlink")
+          .asInstanceOf[Number].intValue() >= 2),
+        "restored day files are copies, not hard links")
+      // the restore minted strictly after the epoch it superseded
+      val Seq(m1, m2) = Seq(snap + 1, snap + 2).map(e =>
+        Streaming.epochMintMsOf(f, out, e).getOrElse(
+          fail(s"epoch $e lacks a mint record")))
+      assert(m1 < m2, s"restore mint not strictly increasing: $m1 -> $m2")
+      assert(Streaming.describeSink(spark, out).collect()(0)
+        .getAs[String]("last_op") == "restore")
+    }
+  }
+
+  test("restore refuses a vacuumed target, live consumable batches, and no-ops on the present") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_restore_rails")
+      .toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L), (tsv("2024-01-02 10:00:00"), 2L))
+        .toDF("ts", "event_id"), out, 0L)
+    withKeepEpochs(2) {
+      val snap = Streaming.compactSink(spark, out, quiesced = true)
+      // restoring to the present mints nothing
+      assert(Streaming.restoreSink(spark, out, snap) == snap)
+      assert(epochIds(out) == Seq(snap))
+      // an id that was never committed refuses with the retained list
+      val e1 = intercept[IllegalArgumentException](
+        Streaming.restoreSink(spark, out, snap + 7))
+      assert(e1.getMessage.contains("not a committed retained epoch"),
+        e1.getMessage)
+      // push the first snapshot past the grace depth, then ask for it
+      Streaming.deleteWhere(spark, out, col("event_id") === 1L)
+      Streaming.deleteWhere(spark, out, col("event_id") === 2L)
+      assert(epochIds(out) == Seq(snap + 1, snap + 2))
+      val e2 = intercept[IllegalArgumentException](
+        Streaming.restoreSink(spark, out, snap))
+      assert(e2.getMessage.contains("keepEpochs"),
+        s"unhelpful vacuumed-target refusal: ${e2.getMessage}")
+      // a committed live batch holds rows no epoch represents: a
+      // restore would silently discard them - refuse, like every
+      // row-level rewrite
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-04 10:00:00"), 9L)).toDF("ts", "event_id"), out, 1L)
+      val e3 = intercept[IllegalArgumentException](
+        Streaming.restoreSink(spark, out, snap + 1))
+      assert(e3.getMessage.contains("quiesced"), e3.getMessage)
+    }
+  }
+
+  test("restore records O(changed-days) CDC churn and a mutation+restore range nets to silence") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_restore_cdc")
+      .toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "a"),
+        (tsv("2024-01-01 11:00:00"), 2L, "b"),
+        (tsv("2024-01-02 10:00:00"), 3L, "c"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    val prev = spark.conf.getOption("spark.graft.sink.changeFiles")
+    spark.conf.set("spark.graft.sink.changeFiles", "true")
+    try withKeepEpochs(3) {
+      val e0 = Streaming.compactSink(spark, out, quiesced = true)
+      // the upsert touches day 1 (modify id 2) and day 3 (insert id 4);
+      // day 2 rides by reference
+      Streaming.upsertBatch(spark, out,
+        Seq((tsv("2024-01-01 11:00:00"), 2L, "B"),
+          (tsv("2024-01-03 10:00:00"), 4L, "d"))
+          .toDF("ts", "event_id", "event_type"), Seq("event_id"))
+      val e2 = Streaming.restoreSink(spark, out, e0)
+      // the restore's own manifest: the upsert's insert reverts to a
+      // delete, its update to a delete(post)+insert(pre) pair - and
+      // NOTHING from the shared day 2 (path identity pruned it unread)
+      val manifest = spark.read
+        .parquet(s"$out/epoch=$e2/_changes")
+        .select(col("event_id"), col("event_type"), col("__cdc_kind"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(manifest == Set((2L, "B", "delete"), (4L, "d", "delete"),
+        (2L, "b", "insert")), s"wrong restore churn: $manifest")
+      // consumed downstream, the pair folds exactly like an update...
+      val reverted = SnapshotDiff.readSinkChanges(spark, out,
+        e2 - 1, e2, Seq("event_id"), Seq("event_type"))
+      assert(reverted.inputFiles.forall(_.contains("/_changes")),
+        "restore diff fell back to the snapshot join")
+      val rv = reverted.select("change", "event_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rv == Set(("update", 2L), ("delete", 4L)),
+        s"wrong folded restore diff: $rv")
+      // ...and a range SPANNING the mutation and its restore is the
+      // identity: the change-file fold nets every key to silence
+      val netted = SnapshotDiff.readSinkChanges(spark, out,
+        e0, e2, Seq("event_id"), Seq("event_type"))
+      assert(netted.inputFiles.forall(_.contains("/_changes")),
+        "net-zero range fell back to the snapshot join")
+      assert(netted.count() == 0L,
+        "delete-compose-restore did not net to an empty diff")
+      // a restore of content the sink ALREADY holds records zero churn
+      // (by VALUE - the restored epoch's relinked days defeat the path
+      // identity check, so this pins the exceptAll cancelling)
+      val e3 = Streaming.restoreSink(spark, out, e0)
+      assert(e3 == e2 + 1)
+      val zero = SnapshotDiff.readSinkChanges(spark, out,
+        e2, e3, Seq("event_id"), Seq("event_type"))
+      assert(zero.inputFiles.forall(_.contains("/_changes")) &&
+        zero.count() == 0L,
+        "content-identical restore recorded phantom churn")
+    } finally prev.fold(spark.conf.unset("spark.graft.sink.changeFiles"))(
+      v => spark.conf.set("spark.graft.sink.changeFiles", v))
+  }
 }
 
 /** A local filesystem whose rename ALWAYS fails — the test stand-in for
