@@ -650,6 +650,18 @@ object Streaming {
     }
   }
 
+  /** The zero-churn change set's shape: one kind column, no rows —
+    * what an empty manifest parquet dir reads back as
+    * ([[readEpochChanges]]) and what a churn-less mutation records
+    * ([[restoreChurn]]); kept in one place so the convention cannot
+    * drift between the writer and the reader. */
+  private def kindOnlyEmptyManifest(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(CdcKindCol,
+          org.apache.spark.sql.types.StringType))))
+
   /** The committed change manifest of epoch `epochId`: Some(events)
     * when the epoch recorded its churn (possibly zero rows — an empty
     * manifest parquet dir has `_SUCCESS` but no part files, and reads
@@ -684,11 +696,7 @@ object Streaming {
           // zero-churn manifest: Spark writes no part files for an
           // empty frame, so the schema is gone - a kind-only empty
           // frame unions harmlessly into any event feed
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField(CdcKindCol,
-                org.apache.spark.sql.types.StringType))))
+          kindOnlyEmptyManifest(spark)
         else spark.read.option("mergeSchema", "true")
           .parquet(cDir.toString)
       val (ren, drop) = readAlter(f, path)
@@ -2737,8 +2745,14 @@ object Streaming {
       val snap = maxEpoch(spark, sink)
       val deleted = deleteWhere(spark, sink, col("user_id") % 7 === 3)
       val cur = restoreSink(spark, sink, snap)
-      require(cur == deleted + 1,
-        s"q162: expected the restore to mint epoch ${deleted + 1}, got $cur")
+      // an empty cohort (possible on a custom SF slice) makes both ops
+      // documented no-ops — the query still answers, like q134, with
+      // restored == deleted == the full table, exactly the oracle's
+      // complement when no row matches
+      require(
+        if (deleted == snap) cur == snap else cur == deleted + 1,
+        s"q162: delete minted $deleted from $snap but the restore " +
+          s"returned $cur")
       val restored = readSink(spark, sink)
         .select(col("day")).withColumn("version", lit("restored"))
       val reverted = readSink(spark, sink, atEpoch = Some(deleted))
@@ -3428,12 +3442,21 @@ object Streaming {
     * (spec-pinned). Schema drift across the interval aligns through
     * [[widenedSchema]]; an un-widenable conflict refuses loudly.
     *
-    * Rails: `toEpoch` must be a committed RETAINED epoch (same
-    * refusal and remedy as [[readSink]]'s `atEpoch`); restoring to
-    * the current epoch is a no-op (nothing minted); consumable live
-    * batch dirs refuse like every row-level rewrite (their rows sit
-    * in no epoch — a restore silently discarding them would lose
-    * data; run a quiesced [[compactSink]] first). A PENDING alter is
+    * Rails: `toEpoch` must be a committed epoch WITHIN THE GRACE
+    * DEPTH — the newest `keepEpochs` committed epochs, a strictly
+    * tighter rail than [[readSink]]'s marker-exists check, because a
+    * lingering epoch OUTSIDE the depth can be silently incomplete: in
+    * classic mode (keepEpochs=1) this op's own settle pass rolls the
+    * newest epoch's merge plan forward, renaming owed days OUT of the
+    * superseded epoch, and in snapshot mode a crashed retirement's
+    * [[materializeEpoch]] does the same to an expired one — a restore
+    * keyed on such a directory would link a truncated snapshot and
+    * the retire step would then delete the only remaining copies of
+    * the moved days. Restoring to the current epoch is a no-op
+    * (nothing minted); consumable live batch dirs refuse like every
+    * row-level rewrite (their rows sit in no epoch — a restore
+    * silently discarding them would lose data; run a quiesced
+    * [[compactSink]] first). A PENDING alter is
     * fine: it is logical-only, [[readSink]] applies it to every
     * epoch's view uniformly, and the restore moves physical bytes
     * only (its manifest, like any pre-normalize epoch's, is stored in
@@ -3446,25 +3469,30 @@ object Streaming {
     * and mints strictly after the epoch it supersedes. Holds
     * [[CompactLock]]. Returns the new max epoch (or the unchanged
     * current one for the no-op). */
-  def restoreSink(spark: SparkSession, path: String, toEpoch: Long,
-      tsCol: String = "ts"): Long =
+  def restoreSink(spark: SparkSession, path: String, toEpoch: Long): Long =
     withFencedCompactorLock(spark, path) { fence =>
       val f = fs(spark, path)
       fence() // settleEpochs deletes attempts: fence first
       settleEpochs(spark, path, f)
       val before = maxEpoch(spark, path)
-      require(f.exists(new org.apache.hadoop.fs.Path(
-        s"$path/epoch=$toEpoch", EpochCommit)), {
-        val retained = subdirs(spark, path, "epoch=").collect {
-          case (e, p)
-            if f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)) => e
-        }.sorted
+      // DEPTH-bounded, not marker-exists: a committed directory
+      // lingering past the grace depth (crashed retirement, a lowered
+      // keepEpochs, classic mode's own roll-forward above) may already
+      // have had days renamed out of it — restoring from it would mint
+      // a silently truncated snapshot and then DELETE the moved days'
+      // last copies at the retire step
+      val committed = subdirs(spark, path, "epoch=").collect {
+        case (e, p)
+          if f.exists(new org.apache.hadoop.fs.Path(p, EpochCommit)) => e
+      }.sorted
+      val depthRetained = committed.takeRight(keepEpochs(spark))
+      require(depthRetained.contains(toEpoch),
         s"restoreSink over $path: epoch $toEpoch is not a committed " +
-          s"retained epoch (retained: " +
-          s"${retained.mkString("[", ", ", "]")}) - history past the " +
-          "grace depth is vacuumed; raise spark.graft.sink.keepEpochs " +
-          "to retain more"
-      })
+          s"retained epoch within the grace depth (restorable: " +
+          s"${depthRetained.mkString("[", ", ", "]")}) - an epoch past " +
+          "the depth may be mid-retirement with days already moved out " +
+          "of it; raise spark.graft.sink.keepEpochs BEFORE the mutation " +
+          "you may want to undo")
       if (toEpoch == before) before // restoring to the present: no-op
       else {
         val wm = consumedThrough(f, path, before)
@@ -3525,11 +3553,7 @@ object Streaming {
     val afterF = side(addedSide)
     if (beforeF.isEmpty && afterF.isEmpty)
       // content-identical restore: the zero-churn manifest convention
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(CdcKindCol,
-            org.apache.spark.sql.types.StringType))))
+      kindOnlyEmptyManifest(spark)
     else {
       val target = widenedSchema(
         (beforeF.toSeq ++ afterF.toSeq).map(_.schema), "restoreSink diff")

@@ -2921,6 +2921,40 @@ class StreamingSpec extends SparkSpecBase
     }
   }
 
+  test("restore refuses a gutted epoch lingering past the grace depth instead of minting a truncated snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_restore_gut")
+      .toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L), (tsv("2024-01-02 10:00:00"), 2L),
+        (tsv("2024-01-03 10:00:00"), 3L)).toDF("ts", "event_id"), out, 0L)
+    val snap = withKeepEpochs(2) {
+      val s = Streaming.compactSink(spark, out, quiesced = true)
+      // the delete leaves days 1 and 3 owed BY REFERENCE from epoch 0
+      Streaming.deleteWhere(spark, out, col("event_id") === 2L)
+      s
+    }
+    // back in classic mode, the next maintenance op's settle pass rolls
+    // the plan forward: days 1 and 3 rename OUT of epoch 0, whose
+    // commit marker still exists - the exact state where a marker-only
+    // rail would hard-link a truncated snapshot and then DELETE the
+    // moved days' last copies at the retire step. The depth bound must
+    // refuse it.
+    val e = intercept[IllegalArgumentException](
+      Streaming.restoreSink(spark, out, snap))
+    assert(e.getMessage.contains("within the grace depth"), e.getMessage)
+    assert(new java.io.File(s"$out/epoch=$snap/_EPOCH_COMMIT").exists(),
+      "precondition lost: the gutted epoch no longer lingers committed, " +
+        "so this test pins nothing")
+    assert(!new java.io.File(s"$out/epoch=$snap/day=2024-01-01").exists(),
+      "precondition lost: the settle pass no longer guts the lingering " +
+        "epoch, so this test pins nothing")
+    // and the table itself is untouched by the refusal
+    assert(Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("restore records O(changed-days) CDC churn and a mutation+restore range nets to silence") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_restore_cdc")
