@@ -2373,4 +2373,31 @@ object OracleSql {
       |FROM tagged
       |GROUP BY day
       |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** q163 — the CHECK-constraint quarantine audit: the engine declares
+    * `event_type <> 'purchase'` on the sink and folds the events feed
+    * through the gate in quarantine mode, then reads the epoch zone
+    * (clean) and the quarantine feed (diverted) side by side. The
+    * oracle re-states the split as a tagged UNION ALL on the
+    * null-safe violation predicate — a row violates a SQL CHECK only
+    * when the predicate IS FALSE, so `COALESCE(event_type =
+    * 'purchase', FALSE)` is the quarantined side and its NOT the
+    * clean side (NULL event_type passes the check and stays clean in
+    * both engines). Hash equality proves the gate split the feed
+    * row-exactly and lost nothing. NULLS FIRST pins the engines'
+    * differing null-sort defaults. */
+  val q163: String =
+    """WITH tagged AS (
+      |  SELECT CAST(ts AS DATE) AS day, 'clean' AS side FROM events
+      |  WHERE NOT COALESCE(event_type = 'purchase', FALSE)
+      |  UNION ALL
+      |  SELECT CAST(ts AS DATE) AS day, 'quarantined' AS side FROM events
+      |  WHERE COALESCE(event_type = 'purchase', FALSE)
+      |)
+      |SELECT day,
+      |  COUNT(CASE WHEN side = 'clean' THEN 1 END) AS n_clean,
+      |  COUNT(CASE WHEN side = 'quarantined' THEN 1 END) AS n_quarantined
+      |FROM tagged
+      |GROUP BY day
+      |ORDER BY day NULLS FIRST""".stripMargin
 }

@@ -175,7 +175,8 @@ object SparkEntry {
     "q159_cdc_ingest" -> (SnapshotDiff.q159CdcIngest _),
     "q160_update_where" -> (Streaming.q160UpdateWhere _),
     "q161_timestamp_as_of" -> (Streaming.q161TimestampAsOf _),
-    "q162_restore" -> (Streaming.q162RestoreSink _)
+    "q162_restore" -> (Streaming.q162RestoreSink _),
+    "q163_sink_checks" -> (Streaming.q163SinkChecks _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -497,7 +498,10 @@ object SparkEntry {
     "q161_timestamp_as_of" -> OracleSql.q161,
     // q162 RESTORE: write-side time travel — delete∘restore must be
     // the identity on the table while the reverted epoch still serves
-    "q162_restore" -> OracleSql.q162
+    "q162_restore" -> OracleSql.q162,
+    // q163 CHECK constraints: the quarantine gate must split the feed
+    // row-exactly and losslessly on the null-safe violation predicate
+    "q163_sink_checks" -> OracleSql.q163
     // q24/q25 (sequential per-key), q26/q28/q32/q34/q49/q73/q125/q127/q128/q130/q131/q136/q141/q142/q146/q148/q154 (engine-specific
     // hashes / sketch- or iteration-specific candidate sets), q35/q50/q80
     // (payload synthesis + perceptual hashing are engine-side), q43b (approx

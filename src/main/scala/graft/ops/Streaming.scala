@@ -1556,6 +1556,306 @@ object Streaming {
         s"could not install alter marker under $path")
     }
 
+  // ------------------------------------------------ CHECK constraints
+  // Declared data-quality expectations on the sink (SQL CHECK
+  // semantics: a row VIOLATES a check only when its predicate
+  // evaluates FALSE — NULL passes, exactly the standard's rule), the
+  // gate a 100 TB training-data ingest runs its feed through. Checks
+  // admit rows at every point NEW rows enter the sink: the ingest
+  // compaction's fold, a merge batch (upsert/apply), and an update's
+  // post-images. Two modes (`spark.graft.sink.checkMode`): `refuse`
+  // (default — the op aborts listing per-check violation counts,
+  // sources untouched) and `quarantine` (violating rows divert to the
+  // epoch's quarantine feed, clean rows proceed; an update stays
+  // refuse-only — "quarantining" an update would silently delete the
+  // row). The quarantine is a FEED, not a table: rows land under the
+  // minted epoch as `_quarantine/epoch=<origin>/day=.../`, every
+  // later epoch carries the un-drained subdirs forward by HARD LINK
+  // (O(files) metadata, the restore trick), [[readSinkQuarantine]]
+  // serves the current epoch's accumulated feed, and a consumer
+  // drains it with [[clearSinkQuarantine]] after shipping the rows to
+  // triage.
+
+  private val ChecksMarker = "_CHECKS"
+  private[ops] val QuarantineDir = "_quarantine"
+  private[ops] val CheckFailedCol = "__check_failed"
+
+  /** The declared checks of the sink, in declaration order: (name,
+    * SQL predicate) from the `_CHECKS` marker; empty when none. */
+  private[ops] def readChecks(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(String, String)] = {
+    val marker = new org.apache.hadoop.fs.Path(path, ChecksMarker)
+    if (!f.exists(marker)) Seq.empty
+    else {
+      val in = f.open(marker)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"corrupt checks marker $marker: '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+    }
+  }
+
+  /** Install the checks marker atomically (temp + rename); an empty
+    * list removes it. Caller holds [[CompactLock]]. */
+  private def writeChecksMarker(f: org.apache.hadoop.fs.FileSystem,
+      path: String, checks: Seq[(String, String)]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, ChecksMarker)
+    if (checks.isEmpty) { f.delete(marker, false); return }
+    val tmp = new org.apache.hadoop.fs.Path(path, s".$ChecksMarker.tmp")
+    val out = f.create(tmp, true)
+    try out.write(checks.map { case (n, s) => s"$n=$s" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // Hadoop rename refuses an existing destination: replace-by-delete
+    // first. The momentary no-marker window sits under [[CompactLock]]
+    // (every enforcement read holds it); a lock-free [[listSinkChecks]]
+    // racing it sees a point-in-time listing, like describeSink.
+    f.delete(marker, false)
+    require(f.rename(tmp, marker),
+      s"could not install checks marker under $path")
+  }
+
+  /** Declare CHECK constraint `name` (`sql`, a boolean SQL predicate
+    * over the sink's columns) on the sink. Follows Delta's ADD
+    * CONSTRAINT discipline: the current epoch's EXISTING rows must
+    * already satisfy the predicate — one column-pruned validation pass
+    * (O(table), the price every lakehouse pays at declaration; a sink
+    * with no compacted epoch yet defers to parse-only, and rows
+    * sitting in not-yet-consumed batch dirs validate when their
+    * compaction folds them). From the moment the marker lands, every
+    * op that brings NEW rows into the sink gates on the full declared
+    * set. A predicate referencing a column absent from an incoming
+    * batch fails that op loudly (fail-safe: a check that cannot be
+    * evaluated must not silently admit rows). Holds [[CompactLock]]. */
+  def addSinkCheck(spark: SparkSession, path: String, name: String,
+      sql: String): Unit =
+    withFencedCompactorLock(spark, path) { fence =>
+      require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"check name '$name' must be an identifier " +
+          "([A-Za-z][A-Za-z0-9_]*)")
+      require(!sql.contains("\n") && !sql.contains("\r"),
+        "a check predicate must be a single line")
+      val f = fs(spark, path)
+      val existing = readChecks(f, path)
+      require(!existing.exists(_._1 == name),
+        s"check '$name' is already declared on $path - drop it first " +
+          "to replace the predicate")
+      // functions.expr builds a LAZY column node on this Spark — the
+      // parse must be FORCED here so a typo refuses at declaration,
+      // not at the first fold it would otherwise poison
+      try spark.sessionState.sqlParser.parseExpression(sql)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"check '$name' does not parse: $sql", e) }
+      val pred = expr(sql)
+      val cut = maxEpoch(spark, path)
+      if (cut >= 0) readEpochFrame(spark, f, path, cut).foreach { frame =>
+        val bad = frame.filter(pred <=> lit(false)).count()
+        require(bad == 0L,
+          s"cannot add check '$name' ($sql) on $path: $bad existing " +
+            "row(s) violate it - rectify the data first (deleteWhere / " +
+            "updateWhere) or fix the predicate")
+      }
+      fence()
+      writeChecksMarker(f, path, existing :+ (name -> sql))
+    }
+
+  /** Remove declared check `name`; unknown names refuse loudly (a
+    * typo silently "succeeding" would leave the real check active).
+    * Holds [[CompactLock]]. */
+  def dropSinkCheck(spark: SparkSession, path: String,
+      name: String): Unit =
+    withFencedCompactorLock(spark, path) { fence =>
+      val f = fs(spark, path)
+      val existing = readChecks(f, path)
+      require(existing.exists(_._1 == name),
+        s"no check named '$name' on $path (declared: " +
+          s"${existing.map(_._1).mkString("[", ", ", "]")})")
+      fence()
+      writeChecksMarker(f, path, existing.filterNot(_._1 == name))
+    }
+
+  /** The declared checks as one metadata frame: (name, predicate) in
+    * declaration order. Lock-free (a point-in-time listing, like
+    * [[describeSink]]). */
+  def listSinkChecks(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    readChecks(fs(spark, path), path).toDF("name", "predicate")
+  }
+
+  /** `spark.graft.sink.checkMode`: `refuse` (default) or
+    * `quarantine`; anything else refuses loudly. */
+  private def checkModeOf(spark: SparkSession): String = {
+    val m = spark.conf.getOption("spark.graft.sink.checkMode")
+      .getOrElse("refuse")
+    require(m == "refuse" || m == "quarantine",
+      s"spark.graft.sink.checkMode must be 'refuse' or 'quarantine', " +
+        s"got '$m'")
+    m
+  }
+
+  /** One aggregation job pricing the gate over `incoming`: (total
+    * rows, rows violating ANY check, per-check violation counts).
+    * Violation is SQL CHECK's: the predicate IS FALSE (null-safe
+    * equality with false — a NULL predicate passes). */
+  private def checkCounts(incoming: DataFrame,
+      checks: Seq[(String, String)]): (Long, Long, Seq[(String, Long)]) = {
+    val viols = checks.map { case (n, s) => n -> (expr(s) <=> lit(false)) }
+    val anyViol = viols.map(_._2).reduce(_ || _)
+    val row = incoming.agg(
+      count(lit(1)).as("__total"),
+      (count(when(anyViol, lit(1))).as("__bad") +:
+        viols.map { case (n, v) => count(when(v, lit(1))).as(n) }): _*)
+      .head()
+    (row.getLong(0), row.getLong(1),
+      checks.zipWithIndex.map { case ((n, _), i) => n -> row.getLong(i + 2) })
+  }
+
+  /** Gate `incoming` (new rows entering the sink via `op`) through the
+    * declared checks: (clean rows to fold, Some(violating rows tagged
+    * with [[CheckFailedCol]]) in quarantine mode). No checks — or no
+    * violation — passes everything through untouched with ZERO extra
+    * jobs in the first case and one bounded aggregation in the second.
+    * Refuse mode (and an ALL-violating feed even in quarantine mode —
+    * quarantining 100 % of a batch is an upstream disaster better
+    * stopped than absorbed, and a clean-empty fold would mint a
+    * dataless epoch) aborts with the per-check counts; nothing was
+    * mutated yet at every call site, so sources stay consumable. */
+  private def enforceChecks(spark: SparkSession, path: String,
+      incoming: DataFrame, checks: Seq[(String, String)], op: String)
+      : (DataFrame, Option[DataFrame]) = {
+    if (checks.isEmpty) return (incoming, None)
+    val (total, bad, perCheck) = checkCounts(incoming, checks)
+    if (bad == 0L) return (incoming, None)
+    val detail = perCheck.filter(_._2 > 0)
+      .map { case (n, c) => s"$n: $c" }.mkString("; ")
+    require(checkModeOf(spark) == "quarantine",
+      s"$op over $path refused by CHECK constraint(s) [$detail] of " +
+        s"$total incoming row(s) - rectify the feed, drop the check, " +
+        "or set spark.graft.sink.checkMode=quarantine to divert")
+    require(bad < total,
+      s"$op over $path: EVERY incoming row ($total) violates the " +
+        s"declared checks [$detail] - refusing even in quarantine " +
+        "mode; fix the feed")
+    val viols = checks.map { case (n, s) => n -> (expr(s) <=> lit(false)) }
+    val anyViol = viols.map(_._2).reduce(_ || _)
+    (incoming.filter(!anyViol),
+      Some(incoming.filter(anyViol).withColumn(CheckFailedCol,
+        concat_ws(",", viols.map { case (n, v) =>
+          when(v, lit(n))
+        }: _*))))
+  }
+
+  /** Land this epoch's freshly-quarantined rows under its own origin
+    * subdir — day-partitioned like the data they were refused from,
+    * atomic with the epoch (pre-commit; an uncommitted attempt
+    * discards them wholesale). */
+  private def writeQuarantine(spark: SparkSession,
+      epochDir: org.apache.hadoop.fs.Path, epoch: Long,
+      bad: DataFrame): Unit =
+    withMicrosTs(spark) {
+      bad.write.mode("overwrite").partitionBy("day")
+        .parquet(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(epochDir, QuarantineDir),
+          s"epoch=$epoch").toString)
+    }
+
+  /** Carry the superseded epoch's un-drained quarantine subdirs into
+    * the minted epoch BY HARD LINK (origin subdirs are immutable once
+    * written — cleared only wholesale — so link sharing is safe for
+    * [[SharedArtifacts.cloneTo]]'s reason), pre-commit: every epoch
+    * serves the full surviving feed, retirement deletes old copies
+    * without losing it, and a drain ([[clearSinkQuarantine]]) stays
+    * drained because later mints carry from the cleared state. */
+  private def carryQuarantine(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, path: String, fromEpoch: Long,
+      epochDir: org.apache.hadoop.fs.Path): Unit = {
+    if (fromEpoch < 0) return
+    val src = new org.apache.hadoop.fs.Path(
+      s"$path/epoch=$fromEpoch/$QuarantineDir")
+    if (!f.exists(src)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(src).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("epoch=")) {
+        val dest = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(epochDir, QuarantineDir),
+          s.getPath.getName)
+        if (!f.exists(dest))
+          SharedArtifacts.linkOrCopyTree(conf, s.getPath, dest)
+      }
+    }
+  }
+
+  /** The sink's accumulated quarantine feed — every violating row not
+    * yet drained, served from the CURRENT epoch only (each mint
+    * carries the surviving subdirs forward, exactly as [[readSink]]
+    * reads the one max epoch zone): the original rejected rows plus
+    * [[CheckFailedCol]] (comma-joined failing check names), `day`,
+    * and `__quarantine_epoch` (the origin epoch — the drain cursor).
+    * A pending alter applies to quarantined rows exactly as
+    * [[readSink]] applies it to data rows. An empty feed returns the
+    * bookkeeping columns only (the rejected rows' schema is
+    * data-dependent). */
+  def readSinkQuarantine(spark: SparkSession, path: String): DataFrame = {
+    val f = fs(spark, path)
+    val cut = maxEpoch(spark, path)
+    def emptyFeed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField(CheckFailedCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__quarantine_epoch",
+          org.apache.spark.sql.types.LongType))))
+    if (cut < 0) return emptyFeed
+    val qDir = new org.apache.hadoop.fs.Path(
+      s"$path/epoch=$cut/$QuarantineDir")
+    if (!f.exists(qDir)) return emptyFeed
+    val subs = f.listStatus(qDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.toString).sorted
+    if (subs.isEmpty) return emptyFeed
+    val raw = spark.read.option("basePath", qDir.toString)
+      .option("mergeSchema", "true").parquet(subs: _*)
+      .withColumn("__quarantine_epoch", col("epoch").cast("long"))
+      .drop("epoch")
+    val (ren, drop) = readAlter(f, path)
+    if (ren.isEmpty && drop.isEmpty) raw else applyAlter(raw, ren, drop)
+  }
+
+  /** Drain the quarantine feed: delete origin subdirs with epoch ≤
+    * `throughEpoch` from the current epoch (the consumer's commit
+    * point after shipping the rows to triage — retained OLDER epochs'
+    * hard-linked copies retire with their epochs). Returns the
+    * drained origin ids, oldest first. Holds [[CompactLock]]. */
+  def clearSinkQuarantine(spark: SparkSession, path: String,
+      throughEpoch: Long): Seq[Long] =
+    withFencedCompactorLock(spark, path) { fence =>
+      val f = fs(spark, path)
+      val cut = maxEpoch(spark, path)
+      if (cut < 0) Seq.empty
+      else {
+        val qDir = new org.apache.hadoop.fs.Path(
+          s"$path/epoch=$cut/$QuarantineDir")
+        if (!f.exists(qDir)) Seq.empty
+        else {
+          val victims = f.listStatus(qDir).toSeq
+            .filter(s =>
+              s.isDirectory && s.getPath.getName.startsWith("epoch="))
+            .map(s =>
+              (s.getPath.getName.stripPrefix("epoch=").toLong, s.getPath))
+            .filter(_._1 <= throughEpoch).sortBy(_._1)
+          fence()
+          victims.foreach { case (_, p) => f.delete(p, true) }
+          victims.map(_._1)
+        }
+      }
+    }
+
   /** Every day of committed epoch `epochId` paired with the directory
     * that PHYSICALLY holds it: the epoch's own `day=` children plus —
     * when a durable [[MergePlan]] is present (snapshot mode,
@@ -1999,6 +2299,7 @@ object Streaming {
       if (changeFilesEnabled(spark))
         writeEpochChanges(spark, epochDir,
           src.limit(0).withColumn(CdcKindCol, lit("insert")))
+      carryQuarantine(spark, f, path, before, epochDir)
       fence()
       commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact",
         mintedBloomCols(spark, f, path, before), before)
@@ -2065,8 +2366,15 @@ object Streaming {
       else withData
         .map(d => conform(alterOf(spark.read.parquet(d._2.toString)), target))
         .reduce(_.unionByName(_, allowMissingColumns = true))
-    val fresh = conform(fresh0, target)
+    val fresh0d = conform(fresh0, target)
       .withColumn("day", to_date(col(tsCol)))
+    // CHECK gate: the declared constraints admit only passing rows
+    // into the fold — refuse aborts here with per-check counts
+    // (nothing mutated, batches stay consumable), quarantine diverts
+    // the violators to the epoch's feed (written below, atomic with
+    // the epoch)
+    val (fresh, quarRows) =
+      enforceChecks(spark, path, fresh0d, readChecks(f, path), "compaction")
     val prevNarrow = prevSchema.exists(s =>
       s.exists(fld => target(fld.name).dataType != fld.dataType))
     // the day list is driver-side but bounded by the CALENDAR (days
@@ -2112,6 +2420,11 @@ object Streaming {
           .partitionBy("day")
         .parquet(epochDir.toString)
     }
+    // the epoch's quarantine: this fold's violators under their own
+    // origin subdir, plus the superseded epoch's un-drained feed
+    // carried forward by link — both pre-commit, atomic with the epoch
+    quarRows.foreach(writeQuarantine(spark, epochDir, epoch, _))
+    carryQuarantine(spark, f, path, before, epochDir)
     // churn record for ingest compactions ([[ChangesDir]]): BY
     // REFERENCE — the consumed batches ARE this epoch's inserts, and
     // they were about to be deleted anyway, so the manifest records
@@ -2120,13 +2433,20 @@ object Streaming {
     // CDF's add-only commits use the same trick). readEpochChanges
     // resolves each name to whichever side of its rename it is on; a
     // crash between commit and the moves is finished by the next
-    // compaction's recovery (settleChangeRefs).
+    // compaction's recovery (settleChangeRefs). A fold the CHECK gate
+    // quarantined rows out of CANNOT record by reference — the batch
+    // dirs hold rows that did NOT insert, and a reader resolving them
+    // would serve phantom inserts — so that (rare, already-flagged)
+    // epoch pays the row-copy manifest of exactly the admitted rows.
     if (changeFilesEnabled(spark)) {
-      import spark.implicits._
-      writeEpochChanges(spark, epochDir,
-        withData.map(d => ("insert", s"batch_id=${d._1}"))
-          .toDF(CdcKindCol, CdcRefCol).repartition(1),
-        refManifest = true)
+      if (quarRows.isEmpty) {
+        import spark.implicits._
+        writeEpochChanges(spark, epochDir,
+          withData.map(d => ("insert", s"batch_id=${d._1}"))
+            .toDF(CdcKindCol, CdcRefCol).repartition(1),
+          refManifest = true)
+      } else writeEpochChanges(spark, epochDir,
+        fresh.withColumn(CdcKindCol, lit("insert")))
     }
     // the owed-day plan derives from the day dirs the write ACTUALLY
     // produced, not from the collected day strings — any naming drift
@@ -2154,9 +2474,12 @@ object Streaming {
     retireEpochsLocked(spark, path, f)
     // batch retirement: a batch the change manifest holds by reference
     // MOVES under the epoch (its files are the recorded insert rows);
-    // everything else deletes as before
+    // everything else deletes as before (including a quarantined
+    // fold's batches — their admitted rows were manifested by copy)
     val refIds: Set[Long] =
-      if (changeFilesEnabled(spark)) withData.map(_._1).toSet else Set.empty
+      if (changeFilesEnabled(spark) && quarRows.isEmpty)
+        withData.map(_._1).toSet
+      else Set.empty
     live.foreach { case (id, p) =>
       if (refIds.contains(id)) moveRefInto(f, epochDir, p)
       else f.delete(p, true)
@@ -2769,6 +3092,54 @@ object Streaming {
     }
   }
 
+  /** q163 — CHECK constraints + quarantine END TO END under the oracle
+    * hash (the data-quality gate a training-data ingest runs every
+    * feed through — Delta CHECK constraints / DLT expectations as
+    * sink-lifecycle dataflow): events land as a micro-batch, the
+    * check `event_type <> 'purchase'` is DECLARED before the fold
+    * (parse-only at that point — no epoch exists yet), and the ingest
+    * compaction runs in quarantine mode, so the fold splits the feed
+    * row-exactly: passing rows (predicate TRUE — or NULL: SQL CHECK's
+    * rule, a NULL predicate passes) into the epoch zone, violating
+    * rows into the epoch's quarantine feed. The query reads BOTH
+    * sides — [[readSink]] (clean) and [[readSinkQuarantine]] (the
+    * diverted rows) — into one per-day clean/quarantined aggregate.
+    * The oracle re-states the split over `events` as a tagged UNION
+    * ALL on the null-safe predicate (`NOT COALESCE(event_type =
+    * 'purchase', FALSE)` clean / the COALESCE itself quarantined):
+    * hash equality proves the gate is EXACT (no passing row diverted,
+    * no violating row admitted) and LOSSLESS (clean + quarantined =
+    * every ingested row — the split drops nothing). Refuse mode, the
+    * add-time validation pass, multi-check tagging, carry-forward and
+    * the drain are StreamingSpec's. Scratch-sink convention and
+    * determinism story are q115's. */
+  def q163SinkChecks(spark: SparkSession, dir: String): DataFrame = {
+    // READ-ONLY consumer: the checked ingest (declare -> fold ->
+    // split) is built once per session and both sides are served in
+    // place — the query itself mutates nothing
+    val sink = SharedArtifacts.once(spark, dir, "events_checked") { out =>
+      writeBatchIdempotent(Tables.events(spark, dir), out, 0L)
+      addSinkCheck(spark, out, "no_purchase_events",
+        "event_type <> 'purchase'")
+      val prevMode = spark.conf.getOption("spark.graft.sink.checkMode")
+      spark.conf.set("spark.graft.sink.checkMode", "quarantine")
+      try compactSink(spark, out, quiesced = true)
+      finally prevMode.fold(spark.conf.unset("spark.graft.sink.checkMode"))(
+        spark.conf.set("spark.graft.sink.checkMode", _))
+    }
+    val clean = readSink(spark, sink)
+      .select(col("day")).withColumn("side", lit("clean"))
+    val quar = readSinkQuarantine(spark, sink)
+      .select(col("day")).withColumn("side", lit("quarantined"))
+    clean.unionByName(quar)
+      .groupBy(col("day"))
+      .agg(
+        count(when(col("side") === "clean", lit(1))).as("n_clean"),
+        count(when(col("side") === "quarantined", lit(1)))
+          .as("n_quarantined"))
+      .orderBy("day")
+  }
+
   /** Exactly-once union view over the sink: the single max committed
     * epoch zone (older epochs are subsumed by re-compaction and only
     * await retirement — reading them would double-count) plus the
@@ -3283,7 +3654,25 @@ object Streaming {
     withFencedCompactorLock(spark, path) { fence =>
       rewriteLocked(spark, path,
         df => { checkedSets(df.limit(0)); df.filter(predicate) },
-        checkedSets,
+        df => {
+          val out = checkedSets(df)
+          // CHECK gate on the update's POST-images, refuse-only: SQL
+          // UPDATE fails on a violating result row ("quarantining" an
+          // update would silently delete it). One bounded aggregation
+          // over the matched rows, only when checks are declared.
+          val checks = readChecks(fs(spark, path), path)
+          if (checks.nonEmpty) {
+            val (_, bad, perCheck) = checkCounts(
+              applySets(df.filter(predicate), predicate, sets), checks)
+            require(bad == 0L,
+              s"updateWhere over $path refused: $bad SET post-image(s) " +
+                "violate CHECK constraint(s) [" +
+                perCheck.filter(_._2 > 0)
+                  .map { case (n, c) => s"$n: $c" }.mkString("; ") +
+                "] - fix the SET expressions or drop the check")
+          }
+          out
+        },
         df => {
           val matched = df.filter(predicate)
           matched.withColumn(CdcKindCol, lit("update_pre"))
@@ -3395,6 +3784,7 @@ object Streaming {
     // and must NOT be resurrected from the source epoch
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    carryQuarantine(spark, f, path, before, epochDir)
     fence() // the commit makes the rewrite visible: last exit
     commitEpoch(f, epochDir, wm, op, // no batches consumed
       mintedBloomCols(spark, f, path, before), before)
@@ -3519,6 +3909,10 @@ object Streaming {
         if (changeFilesEnabled(spark))
           writeEpochChanges(spark, epochDir,
             restoreChurn(spark, prevDays, targetDays))
+        // the quarantine feed is operational state, not table state: a
+        // restore reverts the TABLE but carries the un-drained feed
+        // forward from the epoch it supersedes, like every other mint
+        carryQuarantine(spark, f, path, before, epochDir)
         fence() // the commit makes the restore visible: last exit
         commitEpoch(f, epochDir, wm, "restore",
           epochBloomColsOf(f, path, toEpoch), before)
@@ -3694,10 +4088,18 @@ object Streaming {
     // batch that round-tripped through readSink may carry one
     val dropped =
       if (batch.columns.contains("day")) batch.drop("day") else batch
-    val incoming =
+    val incoming0 =
       if (dropped.columns.contains(tsCol))
         dropped.withColumn("day", to_date(col(tsCol)))
       else dropped.withColumn("day", lit(null).cast("date"))
+    // CHECK gate on the batch (the merge's new rows): refuse aborts
+    // with counts before any mutation; quarantine diverts the
+    // violators (written under the minted epoch below). The merge
+    // keys MUST derive from the CLEAN rows only — a quarantined row's
+    // key deleting its old sink row would turn a refused replacement
+    // into a silent delete.
+    val (incoming, quarRows) =
+      enforceChecks(spark, path, incoming0, readChecks(f, path), opName)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (spark.conf.getOption("spark.graft.upsert.broadcastKeys")
         .forall(_.toBoolean)) broadcast(df)
@@ -3708,7 +4110,7 @@ object Streaming {
     // apart. ONE distinct key projection feeds both roles — the union
     // arm builds on the already-distinct upsert keys rather than
     // re-projecting (and re-broadcasting) the batch (r17 advice).
-    val upsKeys = batch.select(keyCols.map(col): _*).distinct()
+    val upsKeys = incoming.select(keyCols.map(col): _*).distinct()
     val upsKeysB = maybeBroadcast(upsKeys)
     val keys = delKeys.fold(upsKeysB)(dk =>
       maybeBroadcast(upsKeys.unionByName(dk).distinct()))
@@ -3850,6 +4252,8 @@ object Streaming {
     }
     val toMove = prevDays.filterNot(d => affected.contains(d._1))
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
+    quarRows.foreach(writeQuarantine(spark, epochDir, epoch, _))
+    carryQuarantine(spark, f, path, before, epochDir)
     fence() // the commit makes the merge visible: last exit
     commitEpoch(f, epochDir, wm, // no batches consumed
       if (delKeys.isDefined) "apply" else "upsert",

@@ -75,7 +75,11 @@ class ScaleSensitivitySpec extends SparkSpecBase {
       "q160_update_where", "q161_timestamp_as_of",
       // q162 restores past a delete under K=2: the link-based rebuild
       // must stay O(files) metadata however large the days grow
-      "q162_restore")
+      "q162_restore",
+      // q163 folds the full feed through the CHECK gate (one pricing
+      // aggregation + the quarantine split) - the gate must stay a
+      // constant factor on the ingest, never a second fold
+      "q163_sink_checks")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

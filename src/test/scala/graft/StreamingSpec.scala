@@ -3016,6 +3016,236 @@ class StreamingSpec extends SparkSpecBase
     } finally prev.fold(spark.conf.unset("spark.graft.sink.changeFiles"))(
       v => spark.conf.set("spark.graft.sink.changeFiles", v))
   }
+
+  // ------------------------------------------------ CHECK constraints
+
+  private def withSinkConf[T](kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("sink checks: declare/list/drop rails, and add validates existing rows Delta-style") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_checks").toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+        (tsv("2024-01-01 11:00:00"), 2L, "purchase"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    // existing data violates: the add must refuse with the count
+    val e1 = intercept[IllegalArgumentException](
+      Streaming.addSinkCheck(spark, out, "no_purchases",
+        "event_type <> 'purchase'"))
+    assert(e1.getMessage.contains("1 existing row(s)"), e1.getMessage)
+    // a satisfied predicate declares fine
+    Streaming.addSinkCheck(spark, out, "positive_ids", "event_id > 0")
+    val listed = Streaming.listSinkChecks(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(listed == Seq(("positive_ids", "event_id > 0")))
+    val e2 = intercept[IllegalArgumentException](
+      Streaming.addSinkCheck(spark, out, "positive_ids", "event_id > 1"))
+    assert(e2.getMessage.contains("already declared"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Streaming.addSinkCheck(spark, out, "broken", "event_id >>> ("))
+    assert(e3.getMessage.contains("does not parse"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      Streaming.dropSinkCheck(spark, out, "nope"))
+    assert(e4.getMessage.contains("positive_ids"), e4.getMessage)
+    Streaming.dropSinkCheck(spark, out, "positive_ids")
+    assert(Streaming.listSinkChecks(spark, out).isEmpty)
+  }
+
+  test("refuse mode: a violating fold aborts with per-check counts and the batches stay consumable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_refuse").toString
+    val out = s"$root/events"
+    // declared before any epoch exists: parse-only at add time
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+        (tsv("2024-01-02 10:00:00"), 2L, "purchase"),
+        (tsv("2024-01-02 11:00:00"), 3L, "purchase"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    val e = intercept[IllegalArgumentException](
+      Streaming.compactSink(spark, out, quiesced = true))
+    assert(e.getMessage.contains("no_purchases: 2"), e.getMessage)
+    // nothing was consumed or minted: the batch is intact and a
+    // rectified gate folds it
+    assert(new java.io.File(s"$out/batch_id=0/_BATCH_COMMIT").exists(),
+      "the refused fold consumed its batch")
+    assert(epochIds(out).isEmpty, "the refused fold minted an epoch")
+    Streaming.dropSinkCheck(spark, out, "no_purchases")
+    assert(Streaming.compactSink(spark, out, quiesced = true) == 0L)
+    assert(Streaming.readSink(spark, out).count() == 3L)
+  }
+
+  test("quarantine mode: the fold splits row-exactly, tags every failing check, and the CDC manifest copies admitted rows only") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_quar").toString
+    val out = s"$root/events"
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    Streaming.addSinkCheck(spark, out, "value_nonneg", "value >= 0")
+    Streaming.writeBatchIdempotent(
+      Seq(
+        (tsv("2024-01-01 10:00:00"), 1L, Some("click"), Some(1.0)),
+        (tsv("2024-01-01 11:00:00"), 2L, Some("purchase"), Some(2.0)),
+        (tsv("2024-01-02 10:00:00"), 3L, Some("purchase"), Some(-1.0)),
+        // NULL predicates PASS a SQL CHECK: both stay clean
+        (tsv("2024-01-02 11:00:00"), 4L, Some("click"), None),
+        (tsv("2024-01-03 10:00:00"), 5L, None, Some(5.0)))
+        .toDF("ts", "event_id", "event_type", "value"), out, 0L)
+    withSinkConf("spark.graft.sink.checkMode" -> "quarantine",
+      "spark.graft.sink.changeFiles" -> "true") {
+      Streaming.compactSink(spark, out, quiesced = true)
+    }
+    assert(Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
+    val quar = Streaming.readSinkQuarantine(spark, out)
+      .select(col("event_id"), col("__check_failed"),
+        col("__quarantine_epoch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(quar == Set((2L, "no_purchases", 0L),
+      (3L, "no_purchases,value_nonneg", 0L)), s"wrong quarantine: $quar")
+    // the churn manifest must record the ADMITTED rows by copy - a
+    // by-reference manifest would resolve the batch dir and serve the
+    // quarantined rows as phantom inserts
+    val manifest = spark.read.parquet(s"$out/epoch=0/_changes")
+    assert(!manifest.columns.contains("__cdc_ref"),
+      "a quarantined fold recorded its churn by reference")
+    assert(manifest.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 4L, 5L))
+  }
+
+  test("the quarantine feed carries forward by link, survives retirement, and drains through the cursor") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_drain").toString
+    val out = s"$root/events"
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    withSinkConf("spark.graft.sink.checkMode" -> "quarantine") {
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+          (tsv("2024-01-01 11:00:00"), 2L, "purchase"))
+          .toDF("ts", "event_id", "event_type"), out, 0L)
+      Streaming.compactSink(spark, out, quiesced = true)
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-02 10:00:00"), 3L, "click"),
+          (tsv("2024-01-02 11:00:00"), 4L, "purchase"))
+          .toDF("ts", "event_id", "event_type"), out, 1L)
+      Streaming.compactSink(spark, out, quiesced = true)
+    }
+    // epoch 0 is retired (keepEpochs default 1), but its quarantined
+    // row survives through the carried hard links
+    assert(epochIds(out) == Seq(1L))
+    def feed = Streaming.readSinkQuarantine(spark, out)
+      .select(col("event_id"), col("__quarantine_epoch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(feed == Set((2L, 0L), (4L, 1L)), s"wrong feed: $feed")
+    // drain through origin 0: the older generation clears, the newer
+    // stays, and a later mint carries the DRAINED state forward
+    assert(Streaming.clearSinkQuarantine(spark, out, 0L) == Seq(0L))
+    assert(feed == Set((4L, 1L)), s"drain did not stick: $feed")
+    withSinkConf("spark.graft.sink.checkMode" -> "quarantine") {
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-03 10:00:00"), 5L, "click"))
+          .toDF("ts", "event_id", "event_type"), out, 2L)
+      Streaming.compactSink(spark, out, quiesced = true)
+    }
+    assert(feed == Set((4L, 1L)),
+      "a later mint resurrected a drained quarantine generation")
+    assert(Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("merge batches gate through the checks: refuse aborts; quarantine diverts WITHOUT deleting the old row") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_mergechk")
+      .toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+        (tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    val bad = Seq((tsv("2024-01-01 10:00:00"), 1L, "purchase"))
+      .toDF("ts", "event_id", "event_type")
+    val e = intercept[IllegalArgumentException](
+      Streaming.upsertBatch(spark, out, bad, Seq("event_id")))
+    assert(e.getMessage.contains("no_purchases: 1"), e.getMessage)
+    assert(Streaming.readSink(spark, out).count() == 2L,
+      "the refused upsert mutated the sink")
+    withSinkConf("spark.graft.sink.checkMode" -> "quarantine") {
+      Streaming.upsertBatch(spark, out,
+        Seq((tsv("2024-01-01 10:00:00"), 1L, "purchase"),
+          (tsv("2024-01-03 10:00:00"), 3L, "click"))
+          .toDF("ts", "event_id", "event_type"), Seq("event_id"))
+    }
+    // the quarantined replacement must NOT have deleted its old row -
+    // key 1 still serves the pre-merge version, key 3 inserted
+    val rows = Streaming.readSink(spark, out)
+      .select(col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "click"), (2L, "view"), (3L, "click")),
+      s"quarantined merge row leaked into the sink: $rows")
+    val quar = Streaming.readSinkQuarantine(spark, out)
+      .select("event_id").as[Long].collect().toSeq
+    assert(quar == Seq(1L), s"wrong merge quarantine: $quar")
+  }
+
+  test("updateWhere refuses a SET whose post-images would violate a declared check") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_updchk")
+      .toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+        (tsv("2024-01-02 10:00:00"), 2L, "view"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    val e = intercept[IllegalArgumentException](
+      Streaming.updateWhere(spark, out, col("event_id") === 1L,
+        Seq("event_type" -> lit("purchase"))))
+    assert(e.getMessage.contains("post-image"), e.getMessage)
+    assert(epochIds(out) == Seq(0L), "the refused update minted an epoch")
+    // a passing SET still lands (quarantine mode changes nothing for
+    // an update: it is refuse-only by design)
+    Streaming.updateWhere(spark, out, col("event_id") === 1L,
+      Seq("event_type" -> lit("scroll")))
+    assert(Streaming.readSink(spark, out).filter(col("event_id") === 1L)
+      .select("event_type").as[String].head() == "scroll")
+  }
+
+  test("an all-violating feed refuses even in quarantine mode") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_allbad")
+      .toString
+    val out = s"$root/events"
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "purchase"),
+        (tsv("2024-01-02 10:00:00"), 2L, "purchase"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    withSinkConf("spark.graft.sink.checkMode" -> "quarantine") {
+      val e = intercept[IllegalArgumentException](
+        Streaming.compactSink(spark, out, quiesced = true))
+      assert(e.getMessage.contains("EVERY incoming row"), e.getMessage)
+    }
+    assert(new java.io.File(s"$out/batch_id=0/_BATCH_COMMIT").exists(),
+      "the refused all-violating fold consumed its batch")
+  }
 }
 
 /** A local filesystem whose rename ALWAYS fails — the test stand-in for
