@@ -1543,6 +1543,27 @@ object Streaming {
       }
       drops.foreach(c => require(cur.contains(c),
         s"drop target '$c' is not in the sink schema"))
+      // a declared CHECK referencing an altered column would brick
+      // every later fold with a raw unresolved-column error (the gate
+      // evaluates against the post-alter schema) - refuse HERE, where
+      // the operator can still sequence drop-check -> alter ->
+      // re-declare
+      val declared = readChecks(f, path)
+      if (declared.nonEmpty) {
+        val touched = (renames.keySet ++ drops).map(_.toLowerCase)
+        declared.foreach { case (n, s) =>
+          val refs = spark.sessionState.sqlParser.parseExpression(s)
+            .collect {
+              case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.nameParts.last.toLowerCase
+            }.toSet
+          val hit = refs & touched
+          require(hit.isEmpty,
+            s"cannot alter column(s) ${hit.mkString(", ")} referenced " +
+              s"by check '$n' ($s) - drop the check, alter, then " +
+              "re-declare it against the new schema")
+        }
+      }
       val lines = renames.toSeq.sortBy(_._1).map { case (o, n) =>
         s"rename $o $n"
       } ++ drops.sorted.map(c => s"drop $c")
@@ -1610,13 +1631,32 @@ object Streaming {
     try out.write(checks.map { case (n, s) => s"$n=$s" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // Hadoop rename refuses an existing destination: replace-by-delete
-    // first. The momentary no-marker window sits under [[CompactLock]]
-    // (every enforcement read holds it); a lock-free [[listSinkChecks]]
-    // racing it sees a point-in-time listing, like describeSink.
-    f.delete(marker, false)
-    require(f.rename(tmp, marker),
-      s"could not install checks marker under $path")
+    // Replacing the marker must not fail OPEN: a crash between a
+    // delete and a rename would leave NO marker, and every later fold
+    // would silently admit violating rows — the opposite of the
+    // feature's fail-safe rule. On a local filesystem the replace is
+    // one ATOMIC move (either the old or the new check set is always
+    // on disk); elsewhere fall back to delete+rename, whose window is
+    // under [[CompactLock]] and crash-exposed only on filesystems
+    // without atomic replace (documented, not silent: the tmp file
+    // survives such a crash as evidence).
+    def local(fs: org.apache.hadoop.fs.FileSystem): Boolean = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem => true
+      case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+      case _ => false
+    }
+    if (local(f)) {
+      def nio(p: org.apache.hadoop.fs.Path) = java.nio.file.Path.of(
+        org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(p)
+          .toString)
+      java.nio.file.Files.move(nio(tmp), nio(marker),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      f.delete(marker, false)
+      require(f.rename(tmp, marker),
+        s"could not install checks marker under $path")
+    }
   }
 
   /** Declare CHECK constraint `name` (`sql`, a boolean SQL predicate
@@ -1652,7 +1692,15 @@ object Streaming {
         s"check '$name' does not parse: $sql", e) }
       val pred = expr(sql)
       val cut = maxEpoch(spark, path)
-      if (cut >= 0) readEpochFrame(spark, f, path, cut).foreach { frame =>
+      if (cut >= 0) readEpochFrame(spark, f, path, cut).foreach { frame0 =>
+        // validate against the LOGICAL schema (a pending rename/drop
+        // applies exactly as readSink serves it): the declaration must
+        // analyze against the names every reader and every
+        // post-normalize fold will see
+        val (ren, drop) = readAlter(f, path)
+        val frame =
+          if (ren.isEmpty && drop.isEmpty) frame0
+          else applyAlter(frame0, ren, drop)
         val bad = frame.filter(pred <=> lit(false)).count()
         require(bad == 0L,
           s"cannot add check '$name' ($sql) on $path: $bad existing " +
@@ -1697,13 +1745,20 @@ object Streaming {
     m
   }
 
+  /** The per-check violation columns — ONE construction shared by the
+    * pricing aggregation and the split, so the counted violations can
+    * never desynchronize from the rows actually diverted. Violation
+    * is SQL CHECK's: the predicate IS FALSE (null-safe equality with
+    * false — a NULL predicate passes). */
+  private def checkViols(checks: Seq[(String, String)])
+      : Seq[(String, Column)] =
+    checks.map { case (n, s) => n -> (expr(s) <=> lit(false)) }
+
   /** One aggregation job pricing the gate over `incoming`: (total
-    * rows, rows violating ANY check, per-check violation counts).
-    * Violation is SQL CHECK's: the predicate IS FALSE (null-safe
-    * equality with false — a NULL predicate passes). */
+    * rows, rows violating ANY check, per-check violation counts). */
   private def checkCounts(incoming: DataFrame,
       checks: Seq[(String, String)]): (Long, Long, Seq[(String, Long)]) = {
-    val viols = checks.map { case (n, s) => n -> (expr(s) <=> lit(false)) }
+    val viols = checkViols(checks)
     val anyViol = viols.map(_._2).reduce(_ || _)
     val row = incoming.agg(
       count(lit(1)).as("__total"),
@@ -1723,7 +1778,13 @@ object Streaming {
     * quarantining 100 % of a batch is an upstream disaster better
     * stopped than absorbed, and a clean-empty fold would mint a
     * dataless epoch) aborts with the per-check counts; nothing was
-    * mutated yet at every call site, so sources stay consumable. */
+    * mutated yet at every call site, so sources stay consumable.
+    * Cost on the violating quarantine path: the split's two filters
+    * (plus the caller's writes) re-read the incoming frame — up to
+    * three extra passes over data that is BATCH-sized by contract,
+    * paid only on the rare flagged epoch (a cache here would leak
+    * across the callers' commit boundaries for a constant-factor win
+    * on the unhappy path). */
   private def enforceChecks(spark: SparkSession, path: String,
       incoming: DataFrame, checks: Seq[(String, String)], op: String)
       : (DataFrame, Option[DataFrame]) = {
@@ -1740,7 +1801,7 @@ object Streaming {
       s"$op over $path: EVERY incoming row ($total) violates the " +
         s"declared checks [$detail] - refusing even in quarantine " +
         "mode; fix the feed")
-    val viols = checks.map { case (n, s) => n -> (expr(s) <=> lit(false)) }
+    val viols = checkViols(checks)
     val anyViol = viols.map(_._2).reduce(_ || _)
     (incoming.filter(!anyViol),
       Some(incoming.filter(anyViol).withColumn(CheckFailedCol,
@@ -1769,10 +1830,19 @@ object Streaming {
     * [[SharedArtifacts.cloneTo]]'s reason), pre-commit: every epoch
     * serves the full surviving feed, retirement deletes old copies
     * without losing it, and a drain ([[clearSinkQuarantine]]) stays
-    * drained because later mints carry from the cleared state. */
+    * drained because later mints carry from the cleared state.
+    *
+    * An ALTER-NORMALIZING fold passes its pending rename/drop: the
+    * carried generations REWRITE through [[applyAlter]] instead of
+    * linking (bounded by the feed, the same one-time migration the
+    * fold pays for the data days) — linked old-name files beside new
+    * post-alter generations would otherwise serve a silently mixed
+    * schema once the marker clears. */
   private def carryQuarantine(spark: SparkSession,
       f: org.apache.hadoop.fs.FileSystem, path: String, fromEpoch: Long,
-      epochDir: org.apache.hadoop.fs.Path): Unit = {
+      epochDir: org.apache.hadoop.fs.Path,
+      alterRen: Map[String, String] = Map.empty,
+      alterDrop: Seq[String] = Seq.empty): Unit = {
     if (fromEpoch < 0) return
     val src = new org.apache.hadoop.fs.Path(
       s"$path/epoch=$fromEpoch/$QuarantineDir")
@@ -1783,8 +1853,18 @@ object Streaming {
         val dest = new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(epochDir, QuarantineDir),
           s.getPath.getName)
-        if (!f.exists(dest))
-          SharedArtifacts.linkOrCopyTree(conf, s.getPath, dest)
+        if (!f.exists(dest)) {
+          if (alterRen.isEmpty && alterDrop.isEmpty)
+            SharedArtifacts.linkOrCopyTree(conf, s.getPath, dest)
+          else withMicrosTs(spark) {
+            applyAlter(
+              spark.read.option("basePath", s.getPath.toString)
+                .option("mergeSchema", "true").parquet(s.getPath.toString),
+              alterRen, alterDrop)
+              .write.mode("overwrite").partitionBy("day")
+              .parquet(dest.toString)
+          }
+        }
       }
     }
   }
@@ -2299,7 +2379,7 @@ object Streaming {
       if (changeFilesEnabled(spark))
         writeEpochChanges(spark, epochDir,
           src.limit(0).withColumn(CdcKindCol, lit("insert")))
-      carryQuarantine(spark, f, path, before, epochDir)
+      carryQuarantine(spark, f, path, before, epochDir, alterRen, alterDrop)
       fence()
       commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact",
         mintedBloomCols(spark, f, path, before), before)
@@ -2422,9 +2502,11 @@ object Streaming {
     }
     // the epoch's quarantine: this fold's violators under their own
     // origin subdir, plus the superseded epoch's un-drained feed
-    // carried forward by link — both pre-commit, atomic with the epoch
+    // carried forward by link — both pre-commit, atomic with the
+    // epoch; a normalizing fold rewrites the carried generations
+    // through the alter instead of linking
     quarRows.foreach(writeQuarantine(spark, epochDir, epoch, _))
-    carryQuarantine(spark, f, path, before, epochDir)
+    carryQuarantine(spark, f, path, before, epochDir, alterRen, alterDrop)
     // churn record for ingest compactions ([[ChangesDir]]): BY
     // REFERENCE — the consumed batches ARE this epoch's inserts, and
     // they were about to be deleted anyway, so the manifest records
@@ -3479,6 +3561,11 @@ object Streaming {
               writeEpochChanges(spark, epochDir,
                 readDays(spark, resolved.filter(d => victims.contains(d._1)))
                   .withColumn(CdcKindCol, lit("delete")))
+            // the retention mint carries the un-drained quarantine
+            // feed like every other epoch-minting op - without this
+            // the next readSinkQuarantine would serve an empty feed
+            // and the rows would be deleted with the aged-out epoch
+            carryQuarantine(spark, f, path, cut, epochDir)
             fence() // the commit makes the retention visible: last exit
             commitEpoch(f, epochDir, wm, "retire", // no batches consumed
               mintedBloomCols(spark, f, path, cut), cut)
@@ -3897,6 +3984,40 @@ object Streaming {
             "discard them")
         val targetDays = resolvedDays(f, path, toEpoch)
         val prevDays = resolvedDays(f, path, before)
+        // CHECK gate on the rows the restore RE-ADMITS (refuse-only,
+        // like an update — "quarantining" part of a restore would make
+        // it not a restore): days the snapshot and the current epoch
+        // resolve to the SAME physical directory are current content
+        // that already validated at declaration, so only the CHANGED
+        // target days can hold unvalidated rows — O(changed days),
+        // the restore's existing cost shape. Without this, restoring
+        // past the mutation that made a check addable would silently
+        // break addSinkCheck's all-rows-satisfy invariant.
+        val checks = readChecks(f, path)
+        if (checks.nonEmpty) {
+          val pm = prevDays.toMap
+          val readmitted = targetDays.filter { case (d, p) =>
+            !pm.get(d).contains(p)
+          }
+          if (readmitted.nonEmpty) {
+            // checks are declared against the LOGICAL schema: a
+            // pending alter applies to the validation frame exactly
+            // as readSink serves the restored rows
+            val (aRen, aDrop) = readAlter(f, path)
+            val frame0 = readDays(spark, readmitted)
+            val frame =
+              if (aRen.isEmpty && aDrop.isEmpty) frame0
+              else applyAlter(frame0, aRen, aDrop)
+            val (_, bad, perCheck) = checkCounts(frame, checks)
+            require(bad == 0L,
+              s"restoreSink over $path refused: $bad row(s) of the " +
+                s"snapshot violate CHECK constraint(s) [" +
+                perCheck.filter(_._2 > 0)
+                  .map { case (n, c) => s"$n: $c" }.mkString("; ") +
+                "] declared after it - drop the check or restore to a " +
+                "compliant snapshot")
+          }
+        }
         val epoch = before + 1
         val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
         f.delete(epochDir, true) // discard an uncommitted crashed attempt

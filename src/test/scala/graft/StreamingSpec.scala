@@ -3227,6 +3227,117 @@ class StreamingSpec extends SparkSpecBase
       .select("event_type").as[String].head() == "scroll")
   }
 
+  test("a snapshot-mode retention mint carries the quarantine feed instead of dropping it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_retquar")
+      .toString
+    val out = s"$root/events"
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    withSinkConf("spark.graft.sink.checkMode" -> "quarantine") {
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+          (tsv("2024-01-01 11:00:00"), 2L, "purchase"),
+          (tsv("2024-01-20 10:00:00"), 3L, "click"))
+          .toDF("ts", "event_id", "event_type"), out, 0L)
+      Streaming.compactSink(spark, out, quiesced = true)
+    }
+    withKeepEpochs(2) {
+      // retention mints a 'retire' epoch referencing the survivors;
+      // the un-drained feed must ride it
+      Streaming.retireDays(spark, out,
+        java.sql.Date.valueOf("2024-01-10"))
+    }
+    assert(Streaming.readSink(spark, out)
+      .select("event_id").as[Long].collect().toSeq == Seq(3L))
+    val feed = Streaming.readSinkQuarantine(spark, out)
+      .select("event_id").as[Long].collect().toSeq
+    assert(feed == Seq(2L),
+      s"the retention mint dropped the quarantine feed: $feed")
+  }
+
+  test("checks and alters refuse to cross: altering a checked column, and declaring against the logical schema") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_chkalter")
+      .toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click", 5L))
+        .toDF("ts", "event_id", "event_type", "score"), out, 0L)
+    Streaming.compactSink(spark, out, quiesced = true)
+    Streaming.addSinkCheck(spark, out, "score_pos", "score > 0")
+    // altering the checked column would brick every later fold on an
+    // unresolved-column error - refuse at the alter, with the remedy
+    val e = intercept[IllegalArgumentException](
+      Streaming.alterSink(spark, out,
+        renames = Map("score" -> "points")))
+    assert(e.getMessage.contains("score_pos"), e.getMessage)
+    // an alter of an UNchecked column is fine, and a check declared
+    // while it is pending validates against the LOGICAL schema
+    Streaming.alterSink(spark, out,
+      renames = Map("event_type" -> "kind"))
+    Streaming.addSinkCheck(spark, out, "kind_known", "kind IS NOT NULL")
+    Streaming.dropSinkCheck(spark, out, "kind_known")
+    Streaming.dropSinkCheck(spark, out, "score_pos")
+  }
+
+  test("an alter-normalizing fold rewrites the carried quarantine through the rename (no mixed schema)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_quaralter")
+      .toString
+    val out = s"$root/events"
+    Streaming.addSinkCheck(spark, out, "no_purchases",
+      "event_type <> 'purchase'")
+    withSinkConf("spark.graft.sink.checkMode" -> "quarantine") {
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-01 10:00:00"), 1L, "click", 5L),
+          (tsv("2024-01-01 11:00:00"), 2L, "purchase", 6L))
+          .toDF("ts", "event_id", "event_type", "score"), out, 0L)
+      Streaming.compactSink(spark, out, quiesced = true)
+      // rename an UNchecked column, then fold a second slice: the
+      // normalize pass must rewrite the CARRIED generation too, or
+      // the feed serves score (old rows) beside points (new rows)
+      Streaming.alterSink(spark, out, renames = Map("score" -> "points"))
+      Streaming.writeBatchIdempotent(
+        Seq((tsv("2024-01-02 10:00:00"), 3L, "purchase", 7L),
+          (tsv("2024-01-02 11:00:00"), 4L, "click", 8L))
+          .toDF("ts", "event_id", "event_type", "points"), out, 1L)
+      Streaming.compactSink(spark, out, quiesced = true)
+    }
+    val feed = Streaming.readSinkQuarantine(spark, out)
+    assert(feed.columns.contains("points") && !feed.columns.contains("score"),
+      s"mixed quarantine schema after normalize: ${feed.columns.toSeq}")
+    val rows = feed.select(col("event_id"), col("points"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((2L, 6L), (3L, 7L)), s"wrong normalized feed: $rows")
+  }
+
+  test("restore refuses to re-admit snapshot rows that violate a check declared after the snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sink_reschk")
+      .toString
+    val out = s"$root/events"
+    Streaming.writeBatchIdempotent(
+      Seq((tsv("2024-01-01 10:00:00"), 1L, "click"),
+        (tsv("2024-01-02 10:00:00"), 2L, "purchase"))
+        .toDF("ts", "event_id", "event_type"), out, 0L)
+    withKeepEpochs(3) {
+      val snap = Streaming.compactSink(spark, out, quiesced = true)
+      Streaming.deleteWhere(spark, out, col("event_type") === "purchase")
+      // addable NOW because the current epoch is clean - but the
+      // retained snapshot is not; restoring past the delete must not
+      // silently break the all-rows-satisfy invariant
+      Streaming.addSinkCheck(spark, out, "no_purchases",
+        "event_type <> 'purchase'")
+      val e = intercept[IllegalArgumentException](
+        Streaming.restoreSink(spark, out, snap))
+      assert(e.getMessage.contains("no_purchases: 1"), e.getMessage)
+      Streaming.dropSinkCheck(spark, out, "no_purchases")
+      assert(Streaming.restoreSink(spark, out, snap) == snap + 2)
+      assert(Streaming.readSink(spark, out).count() == 2L)
+    }
+  }
+
   test("an all-violating feed refuses even in quarantine mode") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink_allbad")
