@@ -220,7 +220,7 @@ object Bench {
     // (BenchFormatSpec pins the worst-case width); the on-disk copy
     // below keeps full names and the full path
     println(mkLine(results, new java.io.File(sfDir).getName, shortId,
-      Some(probes), retry))
+      Some(probes), retry, compact = true))
     // a clean full-name copy on disk preserves the signal regardless
     // of how stdout is interleaved or truncated (BENCH_r02/r04 parsed
     // as null from stdout alone) — and carries the PER-REP durations
@@ -599,9 +599,19 @@ object Bench {
     * seconds above. The line must fit the driver's ~2,000-char stdout
     * tail for the WHOLE registry at worst-case widths (BenchFormatSpec
     * pins it), and bench noise exceeds 0.1 s long before a query
-    * does — the wide values pay for the registry's growth. */
-  private def fmt(v: Double): String = {
-    def scaleFor(a: Double) = if (a < 10) 2 else if (a < 100) 1 else 0
+    * does — the wide values pay for the registry's growth.
+    *
+    * `compact = true` (the STDOUT queries map only — r18, when the
+    * registry crossed the width the named-field line could carry):
+    * 0.01 s below 1 s (where 0.01 is still 1-4 % relative), 0.1 s in
+    * [1, 100) (3-9 % relative at 1-10 s — the same relative resolution,
+    * one char narrower), whole seconds above. The on-disk line keeps
+    * the wide classes: the stdout line is the tail-surviving
+    * projection, the artifact is the evidence. */
+  private def fmt(v: Double, compact: Boolean = false): String = {
+    def scaleFor(a: Double) =
+      if (compact) { if (a < 1) 2 else if (a < 100) 1 else 0 }
+      else { if (a < 10) 2 else if (a < 100) 1 else 0 }
     def at(s: Int) = BigDecimal(v)
       .setScale(s, BigDecimal.RoundingMode.HALF_UP)
     // the scale must come from the ROUNDED value, not the raw one:
@@ -635,7 +645,8 @@ object Bench {
       reps: Option[Map[String, Seq[Double]]] = None,
       windows: Option[Seq[Double]] = None,
       hotSegments: Option[Seq[Int]] = None,
-      suspect: Option[Seq[String]] = None): String = {
+      suspect: Option[Seq[String]] = None,
+      compact: Boolean = false): String = {
     val merged = retry match {
       case None => results
       case Some(r) => results.map { case (n, d) =>
@@ -644,31 +655,48 @@ object Bench {
         }.getOrElse(d)
       }
     }
-    val qs = merged.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qs = merged.map { case (k, v) =>
+      s"\"" + key(k) + "\":" + fmt(v, compact)
+    }.mkString("{", ",", "}")
     val total = merged.values.filter(_ >= 0).sum
     // errors is load-bearing: a crashed query is EXCLUDED from the
     // total (−1 marker), so without this count a crash would read as
     // a faster bench. errors > 0 means the total is not comparable.
     val errors = merged.values.count(_ < 0)
+    // STDOUT (compact) renders the bracket probes as ARRAYS — "cal":
+    // [st_before, st_after, mt_before, mt_after(, io_before, io_after)]
+    // and "cal_r":[st, mt(, io)] — identical readings at full (wide)
+    // precision under ~150 fewer chars of field names: at 166 queries
+    // the named-field line overran the driver's 2,000-char capture tail
+    // and the truncation ate the calib evidence the judge's cross-round
+    // normalization reads. The on-disk line keeps the named fields.
     val cal = calib.map { p =>
-      s""","calib_before":${fmt(p.before)},"calib_after":${fmt(p.after)}""" +
-        s""","calib_mt_before":${fmt(p.mtBefore)},"calib_mt_after":${fmt(p.mtAfter)}""" +
-        (if (p.ioBefore >= 0 || p.ioAfter >= 0)
-          s""","calib_io_before":${fmt(p.ioBefore)},"calib_io_after":${fmt(p.ioAfter)}"""
-         else "")
+      if (compact)
+        s""","cal":[${fmt(p.before)},${fmt(p.after)},${fmt(p.mtBefore)},${fmt(p.mtAfter)}""" +
+          (if (p.ioBefore >= 0 || p.ioAfter >= 0)
+            s""",${fmt(p.ioBefore)},${fmt(p.ioAfter)}]""" else "]")
+      else
+        s""","calib_before":${fmt(p.before)},"calib_after":${fmt(p.after)}""" +
+          s""","calib_mt_before":${fmt(p.mtBefore)},"calib_mt_after":${fmt(p.mtAfter)}""" +
+          (if (p.ioBefore >= 0 || p.ioAfter >= 0)
+            s""","calib_io_before":${fmt(p.ioBefore)},"calib_io_after":${fmt(p.ioAfter)}"""
+           else "")
     }.getOrElse("")
     val ret = retry.map { r =>
-      s""","calib_retry":${fmt(r.calib)},"calib_mt_retry":${fmt(r.calibMt)}""" +
-        (if (r.calibIo >= 0) s""","calib_io_retry":${fmt(r.calibIo)}"""
-         else "") +
+      (if (compact)
+        s""","cal_r":[${fmt(r.calib)},${fmt(r.calibMt)}""" +
+          (if (r.calibIo >= 0) s""",${fmt(r.calibIo)}]""" else "]")
+       else
+        s""","calib_retry":${fmt(r.calib)},"calib_mt_retry":${fmt(r.calibMt)}""" +
+          (if (r.calibIo >= 0) s""","calib_io_retry":${fmt(r.calibIo)}"""
+           else "")) +
         // the settle gate's raw readings are evidence, not verdict:
         // on-disk copy only (keyed like reps/windows), keeping the
         // width-budgeted stdout line under the capture tail — the
         // verdict-critical retry_hot DISTILLATION of them rides the
         // stdout tail block
         (if (r.settleProbes.nonEmpty && reps.isDefined)
-          s""","settle_probes":[${r.settleProbes.map(fmt).mkString(",")}]"""
+          s""","settle_probes":[${r.settleProbes.map(fmt(_)).mkString(",")}]"""
          else "")
     }.getOrElse("")
     // per-rep durations, windowed probe readings, hot segments, and the
@@ -678,7 +706,7 @@ object Bench {
     // under-fired trip adjudicable from the artifact alone
     val rp = reps.map { m =>
       s""","reps":""" + m.map { case (k, vs) =>
-        s"\"" + key(k) + "\":[" + vs.map(fmt).mkString(",") + "]"
+        s"\"" + key(k) + "\":[" + vs.map(fmt(_)).mkString(",") + "]"
       }.mkString("{", ",", "}") +
         retry.filter(_.durations.nonEmpty).map { r =>
           s""","retry_reps":""" + r.durations.map { case (k, v) =>
@@ -687,7 +715,7 @@ object Bench {
         }.getOrElse("")
     }.getOrElse("")
     val win = windows.map { ws =>
-      s""","windows":[${ws.map(fmt).mkString(",")}]""" +
+      s""","windows":[${ws.map(fmt(_)).mkString(",")}]""" +
         hotSegments.map(hs =>
           s""","hot_segments":[${hs.mkString(",")}]""").getOrElse("")
     }.getOrElse("")

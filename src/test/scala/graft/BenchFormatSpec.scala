@@ -7,30 +7,93 @@ import org.scalatest.funsuite.AnyFunSuite
   * was truncated and unparseable). No SparkSession needed. */
 class BenchFormatSpec extends AnyFunSuite {
 
+  // the REACHABLE worst width: every query in the 4-char sub-1 s
+  // rendering class — 130 of the current registry's real durations
+  // already sit there, so the uniform shape is the honest bound (the
+  // old uniform-99.99 stress rendered 3-char "100"s and under-modeled
+  // the real line by ~160 chars: the r18 baseline's real stdout line
+  // measured 2,062 chars and the capture tail ate its front)
   private val worstCase =
-    SparkEntry.queries.keys.map(_ -> 99.99).toMap
+    SparkEntry.queries.keys.map(_ -> 0.99).toMap
 
-  test("short-id stdout line stays under the capture tail with headroom") {
+  private def worstLine = Bench.mkLine(worstCase, "sf0.001",
+    Bench.shortId,
+    Some(Bench.Probes(999.99, 999.99, 999.99, 999.99, 999.99, 999.99)),
+    Some(Bench.Retry(
+      worstCase.toSeq.take(Bench.RetryWorstN).toMap,
+      999.99, 999.99, 999.99,
+      Seq.fill(Bench.SettleAttempts)(999.99), retryHot = true)),
+    compact = true)
+
+  test("short-id stdout line: cal..verdict suffix survives the capture tail") {
     // worst case includes a TRIPPED verdict: the retry fields ride on
-    // the same line and must fit the tail too. The key function and
-    // the sf BASENAME are the ones main() actually prints with — a
-    // spec-only shortener would leave the real line unpinned.
-    // The pinned stress shape is EVERY query at the 3-char "100"
-    // rendering class (a uniform whole-registry 100 s bench ≈ 4.4 h —
-    // already far beyond any run the driver would let finish; the
-    // previous uniform-1000 s shape stopped being a reachable line once
-    // the registry crossed ~155 queries, and pinning to it would only
-    // ration real query slots against an impossible bench) with probe
-    // and retry fields at their widest.
-    val line = Bench.mkLine(worstCase, "sf0.1",
+    // the same line and must fit the tail too. The key function, the
+    // compact flag, and the sf BASENAME are the ones main() actually
+    // prints with — a spec-only shortener would leave the real line
+    // unpinned. The driver keeps EXACTLY 2,000 tail chars and sbt's
+    // epilogue consumes ~75, so ~1,925 carry the line's END: at 166
+    // registry queries the full line no longer always fits (the
+    // queries map alone is ~1,730 chars at the sub-1 s class), so the
+    // pinned invariant is that everything from the compact "cal"
+    // probes onward — calib evidence, queries map, sf, verdict block —
+    // fits the tail with margin; an overflow can only cost the
+    // constant "metric"/"unit" prefix, which the on-disk line keeps.
+    val line = worstLine
+    val calAt = line.indexOf(""","cal":[""")
+    assert(calAt >= 0, line.take(120))
+    assert(line.length - calAt < 1915,
+      s"bench line suffix ${line.length - calAt} chars from cal — " +
+        "the driver's 2,000-char stdout tail would truncate evidence")
+    assert(line.length < 1950, s"bench line ${line.length} chars — " +
+      "overflow would eat past the metric/unit prefix into the cal block")
+    // a TYPICAL line (real sub-10 s durations, small probe readings)
+    // must fit the tail WHOLE — the r18 compaction exists so the
+    // driver's parse can see a complete JSON line again
+    // the r18 baseline's real mix: ~130 sub-1 s queries (4-char class)
+    // and ~36 in [1, 10) (3-char class under compact rendering)
+    val typical = Bench.mkLine(
+      SparkEntry.queries.keys.zipWithIndex
+        .map { case (n, i) => n -> (if (i % 4 == 3) 1.5 else 0.42) }
+        .toMap, "sf0.1",
       Bench.shortId,
-      Some(Bench.Probes(999.99, 999.99, 999.99, 999.99, 999.99, 999.99)),
+      Some(Bench.Probes(1.15, 1.15, 2.28, 7.40, 0.11, 0.12)),
       Some(Bench.Retry(
-        worstCase.toSeq.take(Bench.RetryWorstN).toMap,
-        999.99, 999.99, 999.99,
-        Seq.fill(Bench.SettleAttempts)(999.99), retryHot = true)))
-    assert(line.length < 1900, s"bench line ${line.length} chars — " +
-      "the driver's ~2,000-char stdout tail would truncate it")
+        worstCase.toSeq.take(Bench.RetryWorstN).map(kv => kv._1 -> 1.0).toMap,
+        1.94, 8.38, 0.10,
+        Seq.fill(Bench.SettleAttempts)(2.43), retryHot = true)),
+      compact = true)
+    assert(typical.length < 1920,
+      s"typical bench line ${typical.length} chars — must fit the " +
+        "~1,925 usable tail chars whole")
+  }
+
+  test("compact stdout probes render as cal arrays at wide precision") {
+    // st_before, st_after, mt_before, mt_after, io_before, io_after —
+    // same readings as the named on-disk fields, 2-decimal (wide)
+    // precision (the judge's cross-round calib normalization compares
+    // 1.40 vs 1.38), ~150 fewer chars of field names
+    val line = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'),
+      Some(Bench.Probes(0.5, 0.625, 0.75, 1.0, 0.25, 0.5)),
+      Some(Bench.Retry(Map.empty, 0.5, 0.75, 0.3)), compact = true)
+    assert(line.contains(""""cal":[0.50,0.63,0.75,1.00,0.25,0.50]"""), line)
+    assert(line.contains(""""cal_r":[0.50,0.75,0.30]"""), line)
+    // io unmeasured (spec fixtures): the arrays shrink, like the named
+    // fields' omission
+    val noIo = Bench.mkLine(Map("q01_x" -> 1.0), "/sf",
+      _.takeWhile(_ != '_'), Some(Bench.Probes(0.5, 0.5, 0.75, 0.75)),
+      Some(Bench.Retry(Map.empty, 0.5, 0.75, -1.0)), compact = true)
+    assert(noIo.contains(""""cal":[0.50,0.50,0.75,0.75]"""), noIo)
+    assert(noIo.contains(""""cal_r":[0.50,0.75]"""), noIo)
+    // compact queries-map classes: [1, 10) narrows to 0.1 s (3-9 %
+    // relative, one char), sub-1 s keeps 0.01 s, class-boundary
+    // rounding lands at the destination class's scale
+    val cls = Bench.mkLine(
+      Map("q01_a" -> 0.996, "q02_b" -> 3.83, "q03_c" -> 0.25), "/sf",
+      _.takeWhile(_ != '_'), compact = true)
+    assert(cls.contains(""""q01":1.0,"""), cls)
+    assert(cls.contains(""""q02":3.8,"""), cls)
+    assert(cls.contains(""""q03":0.25"""), cls)
   }
 
   test("the verdict block rides the last 200 chars of the stdout line") {
@@ -38,13 +101,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // "value" off the FRONT: every verdict-critical field must sit at
     // the END of the line, whatever the registry size — pinned on the
     // same worst-case shape as the width test
-    val line = Bench.mkLine(worstCase, "sf0.1",
-      Bench.shortId,
-      Some(Bench.Probes(999.99, 999.99, 999.99, 999.99, 999.99, 999.99)),
-      Some(Bench.Retry(
-        worstCase.toSeq.take(Bench.RetryWorstN).toMap,
-        999.99, 999.99, 999.99,
-        Seq.fill(Bench.SettleAttempts)(999.99), retryHot = true)))
+    val line = worstLine
     val tail = line.takeRight(200)
     Seq("\"value\":", "\"raw_total\":", "\"retried\":", "\"contended\":",
       "\"errors\":", "\"retry_hot\":").foreach(f =>
