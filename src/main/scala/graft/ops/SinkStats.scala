@@ -206,6 +206,25 @@ object SinkStats {
           .map(st => (dayName, st.getPath.getName, st.getPath.toString))
     }
     require(files.nonEmpty, s"epoch $e of $sink holds no data files")
+    // IDEMPOTENCE FAST PATH (r18): the manifest is epoch-pinned and a
+    // pure function of (the epoch's immutable file set, cols) — a
+    // committed manifest for THIS epoch covering exactly `cols` would
+    // rebuild byte-identical, so re-indexing an already-indexed epoch
+    // (the shape every per-query "ensure indexed" call has, and what a
+    // maintenance cron retries after a no-op cycle) returns without
+    // re-paying the footer sweep. A lifecycle op mints a NEW epoch, so
+    // staleness is structural; a different column set rebuilds with
+    // exactly the requested columns, as before.
+    locally {
+      val existing = s"$sink/epoch=$e/$StatsDir"
+      if (f.exists(new org.apache.hadoop.fs.Path(existing, "_SUCCESS"))) {
+        val prevCols =
+          try spark.read.parquet(existing).select("column").distinct()
+            .collect().map(_.getString(0)).toSet
+          catch { case _: Exception => Set.empty[String] }
+        if (prevCols == cols.toSet) return files.size.toLong
+      }
+    }
     // the footer reads DISTRIBUTE: one task per slice of the file list
     // reads its footers executor-side and the manifest writes without
     // the rows ever touching the driver. The listing above stays
@@ -746,6 +765,23 @@ object SinkStats {
     val f = fsOf(spark, sink)
     val e = currentEpoch(spark, sink)
     require(e >= 0, s"no committed epoch at $sink - compact before indexing")
+    // IDEMPOTENCE FAST PATH (r18, the stats manifest's twin): the
+    // per-column bloom manifest is epoch-pinned and a pure function of
+    // (the epoch's immutable file set, column, bits, seeds) — a
+    // committed manifest with the same recipe would rebuild
+    // byte-identical, so return its count instead of re-paying the
+    // footer classification + column scan every "ensure indexed" call.
+    locally {
+      val existing = s"$sink/epoch=$e/$BloomDir/col=$column"
+      if (f.exists(new org.apache.hadoop.fs.Path(existing, "_SUCCESS"))) {
+        val sameRecipe =
+          try spark.read.parquet(existing).select("bits", "seeds")
+            .limit(1).collect().headOption
+            .exists(r => r.getInt(0) == bits && r.getInt(1) == seeds)
+          catch { case _: Exception => false }
+        if (sameRecipe) return spark.read.parquet(existing).count()
+      }
+    }
     val days = Streaming.resolvedDays(f, sink, e)
     require(days.nonEmpty, s"epoch $e of $sink holds no day partitions")
     val files: Seq[(String, String, String)] = days.flatMap {

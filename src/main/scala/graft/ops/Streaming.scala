@@ -848,11 +848,24 @@ object Streaming {
   private def commitEpoch(f: org.apache.hadoop.fs.FileSystem,
       epochDir: org.apache.hadoop.fs.Path, consumed: Long,
       op: String, bloomCols: Option[Set[String]],
-      prevEpoch: Long): Unit = {
+      prevEpoch: Long,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(epochDir, s".$EpochCommit.tmp")
     val out = f.create(tmp, true)
     val bc = bloomCols.map(cs =>
       s"\nbloom_cols=${cs.toSeq.sorted.mkString(",")}").getOrElse("")
+    // `schema=` records the epoch's READER-facing schema (data columns
+    // + the `day` partition column, a superset of every file the epoch
+    // resolves — moved-in days only ever carry fewer columns), so
+    // frame construction skips the distributed mergeSchema footer
+    // sweep: the r18 job profile showed 0.2-0.5 s of footer inference
+    // per readSink/readEpochFrame/readDays construction and 2-3
+    // constructions per lifecycle op — at 100 TB that sweep is a full
+    // O(files) job per read, which is why every lakehouse keeps the
+    // schema in the commit log (Delta metaData / Iceberg table
+    // metadata) instead of the footers. One json line; absent on
+    // legacy/hand-made markers, where readers fall back to inference.
+    val sc = schema.map(s => s"\nschema=${s.json}").getOrElse("")
     // the superseded marker's read is STRICT here (consumedThrough's
     // rule): a transient read failure lenient-swallowed into None
     // would degrade the clamp to the bare wall clock, and a clock
@@ -866,7 +879,7 @@ object Streaming {
         s"${epochDir.getParent}/epoch=$prevEpoch", EpochCommit))
     val mint = math.max(System.currentTimeMillis(),
       prevMint.map(_ + 1).getOrElse(Long.MinValue))
-    try out.write(s"batches=$consumed\nop=$op$bc\nmint_ms=$mint"
+    try out.write(s"batches=$consumed\nop=$op$bc$sc\nmint_ms=$mint"
       .getBytes("UTF-8"))
     finally out.close()
     require(f.rename(tmp, new org.apache.hadoop.fs.Path(epochDir, EpochCommit)),
@@ -940,6 +953,48 @@ object Streaming {
           .map(_.trim).filter(_.nonEmpty).toSet
       }
     } catch { case _: Exception => None }
+
+  /** The `schema=` record of committed epoch `epochId`'s marker — the
+    * reader-facing schema [[commitEpoch]] recorded at mint, sparing
+    * every frame construction over the epoch its distributed
+    * mergeSchema footer sweep. None = pre-record marker or unreadable
+    * — perf-only either way: readers fall back to inference, never to
+    * a wrong answer (the record is written from the very frame the
+    * epoch write executed, unioned to the superseded epoch's width so
+    * moved-in days stay covered). */
+  private[ops] def epochSchemaOf(f: org.apache.hadoop.fs.FileSystem,
+      path: String, epochId: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val in = f.open(new org.apache.hadoop.fs.Path(
+        s"$path/epoch=$epochId", EpochCommit))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.collectFirst { case l if l.startsWith("schema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+    } catch { case _: Exception => None }
+
+  /** The schema a fresh data-bearing epoch records: the written
+    * frame's columns widened by-name to the full previous-epoch width
+    * (an affected-days rewrite's frame can be narrower than the epoch
+    * when drift columns live only in unaffected, moved days), with
+    * `day` last — mirroring where partition discovery appends it, so a
+    * recorded-schema read is column-for-column the inferred read. */
+  private def mintSchema(written: org.apache.spark.sql.types.StructType,
+      fullPrev: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType = {
+    val have = written.fieldNames.toSet
+    val widened = org.apache.spark.sql.types.StructType(
+      written.fields ++ fullPrev.toSeq.flatMap(_.fields)
+        .filterNot(f => have.contains(f.name)))
+    org.apache.spark.sql.types.StructType(
+      widened.filterNot(_.name == "day") ++
+        widened.find(_.name == "day").toSeq)
+  }
 
   /** The `bloom_cols` value a fresh epoch commits ([[commitEpoch]]):
     * the bloom columns its own write emitted native filters for
@@ -1980,11 +2035,19 @@ object Streaming {
     * per day; `day` comes from hive partition discovery under each
     * group's basePath, so day-predicate pruning prunes file listings
     * exactly as on a fully-physical epoch. */
+  /** One frame over resolved day directories. With a recorded epoch
+    * schema ([[epochSchemaOf]]) the read is declared, not inferred —
+    * no footer job at construction; files missing a recorded column
+    * (additive drift in moved days) surface it as NULL, exactly what
+    * the mergeSchema fallback produced. */
   private def readDays(spark: SparkSession,
-      days: Seq[(String, org.apache.hadoop.fs.Path)]): DataFrame =
+      days: Seq[(String, org.apache.hadoop.fs.Path)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
     days.groupBy(_._2.getParent.toString).toSeq.sortBy(_._1)
       .map { case (base, ds) =>
-        spark.read.option("basePath", base).option("mergeSchema", "true")
+        val r = spark.read.option("basePath", base)
+        schema.fold(r.option("mergeSchema", "true"))(r.schema)
           .parquet(ds.map(_._2.toString).sorted: _*)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2000,15 +2063,23 @@ object Streaming {
     val eDir = s"$path/epoch=$epochId"
     val plan = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(eDir), MergePlan)
+    // recorded schema (r18): construction is declared, not inferred —
+    // the mergeSchema footer sweep ran as a 0.2-0.5 s job per frame
+    // here; legacy markers fall back to it
+    val recorded = epochSchemaOf(f, path, epochId)
     if (!f.exists(plan)) {
       val hasDays = f
         .listStatus(new org.apache.hadoop.fs.Path(eDir)).toSeq
         .exists(s => s.isDirectory && s.getPath.getName.startsWith("day="))
       if (!hasDays) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(eDir))
+      else Some {
+        val r = spark.read
+        recorded.fold(r.option("mergeSchema", "true"))(r.schema)
+          .parquet(eDir)
+      }
     } else {
       val days = resolvedDays(f, path, epochId)
-      if (days.isEmpty) None else Some(readDays(spark, days))
+      if (days.isEmpty) None else Some(readDays(spark, days, recorded))
     }
   }
 
@@ -2356,7 +2427,9 @@ object Streaming {
         f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
         return before
       }
-      val src = applyAlter(readDays(spark, prevDays), alterRen, alterDrop)
+      val src = applyAlter(
+        readDays(spark, prevDays, epochSchemaOf(f, path, before)),
+        alterRen, alterDrop)
       val epoch = before + 1
       val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
       val targetBytes = spark.conf
@@ -2381,8 +2454,10 @@ object Streaming {
           src.limit(0).withColumn(CdcKindCol, lit("insert")))
       carryQuarantine(spark, f, path, before, epochDir, alterRen, alterDrop)
       fence()
+      // all-days rewrite: the written frame IS the epoch's full width
       commitEpoch(f, epochDir, consumedThrough(f, path, before), "compact",
-        mintedBloomCols(spark, f, path, before), before)
+        mintedBloomCols(spark, f, path, before), before,
+        Some(mintSchema(src.schema, None)))
       f.delete(new org.apache.hadoop.fs.Path(path, PendingAlter), false)
       retireEpochsLocked(spark, path, f)
       autoIndexStats(spark, path)
@@ -2431,10 +2506,12 @@ object Streaming {
     // previous epoch forces the all-days rewrite below
     val batchSchemas = withData.map(d =>
       alterOf(spark.read.parquet(d._2.toString)).schema)
+    val prevRecorded = epochSchemaOf(f, path, before)
     val prevSchema: Option[org.apache.spark.sql.types.StructType] =
       if (prevDays.isEmpty) None
       else Some(org.apache.spark.sql.types.StructType(
-        alterOf(readDays(spark, prevDays)).schema.filterNot(_.name == "day")))
+        alterOf(readDays(spark, prevDays, prevRecorded)).schema
+          .filterNot(_.name == "day")))
     val target = widenedSchema(batchSchemas ++ prevSchema,
       s"compaction over $path")
     val batchesUniform = batchSchemas.forall(s =>
@@ -2453,8 +2530,16 @@ object Streaming {
     // (nothing mutated, batches stay consumable), quarantine diverts
     // the violators to the epoch's feed (written below, atomic with
     // the epoch)
+    // PERSISTED across its consumers (r18): the fold reads the fresh
+    // batches for the day-list collect, the range-partitioner's SAMPLE
+    // pass, and the epoch write (plus the row-copy manifest under a
+    // quarantined fold) — MEMORY_AND_DISK bounds it to the new data,
+    // exactly the working set a compaction owns; unpersisted in the
+    // finally below.
     val (fresh, quarRows) =
       enforceChecks(spark, path, fresh0d, readChecks(f, path), "compaction")
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val prevNarrow = prevSchema.exists(s =>
       s.exists(fld => target(fld.name).dataType != fld.dataType))
     // the day list is driver-side but bounded by the CALENDAR (days
@@ -2477,7 +2562,7 @@ object Streaming {
     val merged =
       if (overlap.isEmpty) fresh
       else fresh.unionByName(
-        conform(alterOf(readDays(spark, overlap)), target),
+        conform(alterOf(readDays(spark, overlap, prevRecorded)), target),
         allowMissingColumns = true)
     // size-aware writer count: enough range partitions that each writes
     // ~targetFileBytes, floored at the (capped) day count so quiet days
@@ -2542,8 +2627,14 @@ object Streaming {
     // plan), then perform the moves and retire the sources
     if (toMove.nonEmpty) writePlan(f, epochDir, before, toMove.map(_._1))
     fence() // the commit makes the epoch visible: last exit
+    // record the WIDENED TARGET's width, not merged's: conform only
+    // casts, so an old-schema fold whose drift columns live entirely
+    // in moved days writes a merged frame NARROWER than the epoch it
+    // mints (the moved days still carry those columns)
     commitEpoch(f, epochDir, consumed, "compact",
-      mintedBloomCols(spark, f, path, before), before)
+      mintedBloomCols(spark, f, path, before), before,
+      Some(mintSchema(merged.schema,
+        Some(org.apache.spark.sql.types.StructType(target)))))
     // the alter is now physical: clear the marker. A crash between the
     // commit and this delete leaves a stale marker whose re-application
     // is a guarded no-op everywhere (applyAlter's idempotence) and
@@ -2568,6 +2659,7 @@ object Streaming {
     }
     autoIndexStats(spark, path)
     epoch
+    } finally fresh.unpersist(false)
   }
 
   /** Fresh per-(query, input-dir, session) scratch sink for the
@@ -3568,7 +3660,10 @@ object Streaming {
             carryQuarantine(spark, f, path, cut, epochDir)
             fence() // the commit makes the retention visible: last exit
             commitEpoch(f, epochDir, wm, "retire", // no batches consumed
-              mintedBloomCols(spark, f, path, cut), cut)
+              mintedBloomCols(spark, f, path, cut), cut,
+              // by-reference mint: content is the survivors of the
+              // superseded epoch — its recorded schema carries forward
+              epochSchemaOf(f, path, cut))
             retireEpochsLocked(spark, path, f)
             autoIndexStats(spark, path)
             victims
@@ -3827,7 +3922,8 @@ object Streaming {
     // match scan: ONE column-pruned pass over the epoch to find the
     // day partitions holding matching rows (bounded by the calendar,
     // like compaction's day list)
-    val affected = matchOf(readEpochFrame(spark, f, path, before).get)
+    val epochFrame = readEpochFrame(spark, f, path, before).get
+    val affected = matchOf(epochFrame)
       .select("day").distinct().collect()
       .map(r => Option(r.get(0)).map(d => s"day=$d").getOrElse(NullDayDir))
       .toSet
@@ -3836,8 +3932,18 @@ object Streaming {
     val epoch = before + 1
     val epochDir = new org.apache.hadoop.fs.Path(s"$path/epoch=$epoch")
     // ONE affected-days frame feeds the rewrite and the CDC manifest
-    // below (mergeLocked's r17 sharing, applied here too)
-    val affectedFrame = readDays(spark, affectedDirs)
+    // below (mergeLocked's r17 sharing, applied here too), declared at
+    // the previous epoch's recorded schema (no footer inference, and
+    // drift columns living only in unaffected days stay in-width).
+    // PERSISTED across its consumers (r18): the survivor rewrite feeds
+    // the range-partitioner's SAMPLE pass and the epoch write, and the
+    // CDC manifest reads the same days a third time — MEMORY_AND_DISK
+    // bounds it to the affected days (the working set every row-level
+    // rewrite materializes); unpersisted in the finally below.
+    val affectedFrame = readDays(spark, affectedDirs,
+      epochSchemaOf(f, path, before))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // rewrite = what the affected days become: the survivors
     // (predicate-not-TRUE — null-safe, a NULL predicate keeps the row,
     // exactly SQL DELETE's complement — or the anti-join) for a
@@ -3874,10 +3980,14 @@ object Streaming {
     carryQuarantine(spark, f, path, before, epochDir)
     fence() // the commit makes the rewrite visible: last exit
     commitEpoch(f, epochDir, wm, op, // no batches consumed
-      mintedBloomCols(spark, f, path, before), before)
+      mintedBloomCols(spark, f, path, before), before,
+      // widened to the FULL epoch frame: an affected-days subset can
+      // be narrower than the moved days' drift columns
+      Some(mintSchema(kept.schema, Some(epochFrame.schema))))
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
     epoch
+    } finally affectedFrame.unpersist(false)
   }
 
   /** RESTORE — write-side time travel, the rollback every lakehouse
@@ -4036,7 +4146,9 @@ object Streaming {
         carryQuarantine(spark, f, path, before, epochDir)
         fence() // the commit makes the restore visible: last exit
         commitEpoch(f, epochDir, wm, "restore",
-          epochBloomColsOf(f, path, toEpoch), before)
+          epochBloomColsOf(f, path, toEpoch), before,
+          // the restored files ARE the snapshot's: its schema carries
+          epochSchemaOf(f, path, toEpoch))
         retireEpochsLocked(spark, path, f)
         autoIndexStats(spark, path)
         epoch
@@ -4287,7 +4399,21 @@ object Streaming {
     // cycle (r17 advice)
     val affectedFrame: Option[DataFrame] =
       if (affectedDirs.isEmpty) None
-      else Some(readDays(spark, affectedDirs))
+      // declared at the previous epoch's recorded schema: no footer
+      // inference, and drift columns living only in unaffected days
+      // stay in-width (r18)
+      else Some(readDays(spark, affectedDirs,
+        epochSchemaOf(f, path, before))
+        // PERSISTED across its consumers (r18): the survivor
+        // anti-join feeds the range-partitioner's SAMPLE pass and the
+        // epoch write, and the manifest's olds/delPre joins read the
+        // same days again — four executions of the same scan+join per
+        // merge where one suffices (guide §1.2/§5: the affected-days
+        // set is the bounded working set every MERGE implementation
+        // materializes; MEMORY_AND_DISK spills, never recomputes).
+        // Unpersisted before return below.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
     // survivors of the matched days (anti-join = NOT matched) plus the
     // batch itself — ONE write, ONE commit, atomic by construction
     val kept = affectedFrame.map(_.join(keys, keyCols, "left_anti"))
@@ -4378,10 +4504,14 @@ object Streaming {
     fence() // the commit makes the merge visible: last exit
     commitEpoch(f, epochDir, wm, // no batches consumed
       if (delKeys.isDefined) "apply" else "upsert",
-      mintedBloomCols(spark, f, path, before), before)
+      mintedBloomCols(spark, f, path, before), before,
+      // widened to the FULL previous-epoch frame: the affected-days
+      // subset can be narrower than the moved days' drift columns
+      Some(mintSchema(epochRows.schema, prevFrame.map(_.schema))))
     retireEpochsLocked(spark, path, f)
     autoIndexStats(spark, path)
     epoch
+    } finally affectedFrame.foreach(_.unpersist(false))
   }
 
   /** Operational snapshot of the sink in ONE metadata row — what a

@@ -47,6 +47,49 @@ class SinkStatsSpec extends SparkSpecBase {
   private def clusteredCompact(sink: String): Unit =
     withClusteredConf(sink)(Streaming.compactSink(spark, sink, quiesced = true))
 
+  test("re-indexing an unchanged epoch is a no-op; a new column set rebuilds") {
+    val sink = scratch("idem")
+    val ev = Tables.events(spark, sf)
+    Streaming.writeBatchIdempotent(ev, sink, 0L)
+    clusteredCompact(sink)
+    val n1 = SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    def manifestState(dir: String): Seq[(String, Long)] = {
+      val d = new java.io.File(dir)
+      d.listFiles().toSeq.map(f => f.getName -> f.lastModified()).sorted
+    }
+    val statsDir = s"$sink/epoch=0/_file_stats"
+    val before = manifestState(statsDir)
+    // same epoch, same columns: the manifest is a pure function of the
+    // epoch's immutable file set, so the second call must return the
+    // same count WITHOUT rewriting a byte (the r18 fast path — a
+    // per-query "ensure indexed" call must not re-pay the footer sweep)
+    assert(SinkStats.indexSinkStats(spark, sink, Seq("user_id")) == n1)
+    assert(manifestState(statsDir) == before,
+      "an idempotent re-index must not rewrite the manifest")
+    // a DIFFERENT column set rebuilds with exactly the requested cols
+    SinkStats.indexSinkStats(spark, sink, Seq("user_id", "value"))
+    val cols = spark.read.parquet(statsDir).select("column").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cols == Set("user_id", "value"))
+    // bloom twin: same recipe skips, a different recipe rebuilds
+    val b1 = SinkStats.indexSinkBloom(spark, sink, "event_id")
+    val bloomDir = s"$sink/epoch=0/_file_bloom/col=event_id"
+    val bBefore = manifestState(bloomDir)
+    assert(SinkStats.indexSinkBloom(spark, sink, "event_id") == b1)
+    assert(manifestState(bloomDir) == bBefore,
+      "an idempotent bloom re-index must not rewrite the manifest")
+    SinkStats.indexSinkBloom(spark, sink, "event_id", bits = 1 << 10)
+    assert(spark.read.parquet(bloomDir).select("bits").head().getInt(0)
+      == (1 << 10), "a recipe change must rebuild the manifest")
+    // and a fresh epoch (lifecycle op) structurally invalidates: the
+    // pinned path no longer exists, the next index call rebuilds there
+    Streaming.deleteWhere(spark, sink, col("user_id") % 7 === 3)
+    val n2 = SinkStats.indexSinkStats(spark, sink, Seq("user_id"))
+    assert(n2 > 0)
+    assert(new java.io.File(
+      s"$sink/epoch=1/_file_stats").exists())
+  }
+
   test("pruned band read equals the full filter and actually skips files") {
     val sink = scratch("band")
     val ev = Tables.events(spark, sf)
