@@ -1172,6 +1172,21 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Session cache for [[minhashBands]]' banded LSH keys — the same
+    * per-(session, dir) build-once discipline [[shingleCache]] applies
+    * to shingles (and SessionCache documents for LSH structures): the
+    * 8-permutation md5 signature pass is the expensive half of every
+    * MinHash query, and the band self-join's aliased sides defeat
+    * exchange reuse, so an uncached plan computes it TWICE per run
+    * (r18 profile: 2 × ~0.6 s parallel jobs inside q122). */
+  private val bandsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (SparkSession, DataFrame)]
+
+  /** Session cache for q129's [[admitSig]] signature index (same
+    * discipline). */
+  private val admitSigCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (SparkSession, DataFrame)]
+
   /** q91's md5-portable MinHash band keys: 8 md5-derived permutation
     * minima folded into two 4-row band keys, one (doc_id, bk) row per
     * band. Shared by q91 (all-pairs candidates) and q126 (incremental
@@ -1191,10 +1206,25 @@ object TextOps {
         .as("bk"))
   }
 
+  /** [[minhashBands]] over `dir`'s shingles, built once per (session,
+    * dir) under `spark.graft.cacheTables` ([[shingleDocs]]'
+    * convention); uncached callers still get the localCheckpoint so
+    * the signature pass never runs twice inside one query's aliased
+    * band self-join. */
+  private def minhashBandsOf(spark: SparkSession, dir: String): DataFrame = {
+    def build: DataFrame = minhashBands(shingleDocs(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s")))
+      .localCheckpoint()
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
+    if (!caching) build
+    else graft.SessionCache.getOrBuild(bandsCache, spark, dir)(build)
+  }
+
   def q91MinhashPortable(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleDocs(spark, dir)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val bands = minhashBands(inv)
+    val bands = minhashBandsOf(spark, dir)
     val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
       .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -1240,7 +1270,7 @@ object TextOps {
   def q126IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleDocs(spark, dir)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val bands = minhashBands(inv)
+    val bands = minhashBandsOf(spark, dir)
     val isNew = (c: Column) => pmod(c, lit(3)) === 0
     // only the slice's keys probe; the full band table is the index
     val cand = bands.filter(isNew(col("doc_id")))
@@ -1325,21 +1355,38 @@ object TextOps {
     * admitted again — a recall horizon, exactly the trade a TTL'd
     * dedup cache makes. The default path's semantics (and q129's
     * oracle) are unchanged. */
-  def neardupAdmit(spark: SparkSession, docs: DataFrame)
-      : Dataset[AdmitVerdict] = {
-    import spark.implicits._
+  /** The per-row signature frame [[neardupAdmit]] folds: (doc_id,
+    * lang, n_sh, h0..h7) — the md5-portable minima computed as
+    * per-row projections (no aggregation, so the stream needs no
+    * watermark), shingle arrays dropped once hashed so the frame is
+    * ten narrow columns per doc. Deterministic in the input. */
+  private def admitSig(docs: DataFrame): DataFrame = {
     val base = withToks(docs).withColumn("sh", shingles)
     val hs = (0 until 8).map(i => expr(
       s"array_min(transform(sh, s -> CAST(conv(substr(md5(concat('$i:', s)" +
         s"), 1, 15), 16, 10) AS BIGINT)))").as(s"h$i"))
-    val sig = base.select(col("doc_id") +: col("lang") +: col("sh") +: hs: _*)
-    val keyed = sig.filter(size(col("sh")) > 0)
+    base.select(col("doc_id") +: col("lang") +:
+      size(col("sh")).as("n_sh") +: hs: _*)
+  }
+
+  def neardupAdmit(spark: SparkSession, docs: DataFrame)
+      : Dataset[AdmitVerdict] = neardupAdmitFrom(spark, admitSig(docs))
+
+  /** [[neardupAdmit]] from a prepared [[admitSig]] frame — the seam
+    * that lets q129's batch prover reuse the session-cached signature
+    * index (r18: the md5×8 projection was ~2/3 of the query, recomputed
+    * per run over an immutable corpus) while the streaming path hashes
+    * each arrival exactly once, as before. */
+  private def neardupAdmitFrom(spark: SparkSession, sig: DataFrame)
+      : Dataset[AdmitVerdict] = {
+    import spark.implicits._
+    val keyed = sig.filter(col("n_sh") > 0)
       .withColumn("bk",
         md5(concat_ws(",", col("h0"), col("h1"), col("h2"), col("h3"))))
       .select(col("doc_id"), col("lang"), col("bk"),
         array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
       .as[SigDoc]
-    val trivial = sig.filter(size(col("sh")) === 0)
+    val trivial = sig.filter(col("n_sh") === 0)
       .select(col("doc_id"), col("lang")).as[(Long, String)]
       .map { case (id, lang) => AdmitVerdict(id, lang, admitted = true) }
     val cap = spark.conf.getOption("spark.graft.admit.bucketCap")
@@ -1392,8 +1439,18 @@ object TextOps {
     * order = id order), reduced per lang to stream size, admitted
     * count, and admitted id-sum (q126's membership-pinning shape). */
   def q129StreamingAdmission(spark: SparkSession, dir: String): DataFrame = {
-    neardupAdmit(spark,
-      Tables.documents(spark, dir).select("doc_id", "lang", "text"))
+    // the signature index is deterministic in the corpus: build it
+    // once per (session, dir) under cacheTables (shingleDocs'
+    // convention); the admission fold itself runs per call
+    def sig: DataFrame = {
+      def build = admitSig(
+        Tables.documents(spark, dir).select("doc_id", "lang", "text"))
+        .localCheckpoint()
+      if (!spark.conf.getOption("spark.graft.cacheTables").contains("true"))
+        build
+      else graft.SessionCache.getOrBuild(admitSigCache, spark, dir)(build)
+    }
+    neardupAdmitFrom(spark, sig)
       .toDF()
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -1946,13 +2003,15 @@ object TextOps {
       .repartitionByRange(lexBuckets, col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
     // stats: net deltas — n_docs grows only by the true inserts,
-    // total_len by (new lengths − replaced lengths)
-    val vs = victims.select("doc_id", "len").distinct()
-      .agg(count(lit(1)).as("vn"), coalesce(sum("len"), lit(0L)).as("vl"))
+    // total_len by (new lengths − replaced lengths). ONE driver action
+    // for both sides (r18): the victim and batch aggregates are each a
+    // single row, so a crossJoin folds them into one job instead of two
+    val nets = dl.agg(count(lit(1)).as("n"),
+        coalesce(sum("len"), lit(0L)).as("l"))
+      .crossJoin(victims.select("doc_id", "len").distinct()
+        .agg(count(lit(1)).as("vn"), coalesce(sum("len"), lit(0L)).as("vl")))
       .head()
-    val ns = dl.agg(count(lit(1)).as("n"),
-      coalesce(sum("len"), lit(0L)).as("l")).head()
-    Seq((ns.getLong(0) - vs.getLong(0), ns.getLong(1) - vs.getLong(1)))
+    Seq((nets.getLong(0) - nets.getLong(2), nets.getLong(1) - nets.getLong(3)))
       .toDF("n_docs", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
     // tombstones for the replaced docs only (pure inserts mint none)
