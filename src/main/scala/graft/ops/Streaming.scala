@@ -4375,17 +4375,19 @@ object Streaming {
     }
     // match scan: ONE column-pruned semi-join pass over the epoch finds
     // the day partitions holding a matching key (bounded by the
-    // calendar, like compaction's day list)
-    val matchDays: Set[String] =
-      if (prevDays.isEmpty) Set.empty
-      else prevFrame.get
+    // calendar, like compaction's day list) — UNIONED with the batch's
+    // own days in the SAME action (r18: the two collects ran as two
+    // sequential driver jobs; only their union is ever used)
+    val matchDaysFrame: Option[DataFrame] =
+      if (prevDays.isEmpty) None
+      else Some(prevFrame.get
         .select((keyCols :+ "day").map(col): _*)
         .join(keys, keyCols, "left_semi")
-        .select("day").distinct().collect()
-        .map(r => dayDir(r.get(0))).toSet
-    val insertDays: Set[String] = incoming.select("day").distinct()
-      .collect().map(r => dayDir(r.get(0))).toSet
-    val affected = matchDays ++ insertDays
+        .select("day"))
+    val insertDaysFrame = incoming.select("day")
+    val affected: Set[String] =
+      matchDaysFrame.fold(insertDaysFrame)(_.unionByName(insertDaysFrame))
+        .distinct().collect().map(r => dayDir(r.get(0))).toSet
     // a pure-delete apply whose keys match nothing (and an apply into
     // an uncompacted sink) has nothing to rewrite and nothing to
     // insert: minting an empty epoch would only churn retention
