@@ -39,6 +39,30 @@ object Tables {
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Cached-fact partition count, derived from the table's BYTES, not
+    * the session's core count (guide §2.2/§6: size partitions to data).
+    * Through r18 this was `defaultParallelism`, which at local[32] over
+    * sf0.1 spread ~350 KB per partition — every scan of every cached
+    * fact cost 32 task launches for KB-scale work, and the driver's own
+    * scaling run showed the bill: 50/166 queries ran ≥2× SLOWER at 32
+    * cores than at 8 (134 s vs 90.6 s total). Bytes/target keeps the
+    * count scale-adaptive (sf1 gets ~10× sf0.1's partitions without any
+    * retuning; at 100 TB the layout is on disk and this path is moot);
+    * the floor keeps per-ROW-expensive ops (tokenization over a few
+    * thousand documents is CPU-bound long before it is MB-sized) from
+    * serializing onto one core at tiny SF. */
+  private def cachedPartitions(spark: SparkSession, df: DataFrame): Int = {
+    val target = spark.conf.getOption("spark.graft.cache.partitionBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    val floor = spark.conf.getOption("spark.graft.cache.minPartitions")
+      .map(_.toInt).getOrElse(
+        math.min(spark.sparkContext.defaultParallelism, 8))
+    val stat = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
+    math.min(32768L,
+      math.max(floor.toLong, (bytes + target - 1) / target)).toInt
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val caching = spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) raw(spark, sfDir, name)
@@ -46,7 +70,7 @@ object Tables {
       val df0 = raw(spark, sfDir, name)
       val df =
         if (factNames(name))
-          df0.repartition(spark.sparkContext.defaultParallelism)
+          df0.repartition(cachedPartitions(spark, df0))
         else df0
       df.persist(StorageLevel.MEMORY_AND_DISK)
       df
