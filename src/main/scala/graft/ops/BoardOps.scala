@@ -117,13 +117,23 @@ object BoardOps {
   /** The materialized pieces universe for queries whose plans read it
     * from several subtrees (q17's four, q22's delta union): kept per
     * (session, dir) under spark.graft.cacheTables like the text/vector
-    * indexes; uncached callers still get a per-call localCheckpoint. */
+    * indexes; uncached callers still get a per-call localCheckpoint.
+    *
+    * Repartitioned to a DATA-sized count before the checkpoint: the
+    * raw [[pieces]] frame is a LocalTableScan of the ~120-row fixture,
+    * which parallelizes into defaultParallelism slices — at local[32]
+    * every board query paid 32 task launches PER SUBTREE for a ~12k-row
+    * table (the driver's scaling run read the whole family 2-4× slower
+    * at 32 cores than at 8). min(parallelism, 8) matches the cached-
+    * fact floor in [[graft.Tables]]. */
   private val piecesCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (SparkSession, DataFrame)]
 
   private[ops] def piecesMaterialized(spark: SparkSession, dir: String)
       : DataFrame = {
-    def build: DataFrame = pieces(spark, dir).localCheckpoint()
+    def build: DataFrame = pieces(spark, dir)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+      .localCheckpoint()
     val caching =
       spark.conf.getOption("spark.graft.cacheTables").contains("true")
     if (!caching) build
@@ -147,7 +157,7 @@ object BoardOps {
     * Draw/BlackWins/WhiteWins/None. Relational division (J4): explode 6
     * neighbors, count hits. */
   def q16QueenSurrounded(spark: SparkSession, dir: String): DataFrame = {
-    val p = pieces(spark, dir)
+    val p = piecesMaterialized(spark, dir)
     val c = cells(p)
     val queens = p.filter(col("bug") === "Queen")
       .select(col("game_id"), col("color"), col("q"), col("r"))
@@ -253,7 +263,7 @@ object BoardOps {
   private def movesFor(spark: SparkSession, dir: String, bug: Option[String])
     : DataFrame = {
     import spark.implicits._
-    val p = pieces(spark, dir).as[PieceRow]
+    val p = piecesMaterialized(spark, dir).as[PieceRow]
     p.groupByKey(_.game_id)
       .flatMapGroups { (_, it) =>
         val rows = it.toSeq
@@ -409,7 +419,7 @@ object BoardOps {
     * must reproduce (q, r) — asserted in ScalaTest and visible to the
     * oracle hash. */
   def q42HexProjection(spark: SparkSession, dir: String): DataFrame = {
-    val p = cells(pieces(spark, dir))
+    val p = cells(piecesMaterialized(spark, dir))
     val inv = withAxialRoundTrip(withPixel(p), size = 40.0)
     inv.select(col("game_id"), col("q"), col("r"),
         floor(col("px") * 1000).cast("bigint").as("px_x1000"),
@@ -456,7 +466,7 @@ object BoardOps {
     * partitions. Off-origin fixture copies are culled wholesale. */
   def q53Viewport(spark: SparkSession, dir: String): DataFrame = {
     val (minQ, maxQ, minR, maxR) = viewportBox
-    cells(pieces(spark, dir))
+    cells(piecesMaterialized(spark, dir))
       .filter(col("q") >= minQ && col("q") <= maxQ &&
         col("r") >= minR && col("r") <= maxR)
       .select(col("game_id"), col("q"), col("r"), col("n"))
@@ -478,7 +488,7 @@ object BoardOps {
   def q44Reserves(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val p = pieces(spark, dir)
+    val p = piecesMaterialized(spark, dir)
     val placed = p.groupBy("game_id", "color", "bug")
       .agg(count(lit(1)).as("n_placed"))
     val grid = p.select("game_id").distinct()
@@ -521,7 +531,7 @@ object BoardOps {
     * (game, probe) after a radius filter — never a global sort. */
   def q45BoardHover(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = withPixel(cells(pieces(spark, dir)))
+    val c = withPixel(cells(piecesMaterialized(spark, dir)))
     val anchor = c.groupBy("game_id")
       .agg(min_by(struct(col("px"), col("py")),
         struct(col("q"), col("r"))).as("a"))
@@ -558,7 +568,7 @@ object BoardOps {
     * Spark truncates). Round-trip (rt_q, rt_r) must equal (q, r) in
     * the oracle hash. */
   def q51RingKey(spark: SparkSession, dir: String): DataFrame = {
-    val c = cells(pieces(spark, dir))
+    val c = cells(piecesMaterialized(spark, dir))
     val u32 = lit(4294967296L)
     val keyed = c.withColumn("cell_key",
       (col("q").cast("long") * u32) +
@@ -581,7 +591,7 @@ object BoardOps {
   /** q23 — stack views (W1/W2/A11): per occupied cell, stack size, top
     * piece, and the bottom→top stack as a comma-joined id list. */
   def q23StackTops(spark: SparkSession, dir: String): DataFrame = {
-    val p = pieces(spark, dir)
+    val p = piecesMaterialized(spark, dir)
     p.groupBy("game_id", "q", "r")
       .agg(
         count(lit(1)).as("stack_size"),

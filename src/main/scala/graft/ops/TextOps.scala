@@ -1117,17 +1117,22 @@ object TextOps {
     * hash match is the proof the Aggregator implements exactly the
     * declarative semantics. */
   def q84TopkAgg(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val topk = new graft.functions.TopKPairs(5)
+    import org.apache.spark.sql.Encoders
+    // the same Aggregator algebra through functions.udaf on an untyped
+    // groupBy (q142's r18 transform): the groupByKey(_._1).mapValues
+    // form ran the key/value extraction as two AppendColumns lambda
+    // layers — a per-row object round-trip on every (lang, token, n)
+    // row; the udaf route keys on the lang column natively and feeds
+    // the identical reduce/merge/finish, so the ranking — and the
+    // shared q13 oracle hash — is unchanged
+    val topk = udaf(new graft.functions.TopKPairs(5),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
     Tables.documents(spark, dir)
       .select(col("lang"), explode(toks).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("n"))
-      .as[(String, String, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, token, n) => (token, n) }
-      .agg(topk.toColumn.name("top"))
-      .toDF("lang", "top")
+      .groupBy(col("lang"))
+      .agg(topk(col("token"), col("n")).as("top"))
       .select(col("lang"), posexplode(col("top.items")))
       .select(col("lang"), (col("pos") + 1).cast("bigint").as("rn"),
         col("col._1").as("token"), col("col._2").as("n"))
@@ -1479,15 +1484,16 @@ object TextOps {
     * (est ≤ true ≤ est + err_bound) on the corpus and the
     * survival guarantee on synthetic skew. */
   def q128HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val mg = new graft.functions.MisraGries(32)
+    import org.apache.spark.sql.Encoders
+    // functions.udaf on the untyped groupBy (q142's r18 transform):
+    // same reduce/merge/finish, no AppendColumns key/value extraction
+    // layers; the error CONTRACT the spec pins is partitioning-
+    // independent and unchanged
+    val mg = udaf(new graft.functions.MisraGries(32), Encoders.STRING)
     withToks(Tables.documents(spark, dir))
       .select(col("lang"), explode(col("t")).as("token"))
-      .as[(String, String)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(mg.toColumn.name("sk"))
-      .toDF("lang", "sk")
+      .groupBy(col("lang"))
+      .agg(mg(col("token")).as("sk"))
       .select(col("lang"), col("sk.delta").as("err_bound"),
         posexplode(col("sk.items")))
       .filter(col("pos") < 5)
