@@ -112,6 +112,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.graft.cacheTables", "true")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // the stored text/vector indexes are gen=/b= directory trees of
+      // 100-200 leaves; above the default threshold (32) Spark lists
+      // them with a DISTRIBUTED job — 32 task launches to stat ~200
+      // local dirs, 0.2-0.8 s of pure overhead per index read (q153
+      // profile). Driver-side listing handles thousands of dirs in ms
+      // on any filesystem with sane metadata latency; a deployment on
+      // a slow object store can lower it back via this env.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

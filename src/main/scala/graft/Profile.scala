@@ -24,6 +24,8 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.graft.cacheTables", "true")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "4096"))
       .config("spark.ui.enabled", "false")
     // dev-only conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").toSeq

@@ -1708,6 +1708,27 @@ object TextOps {
   private val lexBuckets = 64
   private val lexDfCap = 64
 
+  /** Declared schemas for the stored lexical index's four tables —
+    * fixed by the writers in this file, so every reader can skip the
+    * per-DataFrame footer-inference job `spark.read.parquet` pays
+    * (guide §6; the same move as the epoch sink's recorded `schema=`
+    * line). `gen`/`b` are the partition directories and read as LONG
+    * (the writers produce them as LONG). Each search/mutation ran 3-4
+    * one-task inference jobs per invocation without this. */
+  import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+  private val lexPostingsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("tok", StringType),
+    StructField("tf", LongType), StructField("len", LongType),
+    StructField("gen", LongType), StructField("b", LongType)))
+  private val lexDfSchema = StructType(Seq(
+    StructField("tok", StringType), StructField("df", LongType),
+    StructField("gen", LongType), StructField("b", LongType)))
+  private val lexStatsSchema = StructType(Seq(
+    StructField("n_docs", LongType), StructField("total_len", LongType),
+    StructField("gen", LongType)))
+  private val lexTombSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("gen", LongType)))
+
   private def lexFs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1867,7 +1888,7 @@ object TextOps {
     if (!f.exists(root)) None
     else if (!f.listStatus(root).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("gen="))) None
-    else Some(spark.read.parquet(s"$out/tomb")
+    else Some(spark.read.schema(lexTombSchema).parquet(s"$out/tomb")
       .filter(col("gen").isin(gens: _*))
       .select(col("doc_id"), col("gen").as("tomb_gen")))
   }
@@ -1918,7 +1939,7 @@ object TextOps {
     // all three delta writes (df, stats, tomb) — the localCheckpoint
     // cuts the lineage so each write job reuses it
     val hit = lexSurvivors(
-        spark.read.parquet(s"$out/postings").filter(genF)
+        spark.read.schema(lexPostingsSchema).parquet(s"$out/postings").filter(genF)
           .select("b", "tok", "doc_id", "len", "gen"),
         lexTomb(spark, out, gens))
       .select("b", "tok", "doc_id", "len")
@@ -1974,7 +1995,7 @@ object TextOps {
     val ids = batch.select("doc_id").distinct()
     // victims: the batch ids' currently-LIVE postings, one pruned scan
     val victims = lexSurvivors(
-        spark.read.parquet(s"$out/postings").filter(genF)
+        spark.read.schema(lexPostingsSchema).parquet(s"$out/postings").filter(genF)
           .select("b", "tok", "doc_id", "len", "gen"),
         lexTomb(spark, out, gens))
       .select("b", "tok", "doc_id", "len")
@@ -2063,7 +2084,7 @@ object TextOps {
     // (positive deltas minus the deletes' negatives) is exactly the
     // survivor df — fully-deleted tokens drop out of the df table
     val tomb = lexTomb(spark, out, active)
-    val basePostings = spark.read.parquet(s"$out/postings").filter(genF)
+    val basePostings = spark.read.schema(lexPostingsSchema).parquet(s"$out/postings").filter(genF)
       .select("tok", "doc_id", "tf", "len", "b", "gen")
     val postings = lexSurvivors(basePostings, tomb).drop("gen")
     val targetBytes = spark.conf
@@ -2076,12 +2097,12 @@ object TextOps {
     postings.repartitionByRange(k, col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b")
       .parquet(s"$out/postings/gen=$gen")
-    spark.read.parquet(s"$out/df").filter(genF)
+    spark.read.schema(lexDfSchema).parquet(s"$out/df").filter(genF)
       .groupBy("b", "tok").agg(sum("df").as("df"))
       .filter(col("df") > 0)
       .repartitionByRange(lexBuckets, col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
-    spark.read.parquet(s"$out/stats").filter(genF)
+    spark.read.schema(lexStatsSchema).parquet(s"$out/stats").filter(genF)
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
     // atomic flip: temp + rename, content superseding the old gens.
@@ -2158,13 +2179,13 @@ object TextOps {
     def tokRestricted(df: DataFrame): DataFrame =
       if (tokList.size <= maxIsin) df.filter(col("tok").isin(tokList: _*))
       else df.join(tokSet, Seq("tok"), "left_semi")
-    val dfTab = tokRestricted(spark.read.parquet(s"$out/df")
+    val dfTab = tokRestricted(spark.read.schema(lexDfSchema).parquet(s"$out/df")
         .filter(genF && col("b").isin(bList: _*)))
       .groupBy("tok").agg(sum("df").as("df"))
       .filter(col("df") <= lexDfCap)
-    val stats = spark.read.parquet(s"$out/stats").filter(genF)
+    val stats = spark.read.schema(lexStatsSchema).parquet(s"$out/stats").filter(genF)
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-    val candidates = tokRestricted(spark.read.parquet(s"$out/postings")
+    val candidates = tokRestricted(spark.read.schema(lexPostingsSchema).parquet(s"$out/postings")
       .filter(genF && col("b").isin(bList: _*)))
     // deleted docs never become candidates: anti-join the tombstones
     // AFTER the token pushdown, so the probe-bounded candidate set —

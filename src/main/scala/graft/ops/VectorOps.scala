@@ -697,6 +697,31 @@ object VectorOps {
   private val pqCentroids = 16 // K: codebook size per subspace
   private val pqRerank = 64 // exact re-rank pool per probe
 
+  /** Declared schemas for the stored IVF-PQ index's tables — fixed by
+    * the writers in this file; every reader skips footer inference
+    * (guide §6, the lexical index's discipline). `gen`/`cid` are the
+    * partition directories; `final` is nullable BY DESIGN: tomb
+    * generations written before the upsert feature carry no such
+    * column, and the declared schema reads those rows as NULL, which
+    * [[vecTomb]] coalesces to `final=true` — the exact semantics the
+    * old per-read `mergeSchema=true` footer sweep paid a distributed
+    * job to reconstruct. */
+  import org.apache.spark.sql.types.{StructType, StructField, LongType,
+    IntegerType, BooleanType, DoubleType, ArrayType}
+  private val vecCodesSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("m", IntegerType),
+    StructField("code", IntegerType), StructField("gen", LongType),
+    StructField("cid", IntegerType)))
+  private val vecTombSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("final", BooleanType),
+    StructField("gen", LongType)))
+  private val vecCentroidsSchema = StructType(Seq(
+    StructField("cid", IntegerType),
+    StructField("cu", ArrayType(DoubleType))))
+  private val vecCodebookSchema = StructType(Seq(
+    StructField("m", IntegerType), StructField("cid", IntegerType),
+    StructField("c", ArrayType(DoubleType))))
+
   /** One row per (vec_id, subspace m, 8-dim subvector slice). */
   private def subVecs(unit: DataFrame): DataFrame =
     unit.select(col("vec_id"),
@@ -1199,12 +1224,13 @@ object VectorOps {
     else if (!f.listStatus(root).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("gen="))) None
     else {
-      val raw = spark.read.option("mergeSchema", "true")
+      // declared schema: legacy (pre-upsert) tomb rows have no `final`
+      // column and read as NULL -> coalesced to true (they were
+      // deletes); no per-read mergeSchema footer sweep
+      val raw = spark.read.schema(vecTombSchema)
         .parquet(s"$out/tomb").filter(col("gen").isin(gens: _*))
       val withFinal =
-        if (raw.columns.contains("final"))
-          raw.withColumn("final", coalesce(col("final"), lit(true)))
-        else raw.withColumn("final", lit(true))
+        raw.withColumn("final", coalesce(col("final"), lit(true)))
       Some(withFinal
         .groupBy("vec_id")
         .agg(max(struct(col("gen"), col("final"))).as("s"))
@@ -1331,8 +1357,8 @@ object VectorOps {
     * caches). */
   private def encodeAgainstStored(spark: SparkSession, rows: DataFrame,
       out: String): DataFrame = {
-    val cents = spark.read.parquet(s"$out/centroids")
-    val cb = spark.read.parquet(s"$out/codebook")
+    val cents = spark.read.schema(vecCentroidsSchema).parquet(s"$out/centroids")
+    val cb = spark.read.schema(vecCodebookSchema).parquet(s"$out/codebook")
     val unit = unitVecs(normedRows(spark, rows))
     val assigned = assignLists(unit, cents)
       .join(unit, "vec_id")
@@ -1432,7 +1458,7 @@ object VectorOps {
         val dead = ids.join(t.filter(col("tomb_final")), Seq("vec_id"))
         if (dead.isEmpty) ids
         else {
-          val codeGens = spark.read.parquet(s"$out/codes")
+          val codeGens = spark.read.schema(vecCodesSchema).parquet(s"$out/codes")
             .filter(col("gen").isin(gens: _*)).select("vec_id", "gen")
           val revived = dead.alias("d").join(codeGens.alias("c"),
             col("d.vec_id") === col("c.vec_id") &&
@@ -1621,7 +1647,7 @@ object VectorOps {
     if (active.size == 1 && tomb.isEmpty) return active.head
     val gen = vecMarkers(spark, out).map(_._1).max + 1
     vecClearGen(spark, out, gen)
-    val base = spark.read.parquet(s"$out/codes")
+    val base = spark.read.schema(vecCodesSchema).parquet(s"$out/codes")
       .filter(col("gen").isin(active: _*))
       .select("vec_id", "m", "code", "cid", "gen")
     val survivors = vecSurvivors(base, tomb).drop("gen")
@@ -1677,9 +1703,9 @@ object VectorOps {
         new org.apache.hadoop.fs.Path(out, IndexCommit)) && gens.nonEmpty,
       s"no committed vector index at $out - writeVectorIndex did not " +
         "finish (torn indexes must refuse, not serve partial lists)")
-    (spark.read.parquet(s"$out/centroids"),
-      spark.read.parquet(s"$out/codebook"),
-      spark.read.parquet(s"$out/codes").filter(col("gen").isin(gens: _*)))
+    (spark.read.schema(vecCentroidsSchema).parquet(s"$out/centroids"),
+      spark.read.schema(vecCodebookSchema).parquet(s"$out/codebook"),
+      spark.read.schema(vecCodesSchema).parquet(s"$out/codes").filter(col("gen").isin(gens: _*)))
   }
 
   /** q130's IVF-PQ search planned against the STORED index at `out`
