@@ -1729,6 +1729,24 @@ object TextOps {
   private val lexTombSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("gen", LongType)))
 
+  /** Range-writer task count for an index table write: bytes/target
+    * with a small floor. Through r18 the floor was `lexBuckets` (64) —
+    * but the bucket count is a HASH-SPACE constant, not a parallelism
+    * constant: the range keys (b, tok) keep a bucket's rows contiguous,
+    * so each bucket dir gets ~1 file at ANY task count, and a 64-task
+    * write of a KB-scale generation paid ~56 idle task launches, twice
+    * per mutation (postings + df). At 100 TB bytes/128 MB dominates the
+    * floor and nothing changes. */
+  private def lexWriterTasks(spark: SparkSession, df: DataFrame): Int = {
+    val targetBytes = spark.conf
+      .getOption("spark.graft.compact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val stat = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
+    math.min(32768L, math.max(math.min(lexBuckets.toLong, 8L),
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+  }
+
   private def lexFs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1827,19 +1845,14 @@ object TextOps {
       .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
     // size-aware range writers (the sink discipline): keys ⊃ {b}, so a
     // hot bucket spans several sized files and b= pruning stays exact
-    val targetBytes = spark.conf
-      .getOption("spark.graft.compact.targetFileBytes")
-      .map(_.toLong).getOrElse(128L << 20)
-    val stat = postings.queryExecution.optimizedPlan.stats.sizeInBytes
-    val pBytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
-    val k = math.min(32768L, math.max(lexBuckets.toLong,
-      (pBytes + targetBytes - 1) / targetBytes)).toInt
+    val k = lexWriterTasks(spark, postings)
     postings.repartitionByRange(k, col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b")
       .parquet(s"$out/postings/gen=$gen")
-    tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
-      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+    dfTab.repartitionByRange(lexWriterTasks(spark, dfTab),
+        col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
     dl.agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
@@ -1946,8 +1959,9 @@ object TextOps {
       .join(ids, "doc_id")
       .localCheckpoint()
     if (hit.isEmpty) return gens.max
-    hit.groupBy("b", "tok").agg((count(lit(1)) * -1L).as("df"))
-      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+    val dfNeg = hit.groupBy("b", "tok").agg((count(lit(1)) * -1L).as("df"))
+    dfNeg.repartitionByRange(lexWriterTasks(spark, dfNeg),
+        col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
     hit.select("doc_id", "len").distinct()
       .agg((count(lit(1)) * -1L).as("n_docs"),
@@ -2009,25 +2023,20 @@ object TextOps {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val postings = tf.join(dl, "doc_id")
       .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
-    val targetBytes = spark.conf
-      .getOption("spark.graft.compact.targetFileBytes")
-      .map(_.toLong).getOrElse(128L << 20)
-    val stat = postings.queryExecution.optimizedPlan.stats.sizeInBytes
-    val pBytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
-    val k = math.min(32768L, math.max(lexBuckets.toLong,
-      (pBytes + targetBytes - 1) / targetBytes)).toInt
+    val k = lexWriterTasks(spark, postings)
     postings.repartitionByRange(k, col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b")
       .parquet(s"$out/postings/gen=$gen")
     // df: new positives and victim negatives net per (bucket, token);
     // exact zero nets drop — identical content re-upserts leave df
     // untouched and fully-swapped tokens carry both signs correctly
-    postings.groupBy("b", "tok").agg(count(lit(1)).as("df"))
+    val dfNet = postings.groupBy("b", "tok").agg(count(lit(1)).as("df"))
       .unionByName(victims.groupBy("b", "tok")
         .agg((count(lit(1)) * -1L).as("df")))
       .groupBy("b", "tok").agg(sum("df").as("df"))
       .filter(col("df") =!= 0)
-      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+    dfNet.repartitionByRange(lexWriterTasks(spark, dfNet),
+        col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
     // stats: net deltas — n_docs grows only by the true inserts,
     // total_len by (new lengths − replaced lengths). ONE driver action
@@ -2087,20 +2096,16 @@ object TextOps {
     val basePostings = spark.read.schema(lexPostingsSchema).parquet(s"$out/postings").filter(genF)
       .select("tok", "doc_id", "tf", "len", "b", "gen")
     val postings = lexSurvivors(basePostings, tomb).drop("gen")
-    val targetBytes = spark.conf
-      .getOption("spark.graft.compact.targetFileBytes")
-      .map(_.toLong).getOrElse(128L << 20)
-    val stat = postings.queryExecution.optimizedPlan.stats.sizeInBytes
-    val pBytes = if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
-    val k = math.min(32768L, math.max(lexBuckets.toLong,
-      (pBytes + targetBytes - 1) / targetBytes)).toInt
+    val k = lexWriterTasks(spark, postings)
     postings.repartitionByRange(k, col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b")
       .parquet(s"$out/postings/gen=$gen")
-    spark.read.schema(lexDfSchema).parquet(s"$out/df").filter(genF)
+    val dfFold = spark.read.schema(lexDfSchema).parquet(s"$out/df")
+      .filter(genF)
       .groupBy("b", "tok").agg(sum("df").as("df"))
       .filter(col("df") > 0)
-      .repartitionByRange(lexBuckets, col("b"), col("tok"))
+    dfFold.repartitionByRange(lexWriterTasks(spark, dfFold),
+        col("b"), col("tok"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
     spark.read.schema(lexStatsSchema).parquet(s"$out/stats").filter(genF)
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))

@@ -1276,7 +1276,10 @@ object VectorOps {
     val stat = codes.queryExecution.optimizedPlan.stats.sizeInBytes
     val codeBytes =
       if (stat >= BigInt(Long.MaxValue) / 2) 0L else stat.toLong
-    val k = math.min(32768L, math.max(ivfCentroids.toLong,
+    // floor min(lists, 8), not the list count: lists are a hash-space
+    // constant (the lexical writers' r19 rationale) and the range keys
+    // (cid, vec_id) keep ~1 file per cid dir at any task count
+    val k = math.min(32768L, math.max(math.min(ivfCentroids.toLong, 8L),
       (codeBytes + targetBytes - 1) / targetBytes)).toInt
     codes.repartitionByRange(k, col("cid"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cid")

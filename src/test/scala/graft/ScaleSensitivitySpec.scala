@@ -84,18 +84,25 @@ class ScaleSensitivitySpec extends SparkSpecBase {
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-  private def wall(name: String, dir: String): Double = {
+  private def wall(name: String, dir: String, reps: Int): Double = {
     def rep(): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    math.min(rep(), rep()) // rep1 absorbs codegen/JIT first-touch
+    Seq.fill(reps)(rep()).min
   }
 
   watched.foreach { name =>
     test(s"$name wall-clock grows sub-quadratically from sf0.001 to sf0.1") {
-      val Seq(t1, t2, t3) = sfDirs.map(d => wall(name, d))
+      // min-of-2 ONLY at the first (cheapest) SF: its first rep absorbs
+      // the query's codegen/JIT first-touch, and the larger SFs reuse
+      // the same generated code (plan-keyed codegen cache), so their
+      // second rep bought nothing but suite wall-clock — this suite was
+      // the test budget's #1 cost (657 s of 2263 s in the r19 audit)
+      // and the 40x margin dwarfs single-rep noise
+      val Seq(t1, t2, t3) = sfDirs.zipWithIndex.map { case (d, i) =>
+        wall(name, d, reps = if (i == 0) 2 else 1) }
       info(f"$name: sf0.001=$t1%.2fs sf0.01=$t2%.2fs sf0.1=$t3%.2fs")
       // floor the denominators: sub-0.2s timings are pure overhead and
       // would make healthy ratios look arbitrarily large

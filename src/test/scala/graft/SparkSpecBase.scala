@@ -11,6 +11,11 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-side listing for the stored-index dir trees (the mains'
+      // setting): without it every index read in the lifecycle suites
+      // pays a multi-task listing job for ~100-200 tiny local dirs
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
