@@ -1866,7 +1866,12 @@ object VectorOps {
     val batch = updated.unionByName(inserted)
     SharedArtifacts.cloneTo(spark, sharedIvfpqBase(spark, dir), out)
     upsertVectorIndexRows(spark, batch, out)
-    val got = searchVectorIndex(spark, dir, out)
+    // materialized ONCE per invocation (never session-cached): the
+    // yardstick require() below collects these rows, and without the
+    // checkpoint the caller's own action re-ran the whole search a
+    // second time — every rep still pays clone + upsert + search in
+    // full, it just stops paying the search twice
+    val got = searchVectorIndex(spark, dir, out).localCheckpoint()
     // reference: same trained artifacts, old versions NEVER encoded —
     // deterministic in dir, read-only after build, so it is a shared
     // session artifact (the upsert side rebuilds per run: that IS the
