@@ -1844,18 +1844,24 @@ object TextOps {
     val postings = tf.join(dl, "doc_id")
       .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
     // size-aware range writers (the sink discipline): keys ⊃ {b}, so a
-    // hot bucket spans several sized files and b= pruning stays exact
+    // hot bucket spans several sized files and b= pruning stays exact.
+    // The three tables are independent given the checkpointed tf, so
+    // their writes overlap (Par.all, guide §2.6); the marker below
+    // still lands only after all three are joined
     val k = lexWriterTasks(spark, postings)
-    postings.repartitionByRange(k, col("b"), col("tok"))
-      .write.mode("overwrite").partitionBy("b")
-      .parquet(s"$out/postings/gen=$gen")
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
-    dfTab.repartitionByRange(lexWriterTasks(spark, dfTab),
-        col("b"), col("tok"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
-    dl.agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
+    Par.all(
+      () => postings.repartitionByRange(k, col("b"), col("tok"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$out/postings/gen=$gen"),
+      () => dfTab.repartitionByRange(lexWriterTasks(spark, dfTab),
+          col("b"), col("tok"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$out/df/gen=$gen"),
+      () => dl.agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/stats/gen=$gen"))
     // marker LAST: the generation becomes visible atomically
     // (temp+rename so a marker carrying metadata lines — e.g.
     // syncLexicalIndex's sink cursor — is never torn)
@@ -1960,15 +1966,20 @@ object TextOps {
       .localCheckpoint()
     if (hit.isEmpty) return gens.max
     val dfNeg = hit.groupBy("b", "tok").agg((count(lit(1)) * -1L).as("df"))
-    dfNeg.repartitionByRange(lexWriterTasks(spark, dfNeg),
-        col("b"), col("tok"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
-    hit.select("doc_id", "len").distinct()
-      .agg((count(lit(1)) * -1L).as("n_docs"),
-        (sum("len") * -1L).as("total_len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
-    hit.select("doc_id").distinct()
-      .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    // three independent delta writes off the checkpointed hit frame
+    // overlap (Par.all, guide §2.6); marker still lands after the join
+    Par.all(
+      () => dfNeg.repartitionByRange(lexWriterTasks(spark, dfNeg),
+          col("b"), col("tok"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$out/df/gen=$gen"),
+      () => hit.select("doc_id", "len").distinct()
+        .agg((count(lit(1)) * -1L).as("n_docs"),
+          (sum("len") * -1L).as("total_len"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/stats/gen=$gen"),
+      () => hit.select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen"))
     val f = lexFs(spark, out)
     f.create(new org.apache.hadoop.fs.Path(out, s"_GEN_COMMIT_$gen"), true)
       .close()
@@ -2007,26 +2018,27 @@ object TextOps {
     lexClearGen(spark, out, gen)
     val genF = col("gen").isin(gens: _*)
     val ids = batch.select("doc_id").distinct()
-    // victims: the batch ids' currently-LIVE postings, one pruned scan
-    val victims = lexSurvivors(
-        spark.read.schema(lexPostingsSchema).parquet(s"$out/postings").filter(genF)
-          .select("b", "tok", "doc_id", "len", "gen"),
-        lexTomb(spark, out, gens))
-      .select("b", "tok", "doc_id", "len")
-      .join(ids, "doc_id")
-      .localCheckpoint()
-    // new content: one tokenize+count pass feeds every write
-    // (lexAppendGen's lineage discipline)
-    val tf = lexToks(batch).groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // victims (the batch ids' currently-LIVE postings, one pruned
+    // scan) and the new content's tokenize+count pass are independent,
+    // so their checkpoint materializations overlap (Par.all)
+    var victims: DataFrame = null
+    var tf: DataFrame = null
+    Par.all(
+      () => victims = lexSurvivors(
+          spark.read.schema(lexPostingsSchema).parquet(s"$out/postings")
+            .filter(genF)
+            .select("b", "tok", "doc_id", "len", "gen"),
+          lexTomb(spark, out, gens))
+        .select("b", "tok", "doc_id", "len")
+        .join(ids, "doc_id")
+        .localCheckpoint(),
+      () => tf = lexToks(batch).groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint())
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val postings = tf.join(dl, "doc_id")
       .withColumn("b", pmod(xxhash64(col("tok")), lit(lexBuckets)))
     val k = lexWriterTasks(spark, postings)
-    postings.repartitionByRange(k, col("b"), col("tok"))
-      .write.mode("overwrite").partitionBy("b")
-      .parquet(s"$out/postings/gen=$gen")
     // df: new positives and victim negatives net per (bucket, token);
     // exact zero nets drop — identical content re-upserts leave df
     // untouched and fully-swapped tokens carry both signs correctly
@@ -2035,24 +2047,36 @@ object TextOps {
         .agg((count(lit(1)) * -1L).as("df")))
       .groupBy("b", "tok").agg(sum("df").as("df"))
       .filter(col("df") =!= 0)
-    dfNet.repartitionByRange(lexWriterTasks(spark, dfNet),
-        col("b"), col("tok"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
+    // the four tables are independent given the checkpointed tf and
+    // victims frames, so their writes overlap (Par.all, guide §2.6);
+    // the marker below still lands only after all four are joined.
     // stats: net deltas — n_docs grows only by the true inserts,
-    // total_len by (new lengths − replaced lengths). ONE driver action
-    // for both sides (r18): the victim and batch aggregates are each a
-    // single row, so a crossJoin folds them into one job instead of two
-    val nets = dl.agg(count(lit(1)).as("n"),
-        coalesce(sum("len"), lit(0L)).as("l"))
-      .crossJoin(victims.select("doc_id", "len").distinct()
-        .agg(count(lit(1)).as("vn"), coalesce(sum("len"), lit(0L)).as("vl")))
-      .head()
-    Seq((nets.getLong(0) - nets.getLong(2), nets.getLong(1) - nets.getLong(3)))
-      .toDF("n_docs", "total_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
-    // tombstones for the replaced docs only (pure inserts mint none)
-    victims.select("doc_id").distinct()
-      .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    // total_len by (new lengths − replaced lengths); the victim and
+    // batch aggregates are each a single row, so a crossJoin folds
+    // them into one job (r18), now running inside its own slot
+    Par.all(
+      () => postings.repartitionByRange(k, col("b"), col("tok"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$out/postings/gen=$gen"),
+      () => dfNet.repartitionByRange(lexWriterTasks(spark, dfNet),
+          col("b"), col("tok"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$out/df/gen=$gen"),
+      () => {
+        val nets = dl.agg(count(lit(1)).as("n"),
+            coalesce(sum("len"), lit(0L)).as("l"))
+          .crossJoin(victims.select("doc_id", "len").distinct()
+            .agg(count(lit(1)).as("vn"),
+              coalesce(sum("len"), lit(0L)).as("vl")))
+          .head()
+        Seq((nets.getLong(0) - nets.getLong(2),
+            nets.getLong(1) - nets.getLong(3)))
+          .toDF("n_docs", "total_len")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/stats/gen=$gen")
+      },
+      () => victims.select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen"))
     // marker LAST: the delete side and the add side flip visible as one
     val f = lexFs(spark, out)
     val tmp = new org.apache.hadoop.fs.Path(out, s"._GEN_COMMIT_$gen.tmp")
@@ -2097,19 +2121,25 @@ object TextOps {
       .select("tok", "doc_id", "tf", "len", "b", "gen")
     val postings = lexSurvivors(basePostings, tomb).drop("gen")
     val k = lexWriterTasks(spark, postings)
-    postings.repartitionByRange(k, col("b"), col("tok"))
-      .write.mode("overwrite").partitionBy("b")
-      .parquet(s"$out/postings/gen=$gen")
     val dfFold = spark.read.schema(lexDfSchema).parquet(s"$out/df")
       .filter(genF)
       .groupBy("b", "tok").agg(sum("df").as("df"))
       .filter(col("df") > 0)
-    dfFold.repartitionByRange(lexWriterTasks(spark, dfFold),
-        col("b"), col("tok"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$out/df/gen=$gen")
-    spark.read.schema(lexStatsSchema).parquet(s"$out/stats").filter(genF)
-      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats/gen=$gen")
+    // the three merged tables read disjoint inputs: overlap their
+    // writes (Par.all); the replaces-marker lands after the join
+    Par.all(
+      () => postings.repartitionByRange(k, col("b"), col("tok"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$out/postings/gen=$gen"),
+      () => dfFold.repartitionByRange(lexWriterTasks(spark, dfFold),
+          col("b"), col("tok"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$out/df/gen=$gen"),
+      () => spark.read.schema(lexStatsSchema).parquet(s"$out/stats")
+        .filter(genF)
+        .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/stats/gen=$gen"))
     // atomic flip: temp + rename, content superseding the old gens.
     // Sync lineage CARRIES FORWARD: the folded generations' max
     // cursor/epoch move into the compaction's marker — without this a

@@ -1310,9 +1310,14 @@ object VectorOps {
         subVecs(res.select(col("vec_id"), col("r").as("u"))),
         cb.withColumn("css", dot(col("c"), col("c"))))
       .join(res.select("vec_id", "cid"), "vec_id")
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
-    writeCodes(spark, codes, out, 0L)
+    // three independent artifact writes overlap (Par.all, guide
+    // §2.6); the geometry marker below lands only after the join
+    Par.all(
+      () => cents.coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/centroids"),
+      () => cb.coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/codebook"),
+      () => writeCodes(spark, codes, out, 0L))
     val marker = new org.apache.hadoop.fs.Path(out, IndexCommit)
     val tmp = new org.apache.hadoop.fs.Path(out, s".$IndexCommit.tmp")
     val o = f.create(tmp, true)
@@ -1412,10 +1417,13 @@ object VectorOps {
     val codes = encodeAgainstStored(spark, rows, out)
     val gen = vecMarkers(spark, out).map(_._1).max + 1
     vecClearGen(spark, out, gen)
-    writeCodes(spark, codes, out, gen)
-    rows.select("vec_id").distinct()
-      .withColumn("final", lit(false))
-      .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen")
+    // the codes and tombstone tables are independent: overlap their
+    // writes (Par.all); the commit marker lands after both join
+    Par.all(
+      () => writeCodes(spark, codes, out, gen),
+      () => rows.select("vec_id").distinct()
+        .withColumn("final", lit(false))
+        .write.mode("overwrite").parquet(s"$out/tomb/gen=$gen"))
     commitVecGen(spark, out, gen, meta)
     gen
   }
